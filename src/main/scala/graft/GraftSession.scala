@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory for the graft engine.
+  *
+  * Defaults are sized for local[32] testing but every knob is the one
+  * you'd set on a 1000-executor cluster too: AQE (runtime re-plan,
+  * skew-join splitting, partition coalescing), explicit shuffle
+  * parallelism, UTC session time, and a broadcast threshold large
+  * enough that all TPC-H-style dimension tables broadcast.
+  */
+object GraftSession {
+
+  /** Builder with graft defaults; caller may override any conf. */
+  def builder(master: String = s"local[${defaultCpus}]"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", defaultCpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      // events.parquet carries TIMESTAMP(NANOS); Spark has no ns
+      // timestamp type, so read it as epoch-nanos LongType and convert
+      // with exact integer arithmetic (see Tables.eventsWithMs).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def defaultCpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def getOrCreate(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

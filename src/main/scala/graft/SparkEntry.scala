@@ -1,13 +1,151 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §6
+  * (verification). Every implemented operator appears in `queries`;
+  * SQL-expressible ones also appear in `oracleSql` with IDENTICAL
+  * column names and ORDER BY so the DuckDB compare hash-matches.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q3TopRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q2_filter_pushdown" -> (Relational.q2FilterPushdown _),
+    "q3_top_revenue"     -> (Relational.q3TopRevenue _),
+    "q4_region_sales"    -> (Relational.q4RegionSales _),
+    "q5_window_rank"     -> (Relational.q5WindowRank _),
+    "q6_distinct_parts"  -> (Relational.q6DistinctParts _),
+    "q7_topk_orders"     -> (Relational.q7TopkOrders _),
+    "q8_semi_join"       -> (Relational.q8SemiJoin _),
+    "q9_anti_join"       -> (Relational.q9AntiJoin _),
+    "q10_union_accounts" -> (Relational.q10UnionAccounts _),
+    "q11_rollup"         -> (Relational.q11Rollup _),
+    "q12_case_agg"       -> (Relational.q12CaseAgg _),
+    "q13_scalar_subquery" -> (Relational.q13ScalarSubquery _),
+    "q14_sessionize"     -> (Sessionize.q14Sessionize _),
+    "q15_pivot_events"   -> (Relational.q15PivotEvents _),
+    "st1_window_agg"     -> (Sessionize.st1WindowAgg _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 2) AS avg_qty,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q2_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-01-01'
+           AND l_extendedprice > 90000.0
+         ORDER BY l_orderkey, l_linenumber""",
+    "q3_top_revenue" ->
+      """SELECT c_custkey, c_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q4_region_sales" ->
+      """SELECT r_name, n_name,
+         round(sum(o_totalprice), 2) AS total_sales, count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q5_window_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(rank() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rnk
+           FROM customer) t
+         WHERE rnk <= 5 ORDER BY c_mktsegment, rnk, c_custkey""",
+    "q6_distinct_parts" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q7_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+    "q8_semi_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+         ORDER BY c_custkey""",
+    "q9_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+         ORDER BY c_custkey""",
+    "q10_union_accounts" ->
+      """SELECT kind, count(*) AS n, round(sum(bal), 2) AS total_bal,
+         round(avg(bal), 2) AS avg_bal
+         FROM (SELECT 'customer' AS kind, c_acctbal AS bal FROM customer
+               UNION ALL
+               SELECT 'supplier' AS kind, s_acctbal AS bal FROM supplier) u
+         GROUP BY 1 ORDER BY 1""",
+    "q11_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q12_case_agg" ->
+      """SELECT l_returnflag,
+         round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END), 2)
+           AS hi_disc_price,
+         CAST(sum(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
+         round(max(l_extendedprice), 2) AS max_price,
+         round(min(l_extendedprice), 2) AS min_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q13_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.8
+         ORDER BY o_orderkey""",
+    "q14_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+         flagged AS (
+           SELECT user_id, event_id, ms, value,
+             CASE WHEN lag(ms) OVER w IS NULL
+                    OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         sessions AS (
+           SELECT user_id, ms, value,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(ms) AS start_ms, max(ms) AS end_ms,
+           round(sum(value), 2) AS total_value
+         FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q15_pivot_events" ->
+      """SELECT user_id,
+         CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+         CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+         CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+         CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+         CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "st1_window_agg" ->
+      """SELECT epoch_ms(ts) // 3600000 AS hour_bucket, event_type,
+         count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+  )
 }

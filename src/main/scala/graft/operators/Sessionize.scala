@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-time operators over the `events` table.
+  *
+  * Everything is keyed by `user_id`: one shuffle partitions the stream
+  * per user, then windows run within partitions. The same keying is
+  * what the streaming twin (graft.streaming) uses for its state store,
+  * so batch and streaming scale identically — state and compute are
+  * both sharded by the user key, and 100 TB of events is just more
+  * user partitions.
+  *
+  * Timestamps are reduced to epoch milliseconds (`unix_millis`) so the
+  * arithmetic is integer-exact and hashes identically in the DuckDB
+  * oracle (`epoch_ms`).
+  */
+object Sessionize {
+
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** Q14: gap-based sessionization — a new session starts when a user
+    * is idle > 30 min. lag → session-start flags → running sum assigns
+    * session ids; then one grouped agg per (user, session). */
+  def q14Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    Tables.eventsWithMs(s, dir)
+      .select($"user_id", $"event_id", $"ms", $"value")
+      .withColumn("prev_ms", lag($"ms", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ms".isNull || $"ms" - $"prev_ms" > SessionGapMs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+           min($"ms").as("start_ms"),
+           max($"ms").as("end_ms"),
+           round(sum($"value"), 2).as("total_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** ST1 (batch twin of the streaming job): tumbling 1-hour window
+    * aggregate per event type. Bucketing on integer-divided epoch ms
+    * keeps the group key exact. */
+  def st1WindowAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.eventsWithMs(s, dir)
+      .select(expr("ms div 3600000L").as("hour_bucket"),
+              $"event_type", $"value")
+      .groupBy($"hour_bucket", $"event_type")
+      .agg(count(lit(1)).as("n"),
+           round(sum($"value"), 2).as("total_value"))
+      .orderBy($"hour_bucket", $"event_type")
+  }
+}
