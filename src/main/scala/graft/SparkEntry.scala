@@ -32,6 +32,14 @@ object SparkEntry {
     "q14_sessionize"     -> (Sessionize.q14Sessionize _),
     "q15_pivot_events"   -> (Relational.q15PivotEvents _),
     "st1_window_agg"     -> (Sessionize.st1WindowAgg _),
+    "t1_token_stats"     -> (TextAnalysis.t1TokenStats _),
+    "t2_quality_score"   -> (TextAnalysis.t2QualityScore _),
+    "t3_lang_id"         -> (TextAnalysis.t3LangId _),
+    "t4_fingerprint"     -> (TextAnalysis.t4Fingerprint _),
+    "d1_exact_dedup"     -> (Dedup.d1ExactDedup _),
+    "d2_ngram_jaccard"   -> (Dedup.d2NgramJaccard _),
+    "d3_minhash_lsh"     -> (Dedup.d3MinhashLsh _),
+    "d4_simhash"         -> (Dedup.d4Simhash _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -147,5 +155,57 @@ object SparkEntry {
       """SELECT epoch_ms(ts) // 3600000 AS hour_bucket, event_type,
          count(*) AS n, round(sum(value), 2) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "t1_token_stats" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+         CAST(len(regexp_extract_all(text, '\w+')) AS INTEGER) AS n_regex_tokens
+         FROM documents ORDER BY doc_id""",
+    "t2_quality_score" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1) AS awl,
+             CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1) AS swr,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS pr
+           FROM documents)
+         SELECT doc_id, n_tokens, round(awl, 4) AS avg_word_len,
+           round(swr, 4) AS stopword_ratio, round(pr, 4) AS punct_ratio,
+           floor(least(greatest((least(CAST(n_tokens AS DOUBLE) / 32.0, 1.0)
+             + greatest(1.0 - abs(swr - 0.08) * 2.0, 0.0)
+             + greatest(1.0 - pr * 4.0, 0.0)) / 3.0, 0.0), 1.0) * 10000) / 10000.0 AS quality
+         FROM base ORDER BY doc_id""",
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id""",
+    "d1_exact_dedup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "d2_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(
+             list_transform(string_split(text, ' '), (x, i) ->
+               CASE WHEN i + 2 <= len(string_split(text, ' '))
+                    THEN x || ' ' || string_split(text, ' ')[i+1]
+                           || ' ' || string_split(text, ' ')[i+2] END),
+             s -> s IS NOT NULL))) AS shingle
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_both
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           round(CAST(n_both AS DOUBLE) / (sa.n_sh + sb.n_sh - n_both), 4) AS jaccard
+         FROM inter
+         JOIN sizes sa ON id_a = sa.doc_id
+         JOIN sizes sb ON id_b = sb.doc_id
+         WHERE CAST(n_both AS DOUBLE) / (sa.n_sh + sb.n_sh - n_both) >= 0.5
+         ORDER BY 1, 2""",
   )
 }

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text column functions — all composed from `org.apache.spark.sql.functions`
+  * so every one stays inside whole-stage codegen (no UDFs, no
+  * serialization boundary in the hot path at 100 TB).
+  */
+object TextFunctions {
+
+  /** Common English stopwords restricted to plain tokens. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Whitespace tokens. Mirrors DuckDB `string_split(text, ' ')`. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word-character tokens (BPE-ish regex tokenizer baseline). */
+  def regexTokens(text: Column): Column = regexp_extract_all(text, lit("\\w+"), lit(0))
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  def nDistinctTokens(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Fraction of tokens that are stopwords (doc-quality signal). */
+  def stopwordRatio(text: Column): Column = {
+    val sw = Stopwords.map(lit(_))
+    val hits = size(filter(tokens(text), t => t.isInCollection(Stopwords)))
+    hits.cast("double") / greatest(nTokens(text), lit(1)).cast("double")
+  }
+
+  /** Mean token length in characters. */
+  def avgWordLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") /
+      greatest(nTokens(text), lit(1)).cast("double")
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:'\"()]", "")))
+      .cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: long-enough docs with moderate
+    * stopword density and low punctuation score high. Heuristic from
+    * standard LLM-corpus filtering recipes (C4-style). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(nTokens(text).cast("double") / lit(32.0), lit(1.0))
+    val swScore  = lit(1.0) - abs(stopwordRatio(text) - lit(0.08)) * lit(2.0)
+    val pScore   = lit(1.0) - punctRatio(text) * lit(4.0)
+    least(greatest((lenScore + greatest(swScore, lit(0.0)) + greatest(pScore, lit(0.0))) / lit(3.0),
+      lit(0.0)), lit(1.0))
+  }
+
+  /** Canonical form for exact-dup fingerprinting: lowercase, collapsed
+    * whitespace, trimmed. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Exact-dup fingerprint = md5 of the normalized text (same bytes
+    * DuckDB's `md5` hashes, so it oracles). */
+  def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
+
+  /** Distinct n-word shingles of the whitespace tokens; docs shorter
+    * than n get an empty set. Shingling is the unit for MinHash /
+    * Jaccard near-dup detection. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    val idx = sequence(lit(0), size(w) - n) // 0-based start positions
+    val mk = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
+    when(size(w) >= n, array_distinct(mk)).otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-language marker words for the language-ID heuristic. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "that"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "est"),
+    "es" -> Seq("el", "la", "los", "las", "y", "de", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "不"))
+
+  /** Language-ID: argmax of marker-word hit counts, with a CJK
+    * character-ratio override; "und" when nothing matches. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isInCollection(markers)))
+    }
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val best = scores.foldLeft((lit("und"), lit(0))) {
+      case ((bl, bs), (lang, sc)) =>
+        (when(sc > bs, lit(lang)).otherwise(bl), greatest(sc, bs))
+    }
+    when(cjk * 5 > length(text), lit("zh")).otherwise(best._1)
+  }
+}

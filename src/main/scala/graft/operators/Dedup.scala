@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication operators over `documents`.
+  *
+  * Scale design: none of these ever materializes an O(n²) cross join.
+  *  - exact dedup is a hash groupBy on the fingerprint (1 shuffle);
+  *  - n-gram Jaccard generates candidates through a shingle inverted
+  *    index (explode → self-join on the shingle key), so only docs
+  *    sharing a shingle ever meet — the join shuffles on the shingle,
+  *    which AQE splits when a hot shingle skews;
+  *  - MinHash/LSH reduces each doc to a 64-slot signature, then only
+  *    docs colliding in an LSH band bucket are paired;
+  *  - SimHash reduces each doc to 64 bits; the pigeonhole join on
+  *    16-bit chunks finds all pairs within hamming distance 3.
+  */
+object Dedup {
+
+  /** D1: exact duplicate groups — fingerprint → (keeper, copy count).
+    * The "keep min doc_id per group" rule is the standard
+    * deterministic survivor policy. */
+  def d1ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", fingerprint($"text").as("fp"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"fp")
+  }
+
+  /** Distinct 3-word shingles per doc, exploded: the inverted index. */
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(shingles($"text", 3)).as("shingle"))
+  }
+
+  /** D2: exact n-gram Jaccard near-dup pairs (threshold 0.5).
+    * |A∩B| comes from the inverted-index self-join; |A∪B| = |A|+|B|−|A∩B|. */
+  def d2NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleIndex(s, dir).cache()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"),
+        $"x.shingle" === $"y.shingle" && $"x.doc_id" < $"y.doc_id")
+      .groupBy($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val j = $"n_both".cast("double") /
+      ($"sa.n_sh" + $"sb.n_sh" - $"n_both").cast("double")
+    inter
+      .join(sizes.as("sa"), $"id_a" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"id_b" === $"sb.doc_id")
+      .filter(j >= 0.5)
+      .select($"id_a", $"id_b", round(j, 4).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // ---- MinHash -------------------------------------------------------
+
+  val NumHashes = 64
+  val NumBands = 16 // 4 rows per band
+  private val MersennePrime = (1L << 61) - 1
+  /** Fixed seeded permutation coefficients; a,b < 2^30 and the shingle
+    * hash is reduced below 2^31 first, so a*x+b stays < 2^62 — no
+    * overflow under ANSI SQL mode. */
+  private val perms: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumHashes)((rnd.nextInt(1 << 30).toLong + 1, rnd.nextInt(1 << 30).toLong))
+  }
+
+  /** 64-slot MinHash signature per doc (array column `sig`). */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = pmod(xxhash64($"shingle"), lit(2147483647L))
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(x * lit(a) + lit(b), lit(MersennePrime))).as(s"h$i")
+    }
+    shingleIndex(s, dir)
+      .groupBy($"doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select($"doc_id", array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** D3: MinHash + LSH banding near-dup candidates with signature-
+    * estimated Jaccard ≥ 0.5. Approximate → rows-only check; the spec
+    * compares against exact Jaccard (d2). */
+  def d3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rowsPerBand = NumHashes / NumBands
+    val sigs = minhashSignatures(s, dir)
+    val bands = sigs.select($"doc_id", $"sig",
+      explode(array((0 until NumBands).map { j =>
+        struct(lit(j).as("band"),
+          xxhash64(lit(j), slice($"sig", j * rowsPerBand + 1, rowsPerBand)).as("bh"))
+      }: _*)).as("b"))
+      .select($"doc_id", $"sig", $"b.band", $"b.bh")
+    val pairs = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+              $"x.sig".as("sa"), $"y.sig".as("sb"))
+      .dropDuplicates("id_a", "id_b")
+    val est = size(filter(zip_with($"sa", $"sb", (p, q) => p === q), v => v))
+      .cast("double") / lit(NumHashes.toDouble)
+    pairs.select($"id_a", $"id_b", round(est, 4).as("est_jaccard"))
+      .filter($"est_jaccard" >= 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // ---- SimHash -------------------------------------------------------
+
+  /** 64-bit SimHash per doc from token hashes: bit b is set when the
+    * sum of ±1 votes (per-token bit b) is positive. */
+  def simhashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .select($"doc_id", xxhash64($"tok").as("h"))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright($"h", b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b")
+    }
+    val assembled = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce[Column]((l, r) => l.bitwiseOR(r))
+    toks.groupBy($"doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select($"doc_id", assembled.as("simhash"))
+  }
+
+  /** D4: SimHash near-dup pairs within hamming distance ≤ 3, found via
+    * the 4×16-bit pigeonhole join (hamming ≤3 ⟹ some chunk equal). */
+  def d4Simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = simhashes(s, dir)
+    val chunks = sh.select($"doc_id", $"simhash",
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("c"),
+          shiftright($"simhash", c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))
+      }: _*)).as("ch"))
+      .select($"doc_id", $"simhash", $"ch.c", $"ch.cv")
+    chunks.as("x").join(chunks.as("y"),
+        $"x.c" === $"y.c" && $"x.cv" === $"y.cv" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+        bit_count($"x.simhash".bitwiseXOR($"y.simhash")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter($"hamming" <= 3)
+      .orderBy($"id_a", $"id_b")
+  }
+}

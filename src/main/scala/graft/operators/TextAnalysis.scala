@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries over `documents` — token statistics, quality
+  * scoring, language ID, fingerprinting. All per-row narrow transforms
+  * (no shuffle at all except the final presentation sort), so they
+  * stream through 100 TB at scan speed.
+  */
+object TextAnalysis {
+
+  /** T1: token counting — whitespace tokens, distinct tokens, regex
+    * (word-char) tokens. */
+  def t1TokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        nTokens($"text").as("n_tokens"),
+        nDistinctTokens($"text").as("n_distinct"),
+        size(regexTokens($"text")).as("n_regex_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  /** T2: quality scoring — length/stopword/punctuation heuristics. */
+  def t2QualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        nTokens($"text").as("n_tokens"),
+        round(avgWordLen($"text"), 4).as("avg_word_len"),
+        round(stopwordRatio($"text"), 4).as("stopword_ratio"),
+        round(punctRatio($"text"), 4).as("punct_ratio"),
+        // floor-quantize, not round: the score formula lands on exact
+        // .5e-4 boundaries where Spark (HALF_UP on BigDecimal) and
+        // DuckDB (x*1e4 then std::round) disagree; floor of identical
+        // IEEE doubles is engine-independent.
+        (floor(qualityScore($"text") * 10000) / 10000.0).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** T3: language identification (marker-word + CJK heuristic). */
+  def t3LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang".as("labeled_lang"), langId($"text").as("pred_lang"))
+      .orderBy($"doc_id")
+  }
+
+  /** T4: document fingerprint — md5 of normalized text. */
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+}

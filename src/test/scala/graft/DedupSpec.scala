@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends GraftSpecBase {
+  import operators.Dedup
+
+  private lazy val exactPairs: Set[(Long, Long)] = {
+    import spark.implicits._
+    Dedup.d2NgramJaccard(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+  }
+
+  test("exact jaccard finds the planted near-dup pairs") {
+    assert(exactPairs.nonEmpty, "expected planted near-dups at sf0.001")
+  }
+
+  test("minhash-lsh recalls >= 80% of exact near-dup pairs") {
+    import spark.implicits._
+    val approx = Dedup.d3MinhashLsh(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val recall = exactPairs.count(approx.contains).toDouble / exactPairs.size
+    assert(recall >= 0.8, s"recall $recall over ${exactPairs.size} pairs")
+  }
+
+  test("minhash estimate is close to exact jaccard on true pairs") {
+    import spark.implicits._
+    val est = Dedup.d3MinhashLsh(spark, sf)
+      .select($"id_a", $"id_b", $"est_jaccard").as[(Long, Long, Double)]
+      .collect().map { case (a, b, e) => (a, b) -> e }.toMap
+    val exact = Dedup.d2NgramJaccard(spark, sf)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+    val errs = exact.flatMap { case (a, b, j) => est.get((a, b)).map(e => math.abs(e - j)) }
+    assert(errs.nonEmpty && errs.max < 0.25, s"max est error ${if (errs.nonEmpty) errs.max else -1}")
+  }
+
+  test("simhash is deterministic and pairs are hamming-close") {
+    import spark.implicits._
+    val s1 = Dedup.simhashes(spark, sf).as[(Long, Long)].collect().toMap
+    val s2 = Dedup.simhashes(spark, sf).as[(Long, Long)].collect().toMap
+    assert(s1 == s2)
+    val pairs = Dedup.d4Simhash(spark, sf)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect()
+    pairs.foreach { case (a, b, h) =>
+      val real = java.lang.Long.bitCount(s1(a) ^ s1(b))
+      assert(real == h && h <= 3)
+    }
+  }
+
+  test("simhash pairs are token-level near-duplicates") {
+    import spark.implicits._
+    val sim = Dedup.d4Simhash(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // simhash approximates token (unigram) similarity — validate each
+    // hamming<=3 pair against exact token-set jaccard, not the
+    // order-sensitive 3-gram jaccard
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val prec = if (sim.isEmpty) 1.0
+      else sim.count { case (a, b) =>
+        val j = toks(a).intersect(toks(b)).size.toDouble / toks(a).union(toks(b)).size
+        j >= 0.5
+      }.toDouble / sim.size
+    assert(prec >= 0.9, s"precision $prec over ${sim.size} pairs")
+  }
+
+  test("exact dedup groups partition the corpus") {
+    import spark.implicits._
+    val d = Dedup.d1ExactDedup(spark, sf)
+    val total = d.agg(sum($"n_copies")).as[Long].head()
+    assert(total == Tables.documents(spark, sf).count())
+  }
+}

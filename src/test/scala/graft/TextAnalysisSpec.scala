@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+class TextAnalysisSpec extends GraftSpecBase {
+
+  test("token stats: distinct <= total, regex tokens == whitespace tokens on clean text") {
+    import spark.implicits._
+    val bad = operators.TextAnalysis.t1TokenStats(spark, sf)
+      .filter($"n_distinct" > $"n_tokens")
+    assert(bad.count() == 0)
+  }
+
+  test("quality score stays in [0,1]") {
+    import spark.implicits._
+    val q = operators.TextAnalysis.t2QualityScore(spark, sf)
+      .select($"quality").as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("langId identifies marker-heavy texts") {
+    import spark.implicits._
+    val samples = Seq(
+      ("the cat and the dog went to the market", "en"),
+      ("le chat et la mer sont de un bleu est", "fr"),
+      ("el perro y la casa de los que hablan", "es"),
+      ("der hund und die katze ist mit ein haus", "de"),
+      ("这是一个很好的例子和测试", "zh")).toDF("text", "expected")
+    val got = samples.select($"expected", TextFunctions.langId($"text").as("pred"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    import spark.implicits._
+    val df = Seq("Hello  World", "hello world", "HELLO   WORLD ").toDF("text")
+    val fps = df.select(TextFunctions.fingerprint($"text")).as[String].collect()
+    assert(fps.distinct.length == 1)
+  }
+
+  test("shingles produce n-2 shingles for n tokens before dedup, empty below n") {
+    import spark.implicits._
+    val df = Seq("a b c d e", "a b").toDF("text")
+    val got = df.select(size(TextFunctions.shingles($"text", 3))).as[Int].collect()
+    assert(got.sameElements(Array(3, 0)))
+  }
+}
