@@ -40,6 +40,9 @@ object SparkEntry {
     "d2_ngram_jaccard"   -> (Dedup.d2NgramJaccard _),
     "d3_minhash_lsh"     -> (Dedup.d3MinhashLsh _),
     "d4_simhash"         -> (Dedup.d4Simhash _),
+    "d5_embedding_dedup" -> (Similarity.d5EmbeddingDedup _),
+    "s1_knn_brute"       -> (Similarity.s1KnnBrute _),
+    "s2_ann_ivf"         -> (Similarity.s2AnnIvf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -207,5 +210,33 @@ object SparkEntry {
          JOIN sizes sb ON id_b = sb.doc_id
          WHERE CAST(n_both AS DOUBLE) / (sa.n_sh + sb.n_sh - n_both) >= 0.5
          ORDER BY 1, 2""",
+    "d5_embedding_dedup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         floor(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           * 10000) / 10000.0 AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.5
+         ORDER BY 1, 2""",
+    "s1_knn_brute" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             floor(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               * 10000) / 10000.0 AS cos
+           FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id),
+         ranked AS (
+           SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk, neighbor_id, cos
+           FROM scored)
+         SELECT q_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
+         ORDER BY q_id, rnk""",
   )
 }

@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column functions over `array<float>` embeddings.
+  *
+  * All math is promoted to double and accumulated in list order
+  * (`aggregate` folds left-to-right), which keeps results IEEE-exact
+  * and engine-reproducible. Pure `functions._` compositions — no UDF,
+  * no serialization; the whole dot product stays in codegen.
+  */
+object VectorFunctions {
+
+  /** Cast array<float> → array<double> (exact). */
+  def toDoubles(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential left-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0.0, 0.0).otherwise(d / nn)
+  }
+
+  /** Engine-independent 4-decimal quantization (see TextAnalysis
+    * quality note: floor of identical IEEE doubles, unlike round, is
+    * implementation-independent). */
+  def q4(c: Column): Column = floor(c * 10000) / 10000.0
+}

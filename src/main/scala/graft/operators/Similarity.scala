@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.{Vector => MlVector}
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (64-d float vectors).
+  *
+  * `s1`/`d5` are the exact baselines: a blocked pairwise join with a
+  * codegen'd double dot product. Exact all-pairs is O(n²) — correct
+  * at validation scale, and the reason the IVF path exists. At 100 TB
+  * the serving path is `s2AnnIvf`: a KMeans coarse quantizer turns the
+  * search into (a) a centroid probe (tiny broadcast) and (b) a join
+  * against only the probed clusters' inverted lists — the classic
+  * IVF-Flat layout (Johnson et al., "Billion-scale similarity search
+  * with GPUs", 2017), with cluster id as the partition key.
+  */
+object Similarity {
+
+  /** S1: exact brute-force top-k cosine neighbors for the query set
+    * (vec_id < 5). Ranking is on 4-dp-quantized cosine with vec_id
+    * tie-break, so order is engine-reproducible. */
+  def s1KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", toDoubles($"embedding").as("v"))
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val scored = emb.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), q4(cosine($"qv", $"v")).as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"q_id", $"rnk", $"neighbor_id", $"cos")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** D5: exact embedding near-dup pairs, cosine ≥ 0.5. The pairwise
+    * block join is the correctness baseline; the LSH/IVF variants are
+    * the scale path. */
+  def d5EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", toDoubles($"embedding").as("v"))
+    val cos = cosine($"a.v", $"b.v")
+    emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+      .filter(cos >= 0.5)
+      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"), q4(cos).as("cosine"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val IvfClusters = 16
+  val IvfProbes = 2
+
+  /** Fit the IVF coarse quantizer and assign every vector a cluster.
+    * Returns (assignments df: vec_id, v, cluster; centroid arrays). */
+  def ivfIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", toDoubles($"embedding").as("v"))
+      .withColumn("features", array_to_vector($"v"))
+    val model = new KMeans().setK(IvfClusters).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(emb)
+    val assigned = model.transform(emb).select($"vec_id", $"v", $"cluster")
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** S2: IVF approximate top-k — probe the `IvfProbes` nearest
+    * centroids per query, search only those inverted lists. The
+    * candidate join is keyed on cluster id (= partition key at scale),
+    * so each query touches probes/K of the data. */
+  def s2AnnIvf(s: SparkSession, dir: String): DataFrame =
+    s2AnnIvf(s, dir, IvfProbes)
+
+  /** IVF search with an explicit probe count; `probes == IvfClusters`
+    * degenerates to exact search (the spec's correctness invariant —
+    * on isotropic data low probe counts trade recall for the k/K scan
+    * reduction, which is the entire point at scale). */
+  def s2AnnIvf(s: SparkSession, dir: String, probes: Int): DataFrame = {
+    import s.implicits._
+    val (assigned, centers) = ivfIndex(s, dir)
+    val centerLit = array(centers.map(c => array(c.map(lit): _*)): _*)
+    // per-query: top-`IvfProbes` clusters by centroid cosine
+    val queries = assigned.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .withColumn("cdist",
+        transform(centerLit, c => q4(cosine($"qv", c))))
+      .withColumn("probe", explode(sortSlice($"cdist", probes)))
+    val scored = assigned.join(broadcast(queries),
+        $"cluster" === $"probe" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), q4(cosine($"qv", $"v")).as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id")
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"q_id", $"rnk", $"neighbor_id", $"cos")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** Indices of the top-`n` values of a double array (descending),
+    * as a column expression. */
+  private def sortSlice(arr: org.apache.spark.sql.Column, n: Int) = {
+    // pair each value with its index, sort descending by value, take n
+    val paired = zip_with(arr, sequence(lit(0), size(arr) - 1),
+      (v, i) => struct(v.as("v"), i.as("i")))
+    slice(reverse(array_sort(paired)), 1, n).getField("i")
+  }
+}

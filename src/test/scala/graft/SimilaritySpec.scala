@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends GraftSpecBase {
+  import operators.Similarity
+
+  test("brute-force knn: cosine in [-1,1], k neighbors per query, no self-match") {
+    import spark.implicits._
+    val knn = Similarity.s1KnnBrute(spark, sf).collect()
+    assert(knn.length == 5 * 3)
+    knn.foreach { r =>
+      assert(r.getAs[Long]("q_id") != r.getAs[Long]("neighbor_id"))
+      val c = r.getAs[Double]("cos")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
+  test("ivf probing all clusters reproduces brute force exactly") {
+    // the embeddings are isotropic noise, so partial probes trade
+    // recall for scan reduction; full probing must be exact
+    val exact = Similarity.s1KnnBrute(spark, sf).collect().toSeq
+    val full = Similarity.s2AnnIvf(spark, sf, Similarity.IvfClusters).collect().toSeq
+    assert(full == exact)
+  }
+
+  test("ivf with default probes returns k results per query from probed lists only") {
+    import spark.implicits._
+    val approx = Similarity.s2AnnIvf(spark, sf).collect()
+    assert(approx.length == 5 * 3)
+    // results must be a subset of valid (q, neighbor) space and scored
+    approx.foreach { r =>
+      assert(r.getAs[Long]("q_id") != r.getAs[Long]("neighbor_id"))
+    }
+  }
+
+  test("embedding dedup pairs are symmetric-free and above threshold") {
+    import spark.implicits._
+    val pairs = Similarity.d5EmbeddingDedup(spark, sf).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("cosine") >= 0.5)
+    }
+  }
+}
