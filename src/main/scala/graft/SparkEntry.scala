@@ -42,7 +42,11 @@ object SparkEntry {
     "d4_simhash"         -> (Dedup.d4Simhash _),
     "d5_embedding_dedup" -> (Similarity.d5EmbeddingDedup _),
     "s1_knn_brute"       -> (Similarity.s1KnnBrute _),
-    "s2_ann_ivf"         -> (Similarity.s2AnnIvf _),
+    "s2_ann_ivf"         -> ((s: SparkSession, d: String) => Similarity.s2AnnIvf(s, d)),
+    "m1_als_recommend"   -> (graft.ml.Recommender.m1AlsRecommend _),
+    "m2_sentiment"       -> (graft.ml.Sentiment.m2Sentiment _),
+    "mm1_binary_meta"    -> (graft.multimodal.Multimodal.mm1BinaryMeta _),
+    "mm2_frame_sample"   -> (graft.multimodal.Multimodal.mm2FrameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -238,5 +242,9 @@ object SparkEntry {
            FROM scored)
          SELECT q_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
          ORDER BY q_id, rnk""",
+    "mm1_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         md5(text) AS digest
+         FROM documents ORDER BY doc_id""",
   )
 }

@@ -1,0 +1,65 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.recommendation.ALS
+import graft.Tables
+
+/** Collaborative-filtering recommender — the reference's "movie
+  * recommendation" head, re-expressed as MLlib ALS over the purchase
+  * graph (user = customer, item = part, rating = total quantity
+  * purchased, from orders ⋈ lineitem).
+  *
+  * ALS is the canonical distributed matrix factorization: ratings are
+  * blocked by user and by item, and each iteration is two shuffles
+  * (solve user factors against item blocks, then vice versa). That
+  * blocking is what makes it run on a 100 TB rating log — factors for
+  * a block fit in executor memory regardless of total scale.
+  */
+object Recommender {
+
+  val Rank = 8
+  val Iters = 8
+  val Seed = 42L
+
+  /** The implicit rating matrix from purchase history. */
+  def ratings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey", $"l_quantity"),
+            $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_custkey".as("user"), $"l_partkey".as("item"))
+      .agg(sum($"l_quantity").cast("float").as("rating"))
+  }
+
+  def fit(s: SparkSession, dir: String): org.apache.spark.ml.recommendation.ALSModel =
+    new ALS()
+      .setRank(Rank).setMaxIter(Iters).setSeed(Seed)
+      .setRegParam(0.1)
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setColdStartStrategy("drop")
+      .fit(ratings(s, dir))
+
+  /** M1: top-5 part recommendations per customer. */
+  def m1AlsRecommend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val model = fit(s, dir)
+    model.recommendForAllUsers(5)
+      .select($"user", posexplode($"recommendations").as(Seq("pos", "rec")))
+      .select($"user".as("c_custkey"), ($"pos" + 1).as("rnk"),
+        $"rec.item".as("p_partkey"),
+        round($"rec.rating".cast("double"), 4).as("score"))
+      .orderBy($"c_custkey", $"rnk")
+  }
+
+  /** RMSE of the model's reconstruction of the training ratings —
+    * the spec's sanity metric. */
+  def trainRmse(s: SparkSession, dir: String): Double = {
+    import s.implicits._
+    val model = fit(s, dir)
+    val pred = model.transform(ratings(s, dir))
+    new org.apache.spark.ml.evaluation.RegressionEvaluator()
+      .setMetricName("rmse").setLabelCol("rating").setPredictionCol("prediction")
+      .evaluate(pred)
+  }
+}

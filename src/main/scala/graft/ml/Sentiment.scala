@@ -1,0 +1,81 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.{HashingTF, IDF, RegexTokenizer, StopWordsRemover}
+import graft.Tables
+
+/** Text-sentiment head — the reference's sentiment-analysis pipeline
+  * re-expressed as a spark.ml Pipeline: RegexTokenizer →
+  * StopWordsRemover → HashingTF → IDF → LogisticRegression.
+  *
+  * The corpus has no sentiment labels, so training labels are derived
+  * from polarity marker terms (standard weak-supervision bootstrap);
+  * ties are excluded from training and scored by the model.
+  *
+  * Every stage is a narrow per-row transform except IDF (one reduce
+  * for document frequencies) and LR (gradient aggregation per
+  * iteration) — both scale as single map-reduce passes, and HashingTF
+  * keeps the feature space bounded (2^12) with no vocabulary shuffle
+  * at all, which is what you want when the corpus is 100 TB.
+  */
+object Sentiment {
+
+  val Positive = Seq("fast", "big", "merge")
+  val Negative = Seq("slow", "small", "filter")
+
+  /** Marker-count polarity: +1 / 0(neutral) / -1. */
+  private def polarity(c: org.apache.spark.sql.Column) = {
+    def hits(words: Seq[String]) =
+      size(filter(split(lower(c), " "), t => t.isInCollection(words)))
+    hits(Positive) - hits(Negative)
+  }
+
+  def pipeline: Pipeline = {
+    val tok = new RegexTokenizer().setInputCol("text").setOutputCol("raw_tokens")
+      .setPattern("\\W+")
+    val sw = new StopWordsRemover().setInputCol("raw_tokens").setOutputCol("tokens")
+    val tf = new HashingTF().setInputCol("tokens").setOutputCol("tf")
+      .setNumFeatures(1 << 12)
+    val idf = new IDF().setInputCol("tf").setOutputCol("features")
+    val lr = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
+      .setLabelCol("label").setFeaturesCol("features")
+    new Pipeline().setStages(Array(tok, sw, tf, idf, lr))
+  }
+
+  private def labeled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("pol", polarity($"text"))
+      .withColumn("label", when($"pol" > 0, 1.0).when($"pol" < 0, 0.0))
+  }
+
+  /** M2: train on polarity-labeled docs, score every doc. Output is
+    * the per-document sentiment with the model's positive-class
+    * probability. */
+  def m2Sentiment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = labeled(s, dir)
+    val model = pipeline.fit(docs.filter($"label".isNotNull))
+    model.transform(docs)
+      .select($"doc_id",
+        coalesce($"label", lit(-1.0)).as("weak_label"),
+        $"prediction",
+        round(element_at(vector_to_array($"probability"), 2), 4).as("p_positive"))
+      .orderBy($"doc_id")
+  }
+
+  /** Training-set accuracy for the spec. */
+  def trainAccuracy(s: SparkSession, dir: String): Double = {
+    import s.implicits._
+    val docs = labeled(s, dir).filter($"label".isNotNull)
+    val model = pipeline.fit(docs)
+    val scored = model.transform(docs)
+    scored.filter($"prediction" === $"label").count().toDouble / scored.count()
+  }
+
+  private def vector_to_array(c: org.apache.spark.sql.Column) =
+    org.apache.spark.ml.functions.vector_to_array(c)
+}

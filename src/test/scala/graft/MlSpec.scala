@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class MlSpec extends GraftSpecBase {
+  import graft.ml.{Recommender, Sentiment}
+
+  test("als recommends 5 distinct existing parts per customer") {
+    import spark.implicits._
+    val recs = Recommender.m1AlsRecommend(spark, sf)
+    val parts = Tables.part(spark, sf).select($"p_partkey").as[Long].collect().toSet
+    val perUser = recs.groupBy($"c_custkey")
+      .agg(count(lit(1)).as("n"), countDistinct($"p_partkey").as("nd"))
+      .filter($"n" =!= 5 || $"nd" =!= 5)
+    assert(perUser.count() == 0)
+    val badPart = recs.select($"p_partkey").as[Long].collect().filterNot(parts.contains)
+    assert(badPart.isEmpty)
+  }
+
+  test("als reconstructs training ratings with sane rmse") {
+    val rmse = Recommender.trainRmse(spark, sf)
+    // ratings are quantity sums in [1, ~100]; a factorized fit should
+    // be far below the data's own spread
+    assert(rmse > 0.0 && rmse < 15.0, s"rmse $rmse")
+  }
+
+  test("sentiment pipeline separates polarity-labeled training docs") {
+    val acc = Sentiment.trainAccuracy(spark, sf)
+    assert(acc >= 0.9, s"train accuracy $acc")
+  }
+
+  test("sentiment scores every document with a calibrated probability") {
+    import spark.implicits._
+    val scored = graft.ml.Sentiment.m2Sentiment(spark, sf)
+    assert(scored.count() == Tables.documents(spark, sf).count())
+    val bad = scored.filter($"p_positive" < 0.0 || $"p_positive" > 1.0)
+    assert(bad.count() == 0)
+    // predictions should agree with the weak label where one exists
+    val lab = scored.filter($"weak_label" >= 0.0)
+    val agree = lab.filter($"prediction" === $"weak_label").count().toDouble / lab.count()
+    assert(agree >= 0.9, s"label agreement $agree")
+  }
+}

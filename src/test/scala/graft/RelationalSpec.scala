@@ -11,8 +11,10 @@ class RelationalSpec extends GraftSpecBase {
   test("every registered query runs and returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
-      assert(n > 0 || name == "d2_ngram_jaccard" || name == "d3_minhash_lsh"
-        || name == "d4_simhash", s"$name returned 0 rows")
+      // near-dup detectors may legitimately find nothing at tiny scale
+      val mayBeEmpty = Set("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
+        "d5_embedding_dedup")
+      assert(n > 0 || mayBeEmpty(name), s"$name returned 0 rows")
     }
   }
 

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, SessionOut}
+
+class StreamingSpec extends GraftSpecBase {
+
+  private def loadEvents: Seq[Event] = {
+    import spark.implicits._
+    Tables.eventsWithMs(spark, sf)
+      .select($"user_id", $"event_id", $"ms", $"event_type", $"value")
+      .as[Event].collect().toSeq.sortBy(e => (e.ms, e.event_id))
+  }
+
+  test("streaming windowed agg over memory stream matches batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents
+    val stream = MemoryStream[Event]
+    val q = EventStreams.windowedAgg(stream.toDF())
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try {
+      val (h1, h2) = events.splitAt(events.size / 2)
+      stream.addData(h1); q.processAllAvailable()
+      stream.addData(h2); q.processAllAvailable()
+      val got = spark.table("win_agg")
+        .select(($"window_start_ms" / 3600000L).cast("long").as("hour_bucket"),
+          $"event_type", $"n", $"total_value")
+        .collect().map(_.toSeq).toSet
+      val want = operators.Sessionize.st1WindowAgg(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("stateful streaming sessionizer matches batch q14 (closed + flushed)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // feed in 4 time-ordered chunks to exercise state across batches
+      events.grouped(math.max(1, events.size / 4 + 1)).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val closed = spark.table("sessions").as[SessionOut].collect()
+        .map(s => (s.user_id, s.session_id, s.n_events, s.start_ms, s.end_ms)).toSet
+      val batch = operators.Sessionize.q14Sessionize(spark, sf)
+        .select($"user_id", $"session_id", $"n_events", $"start_ms", $"end_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      // streaming emitted exactly the batch sessions that a later event closed:
+      // every user's final session is still open in state
+      val lastPerUser = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val expectClosed = batch.filterNot { case (u, sid, _, _, _) => lastPerUser(u) == sid }
+      assert(closed == expectClosed)
+    } finally q.stop()
+  }
+
+  test("batch-mode sessionizer with flush equals q14 exactly") {
+    import spark.implicits._
+    val ds = Tables.eventsWithMs(spark, sf)
+      .select($"user_id", $"event_id", $"ms", $"event_type", $"value").as[Event]
+    val got = EventStreams.sessionizeWithFlush(ds)
+      .select($"user_id", $"session_id", $"n_events", $"start_ms", $"end_ms")
+      .collect().map(_.toSeq).toSet
+    val want = operators.Sessionize.q14Sessionize(spark, sf)
+      .select($"user_id", $"session_id", $"n_events", $"start_ms", $"end_ms")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+}
