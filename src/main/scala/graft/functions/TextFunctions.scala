@@ -23,11 +23,17 @@ object TextFunctions {
 
   def nDistinctTokens(text: Column): Column = size(array_distinct(tokens(text)))
 
-  /** Fraction of tokens that are stopwords (doc-quality signal). */
-  def stopwordRatio(text: Column): Column = {
-    val sw = Stopwords.map(lit(_))
-    val hits = size(filter(tokens(text), t => t.isInCollection(Stopwords)))
-    hits.cast("double") / greatest(nTokens(text), lit(1)).cast("double")
+  /** Fraction of tokens that are stopwords (doc-quality signal).
+    *
+    * NOTE for hot paths: pass a MATERIALIZED token-array column, not
+    * `split(...)` inline — higher-order lambdas re-evaluate expression
+    * children per element, so an inline split turns O(n) into O(n²)
+    * per document. The `*FromTokens` variants make that explicit. */
+  def stopwordRatio(text: Column): Column = stopwordRatioFromTokens(tokens(text))
+
+  def stopwordRatioFromTokens(w: Column): Column = {
+    val hits = size(filter(w, t => t.isInCollection(Stopwords)))
+    hits.cast("double") / greatest(size(w), lit(1)).cast("double")
   }
 
   /** Mean token length in characters. */
@@ -43,9 +49,14 @@ object TextFunctions {
   /** Composite quality score in [0,1]: long-enough docs with moderate
     * stopword density and low punctuation score high. Heuristic from
     * standard LLM-corpus filtering recipes (C4-style). */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(nTokens(text).cast("double") / lit(32.0), lit(1.0))
-    val swScore  = lit(1.0) - abs(stopwordRatio(text) - lit(0.08)) * lit(2.0)
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text))
+
+  /** Quality score with pre-materialized tokens (see stopwordRatio
+    * note). `w` must be `tokens(text)` as a real column. */
+  def qualityScoreFromTokens(text: Column, w: Column): Column = {
+    val lenScore = least(size(w).cast("double") / lit(32.0), lit(1.0))
+    val swScore  = lit(1.0) - abs(stopwordRatioFromTokens(w) - lit(0.08)) * lit(2.0)
     val pScore   = lit(1.0) - punctRatio(text) * lit(4.0)
     least(greatest((lenScore + greatest(swScore, lit(0.0)) + greatest(pScore, lit(0.0))) / lit(3.0),
       lit(0.0)), lit(1.0))
@@ -63,8 +74,13 @@ object TextFunctions {
   /** Distinct n-word shingles of the whitespace tokens; docs shorter
     * than n get an empty set. Shingling is the unit for MinHash /
     * Jaccard near-dup detection. */
-  def shingles(text: Column, n: Int): Column = {
-    val w = tokens(text)
+  def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
+
+  /** Shingles from a pre-materialized token-array column. Hot paths
+    * must materialize the tokens first: `element_at(w, ·)` inside the
+    * transform lambda re-evaluates `w` per shingle if it is an inline
+    * `split`, which is O(tokens²) per document. */
+  def shinglesFromTokens(w: Column, n: Int): Column = {
     val idx = sequence(lit(0), size(w) - n) // 0-based start positions
     val mk = transform(idx, i =>
       concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
@@ -81,8 +97,9 @@ object TextFunctions {
 
   /** Language-ID: argmax of marker-word hit counts, with a CJK
     * character-ratio override; "und" when nothing matches. */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
+  def langId(text: Column): Column = langIdFromTokens(text, tokens(lower(text)))
+
+  def langIdFromTokens(text: Column, toks: Column): Column = {
     val scores = LangMarkers.map { case (lang, markers) =>
       lang -> size(filter(toks, t => t.isInCollection(markers)))
     }

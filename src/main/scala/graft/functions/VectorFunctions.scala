@@ -15,8 +15,15 @@ object VectorFunctions {
   /** Cast array<float> → array<double> (exact). */
   def toDoubles(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential left-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Index-ordered dot product of two double arrays — the native
+    * `ArrayDot` codegen expression (registered by GraftExtensions);
+    * bit-identical to a left-fold `aggregate(zip_with(...))` but with
+    * no per-row array allocation. */
+  def dot(a: Column, b: Column): Column = call_function("array_dot", a, b)
+
+  /** The composition-based dot product (reference implementation —
+    * the spec asserts `dot` matches it bitwise). */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

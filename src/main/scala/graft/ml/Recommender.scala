@@ -19,7 +19,7 @@ import graft.Tables
 object Recommender {
 
   val Rank = 8
-  val Iters = 8
+  val Iters = 6
   val Seed = 42L
 
   /** The implicit rating matrix from purchase history. */

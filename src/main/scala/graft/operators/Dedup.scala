@@ -32,29 +32,65 @@ object Dedup {
       .orderBy($"fp")
   }
 
-  /** Distinct 3-word shingles per doc, exploded: the inverted index. */
+  /** Distinct 3-word shingles per doc, exploded: the inverted index.
+    * Tokens materialize into a column first — building shingles off an
+    * inline split re-evaluates the split per shingle (see
+    * TextFunctions.shinglesFromTokens). */
   private def shingleIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id", explode(shingles($"text", 3)).as("shingle"))
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id", explode(shinglesFromTokens($"w", 3)).as("shingle"))
   }
 
-  /** D2: exact n-gram Jaccard near-dup pairs (threshold 0.5).
-    * |A∩B| comes from the inverted-index self-join; |A∪B| = |A|+|B|−|A∩B|. */
+  val JaccardThreshold = 0.5
+
+  /** D2: exact n-gram Jaccard near-dup pairs (threshold 0.5), with
+    * prefix filtering (AllPairs/PPJoin, Bayardo et al. WWW'07):
+    *
+    * Each doc's shingle set is put in a global canonical order
+    * (ascending document frequency, then shingle). If J(A,B) ≥ t then
+    * |A∩B| ≥ ⌈t·|A|⌉, so A and B must share a shingle inside their
+    * first |·|−⌈t·|·|⌉+1 shingles — the candidate join only explodes
+    * those short, rare-first prefixes instead of the full inverted
+    * index, which kills the hot-shingle d² blowup. Verification is an
+    * exact `array_intersect` on the candidate pairs only. Same result
+    * set as the naive join (the oracle checks it), a fraction of the
+    * shuffle. */
   def d2NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val t = JaccardThreshold
+    // cached: the shingle index feeds both the df count and the doc
+    // arrays, and the prefix self-join would otherwise recompute the
+    // whole subtree for each side
     val sh = shingleIndex(s, dir).cache()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("x").join(sh.as("y"),
-        $"x.shingle" === $"y.shingle" && $"x.doc_id" < $"y.doc_id")
-      .groupBy($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
-      .agg(count(lit(1)).as("n_both"))
-    val j = $"n_both".cast("double") /
-      ($"sa.n_sh" + $"sb.n_sh" - $"n_both").cast("double")
-    inter
-      .join(sizes.as("sa"), $"id_a" === $"sa.doc_id")
-      .join(sizes.as("sb"), $"id_b" === $"sb.doc_id")
-      .filter(j >= 0.5)
+    val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    // per-doc shingle array in canonical (df asc, shingle asc) order
+    val docs = sh.join(freq, "shingle")
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"df", $"shingle"))).as("ordered"))
+      .select($"doc_id", transform($"ordered", _.getField("shingle")).as("sh"),
+        size($"ordered").as("n_sh"))
+      .cache()
+    // prefix length p = n - ceil(t*n) + 1
+    val prefix = docs.select($"doc_id", $"sh", $"n_sh",
+      explode(slice($"sh", lit(1), ($"n_sh" - ceil($"n_sh" * t) + 1).cast("int")))
+        .as("p_shingle"))
+    // dedupe candidate ids FIRST (narrow rows through the shuffle),
+    // then fetch the two shingle arrays for exact verification
+    val cands = prefix.as("x").join(prefix.as("y"),
+        $"x.p_shingle" === $"y.p_shingle" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+      .distinct()
+    // materialize the intersection size ONCE per pair: the filter and
+    // the projection would otherwise each re-evaluate array_intersect
+    val j = $"n_both".cast("double") / ($"na" + $"nb" - $"n_both").cast("double")
+    cands
+      .join(docs.as("sa"), $"id_a" === $"sa.doc_id")
+      .join(docs.as("sb"), $"id_b" === $"sb.doc_id")
+      .select($"id_a", $"id_b", $"sa.n_sh".as("na"), $"sb.n_sh".as("nb"),
+        size(array_intersect($"sa.sh", $"sb.sh")).as("n_both"))
+      .filter(j >= t)
       .select($"id_a", $"id_b", round(j, 4).as("jaccard"))
       .orderBy($"id_a", $"id_b")
   }
@@ -91,7 +127,9 @@ object Dedup {
   def d3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rowsPerBand = NumHashes / NumBands
-    val sigs = minhashSignatures(s, dir)
+    // cached: the LSH band self-join would recompute the signature
+    // aggregation (the expensive part) for both sides
+    val sigs = minhashSignatures(s, dir).cache()
     val bands = sigs.select($"doc_id", $"sig",
       explode(array((0 until NumBands).map { j =>
         struct(lit(j).as("band"),
@@ -134,7 +172,7 @@ object Dedup {
     * the 4×16-bit pigeonhole join (hamming ≤3 ⟹ some chunk equal). */
   def d4Simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = simhashes(s, dir)
+    val sh = simhashes(s, dir).cache()
     val chunks = sh.select($"doc_id", $"simhash",
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("c"),

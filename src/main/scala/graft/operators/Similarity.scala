@@ -27,12 +27,12 @@ object Similarity {
     * tie-break, so order is engine-reproducible. */
   def s1KnnBrute(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-      .select($"vec_id", toDoubles($"embedding").as("v"))
+    val emb = withNorm(Tables.embeddings(s, dir))
     val queries = emb.filter($"vec_id" < 5)
-      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
     val scored = emb.join(broadcast(queries), $"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id".as("neighbor_id"), q4(cosine($"qv", $"v")).as("cos"))
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        q4(dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id")
     scored.withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 3)
@@ -45,13 +45,23 @@ object Similarity {
     * the scale path. */
   def d5EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-      .select($"vec_id", toDoubles($"embedding").as("v"))
-    val cos = cosine($"a.v", $"b.v")
+    // norms precomputed once per vector (not once per pair); the pair
+    // loop is a single codegen'd ArrayDot — the FP graph
+    // dot/(sqrt(dot(a,a))*sqrt(dot(b,b))) stays identical to the oracle
+    val emb = withNorm(Tables.embeddings(s, dir))
+    val cos = dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")
     emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
       .filter(cos >= 0.5)
       .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"), q4(cos).as("cosine"))
       .orderBy($"id_a", $"id_b")
+  }
+
+  /** Embeddings as double vectors with their norm, the shared scan for
+    * the exact similarity operators. */
+  private def withNorm(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.select($"vec_id", toDoubles($"embedding").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
   }
 
   val IvfClusters = 16

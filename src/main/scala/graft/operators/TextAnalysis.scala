@@ -17,9 +17,10 @@ object TextAnalysis {
   def t1TokenStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
+      .withColumn("w", tokens($"text")) // materialize once, reuse thrice
       .select($"doc_id",
-        nTokens($"text").as("n_tokens"),
-        nDistinctTokens($"text").as("n_distinct"),
+        size($"w").as("n_tokens"),
+        size(array_distinct($"w")).as("n_distinct"),
         size(regexTokens($"text")).as("n_regex_tokens"))
       .orderBy($"doc_id")
   }
@@ -28,16 +29,18 @@ object TextAnalysis {
   def t2QualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
+      .withColumn("w", tokens($"text"))
       .select($"doc_id",
-        nTokens($"text").as("n_tokens"),
-        round(avgWordLen($"text"), 4).as("avg_word_len"),
-        round(stopwordRatio($"text"), 4).as("stopword_ratio"),
+        size($"w").as("n_tokens"),
+        round(length(regexp_replace($"text", " ", "")).cast("double") /
+          greatest(size($"w"), lit(1)).cast("double"), 4).as("avg_word_len"),
+        round(stopwordRatioFromTokens($"w"), 4).as("stopword_ratio"),
         round(punctRatio($"text"), 4).as("punct_ratio"),
         // floor-quantize, not round: the score formula lands on exact
         // .5e-4 boundaries where Spark (HALF_UP on BigDecimal) and
         // DuckDB (x*1e4 then std::round) disagree; floor of identical
         // IEEE doubles is engine-independent.
-        (floor(qualityScore($"text") * 10000) / 10000.0).as("quality"))
+        (floor(qualityScoreFromTokens($"text", $"w") * 10000) / 10000.0).as("quality"))
       .orderBy($"doc_id")
   }
 
@@ -45,7 +48,9 @@ object TextAnalysis {
   def t3LangId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id", $"lang".as("labeled_lang"), langId($"text").as("pred_lang"))
+      .withColumn("toks", tokens(lower($"text")))
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        langIdFromTokens($"text", $"toks").as("pred_lang"))
       .orderBy($"doc_id")
   }
 

@@ -1,0 +1,20 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.ArrayDot
+
+/** Session extensions: registers graft's native Catalyst expressions
+  * so they resolve in both the Column DSL (`call_function`) and SQL.
+  * Wired by `GraftSession.builder` via `withExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArrayDot(children(0), children(1))))
+  }
+}
