@@ -47,6 +47,11 @@ object SparkEntry {
     "m2_sentiment"       -> (graft.ml.Sentiment.m2Sentiment _),
     "mm1_binary_meta"    -> (graft.multimodal.Multimodal.mm1BinaryMeta _),
     "mm2_frame_sample"   -> (graft.multimodal.Multimodal.mm2FrameSample _),
+    "q16_asof_join"      -> (Advanced.q16AsofJoin _),
+    "q17_range_join"     -> (Advanced.q17RangeJoin _),
+    "q18_json_extract"   -> (Advanced.q18JsonExtract _),
+    "q19_cube"           -> (Advanced.q19Cube _),
+    "q20_percentile"     -> (Advanced.q20Percentile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -246,5 +251,40 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
          md5(text) AS digest
          FROM documents ORDER BY doc_id""",
+    "q16_asof_join" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
+           WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id, epoch_ms(ts) AS ms, max(event_id) AS c_event_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.ms, c.ms AS c_ms, c.c_event_id
+         FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ms >= c.ms
+         ORDER BY p.event_id""",
+    "q17_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events)
+         SELECT a.user_id, count(*) AS n_pairs
+         FROM e a JOIN e b
+           ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND abs(a.ms - b.ms) <= 300000
+         GROUP BY 1 ORDER BY 1""",
+    "q18_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS k_decile,
+         count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q19_cube" ->
+      """SELECT r_name, c_mktsegment, count(*) AS n_cust,
+         round(sum(c_acctbal), 2) AS total_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY CUBE(r_name, c_mktsegment)
+         ORDER BY r_name NULLS FIRST, c_mktsegment NULLS FIRST""",
+    "q20_percentile" ->
+      """SELECT event_type,
+         floor(quantile_cont(value, 0.25) * 10000) / 10000.0 AS p25,
+         floor(quantile_cont(value, 0.5) * 10000) / 10000.0 AS p50,
+         floor(quantile_cont(value, 0.9) * 10000) / 10000.0 AS p90
+         FROM events GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Advanced relational operators: as-of join, bucketed range join,
+  * semi-structured (JSON) extraction, cube, exact percentiles.
+  *
+  * The as-of and range joins are deliberately NOT nested-loop
+  * per-row lookups:
+  *  - as-of uses the union+ordered-window formulation — one shuffle on
+  *    the key, one sort per partition, last_value(ignoreNulls) carries
+  *    the most recent right-side row forward. O(n log n) per key
+  *    partition and fully streaming, the standard scale formulation.
+  *  - range join buckets time into tolerance-sized cells and probes
+  *    only the 3 adjacent cells, turning an inequality join into an
+  *    equi-join the planner shuffles on (user, cell) — no per-user
+  *    quadratic blowup beyond genuinely-close pairs.
+  */
+object Advanced {
+
+  /** Q16: as-of join — for every purchase, the user's most recent
+    * click at-or-before it. Right side deduped to one row per
+    * (user, ms) so the at-boundary pick is deterministic. */
+  def q16AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.eventsWithMs(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ms", lit(1).as("side"),
+        $"event_id", lit(null).cast("long").as("c_ms_in"),
+        lit(null).cast("long").as("c_event_id_in"))
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ms")
+      .agg(max($"event_id").as("c_event_id"))
+      .select($"user_id", $"ms", lit(0).as("side"),
+        lit(null).cast("long").as("event_id"),
+        $"ms".as("c_ms_in"), $"c_event_id".as("c_event_id_in"))
+    // right rows sort before left at equal ms (side 0 < 1) → "<=" match
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"side")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    purchases.unionAll(clicks)
+      .withColumn("c_ms", last($"c_ms_in", ignoreNulls = true).over(w))
+      .withColumn("c_event_id", last($"c_event_id_in", ignoreNulls = true).over(w))
+      .filter($"side" === 1 && $"c_ms".isNotNull)
+      .select($"event_id", $"user_id", $"ms", $"c_ms", $"c_event_id")
+      .orderBy($"event_id")
+  }
+
+  val RangeToleranceMs: Long = 5L * 60 * 1000
+
+  /** Q17: range self-join — per user, count event pairs within 5
+    * minutes of each other, via tolerance-cell bucketing (each left
+    * row probes its cell ±1; every qualifying pair matches exactly
+    * once because the right row lives in exactly one cell). */
+  def q17RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.eventsWithMs(s, dir)
+      .select($"user_id", $"event_id", $"ms",
+        expr(s"ms div ${RangeToleranceMs}L").as("cell"))
+    val probes = ev.select($"user_id", $"event_id", $"ms",
+      explode(array($"cell" - 1, $"cell", $"cell" + 1)).as("cell"))
+    probes.as("a").join(ev.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.cell" === $"b.cell" &&
+        $"a.event_id" < $"b.event_id" &&
+        abs($"a.ms" - $"b.ms") <= RangeToleranceMs)
+      .groupBy($"a.user_id".as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"user_id")
+  }
+
+  /** Q18: semi-structured extraction — pull a typed field out of the
+    * JSON `props` column and aggregate on it. get_json_object is a
+    * per-row codegen'd path evaluation; no parse-to-struct shuffle. */
+  def q18JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(get_json_object($"props", "$.k").cast("int").as("k"), $"value")
+      .select(expr("k div 10").as("k_decile"), $"value")
+      .groupBy($"k_decile")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .orderBy($"k_decile")
+  }
+
+  /** Q19: full cube over region × market segment (Expand + one
+    * shuffle, grand totals included). */
+  def q19Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .cube($"r_name", $"c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), round(sum($"c_acctbal"), 2).as("total_bal"))
+      .orderBy($"r_name".asc_nulls_first, $"c_mktsegment".asc_nulls_first)
+  }
+
+  /** Q20: exact percentiles (sort-based, linear interpolation) of
+    * event values per type. */
+  def q20Percentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        (floor(expr("percentile(value, 0.25)") * 10000) / 10000.0).as("p25"),
+        (floor(expr("percentile(value, 0.5)") * 10000) / 10000.0).as("p50"),
+        (floor(expr("percentile(value, 0.9)") * 10000) / 10000.0).as("p90"))
+      .orderBy($"event_type")
+  }
+}

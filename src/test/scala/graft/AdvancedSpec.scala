@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class AdvancedSpec extends GraftSpecBase {
+  import operators.Advanced
+
+  test("asof join: matched click is at-or-before the purchase and is the latest one") {
+    import spark.implicits._
+    val out = Advanced.q16AsofJoin(spark, sf)
+    assert(out.filter($"c_ms" > $"ms").count() == 0)
+    // cross-check a purchase against a scala recompute
+    val clicks = Tables.eventsWithMs(spark, sf).filter($"event_type" === "click")
+      .select($"user_id", $"ms").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val rows = out.select($"user_id", $"ms", $"c_ms").as[(Long, Long, Long)].collect()
+    rows.take(200).foreach { case (u, pms, cms) =>
+      val want = clicks(u).filter(_ <= pms).max
+      assert(cms == want, s"user $u purchase@$pms: got $cms want $want")
+    }
+  }
+
+  test("range join counts agree with a naive per-user recompute") {
+    import spark.implicits._
+    val got = Advanced.q17RangeJoin(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val ev = Tables.eventsWithMs(spark, sf)
+      .select($"user_id", $"event_id", $"ms").as[(Long, Long, Long)].collect()
+      .groupBy(_._1)
+    val want = ev.view.mapValues { es =>
+      (for {
+        a <- es; b <- es
+        if a._2 < b._2 && math.abs(a._3 - b._3) <= Advanced.RangeToleranceMs
+      } yield 1).size.toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == want)
+  }
+
+  test("cube has rollup rows for every grouping set") {
+    import spark.implicits._
+    val out = Advanced.q19Cube(spark, sf).cache()
+    val grand = out.filter($"r_name".isNull && $"c_mktsegment".isNull)
+    assert(grand.count() == 1)
+    val nCust = Tables.customer(spark, sf).count()
+    assert(grand.select($"n_cust").as[Long].head() == nCust)
+    // segment-only marginals sum to the grand total too
+    val segOnly = out.filter($"r_name".isNull && $"c_mktsegment".isNotNull)
+    assert(segOnly.agg(sum($"n_cust")).as[Long].head() == nCust)
+  }
+
+  test("percentiles are ordered p25 <= p50 <= p90") {
+    import spark.implicits._
+    val bad = Advanced.q20Percentile(spark, sf)
+      .filter($"p25" > $"p50" || $"p50" > $"p90")
+    assert(bad.count() == 0)
+  }
+}
