@@ -52,6 +52,9 @@ object SparkEntry {
     "q18_json_extract"   -> (Advanced.q18JsonExtract _),
     "q19_cube"           -> (Advanced.q19Cube _),
     "q20_percentile"     -> (Advanced.q20Percentile _),
+    "q21_approx_distinct" -> (Advanced.q21ApproxDistinct _),
+    "q22_moving_avg"     -> (Advanced.q22MovingAvg _),
+    "q23_top_per_group"  -> (Advanced.q23TopPerGroup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -286,5 +289,22 @@ object SparkEntry {
          floor(quantile_cont(value, 0.5) * 10000) / 10000.0 AS p50,
          floor(quantile_cont(value, 0.9) * 10000) / 10000.0 AS p90
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q22_moving_avg" ->
+      """SELECT user_id, event_id,
+         floor(avg(value) OVER (PARTITION BY user_id
+           ORDER BY epoch_ms(ts), event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 10000) / 10000.0 AS mov_avg
+         FROM events ORDER BY user_id, event_id""",
+    "q23_top_per_group" ->
+      """WITH rev AS (
+           SELECT l_partkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           FROM lineitem GROUP BY 1),
+         ranked AS (
+           SELECT p_brand, p_partkey, revenue,
+             CAST(row_number() OVER (PARTITION BY p_brand
+               ORDER BY revenue DESC, p_partkey) AS INTEGER) AS rnk
+           FROM rev JOIN part ON l_partkey = p_partkey)
+         SELECT p_brand, rnk, p_partkey, revenue FROM ranked WHERE rnk <= 2
+         ORDER BY p_brand, rnk""",
   )
 }

@@ -95,6 +95,50 @@ object Advanced {
       .orderBy($"r_name".asc_nulls_first, $"c_mktsegment".asc_nulls_first)
   }
 
+  /** Q21: approximate distinct counting (HyperLogLog++) — the
+    * constant-memory sketch you use instead of countDistinct when the
+    * key cardinality itself is huge. Sketches merge map-side, so the
+    * shuffle carries one sketch per group, not the keys. Approximate →
+    * rows-only; the spec bounds its error against the exact count. */
+  def q21ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+           approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Q22: moving average — per-user 4-row sliding window over event
+    * time. One shuffle on the partition key, streaming frame eval. */
+  def q22MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      .rowsBetween(-3, 0)
+    Tables.eventsWithMs(s, dir)
+      .select($"user_id", $"event_id", $"ms", $"value")
+      .withColumn("mov_avg", floor(avg($"value").over(w) * 10000) / 10000.0)
+      .select($"user_id", $"event_id", $"mov_avg")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Q23: top-N per group — top-2 parts by revenue within each brand
+    * (grouped agg + ranked window + filter, the scalable top-N shape:
+    * never a global sort). */
+  def q23TopPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .select($"l_partkey", ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("r"))
+      .groupBy($"l_partkey").agg(round(sum($"r"), 2).as("revenue"))
+      .join(Tables.part(s, dir).select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+    val w = Window.partitionBy($"p_brand").orderBy($"revenue".desc, $"p_partkey")
+    rev.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 2)
+      .select($"p_brand", $"rnk", $"p_partkey", $"revenue")
+      .orderBy($"p_brand", $"rnk")
+  }
+
   /** Q20: exact percentiles (sort-based, linear interpolation) of
     * event values per type. */
   def q20Percentile(s: SparkSession, dir: String): DataFrame = {

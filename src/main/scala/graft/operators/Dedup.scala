@@ -151,8 +151,21 @@ object Dedup {
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash per doc from token hashes: bit b is set when the
-    * sum of ±1 votes (per-token bit b) is positive. */
+    * sum of ±1 votes (per-token bit b) is positive. Single-pass via
+    * the custom SimHashAgg aggregate (one 256-byte buffer per doc
+    * instead of 64 aggregate columns; bit-identical result — the spec
+    * checks it against `simhashesComposed`). */
   def simhashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id")
+      .agg(call_function("simhash_agg", xxhash64($"tok")).as("simhash"))
+  }
+
+  /** The 64-column composition the custom aggregate replaces (spec
+    * reference implementation). */
+  def simhashesComposed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, dir)
       .select($"doc_id", explode(tokens($"text")).as("tok"))

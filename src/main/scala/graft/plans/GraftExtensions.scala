@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.ArrayDot
+import graft.functions.{ArrayDot, SimHashAgg}
 
 /** Session extensions: registers graft's native Catalyst expressions
   * so they resolve in both the Column DSL (`call_function`) and SQL.
@@ -16,5 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArrayDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHashAgg(children.head).toAggregateExpression()))
   }
 }

@@ -48,6 +48,19 @@ class AdvancedSpec extends GraftSpecBase {
     assert(segOnly.agg(sum($"n_cust")).as[Long].head() == nCust)
   }
 
+  test("approx distinct within 5% of exact") {
+    import spark.implicits._
+    val got = Advanced.q21ApproxDistinct(spark, sf)
+      .select($"l_returnflag", $"approx_parts").as[(String, Long)].collect().toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      val a = got(k)
+      assert(math.abs(a - n).toDouble / n <= 0.05, s"$k: approx $a vs exact $n")
+    }
+  }
+
   test("percentiles are ordered p25 <= p50 <= p90") {
     import spark.implicits._
     val bad = Advanced.q20Percentile(spark, sf)

@@ -34,6 +34,13 @@ class DedupSpec extends GraftSpecBase {
     assert(errs.nonEmpty && errs.max < 0.25, s"max est error ${if (errs.nonEmpty) errs.max else -1}")
   }
 
+  test("custom simhash aggregate is bit-identical to the 64-column composition") {
+    import spark.implicits._
+    val fast = Dedup.simhashes(spark, sf).as[(Long, Long)].collect().toMap
+    val ref = Dedup.simhashesComposed(spark, sf).as[(Long, Long)].collect().toMap
+    assert(fast == ref)
+  }
+
   test("simhash is deterministic and pairs are hamming-close") {
     import spark.implicits._
     val s1 = Dedup.simhashes(spark, sf).as[(Long, Long)].collect().toMap
