@@ -72,14 +72,22 @@ object Dedup {
       .select($"doc_id", transform($"ordered", _.getField("shingle")).as("sh"),
         size($"ordered").as("n_sh"))
       .cache()
-    // prefix length p = n - ceil(t*n) + 1
-    val prefix = docs.select($"doc_id", $"sh", $"n_sh",
-      explode(slice($"sh", lit(1), ($"n_sh" - ceil($"n_sh" * t) + 1).cast("int")))
-        .as("p_shingle"))
-    // dedupe candidate ids FIRST (narrow rows through the shuffle),
-    // then fetch the two shingle arrays for exact verification
+    // prefix length p = n - ceil(t*n) + 1, with each element's 1-based
+    // position for the positional filter
+    val prefix = docs.select($"doc_id", $"n_sh",
+      posexplode(slice($"sh", lit(1), ($"n_sh" - ceil($"n_sh" * t) + 1).cast("int"))))
+      .select($"doc_id", $"n_sh", ($"pos" + 1).as("p"), $"col".as("p_shingle"))
+    // candidate pruning before the expensive verify:
+    //  - size filter: J >= t ⟹ t·|A| <= |B| <= |A|/t
+    //  - positional filter (PPJoin): overlap from match position
+    //    (i,j) is at most 1 + min(|A|-i, |B|-j); J >= t needs
+    //    overlap >= ceil(t/(1+t)·(|A|+|B|))
+    val overlapNeeded = ceil(($"x.n_sh" + $"y.n_sh") * (t / (1 + t)))
+    val overlapUbound = lit(1) + least($"x.n_sh" - $"x.p", $"y.n_sh" - $"y.p")
     val cands = prefix.as("x").join(prefix.as("y"),
-        $"x.p_shingle" === $"y.p_shingle" && $"x.doc_id" < $"y.doc_id")
+        $"x.p_shingle" === $"y.p_shingle" && $"x.doc_id" < $"y.doc_id" &&
+        $"y.n_sh" >= ceil($"x.n_sh" * t) && $"x.n_sh" >= ceil($"y.n_sh" * t) &&
+        overlapUbound >= overlapNeeded)
       .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
       .distinct()
     // materialize the intersection size ONCE per pair: the filter and
