@@ -84,6 +84,29 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream join: each purchase joined to the same user's
+    * clicks in the preceding 5 minutes. The event-time range condition
+    * plus the watermarks is what lets Spark bound both join-state
+    * buffers — old click state is evicted once the watermark passes
+    * its reach, so state stays O(window), not O(stream). */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    import clicks.sparkSession.implicits._
+    val c = clicks
+      .select($"user_id".as("c_user"), $"event_id".as("c_event_id"),
+        timestamp_millis($"ms").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val p = purchases
+      .select($"user_id".as("p_user"), $"event_id".as("p_event_id"),
+        timestamp_millis($"ms").as("p_ts"), $"value")
+      .withWatermark("p_ts", "10 minutes")
+    p.join(c,
+      $"p_user" === $"c_user" &&
+      $"c_ts" <= $"p_ts" &&
+      $"c_ts" >= $"p_ts" - expr("INTERVAL 5 MINUTES"))
+      .select($"p_user".as("user_id"), $"p_event_id", $"c_event_id",
+        unix_millis($"p_ts").as("p_ms"), unix_millis($"c_ts").as("c_ms"), $"value")
+  }
+
   /** The still-open sessions (state flush) for batch parity checks. */
   def sessionizeWithFlush(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._

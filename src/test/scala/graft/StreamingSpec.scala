@@ -62,6 +62,30 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream join matches the batch join over two memory streams") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents
+    val clicks = events.filter(_.event_type == "click")
+    val purchases = events.filter(_.event_type == "purchase")
+    val cs = MemoryStream[Event]; val ps = MemoryStream[Event]
+    val q = EventStreams.clickToPurchaseJoin(cs.toDF(), ps.toDF())
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      cs.addData(clicks); ps.addData(purchases)
+      q.processAllAvailable()
+      val got = spark.table("ss_join")
+        .select($"p_event_id", $"c_event_id").as[(Long, Long)].collect().toSet
+      val want = (for {
+        p <- purchases; c <- clicks
+        if c.user_id == p.user_id && c.ms <= p.ms && c.ms >= p.ms - 5 * 60 * 1000
+      } yield (p.event_id, c.event_id)).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("batch-mode sessionizer with flush equals q14 exactly") {
     import spark.implicits._
     val ds = Tables.eventsWithMs(spark, sf)
