@@ -55,6 +55,7 @@ object SparkEntry {
     "q21_approx_distinct" -> (Advanced.q21ApproxDistinct _),
     "q22_moving_avg"     -> (Advanced.q22MovingAvg _),
     "q23_top_per_group"  -> (Advanced.q23TopPerGroup _),
+    "mm3_cdc_chunks"     -> (graft.multimodal.Multimodal.mm3CdcChunks _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

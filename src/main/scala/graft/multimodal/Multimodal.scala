@@ -59,6 +59,75 @@ object Multimodal {
 
   final case class FrameRow(doc_id: Long, frame_idx: Int, frame_crc: Long)
 
+  // ---- content-defined chunking --------------------------------------
+
+  val CdcWindow = 8       // rolling-hash window bytes
+  val CdcMaskBits = 5     // boundary when low 5 hash bits are zero → ~32B avg chunks
+  val CdcMaxChunk = 256
+
+  final case class ChunkRow(doc_id: Long, chunk_idx: Int, offset: Int,
+                            len: Int, chunk_crc: Long)
+
+  /** Rabin-style content-defined chunking: a chunk boundary falls
+    * wherever the rolling hash of the trailing window hits the mask,
+    * so identical content produces identical chunks REGARDLESS of its
+    * byte offset — the property that makes CDC dedup robust to
+    * insertions, unlike fixed-size framing (mm2). Pure function of the
+    * payload; deterministic. */
+  object Cdc {
+    def chunks(payload: Array[Byte]): Iterator[(Int, Int, Long)] = {
+      val k = CdcWindow
+      val mask = (1 << CdcMaskBits) - 1
+      // 31^(k-1) for removing the oldest byte (Int overflow is fine —
+      // the hash is only compared against the mask, deterministically)
+      var pow = 1
+      var j = 1
+      while (j < k) { pow *= 31; j += 1 }
+      val bounds = Array.newBuilder[Int]
+      var h = 0
+      var i = 0
+      var lastCut = 0
+      while (i < payload.length) {
+        // true sliding window over the LAST k bytes, independent of
+        // chunk cuts — this is what makes boundaries resynchronize
+        // after an insertion (the content-defined property)
+        if (i >= k) h -= (payload(i - k) & 0xFF) * pow
+        h = h * 31 + (payload(i) & 0xFF)
+        val minOk = i + 1 - lastCut >= k
+        if ((minOk && (h & mask) == 0) || i + 1 - lastCut >= CdcMaxChunk) {
+          bounds += i + 1; lastCut = i + 1
+        }
+        i += 1
+      }
+      if (lastCut < payload.length) bounds += payload.length
+      val crc = new java.util.zip.CRC32()
+      var off = 0
+      bounds.result().iterator.map { end =>
+        crc.reset(); crc.update(payload, off, end - off)
+        val r = (off, end - off, crc.getValue)
+        off = end
+        r
+      }
+    }
+  }
+
+  /** MM3: content-defined chunking of every payload — the dedup-
+    * friendly chunk table (doc, chunk offset/len, checksum). */
+  def mm3CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withPayload(s, dir)
+      .select($"doc_id", $"payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          Cdc.chunks(payload).zipWithIndex.map { case ((off, len, c), idx) =>
+            ChunkRow(id, idx, off, len, c)
+          }
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   /** MM2: partition-batched decode + every-Nth frame sampling. The
     * mapPartitions boundary is where codec init amortizes; everything
     * before/after stays columnar. */

@@ -28,6 +28,35 @@ class MultimodalSpec extends GraftSpecBase {
     assert(got == expect)
   }
 
+  test("cdc chunks reassemble the payload exactly") {
+    import spark.implicits._
+    val chunks = Multimodal.mm3CdcChunks(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val lens = Tables.documents(spark, sf)
+      .select($"doc_id", octet_length($"text")).as[(Long, Int)].collect().toMap
+    chunks.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("chunk_idx"))
+      var expectOff = 0
+      sorted.foreach { r =>
+        assert(r.getAs[Int]("offset") == expectOff)
+        expectOff += r.getAs[Int]("len")
+      }
+      assert(expectOff == lens(id), s"doc $id reassembles to $expectOff != ${lens(id)}")
+    }
+  }
+
+  test("cdc boundaries resynchronize after a prefix insertion") {
+    val base = Tables.documents(spark, sf)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+      .select("text").as[String](spark.implicits.newStringEncoder).head()
+      .getBytes("UTF-8")
+    val shifted = ("INSERTED PREFIX " .getBytes("UTF-8")) ++ base
+    val a = Multimodal.Cdc.chunks(base).map(_._3).toSet
+    val b = Multimodal.Cdc.chunks(shifted).map(_._3).toSet
+    val overlap = a.intersect(b).size.toDouble / a.size
+    assert(overlap >= 0.5, s"only ${a.intersect(b).size}/${a.size} chunks survived the shift")
+  }
+
   test("frame count scales with payload size") {
     import spark.implicits._
     val counts = Multimodal.mm2FrameSample(spark, sf)
