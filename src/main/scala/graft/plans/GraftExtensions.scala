@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHashAgg(children.head).toAggregateExpression()))
+    ext.injectOptimizerRule(_ => FuseArrayDot)
   }
 }
