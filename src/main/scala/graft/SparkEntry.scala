@@ -56,6 +56,7 @@ object SparkEntry {
     "q22_moving_avg"     -> (Advanced.q22MovingAvg _),
     "q23_top_per_group"  -> (Advanced.q23TopPerGroup _),
     "mm3_cdc_chunks"     -> (graft.multimodal.Multimodal.mm3CdcChunks _),
+    "p1_clean_corpus"    -> (Dedup.p1CleanCorpus _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -307,5 +308,51 @@ object SparkEntry {
            FROM rev JOIN part ON l_partkey = p_partkey)
          SELECT p_brand, rnk, p_partkey, revenue FROM ranked WHERE rnk <= 2
          ORDER BY p_brand, rnk""",
+    "p1_clean_corpus" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1) AS swr,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS pr
+           FROM documents),
+         scored AS (
+           SELECT doc_id, n_tokens,
+             floor(least(greatest((least(CAST(n_tokens AS DOUBLE) / 32.0, 1.0)
+               + greatest(1.0 - abs(swr - 0.08) * 2.0, 0.0)
+               + greatest(1.0 - pr * 4.0, 0.0)) / 3.0, 0.0), 1.0) * 10000) / 10000.0 AS quality
+           FROM base),
+         fps AS (
+           SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents),
+         dup_losers AS (
+           SELECT f.doc_id FROM fps f
+           JOIN (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY 1) g ON f.fp = g.fp
+           WHERE f.doc_id != g.keep_id),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(
+             list_transform(string_split(text, ' '), (x, i) ->
+               CASE WHEN i + 2 <= len(string_split(text, ' '))
+                    THEN x || ' ' || string_split(text, ' ')[i+1]
+                           || ' ' || string_split(text, ' ')[i+2] END),
+             s -> s IS NOT NULL))) AS shingle
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_both
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         near_losers AS (
+           SELECT DISTINCT id_b AS doc_id FROM inter
+           JOIN sizes sa ON id_a = sa.doc_id
+           JOIN sizes sb ON id_b = sb.doc_id
+           WHERE CAST(n_both AS DOUBLE) / (sa.n_sh + sb.n_sh - n_both) >= 0.5)
+         SELECT doc_id, n_tokens, quality FROM scored
+         WHERE quality >= 0.5
+           AND doc_id NOT IN (SELECT doc_id FROM dup_losers)
+           AND doc_id NOT IN (SELECT doc_id FROM near_losers)
+         ORDER BY doc_id""",
   )
 }

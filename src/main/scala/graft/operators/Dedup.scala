@@ -103,6 +103,31 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** P1: the end-to-end corpus-cleaning pipeline an LLM data run
+    * executes — quality gate, then exact-dup removal (keep min id),
+    * then near-dup removal (drop the higher id of every Jaccard≥0.5
+    * pair). Composes t2/d1/d2 machinery; every stage is a narrow
+    * filter or an anti-join, so the pipeline runs as one DAG with
+    * no extra materialization. */
+  def p1CleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = TextAnalysis.t2QualityScore(s, dir)
+    val dupLosers = d1ExactDedup(s, dir)
+      .filter($"n_copies" > 1)
+      .join(Tables.documents(s, dir)
+          .select($"doc_id", graft.functions.TextFunctions.fingerprint($"text").as("fp2")),
+        $"fp" === $"fp2")
+      .filter($"doc_id" =!= $"keep_id")
+      .select($"doc_id")
+    val nearDupLosers = d2NgramJaccard(s, dir).select($"id_b".as("doc_id"))
+    scored
+      .filter($"quality" >= 0.5)
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"n_tokens", $"quality")
+      .orderBy($"doc_id")
+  }
+
   // ---- MinHash -------------------------------------------------------
 
   val NumHashes = 64
@@ -116,14 +141,17 @@ object Dedup {
     Seq.fill(NumHashes)((rnd.nextInt(1 << 30).toLong + 1, rnd.nextInt(1 << 30).toLong))
   }
 
-  /** 64-slot MinHash signature per doc (array column `sig`). */
+  /** 64-slot MinHash signature per doc (array column `sig`). The
+    * shingle hash materializes into a column BEFORE the aggregation —
+    * embedded in the 64 min() expressions it would be re-hashed 64×
+    * per row. */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val x = pmod(xxhash64($"shingle"), lit(2147483647L))
     val mins = perms.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(x * lit(a) + lit(b), lit(MersennePrime))).as(s"h$i")
+      min(pmod($"x" * lit(a) + lit(b), lit(MersennePrime))).as(s"h$i")
     }
     shingleIndex(s, dir)
+      .select($"doc_id", pmod(xxhash64($"shingle"), lit(2147483647L)).as("x"))
       .groupBy($"doc_id")
       .agg(mins.head, mins.tail: _*)
       .select($"doc_id", array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
