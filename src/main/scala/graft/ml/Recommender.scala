@@ -52,6 +52,31 @@ object Recommender {
       .orderBy($"c_custkey", $"rnk")
   }
 
+  /** M3: item-item similarity ("customers also bought") — top-5
+    * nearest parts per part by cosine over the ALS item factors.
+    * The factor table is tiny (items × rank), so the pairwise scoring
+    * broadcasts one side and runs through the codegen'd array_dot;
+    * at huge item counts this switches to the IVF path
+    * (graft.operators.Similarity). */
+  def m3SimilarItems(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{dot, q4}
+    val model = fit(s, dir)
+    val factors = model.itemFactors
+      .select($"id", transform($"features", _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    val scored = factors.as("a").join(broadcast(factors.as("b")),
+        $"a.id" =!= $"b.id")
+      .select($"a.id".as("p_partkey"), $"b.id".as("similar_partkey"),
+        q4(dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).as("cos"))
+    val w = Window.partitionBy($"p_partkey").orderBy($"cos".desc, $"similar_partkey")
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"p_partkey", $"rnk", $"similar_partkey", $"cos")
+      .orderBy($"p_partkey", $"rnk")
+  }
+
   /** RMSE of the model's reconstruction of the training ratings —
     * the spec's sanity metric. */
   def trainRmse(s: SparkSession, dir: String): Double = {

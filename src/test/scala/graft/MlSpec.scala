@@ -24,6 +24,15 @@ class MlSpec extends GraftSpecBase {
     assert(rmse > 0.0 && rmse < 15.0, s"rmse $rmse")
   }
 
+  test("similar items: 5 ranked neighbors per part, cosine in [-1,1], no self") {
+    import spark.implicits._
+    val sims = Recommender.m3SimilarItems(spark, sf).cache()
+    assert(sims.filter($"p_partkey" === $"similar_partkey").count() == 0)
+    assert(sims.filter($"cos" < -1.0 || $"cos" > 1.0).count() == 0)
+    val counts = sims.groupBy($"p_partkey").count().filter($"count" =!= 5)
+    assert(counts.count() == 0)
+  }
+
   test("sentiment pipeline separates polarity-labeled training docs") {
     val acc = Sentiment.trainAccuracy(spark, sf)
     assert(acc >= 0.9, s"train accuracy $acc")
