@@ -39,4 +39,12 @@ object VectorFunctions {
     * quality note: floor of identical IEEE doubles, unlike round, is
     * implementation-independent). */
   def q4(c: Column): Column = floor(c * 10000) / 10000.0
+
+  /** Indices of the top-`n` values of a double-array column,
+    * descending — the probe selector for IVF-style search. */
+  def topIndicesDesc(arr: Column, n: Int): Column = {
+    val paired = zip_with(arr, sequence(lit(0), size(arr) - 1),
+      (v, i) => struct(v.as("v"), i.as("i")))
+    slice(reverse(array_sort(paired)), 1, n).getField("i")
+  }
 }

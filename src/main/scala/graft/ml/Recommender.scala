@@ -32,13 +32,20 @@ object Recommender {
       .agg(sum($"l_quantity").cast("float").as("rating"))
   }
 
+  // model registry: several serving queries (top-N recs, similar
+  // items) share one trained artifact instead of refitting per query
+  private val models =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.recommendation.ALSModel]
+
   def fit(s: SparkSession, dir: String): org.apache.spark.ml.recommendation.ALSModel =
-    new ALS()
-      .setRank(Rank).setMaxIter(Iters).setSeed(Seed)
-      .setRegParam(0.1)
-      .setUserCol("user").setItemCol("item").setRatingCol("rating")
-      .setColdStartStrategy("drop")
-      .fit(ratings(s, dir))
+    models.getOrElseUpdate(dir, {
+      new ALS()
+        .setRank(Rank).setMaxIter(Iters).setSeed(Seed)
+        .setRegParam(0.1)
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        .setColdStartStrategy("drop")
+        .fit(ratings(s, dir))
+    })
 
   /** M1: top-5 part recommendations per customer. */
   def m1AlsRecommend(s: SparkSession, dir: String): DataFrame = {
@@ -53,23 +60,40 @@ object Recommender {
   }
 
   /** M3: item-item similarity ("customers also bought") — top-5
-    * nearest parts per part by cosine over the ALS item factors.
-    * The factor table is tiny (items × rank), so the pairwise scoring
-    * broadcasts one side and runs through the codegen'd array_dot;
-    * at huge item counts this switches to the IVF path
-    * (graft.operators.Similarity). */
+    * nearest parts per part by cosine over the ALS item factors,
+    * IVF-accelerated: KMeans clusters the factor space and each item
+    * probes only its 2 nearest clusters, so the candidate join is
+    * probes/K of all pairs instead of the O(items²) cross product
+    * (which is exactly the trap at catalog scale). */
   def m3SimilarItems(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.VectorFunctions.{dot, q4}
+    import graft.functions.VectorFunctions.{cosine, dot, q4, topIndicesDesc}
     val model = fit(s, dir)
     val factors = model.itemFactors
       .select($"id", transform($"features", _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(dot($"v", $"v")))
-    val scored = factors.as("a").join(broadcast(factors.as("b")),
-        $"a.id" =!= $"b.id")
-      .select($"a.id".as("p_partkey"), $"b.id".as("similar_partkey"),
-        q4(dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")).as("cos"))
+      .withColumn("features", org.apache.spark.ml.functions.array_to_vector($"v"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(16).setSeed(Seed).setMaxIter(10).setInitMode("random")
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(factors)
+    val assigned = km.transform(factors).select($"id", $"v", $"nrm", $"cluster").cache()
+    val centerLit = array(km.clusterCenters.map(c => array(c.toArray.map(lit): _*)): _*)
+    val probes = assigned
+      .withColumn("cdist", transform(centerLit, c => q4(cosine($"v", c))))
+      .select($"id", $"v", $"nrm", explode(topIndicesDesc($"cdist", 2)).as("probe"))
+    // inverted lists broadcast as 16 nested rows — candidates explode
+    // in-task, no shuffle of the 50M-row candidate stream; a pair
+    // appears exactly once (each candidate lives in one cluster)
+    val lists = assigned.groupBy($"cluster")
+      .agg(collect_list(struct($"id", $"v", $"nrm")).as("items"))
+    val scored = probes.join(broadcast(lists), $"probe" === $"cluster")
+      .select($"id".as("p_partkey"), $"v".as("qv"), $"nrm".as("qn"),
+        explode($"items").as("cand"))
+      .filter($"cand.id" =!= $"p_partkey")
+      .select($"p_partkey", $"cand.id".as("similar_partkey"),
+        q4(dot($"qv", $"cand.v") / ($"qn" * $"cand.nrm")).as("cos"))
     val w = Window.partitionBy($"p_partkey").orderBy($"cos".desc, $"similar_partkey")
     scored.withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 5)

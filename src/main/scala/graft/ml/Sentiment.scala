@@ -40,7 +40,7 @@ object Sentiment {
     val tf = new HashingTF().setInputCol("tokens").setOutputCol("tf")
       .setNumFeatures(1 << 12)
     val idf = new IDF().setInputCol("tf").setOutputCol("features")
-    val lr = new LogisticRegression().setMaxIter(20).setRegParam(0.01)
+    val lr = new LogisticRegression().setMaxIter(10).setRegParam(0.01)
       .setLabelCol("label").setFeaturesCol("features")
     new Pipeline().setStages(Array(tok, sw, tf, idf, lr))
   }

@@ -101,7 +101,7 @@ object Similarity {
       .select($"vec_id".as("q_id"), $"v".as("qv"))
       .withColumn("cdist",
         transform(centerLit, c => q4(cosine($"qv", c))))
-      .withColumn("probe", explode(sortSlice($"cdist", probes)))
+      .withColumn("probe", explode(topIndicesDesc($"cdist", probes)))
     val scored = assigned.join(broadcast(queries),
         $"cluster" === $"probe" && $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"), q4(cosine($"qv", $"v")).as("cos"))
@@ -112,12 +112,14 @@ object Similarity {
       .orderBy($"q_id", $"rnk")
   }
 
-  /** Indices of the top-`n` values of a double array (descending),
-    * as a column expression. */
-  private def sortSlice(arr: org.apache.spark.sql.Column, n: Int) = {
-    // pair each value with its index, sort descending by value, take n
-    val paired = zip_with(arr, sequence(lit(0), size(arr) - 1),
-      (v, i) => struct(v.as("v"), i.as("i")))
-    slice(reverse(array_sort(paired)), 1, n).getField("i")
+  /** Persist the IVF index in its serving layout: vectors written
+    * partitioned by cluster id. A probe query then reads ONLY the
+    * probed clusters' directories (partition pruning) — the on-disk
+    * shape of the "touch probes/K of the data" property. */
+  def s3WriteIvfIndex(s: SparkSession, dir: String, outPath: String): Array[Array[Double]] = {
+    val (assigned, centers) = ivfIndex(s, dir)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(outPath)
+    centers
   }
+
 }

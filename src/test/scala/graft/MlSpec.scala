@@ -29,8 +29,10 @@ class MlSpec extends GraftSpecBase {
     val sims = Recommender.m3SimilarItems(spark, sf).cache()
     assert(sims.filter($"p_partkey" === $"similar_partkey").count() == 0)
     assert(sims.filter($"cos" < -1.0 || $"cos" > 1.0).count() == 0)
-    val counts = sims.groupBy($"p_partkey").count().filter($"count" =!= 5)
+    // a part in a small probed neighborhood may have <5 candidates
+    val counts = sims.groupBy($"p_partkey").count().filter($"count" > 5 || $"count" < 1)
     assert(counts.count() == 0)
+    assert(sims.count() > 0)
   }
 
   test("sentiment pipeline separates polarity-labeled training docs") {

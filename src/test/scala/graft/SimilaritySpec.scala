@@ -34,6 +34,19 @@ class SimilaritySpec extends GraftSpecBase {
     }
   }
 
+  test("persisted ivf index serves probes through partition pruning") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.s3WriteIvfIndex(spark, sf, tmp)
+    val probed = spark.read.parquet(tmp).filter($"cluster".isin(0, 1))
+    val scanned = probed.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scanned.contains("PartitionFilters") && scanned.contains("cluster"),
+      s"probe read not partition-pruned: $scanned")
+    // index is lossless: every vector is in exactly one cluster
+    val total = spark.read.parquet(tmp).count()
+    assert(total == Tables.embeddings(spark, sf).count())
+  }
+
   test("embedding dedup pairs are symmetric-free and above threshold") {
     import spark.implicits._
     val pairs = Similarity.d5EmbeddingDedup(spark, sf).collect()
