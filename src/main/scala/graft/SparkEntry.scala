@@ -56,6 +56,7 @@ object SparkEntry {
     "q21_approx_distinct" -> (Advanced.q21ApproxDistinct _),
     "q22_moving_avg"     -> (Advanced.q22MovingAvg _),
     "q23_top_per_group"  -> (Advanced.q23TopPerGroup _),
+    "q24_approx_percentile" -> (Advanced.q24ApproxPercentile _),
     "mm3_cdc_chunks"     -> (graft.multimodal.Multimodal.mm3CdcChunks _),
     "p1_clean_corpus"    -> (Dedup.p1CleanCorpus _),
   )
@@ -197,6 +198,28 @@ object SparkEntry {
              + greatest(1.0 - abs(swr - 0.08) * 2.0, 0.0)
              + greatest(1.0 - pr * 4.0, 0.0)) / 3.0, 0.0), 1.0) * 10000) / 10000.0 AS quality
          FROM base ORDER BY doc_id""",
+    "t3_lang_id" ->
+      """WITH toks AS (
+           SELECT doc_id, lang AS labeled_lang, text,
+             string_split(lower(text), ' ') AS w FROM documents),
+         sc AS (
+           SELECT doc_id, labeled_lang, text,
+             len(list_filter(w, x -> x IN ('the','and','of','to','is','with','that'))) AS s_en,
+             len(list_filter(w, x -> x IN ('le','la','les','et','de','un','est'))) AS s_fr,
+             len(list_filter(w, x -> x IN ('el','la','los','las','y','de','que'))) AS s_es,
+             len(list_filter(w, x -> x IN ('der','die','das','und','ist','mit','ein'))) AS s_de,
+             len(list_filter(w, x -> x IN ('的','是','了','在','和','有','不'))) AS s_zh,
+             length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+           FROM toks)
+         SELECT doc_id, labeled_lang,
+           CASE WHEN cjk * 5 > length(text) THEN 'zh'
+                WHEN s_en >= greatest(s_fr, s_es, s_de, s_zh) AND s_en > 0 THEN 'en'
+                WHEN s_fr >= greatest(s_es, s_de, s_zh) AND s_fr > 0 THEN 'fr'
+                WHEN s_es >= greatest(s_de, s_zh) AND s_es > 0 THEN 'es'
+                WHEN s_de >= s_zh AND s_de > 0 THEN 'de'
+                WHEN s_zh > 0 THEN 'zh'
+                ELSE 'und' END AS pred_lang
+         FROM sc ORDER BY doc_id""",
     "t4_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
          FROM documents ORDER BY doc_id""",

@@ -87,8 +87,10 @@ object TextFunctions {
     when(size(w) >= n, array_distinct(mk)).otherwise(array().cast("array<string>"))
   }
 
-  /** Per-language marker words for the language-ID heuristic. */
-  val LangMarkers: Map[String, Seq[String]] = Map(
+  /** Per-language marker words for the language-ID heuristic.
+    * ORDERED — ties in the argmax go to the earliest language, and
+    * the oracle SQL replicates exactly this order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "with", "that"),
     "fr" -> Seq("le", "la", "les", "et", "de", "un", "est"),
     "es" -> Seq("el", "la", "los", "las", "y", "de", "que"),

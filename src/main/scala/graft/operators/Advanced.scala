@@ -139,6 +139,21 @@ object Advanced {
       .orderBy($"p_brand", $"rnk")
   }
 
+  /** Q24: approximate percentiles (Greenwald-Khanna sketch) — the
+    * constant-memory alternative to q20's sort when the column is
+    * too big to sort per group; sketches merge map-side. The spec
+    * bounds error against the exact q20. */
+  def q24ApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        expr("approx_percentile(value, 0.25, 1000)").as("p25"),
+        expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+        expr("approx_percentile(value, 0.9, 1000)").as("p90"))
+      .orderBy($"event_type")
+  }
+
   /** Q20: exact percentiles (sort-based, linear interpolation) of
     * event values per type. */
   def q20Percentile(s: SparkSession, dir: String): DataFrame = {

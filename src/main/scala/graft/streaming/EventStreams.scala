@@ -107,6 +107,19 @@ object EventStreams {
         unix_millis($"p_ts").as("p_ms"), unix_millis($"c_ts").as("c_ms"), $"value")
   }
 
+  /** Streaming exact dedup — the streaming twin of d1: drop duplicate
+    * payload fingerprints as they arrive, with the watermark bounding
+    * dedup state (a fingerprint older than the watermark horizon can
+    * be forgotten — the at-scale requirement, or state grows with the
+    * whole corpus). */
+  def streamingDedup(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("event_time", timestamp_millis($"ms"))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
   /** The still-open sessions (state flush) for batch parity checks. */
   def sessionizeWithFlush(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._

@@ -61,6 +61,18 @@ class AdvancedSpec extends GraftSpecBase {
     }
   }
 
+  test("approx percentile tracks exact percentile closely") {
+    import spark.implicits._
+    val approx = Advanced.q24ApproxPercentile(spark, sf)
+      .select($"event_type", $"p50").as[(String, Double)].collect().toMap
+    val exact = Advanced.q20Percentile(spark, sf)
+      .select($"event_type", $"p50").as[(String, Double)].collect().toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e) / math.max(e, 1.0) <= 0.1,
+        s"$k: approx ${approx(k)} vs exact $e")
+    }
+  }
+
   test("percentiles are ordered p25 <= p50 <= p90") {
     import spark.implicits._
     val bad = Advanced.q20Percentile(spark, sf)

@@ -86,6 +86,26 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per fingerprint across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // duplicate texts arriving in different batches
+    case class Doc(id: Long, fp: String, ms: Long)
+    val stream = MemoryStream[(Long, String, Long)]
+    val df = stream.toDF().toDF("id", "fp", "ms")
+    val q = EventStreams.streamingDedup(df)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "aaa", 1000L), (2L, "bbb", 2000L), (3L, "aaa", 3000L))
+      q.processAllAvailable()
+      stream.addData((4L, "aaa", 4000L), (5L, "ccc", 5000L))
+      q.processAllAvailable()
+      val fps = spark.table("dedup_out").select($"fp").as[String].collect().sorted
+      assert(fps.toSeq == Seq("aaa", "bbb", "ccc"))
+    } finally q.stop()
+  }
+
   test("batch-mode sessionizer with flush equals q14 exactly") {
     import spark.implicits._
     val ds = Tables.eventsWithMs(spark, sf)
