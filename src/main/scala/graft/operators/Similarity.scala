@@ -67,19 +67,26 @@ object Similarity {
   val IvfClusters = 16
   val IvfProbes = 2
 
+  // index registry: build the coarse quantizer once per dataset and
+  // serve every probe query from it (an index is an artifact, not a
+  // per-query computation)
+  private val indexes =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Array[Array[Double]])]
+
   /** Fit the IVF coarse quantizer and assign every vector a cluster.
     * Returns (assignments df: vec_id, v, cluster; centroid arrays). */
-  def ivfIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {
-    import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-      .select($"vec_id", toDoubles($"embedding").as("v"))
-      .withColumn("features", array_to_vector($"v"))
-    val model = new KMeans().setK(IvfClusters).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(emb)
-    val assigned = model.transform(emb).select($"vec_id", $"v", $"cluster")
-    (assigned, model.clusterCenters.map(_.toArray))
-  }
+  def ivfIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
+    indexes.getOrElseUpdate(dir, {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", toDoubles($"embedding").as("v"))
+        .withColumn("features", array_to_vector($"v"))
+      val model = new KMeans().setK(IvfClusters).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("cluster")
+        .fit(emb)
+      val assigned = model.transform(emb).select($"vec_id", $"v", $"cluster").cache()
+      (assigned, model.clusterCenters.map(_.toArray))
+    })
 
   /** S2: IVF approximate top-k — probe the `IvfProbes` nearest
     * centroids per query, search only those inverted lists. The

@@ -1,0 +1,42 @@
+package graft
+
+/** Physical-plan regression tests: the scale-critical plan shapes
+  * (pushdown, pruning, broadcast, top-K) must not silently regress.
+  */
+class PlanAuditSpec extends GraftSpecBase {
+
+  // FormattedMode prints full PushedFilters (plain toString truncates)
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q2: predicates and projection reach the parquet scan") {
+    val p = plan(operators.Relational.q2FilterPushdown(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("GreaterThan(l_extendedprice,90000.0)"), p)
+    // only the 4 needed columns are read (3 projected + filter col)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_extendedprice:double,l_shipdate:timestamp"), p)
+  }
+
+  test("q4: dimension joins broadcast") {
+    val p = plan(operators.Relational.q4RegionSales(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q7: global top-K plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan(operators.Relational.q7TopkOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1: aggregation is two-phase (map-side partial)") {
+    val p = plan(operators.Relational.q1PricingSummary(spark, sf))
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("hashpartitioning"), p)
+  }
+
+  test("d5: pair scoring runs through the codegen'd ArrayDot") {
+    val p = plan(operators.Similarity.d5EmbeddingDedup(spark, sf))
+    assert(p.contains("array_dot"), p)
+  }
+}
