@@ -57,6 +57,7 @@ object SparkEntry {
     "q22_moving_avg"     -> (Advanced.q22MovingAvg _),
     "q23_top_per_group"  -> (Advanced.q23TopPerGroup _),
     "q24_approx_percentile" -> (Advanced.q24ApproxPercentile _),
+    "q25_string_ops"     -> (Advanced.q25StringOps _),
     "mm3_cdc_chunks"     -> (graft.multimodal.Multimodal.mm3CdcChunks _),
     "p1_clean_corpus"    -> (Dedup.p1CleanCorpus _),
   )
@@ -332,6 +333,15 @@ object SparkEntry {
            FROM rev JOIN part ON l_partkey = p_partkey)
          SELECT p_brand, rnk, p_partkey, revenue FROM ranked WHERE rnk <= 2
          ORDER BY p_brand, rnk""",
+    "q25_string_ops" ->
+      """SELECT p_partkey,
+         upper(substring(p_name, 1, 8)) AS name8,
+         CAST(levenshtein(p_brand, 'Brand#13') AS INTEGER) AS brand_dist,
+         CAST(length(p_name) AS INTEGER) AS name_len,
+         concat_ws('/', p_brand, p_type) AS brand_type
+         FROM part
+         WHERE p_name LIKE '%blue%' OR p_name LIKE '%red%'
+         ORDER BY p_partkey""",
     "p1_clean_corpus" ->
       """WITH base AS (
            SELECT doc_id,

@@ -139,6 +139,21 @@ object Advanced {
       .orderBy($"p_brand", $"rnk")
   }
 
+  /** Q25: string-function suite — LIKE pushdown, case/substring
+    * manipulation, edit distance. All per-row codegen'd expressions;
+    * the LIKE predicates push into the scan as StringContains. */
+  def q25StringOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .filter($"p_name".like("%blue%") || $"p_name".like("%red%"))
+      .select($"p_partkey",
+        upper(substring($"p_name", 1, 8)).as("name8"),
+        levenshtein($"p_brand", lit("Brand#13")).as("brand_dist"),
+        length($"p_name").as("name_len"),
+        concat_ws("/", $"p_brand", $"p_type").as("brand_type"))
+      .orderBy($"p_partkey")
+  }
+
   /** Q24: approximate percentiles (Greenwald-Khanna sketch) — the
     * constant-memory alternative to q20's sort when the column is
     * too big to sort per group; sketches merge map-side. The spec
