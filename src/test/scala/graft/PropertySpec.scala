@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.multimodal.Multimodal
+
+/** Property-style randomized checks (fixed seeds) for the pure kernels:
+  * many random inputs evaluated in one Spark pass, compared against
+  * straightforward local models.
+  */
+class PropertySpec extends GraftSpecBase {
+
+  test("ArrayDot matches a local left-fold on 200 random vector pairs exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12345)
+    val cases = Seq.fill(200) {
+      val n = 1 + rnd.nextInt(96)
+      (Seq.fill(n)(rnd.nextDouble() * 2 - 1), Seq.fill(n)(rnd.nextDouble() * 2 - 1))
+    }
+    val expected = cases.map { case (a, b) =>
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    }
+    val got = cases.toDF("a", "b")
+      .select(VectorFunctions.dot($"a", $"b")).as[Double].collect()
+    got.zip(expected).foreach { case (g, e) => assert(g == e) } // bitwise
+  }
+
+  test("simhash_agg equals a local vote model on 100 random token groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(999)
+    val rows = (0 until 100).flatMap { g =>
+      Seq.fill(1 + rnd.nextInt(40))((g.toLong, rnd.nextLong()))
+    }
+    val got = rows.toDF("g", "h")
+      .groupBy($"g").agg(call_function("simhash_agg", $"h").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val want = rows.groupBy(_._1).map { case (g, hs) =>
+      var out = 0L
+      for (b <- 0 until 64) {
+        val votes = hs.map { case (_, h) => if (((h >>> b) & 1L) == 1L) 1 else -1 }.sum
+        if (votes > 0) out |= (1L << b)
+      }
+      g -> out
+    }
+    assert(got == want)
+  }
+
+  test("cdc chunking reassembles any random payload, chunk sizes within bounds") {
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 0 until 50) {
+      val payload = Array.fill(rnd.nextInt(2000))(rnd.nextInt().toByte)
+      val chunks = Multimodal.Cdc.chunks(payload).toSeq
+      assert(chunks.map(_._2).sum == payload.length)
+      var off = 0
+      chunks.foreach { case (o, len, _) =>
+        assert(o == off && len > 0 && len <= Multimodal.CdcMaxChunk)
+        off += len
+      }
+    }
+  }
+
+  test("salted join equals plain join on random skewed data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    // heavy skew: 80% of rows share one key
+    val big = (0 until 2000).map { i =>
+      (if (rnd.nextDouble() < 0.8) 7L else rnd.nextInt(50).toLong, i.toLong)
+    }.toDF("k", "rowid")
+    val small = (0L until 50L).map(k => (k, s"v$k")).toDF("k", "payload")
+    val plain = big.join(small, Seq("k")).select($"rowid", $"payload")
+      .collect().map(_.toSeq).toSet
+    val salted = operators.Skew.saltedJoin(big, small, "k", $"rowid")
+      .select($"rowid", $"payload").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+}
