@@ -22,7 +22,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout goes through sbt's [info] log stream mixed with WARN noise,
+    // so ALSO write the line to a well-known file the harness can read
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json"))
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
   }
 }

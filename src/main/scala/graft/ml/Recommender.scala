@@ -82,18 +82,19 @@ object Recommender {
     val centerLit = array(km.clusterCenters.map(c => array(c.toArray.map(lit): _*)): _*)
     val probes = assigned
       .withColumn("cdist", transform(centerLit, c => q4(cosine($"v", c))))
-      .select($"id", $"v", $"nrm", explode(topIndicesDesc($"cdist", 2)).as("probe"))
-    // inverted lists broadcast as 16 nested rows — candidates explode
-    // in-task, no shuffle of the 50M-row candidate stream; a pair
-    // appears exactly once (each candidate lives in one cluster)
-    val lists = assigned.groupBy($"cluster")
-      .agg(collect_list(struct($"id", $"v", $"nrm")).as("items"))
-    val scored = probes.join(broadcast(lists), $"probe" === $"cluster")
       .select($"id".as("p_partkey"), $"v".as("qv"), $"nrm".as("qn"),
-        explode($"items").as("cand"))
-      .filter($"cand.id" =!= $"p_partkey")
-      .select($"p_partkey", $"cand.id".as("similar_partkey"),
-        q4(dot($"qv", $"cand.v") / ($"qn" * $"cand.nrm")).as("cos"))
+        explode(topIndicesDesc($"cdist", 2)).as("probe"))
+    // candidate generation is a shuffle equi-join on the cluster id —
+    // the inverted lists stay partitioned on their key instead of being
+    // collected and broadcast (a whole-catalog broadcast is GBs at real
+    // item-catalog scale); a pair still appears exactly once per probe
+    // because each candidate lives in exactly one cluster
+    val cands = assigned.select($"id".as("cand_id"), $"v".as("cv"),
+      $"nrm".as("cn"), $"cluster")
+    val scored = probes.join(cands, $"probe" === $"cluster")
+      .filter($"cand_id" =!= $"p_partkey")
+      .select($"p_partkey", $"cand_id".as("similar_partkey"),
+        q4(dot($"qv", $"cv") / ($"qn" * $"cn")).as("cos"))
     val w = Window.partitionBy($"p_partkey").orderBy($"cos".desc, $"similar_partkey")
     scored.withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 5)

@@ -40,21 +40,78 @@ object Similarity {
       .orderBy($"q_id", $"rnk")
   }
 
-  /** D5: exact embedding near-dup pairs, cosine ≥ 0.5. The pairwise
-    * block join is the correctness baseline; the LSH/IVF variants are
-    * the scale path. */
+  /** D5: exact embedding near-dup pairs, cosine ≥ 0.5 — same result
+    * set as the naive all-pairs join (the oracle checks it), but the
+    * candidate join is a shuffle equi-join on a cluster-pair key, never
+    * a nested loop.
+    *
+    * Completeness: cos(a,b) ≥ t ⟺ ‖â−b̂‖ ≤ √(2−2t) on the unit
+    * sphere. With each vector assigned to a KMeans cluster whose unit-
+    * space pivot is p_i and radius r_i = max ‖û−p_i‖, the triangle
+    * inequality gives: a qualifying pair can only span clusters (i,j)
+    * with ‖p_i−p_j‖ ≤ r_i + r_j + √(2−2t). Only those cluster pairs
+    * are joined (equi-key: cluster ids), then candidates are exact-
+    * verified with the same FP expression as the baseline. On clustered
+    * corpora (the near-dup case) this prunes most cluster pairs; on
+    * isotropic data it degrades to a *distributed* blocked all-pairs —
+    * still a shuffle join across K² tasks, never a driver-side
+    * broadcast nested loop. Pivots/radii are K-bounded artifacts
+    * (like KMeans centers), not data-sized collects. */
   def d5EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // norms precomputed once per vector (not once per pair); the pair
-    // loop is a single codegen'd ArrayDot — the FP graph
-    // dot/(sqrt(dot(a,a))*sqrt(dot(b,b))) stays identical to the oracle
-    val emb = withNorm(Tables.embeddings(s, dir))
-    val cos = dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")
-    emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
-      .filter(cos >= 0.5)
-      .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"), q4(cos).as("cosine"))
+    val t = 0.5
+    val dBound = math.sqrt(2.0 - 2.0 * t) + 1e-9
+    val (assigned, _) = ivfIndex(s, dir) // (vec_id, v, cluster), cached
+    // nrm cached so the unit-vector lambda divides by a materialized
+    // column, not an inlined sqrt(dot) re-evaluated per element
+    val base = norms.getOrElseUpdate(dir,
+      assigned.withColumn("nrm", sqrt(dot($"v", $"v"))).cache())
+    val unit = base.withColumn("u", transform($"v", x => x / $"nrm"))
+    // unit-space pivot (elementwise mean) per cluster: K×dim values
+    val pivots: Map[Int, Array[Double]] = unit
+      .select($"cluster", posexplode($"u").as(Seq("pos", "x")))
+      .groupBy($"cluster", $"pos").agg(avg($"x").as("m"))
+      .groupBy($"cluster")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"cluster", transform($"pm", _.getField("m")).as("pivot"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val ids = pivots.keys.toSeq.sorted
+    val pivotLit = map(ids.flatMap(i =>
+      Seq(lit(i), array(pivots(i).map(lit): _*))): _*)
+    val pn2 = ids.map(i => i -> pivots(i).map(x => x * x).sum).toMap
+    val pn2Lit = map(ids.flatMap(i => Seq(lit(i), lit(pn2(i)))): _*)
+    // r_i = max ‖û − p_i‖; ‖û‖ = 1 up to FP eps, absorbed in the slack
+    val dist2 = lit(1.0) - lit(2.0) * dot($"u", element_at(pivotLit, $"cluster")) +
+      element_at(pn2Lit, $"cluster")
+    val radii: Map[Int, Double] = unit
+      .groupBy($"cluster").agg(max(sqrt(greatest(dist2, lit(0.0)))).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def pdist(i: Int, j: Int): Double =
+      math.sqrt(pivots(i).zip(pivots(j)).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val admissible = for {
+      i <- ids; j <- ids
+      if pdist(i, j) <= radii(i) + radii(j) + dBound + 1e-6
+    } yield (i, j)
+    val pairs = admissible.toDF("ci", "cj")
+    val left = base.select($"vec_id".as("id_a"), $"v".as("va"),
+      $"nrm".as("na"), $"cluster".as("ci"))
+    val right = base.select($"vec_id".as("id_b"), $"v".as("vb"),
+      $"nrm".as("nb"), $"cluster".as("cj"))
+    // verify with the exact baseline FP graph — candidate pruning only
+    // decides WHICH pairs get scored, never how
+    val cos = dot($"va", $"vb") / ($"na" * $"nb")
+    left.join(broadcast(pairs), Seq("ci"))
+      .join(right, Seq("cj"))
+      .filter($"id_a" < $"id_b")
+      .filter(cos >= t)
+      .select($"id_a", $"id_b", q4(cos).as("cosine"))
       .orderBy($"id_a", $"id_b")
   }
+
+  // per-dataset cache of (vec_id, v, cluster, nrm) shared by d5 calls
+  private val norms =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** Embeddings as double vectors with their norm, the shared scan for
     * the exact similarity operators. */

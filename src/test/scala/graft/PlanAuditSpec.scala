@@ -39,4 +39,17 @@ class PlanAuditSpec extends GraftSpecBase {
     val p = plan(operators.Similarity.d5EmbeddingDedup(spark, sf))
     assert(p.contains("array_dot"), p)
   }
+
+  test("d5: candidate generation is an equi-join — no nested-loop/cartesian") {
+    val df = operators.Similarity.d5EmbeddingDedup(spark, sf)
+    df.collect() // force AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("m3: no whole-catalog collect_list broadcast in the candidate join") {
+    val p = plan(ml.Recommender.m3SimilarItems(spark, sf))
+    assert(!p.contains("collect_list"), p)
+  }
 }
