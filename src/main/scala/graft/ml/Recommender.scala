@@ -47,8 +47,67 @@ object Recommender {
         .fit(ratings(s, dir))
     })
 
-  /** M1: top-5 part recommendations per customer. */
+  val ItemClusters = 16
+
+  // item-factor IVF index registry: one KMeans over the factor space
+  // serves both recommendation heads (m1 candidate pruning, m3
+  // similar-items), like Similarity.ivfIndex does for embeddings
+  private val itemIdx =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Array[Array[Double]])]
+
+  /** Item factors clustered for IVF probing: (id, v, nrm, cluster)
+    * cached, plus the centroid arrays (a K-bounded artifact). */
+  def itemIvf(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
+    itemIdx.getOrElseUpdate(dir, {
+      import s.implicits._
+      import graft.functions.VectorFunctions.dot
+      val model = fit(s, dir)
+      val factors = model.itemFactors
+        .select($"id", transform($"features", _.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dot($"v", $"v")))
+        .withColumn("features", org.apache.spark.ml.functions.array_to_vector($"v"))
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(ItemClusters).setSeed(Seed).setMaxIter(10).setInitMode("random")
+        .setFeaturesCol("features").setPredictionCol("cluster")
+        .fit(factors)
+      val assigned = km.transform(factors).select($"id", $"v", $"nrm", $"cluster").cache()
+      (assigned, km.clusterCenters.map(_.toArray))
+    })
+
+  val UserProbes = 4
+
+  /** M1: top-5 part recommendations per customer, served approximately:
+    * each user probes its `UserProbes` best item-factor clusters by
+    * centroid inner product and scores only those clusters' items — a
+    * shuffle equi-join on the cluster key touching probes/K of the
+    * catalog, instead of `recommendForAllUsers`' exact user×item
+    * blocked cross product (the serving cost at catalog scale). Scores
+    * of returned pairs are the same ALS dot product, and the spec
+    * bounds recall vs the exact top-5. */
   def m1AlsRecommend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{dot, topIndicesDesc}
+    val model = fit(s, dir)
+    val (items, centers) = itemIvf(s, dir)
+    val centerLit = array(centers.map(c => array(c.map(lit): _*)): _*)
+    val users = model.userFactors
+      .select($"id".as("c_custkey"), transform($"features", _.cast("double")).as("u"))
+      .withColumn("cdot", transform(centerLit, c => dot($"u", c)))
+      .select($"c_custkey", $"u", explode(topIndicesDesc($"cdot", UserProbes)).as("probe"))
+    val scored = users
+      .join(items.select($"id".as("p_partkey"), $"v", $"cluster"), $"probe" === $"cluster")
+      .select($"c_custkey", $"p_partkey", round(dot($"u", $"v"), 4).as("score"))
+    val w = Window.partitionBy($"c_custkey").orderBy($"score".desc, $"p_partkey")
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"c_custkey", $"rnk", $"p_partkey", $"score")
+      .orderBy($"c_custkey", $"rnk")
+  }
+
+  /** The exact MLlib serving path (blocked user×item cross) — the
+    * spec's recall baseline for m1. */
+  def m1AlsRecommendExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val model = fit(s, dir)
     model.recommendForAllUsers(5)
@@ -69,17 +128,8 @@ object Recommender {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.{cosine, dot, q4, topIndicesDesc}
-    val model = fit(s, dir)
-    val factors = model.itemFactors
-      .select($"id", transform($"features", _.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(dot($"v", $"v")))
-      .withColumn("features", org.apache.spark.ml.functions.array_to_vector($"v"))
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(16).setSeed(Seed).setMaxIter(10).setInitMode("random")
-      .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(factors)
-    val assigned = km.transform(factors).select($"id", $"v", $"nrm", $"cluster").cache()
-    val centerLit = array(km.clusterCenters.map(c => array(c.toArray.map(lit): _*)): _*)
+    val (assigned, centers) = itemIvf(s, dir)
+    val centerLit = array(centers.map(c => array(c.map(lit): _*)): _*)
     val probes = assigned
       .withColumn("cdist", transform(centerLit, c => q4(cosine($"v", c))))
       .select($"id".as("p_partkey"), $"v".as("qv"), $"nrm".as("qn"),

@@ -50,15 +50,31 @@ object Sentiment {
     Tables.documents(s, dir)
       .withColumn("pol", polarity($"text"))
       .withColumn("label", when($"pol" > 0, 1.0).when($"pol" < 0, 0.0))
+      // deterministic 80/20 split keyed on doc_id — a held-out fold for
+      // honest eval, reproducible across engines and runs
+      .withColumn("is_train", pmod($"doc_id", lit(5)) =!= 0)
   }
 
-  /** M2: train on polarity-labeled docs, score every doc. Output is
-    * the per-document sentiment with the model's positive-class
-    * probability. */
+  // model registry: fit once per dataset, serve every m2 call after the
+  // first from the trained artifact (the ALS registry pattern)
+  private val models =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.PipelineModel]
+
+  /** Fit the pipeline on the labeled TRAIN fold only (the test fold
+    * stays unseen for `heldOutAccuracy`). */
+  def fit(s: SparkSession, dir: String): org.apache.spark.ml.PipelineModel =
+    models.getOrElseUpdate(dir, {
+      import s.implicits._
+      pipeline.fit(labeled(s, dir).filter($"label".isNotNull && $"is_train"))
+    })
+
+  /** M2: train on polarity-labeled train-fold docs, score every doc.
+    * Output is the per-document sentiment with the model's
+    * positive-class probability. */
   def m2Sentiment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = labeled(s, dir)
-    val model = pipeline.fit(docs.filter($"label".isNotNull))
+    val model = fit(s, dir)
     model.transform(docs)
       .select($"doc_id",
         coalesce($"label", lit(-1.0)).as("weak_label"),
@@ -67,12 +83,18 @@ object Sentiment {
       .orderBy($"doc_id")
   }
 
-  /** Training-set accuracy for the spec. */
-  def trainAccuracy(s: SparkSession, dir: String): Double = {
+  /** Training-fold accuracy for the spec. */
+  def trainAccuracy(s: SparkSession, dir: String): Double =
+    accuracyOn(s, dir, trainFold = true)
+
+  /** Held-out (test-fold) accuracy — docs the model never saw. */
+  def heldOutAccuracy(s: SparkSession, dir: String): Double =
+    accuracyOn(s, dir, trainFold = false)
+
+  private def accuracyOn(s: SparkSession, dir: String, trainFold: Boolean): Double = {
     import s.implicits._
-    val docs = labeled(s, dir).filter($"label".isNotNull)
-    val model = pipeline.fit(docs)
-    val scored = model.transform(docs)
+    val docs = labeled(s, dir).filter($"label".isNotNull && $"is_train" === trainFold)
+    val scored = fit(s, dir).transform(docs)
     scored.filter($"prediction" === $"label").count().toDouble / scored.count()
   }
 

@@ -130,24 +130,30 @@ object Dedup {
 
   // ---- MinHash -------------------------------------------------------
 
-  val NumHashes = 64
+  val NumHashes: Int = graft.functions.MinHashAgg.NumHashes
   val NumBands = 16 // 4 rows per band
-  private val MersennePrime = (1L << 61) - 1
-  /** Fixed seeded permutation coefficients; a,b < 2^30 and the shingle
-    * hash is reduced below 2^31 first, so a*x+b stays < 2^62 — no
-    * overflow under ANSI SQL mode. */
-  private val perms: Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(NumHashes)((rnd.nextInt(1 << 30).toLong + 1, rnd.nextInt(1 << 30).toLong))
-  }
+  private val MersennePrime = graft.functions.MinHashAgg.MersennePrime
 
-  /** 64-slot MinHash signature per doc (array column `sig`). The
-    * shingle hash materializes into a column BEFORE the aggregation —
-    * embedded in the 64 min() expressions it would be re-hashed 64×
-    * per row. */
+  /** 64-slot MinHash signature per doc (array column `sig`), via the
+    * single-pass `minhash_agg` custom aggregate: one 512-byte buffer
+    * update per shingle instead of 64 separate min() aggregate columns
+    * (bit-identical — the spec checks it against the composed form). */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+    shingleIndex(s, dir)
+      .select($"doc_id", pmod(xxhash64($"shingle"), lit(2147483647L)).as("x"))
+      .groupBy($"doc_id")
+      .agg(call_function("minhash_agg", $"x").as("sig"))
+  }
+
+  /** The 64-column min() composition the custom aggregate replaces
+    * (spec reference implementation; coefficients shared via
+    * MinHashAgg.Perms). The shingle hash materializes into a column
+    * BEFORE the aggregation — embedded in the 64 min() expressions it
+    * would be re-hashed 64× per row. */
+  def minhashSignaturesComposed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mins = graft.functions.MinHashAgg.Perms.zipWithIndex.map { case ((a, b), i) =>
       min(pmod($"x" * lit(a) + lit(b), lit(MersennePrime))).as(s"h$i")
     }
     shingleIndex(s, dir)

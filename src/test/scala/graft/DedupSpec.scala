@@ -34,6 +34,15 @@ class DedupSpec extends GraftSpecBase {
     assert(errs.nonEmpty && errs.max < 0.25, s"max est error ${if (errs.nonEmpty) errs.max else -1}")
   }
 
+  test("custom minhash aggregate is bit-identical to the 64-column composition") {
+    import spark.implicits._
+    val fast = Dedup.minhashSignatures(spark, sf)
+      .as[(Long, Seq[Long])].collect().map { case (id, s) => id -> s.toList }.toMap
+    val ref = Dedup.minhashSignaturesComposed(spark, sf)
+      .as[(Long, Seq[Long])].collect().map { case (id, s) => id -> s.toList }.toMap
+    assert(fast == ref)
+  }
+
   test("custom simhash aggregate is bit-identical to the 64-column composition") {
     import spark.implicits._
     val fast = Dedup.simhashes(spark, sf).as[(Long, Long)].collect().toMap

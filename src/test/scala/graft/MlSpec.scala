@@ -17,6 +17,16 @@ class MlSpec extends GraftSpecBase {
     assert(badPart.isEmpty)
   }
 
+  test("approximate als serving recalls the exact top-5 well") {
+    import spark.implicits._
+    val exact = Recommender.m1AlsRecommendExact(spark, sf)
+      .select($"c_custkey", $"p_partkey").as[(Long, Long)].collect().toSet
+    val approx = Recommender.m1AlsRecommend(spark, sf)
+      .select($"c_custkey", $"p_partkey").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall over ${exact.size} exact pairs")
+  }
+
   test("als reconstructs training ratings with sane rmse") {
     val rmse = Recommender.trainRmse(spark, sf)
     // ratings are quantity sums in [1, ~100]; a factorized fit should
@@ -38,6 +48,18 @@ class MlSpec extends GraftSpecBase {
   test("sentiment pipeline separates polarity-labeled training docs") {
     val acc = Sentiment.trainAccuracy(spark, sf)
     assert(acc >= 0.9, s"train accuracy $acc")
+  }
+
+  test("sentiment generalizes to the held-out fold") {
+    val acc = Sentiment.heldOutAccuracy(spark, sf)
+    assert(acc >= 0.8, s"held-out accuracy $acc")
+  }
+
+  test("second m2 invocation serves from the model registry (no refit)") {
+    val t0 = System.nanoTime(); graft.ml.Sentiment.m2Sentiment(spark, sf).count()
+    val warm = (System.nanoTime() - t0) / 1e9
+    // a refit at this scale costs seconds; serving is sub-second-ish
+    assert(warm < 3.0, s"warm m2 took ${warm}s — registry not serving?")
   }
 
   test("sentiment scores every document with a calibrated probability") {
