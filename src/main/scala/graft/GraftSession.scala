@@ -29,6 +29,9 @@ object GraftSession {
       // timestamp type, so read it as epoch-nanos LongType and convert
       // with exact integer arithmetic (see Tables.eventsWithMs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table writes land here (saveAsTable), not in cwd
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   def defaultCpus: Int =

@@ -24,10 +24,14 @@ object EventStreams {
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                         start_ms: Long, end_ms: Long, total_value: Double)
 
-  /** Open-session state per user (public: Catalyst codegen needs
+  /** One open session fragment: the merged interval of events seen so
+    * far, with its running aggregates (public: Catalyst codegen needs
     * accessible accessors for the state encoder). */
-  case class SessionState(sessionId: Long, lastMs: Long, n: Long,
-                          startMs: Long, sumValue: Double)
+  case class SessionFrag(firstMs: Long, lastMs: Long, n: Long, sumValue: Double)
+
+  /** Per-user sessionizer state: next ordinal to assign + the open
+    * fragments. Size is O(open sessions), never O(buffered events). */
+  case class SessionState(nextId: Long, frags: Seq[SessionFrag])
 
   /** Tumbling 1-hour windowed aggregate — streaming twin of
     * st1_window_agg. Works on any streaming or batch DataFrame with
@@ -48,40 +52,66 @@ object EventStreams {
   /** Gap-based stateful sessionizer — streaming twin of
     * q14_sessionize, via flatMapGroupsWithState keyed by user.
     *
-    * Each invocation sorts its micro-batch slice by event time and
-    * folds it into the per-user open-session state, emitting every
-    * session that a >30 min gap closes. Late events older than the
-    * open session's tail are counted into the open session rather
-    * than reopening closed ones (watermark discipline — closed
-    * sessions are immutable downstream). In batch mode the same code
-    * sees each user's full history in one call, so batch output ==
-    * q14 minus each user's final (still-open) session, which
-    * `flushOpen` accounts for in the specs.
-    */
+    * Each event folds into the user's open session *fragments* by
+    * interval merge: an event joins every fragment within the session
+    * gap of it (possibly bridging two), else opens its own. No sort
+    * and no buffering of the micro-batch slice — a hot user costs
+    * O(open sessions) state, not O(events), which is what survives a
+    * skewed key at stream scale. At the end of each invocation every
+    * fragment except the user's latest is gap-closed by construction
+    * (assuming batch-monotone arrival, the watermark discipline) and
+    * is emitted with its ordinal; the latest stays open in state. In
+    * batch mode the same code sees the full history in one call, so
+    * batch output == q14 minus each user's final (still-open) session,
+    * which `sessionizeWithFlush` accounts for in the specs. */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ms, e.event_id))
-          var st = state.getOption.orNull
-          val closed = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            st match {
-              case null =>
-                st = SessionState(1L, e.ms, 1L, e.ms, e.value)
-              case s if e.ms - s.lastMs > SessionGapMs =>
-                closed += SessionOut(user, s.sessionId, s.n, s.startMs, s.lastMs, s.sumValue)
-                st = SessionState(s.sessionId + 1, e.ms, 1L, e.ms, e.value)
-              case s =>
-                st = s.copy(lastMs = math.max(s.lastMs, e.ms), n = s.n + 1,
-                  sumValue = s.sumValue + e.value)
+          var st = state.getOption.getOrElse(SessionState(1L, Nil))
+          var frags = st.frags.toList
+          it.foreach { e =>
+            val (touch, rest) = frags.partition(f =>
+              e.ms >= f.firstMs - SessionGapMs && e.ms <= f.lastMs + SessionGapMs)
+            val merged = touch.foldLeft(SessionFrag(e.ms, e.ms, 1L, e.value)) {
+              (acc, f) => SessionFrag(math.min(acc.firstMs, f.firstMs),
+                math.max(acc.lastMs, f.lastMs), acc.n + f.n, acc.sumValue + f.sumValue)
             }
+            frags = merged :: rest
           }
-          if (st != null) state.update(st)
-          closed.result().iterator
+          val ordered = frags.sortBy(_.firstMs)
+          val (closed, open) =
+            if (ordered.isEmpty) (Nil, Nil) else (ordered.init, List(ordered.last))
+          val out = closed.zipWithIndex.map { case (f, i) =>
+            SessionOut(user, st.nextId + i, f.n, f.firstMs, f.lastMs, f.sumValue)
+          }
+          state.update(SessionState(st.nextId + closed.size, open))
+          out.iterator
       }
+  }
+
+  /** The same sessionization through Spark's native `session_window`
+    * aggregation — the state store merges window fragments itself, so
+    * memory per key is bounded by the store, and late data within the
+    * watermark is handled by window merge. No ordinal session id (an
+    * append-mode stream can't know it); the spec matches boundaries
+    * and aggregates against q14. Works on a batch or streaming frame
+    * with (user_id, ms, value). */
+  def sessionizeNative(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_millis($"ms"))
+      .withWatermark("ts", "1 hour")
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+      .select($"user_id",
+        unix_millis($"session_window.start").as("start_ms"),
+        // window end = last event + gap; subtract it to expose the
+        // last-event timestamp q14 reports
+        (unix_millis($"session_window.end") - SessionGapMs).as("end_ms"),
+        $"n_events", $"total_value")
   }
 
   /** Stream-stream join: each purchase joined to the same user's
@@ -120,21 +150,26 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("fp")
   }
 
-  /** The still-open sessions (state flush) for batch parity checks. */
+  /** The still-open sessions (state flush) for batch parity checks —
+    * the same interval merge as `sessionize`, emitting only each
+    * user's final fragment with its ordinal. */
   def sessionizeWithFlush(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val closed = sessionize(events)
     val open = events.groupByKey(_.user_id).mapGroups { (user, it) =>
-      val sorted = it.toSeq.sortBy(e => (e.ms, e.event_id))
-      var sid = 1L; var last = Long.MinValue
-      var n = 0L; var start = 0L; var sum = 0.0
-      sorted.foreach { e =>
-        if (last != Long.MinValue && e.ms - last > SessionGapMs) {
-          sid += 1; n = 0; sum = 0.0; start = e.ms
-        } else if (n == 0) start = e.ms
-        n += 1; sum += e.value; last = e.ms
+      var frags = List.empty[SessionFrag]
+      it.foreach { e =>
+        val (touch, rest) = frags.partition(f =>
+          e.ms >= f.firstMs - SessionGapMs && e.ms <= f.lastMs + SessionGapMs)
+        val merged = touch.foldLeft(SessionFrag(e.ms, e.ms, 1L, e.value)) {
+          (acc, f) => SessionFrag(math.min(acc.firstMs, f.firstMs),
+            math.max(acc.lastMs, f.lastMs), acc.n + f.n, acc.sumValue + f.sumValue)
+        }
+        frags = merged :: rest
       }
-      SessionOut(user, sid, n, start, last, sum)
+      val ordered = frags.sortBy(_.firstMs)
+      val last = ordered.last
+      SessionOut(user, ordered.size.toLong, last.n, last.firstMs, last.lastMs, last.sumValue)
     }
     closed.unionAll(open)
   }

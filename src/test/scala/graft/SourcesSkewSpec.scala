@@ -34,6 +34,31 @@ class SourcesSkewSpec extends GraftSpecBase {
       s"partition filter not pushed: $scanned")
   }
 
+  test("co-bucketed tables sort-merge join with no shuffle exchange") {
+    import spark.implicits._
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Sources.writeBucketed(Tables.orders(spark, sf), "orders_bkt",
+        "o_custkey", 8, sortBy = Some("o_custkey"))
+      Sources.writeBucketed(Tables.customer(spark, sf), "customer_bkt",
+        "c_custkey", 8, sortBy = Some("c_custkey"))
+      val j = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"c_name")
+      assert(j.count() == Tables.orders(spark, sf).count())
+      val p = j.queryExecution.executedPlan.toString
+      // both sides read pre-bucketed: the join key shuffle disappears
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      assert(p.contains("Bucketed: true"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     val orders = Tables.orders(spark, sf)

@@ -1,5 +1,6 @@
 package graft
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.streaming.EventStreams
@@ -104,6 +105,89 @@ class StreamingSpec extends GraftSpecBase {
       val fps = spark.table("dedup_out").select($"fp").as[String].collect().sorted
       assert(fps.toSeq == Seq("aaa", "bbb", "ccc"))
     } finally q.stop()
+  }
+
+  test("native session_window in batch equals q14 session boundaries") {
+    import spark.implicits._
+    val events = Tables.eventsWithMs(spark, sf)
+      .select($"user_id", $"ms", $"value")
+    val got = EventStreams.sessionizeNative(events)
+      .select($"user_id", $"start_ms", $"end_ms", $"n_events", $"total_value")
+      .collect().map(_.toSeq).toSet
+    val want = operators.Sessionize.q14Sessionize(spark, sf)
+      .select($"user_id", $"start_ms", $"end_ms", $"n_events", $"total_value")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
+  test("native session_window streams: emitted sessions are final batch sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionizeNative(stream.toDF())
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    try {
+      events.grouped(math.max(1, events.size / 3 + 1)).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("native_sessions")
+        .select($"user_id", $"start_ms", $"end_ms", $"n_events", $"total_value")
+        .collect().map(_.toSeq).toSet
+      val batch = operators.Sessionize.q14Sessionize(spark, sf)
+        .select($"user_id", $"start_ms", $"end_ms", $"n_events", $"total_value")
+        .collect().map(_.toSeq).toSet
+      // append mode only emits sessions the watermark has sealed
+      assert(got.nonEmpty && got.subsetOf(batch),
+        s"${got.size} emitted, ${batch.size} batch, stray=${(got -- batch).take(3)}")
+    } finally q.stop()
+  }
+
+  test("file-source stream with RocksDB state store matches batch windowed agg") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // stage the events as parquet files — the kafka-less production
+    // shape: a file stream source feeding a stateful agg whose state
+    // lives in RocksDB (bounded heap at scale) instead of on-heap maps
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_fsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    Tables.eventsWithMs(spark, sf)
+      .select($"user_id", $"event_id", $"ms", $"event_type", $"value")
+      .repartition(3).write.mode("overwrite").parquet(srcDir)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ms", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = EventStreams.windowedAgg(src)
+      .writeStream.format("memory").queryName("file_win_agg")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_win_agg")
+        .select(($"window_start_ms" / 3600000L).cast("long").as("hour_bucket"),
+          $"event_type", $"n", $"total_value")
+        .collect().map(_.toSeq).toSet
+      val want = operators.Sessionize.st1WindowAgg(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(got == want)
+      // the state operator really ran on RocksDB
+      val metrics = q.lastProgress.stateOperators.toSeq
+        .flatMap(_.customMetrics.asScala.keys).mkString(",")
+      assert(metrics.contains("rocksdb"), s"state metrics: $metrics")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("batch-mode sessionizer with flush equals q14 exactly") {
