@@ -25,6 +25,11 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // TypedImperativeAggregates (topk/minhash/simhash) carry small
+      // k-bounded buffers: millions of groups fit in memory, so keep
+      // ObjectHashAggregate in hash mode instead of the 128-group
+      // default that silently degrades to sort-based aggregation
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       // events.parquet carries TIMESTAMP(NANOS); Spark has no ns
       // timestamp type, so read it as epoch-nanos LongType and convert
       // with exact integer arithmetic (see Tables.eventsWithMs).

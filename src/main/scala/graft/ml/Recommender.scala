@@ -47,7 +47,11 @@ object Recommender {
         .fit(ratings(s, dir))
     })
 
-  val ItemClusters = 16
+  /** IVF cluster count ~ √(catalog size) (the standard IVF sizing):
+    * finer quantization cuts the scanned fraction per probe AND raises
+    * the candidate join's key cardinality (= its parallelism). */
+  def itemClusters(nItems: Long): Int =
+    math.min(256, math.max(16, math.ceil(math.sqrt(nItems.toDouble)).toInt))
 
   // item-factor IVF index registry: one KMeans over the factor space
   // serves both recommendation heads (m1 candidate pruning, m3
@@ -66,8 +70,10 @@ object Recommender {
         .select($"id", transform($"features", _.cast("double")).as("v"))
         .withColumn("nrm", sqrt(dot($"v", $"v")))
         .withColumn("features", org.apache.spark.ml.functions.array_to_vector($"v"))
+        .cache()
       val km = new org.apache.spark.ml.clustering.KMeans()
-        .setK(ItemClusters).setSeed(Seed).setMaxIter(10).setInitMode("random")
+        .setK(itemClusters(factors.count())).setSeed(Seed).setMaxIter(10)
+        .setInitMode("random")
         .setFeaturesCol("features").setPredictionCol("cluster")
         .fit(factors)
       val assigned = km.transform(factors).select($"id", $"v", $"nrm", $"cluster").cache()
@@ -86,22 +92,29 @@ object Recommender {
     * bounds recall vs the exact top-5. */
   def m1AlsRecommend(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.{dot, topIndicesDesc}
     val model = fit(s, dir)
     val (items, centers) = itemIvf(s, dir)
     val centerLit = array(centers.map(c => array(c.map(lit): _*)): _*)
+    // probe ~12.5% of clusters (min 4): with √n clusters the scanned
+    // fraction shrinks as the catalog grows, the way IVF search should
+    val probesN = math.max(UserProbes, centers.length / 8)
     val users = model.userFactors
       .select($"id".as("c_custkey"), transform($"features", _.cast("double")).as("u"))
       .withColumn("cdot", transform(centerLit, c => dot($"u", c)))
-      .select($"c_custkey", $"u", explode(topIndicesDesc($"cdot", UserProbes)).as("probe"))
+      .select($"c_custkey", $"u", explode(topIndicesDesc($"cdot", probesN)).as("probe"))
     val scored = users
       .join(items.select($"id".as("p_partkey"), $"v", $"cluster"), $"probe" === $"cluster")
       .select($"c_custkey", $"p_partkey", round(dot($"u", $"v"), 4).as("score"))
-    val w = Window.partitionBy($"c_custkey").orderBy($"score".desc, $"p_partkey")
-    scored.withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= 5)
-      .select($"c_custkey", $"rnk", $"p_partkey", $"score")
+    // bounded top-k aggregate, NOT a window rank: a window would
+    // shuffle-sort every scored candidate (users × probed-catalog
+    // rows); topk_agg partial-aggregates map-side so the shuffle
+    // carries ≤ 5 rows per user per partition
+    scored.groupBy($"c_custkey")
+      .agg(call_function("topk_agg", $"score", $"p_partkey", lit(5)).as("top"))
+      .select($"c_custkey", posexplode($"top").as(Seq("pos", "rec")))
+      .select($"c_custkey", ($"pos" + 1).as("rnk"),
+        $"rec.id".as("p_partkey"), $"rec.score".as("score"))
       .orderBy($"c_custkey", $"rnk")
   }
 
@@ -126,7 +139,6 @@ object Recommender {
     * (which is exactly the trap at catalog scale). */
   def m3SimilarItems(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.{cosine, dot, q4, topIndicesDesc}
     val (assigned, centers) = itemIvf(s, dir)
     val centerLit = array(centers.map(c => array(c.map(lit): _*)): _*)
@@ -145,10 +157,12 @@ object Recommender {
       .filter($"cand_id" =!= $"p_partkey")
       .select($"p_partkey", $"cand_id".as("similar_partkey"),
         q4(dot($"qv", $"cv") / ($"qn" * $"cn")).as("cos"))
-    val w = Window.partitionBy($"p_partkey").orderBy($"cos".desc, $"similar_partkey")
-    scored.withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= 5)
-      .select($"p_partkey", $"rnk", $"similar_partkey", $"cos")
+    // bounded top-k aggregate instead of a window rank (see m1)
+    scored.groupBy($"p_partkey")
+      .agg(call_function("topk_agg", $"cos", $"similar_partkey", lit(5)).as("top"))
+      .select($"p_partkey", posexplode($"top").as(Seq("pos", "rec")))
+      .select($"p_partkey", ($"pos" + 1).as("rnk"),
+        $"rec.id".as("similar_partkey"), $"rec.score".as("cos"))
       .orderBy($"p_partkey", $"rnk")
   }
 

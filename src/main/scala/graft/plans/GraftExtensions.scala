@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayDot, MinHashAgg, SimHashAgg}
+import graft.functions.{ArrayDot, MinHashAgg, SimHashAgg, TopKAgg}
 
 /** Session extensions: registers graft's native Catalyst expressions
   * so they resolve in both the Column DSL (`call_function`) and SQL.
@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHashAgg(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("topk_agg"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopKAgg(children(0), children(1), children(2)).toAggregateExpression()))
     ext.injectFunction((
       FunctionIdentifier("minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
