@@ -60,6 +60,8 @@ object SparkEntry {
     "q25_string_ops"     -> (Advanced.q25StringOps _),
     "mm3_cdc_chunks"     -> (graft.multimodal.Multimodal.mm3CdcChunks _),
     "p1_clean_corpus"    -> (Dedup.p1CleanCorpus _),
+    "i1_csv_ingest"      -> (Ingest.i1CsvIngest _),
+    "i2_json_ingest"     -> (Ingest.i2JsonIngest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -388,5 +390,11 @@ object SparkEntry {
            AND doc_id NOT IN (SELECT doc_id FROM dup_losers)
            AND doc_id NOT IN (SELECT doc_id FROM near_losers)
          ORDER BY doc_id""",
+    "i1_csv_ingest" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+         ORDER BY n_nationkey""",
+    "i2_json_ingest" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+         ORDER BY s_suppkey""",
   )
 }

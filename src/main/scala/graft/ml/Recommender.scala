@@ -166,6 +166,20 @@ object Recommender {
       .orderBy($"p_partkey", $"rnk")
   }
 
+  /** Persist the trained factorization (factors + metadata parquet) —
+    * the artifact a serving tier loads without refitting. */
+  def saveModel(s: SparkSession, dir: String, path: String): Unit =
+    fit(s, dir).write.overwrite().save(path)
+
+  /** Load a persisted model and register it for `dir`, so every
+    * serving query (m1/m3) runs fit-free against it. */
+  def loadModel(s: SparkSession, dir: String, path: String): org.apache.spark.ml.recommendation.ALSModel = {
+    val m = org.apache.spark.ml.recommendation.ALSModel.load(path)
+    models.put(dir, m)
+    itemIdx.remove(dir) // the IVF index derives from the factors
+    m
+  }
+
   /** RMSE of the model's reconstruction of the training ratings —
     * the spec's sanity metric. */
   def trainRmse(s: SparkSession, dir: String): Double = {

@@ -83,6 +83,18 @@ object Sentiment {
       .orderBy($"doc_id")
   }
 
+  /** Persist the fitted pipeline (all stages, including the IDF and
+    * LR coefficients) for fit-free serving. */
+  def saveModel(s: SparkSession, dir: String, path: String): Unit =
+    fit(s, dir).write.overwrite().save(path)
+
+  /** Load a persisted pipeline and register it for `dir`. */
+  def loadModel(s: SparkSession, dir: String, path: String): org.apache.spark.ml.PipelineModel = {
+    val m = org.apache.spark.ml.PipelineModel.load(path)
+    models.put(dir, m)
+    m
+  }
+
   /** Training-fold accuracy for the spec. */
   def trainAccuracy(s: SparkSession, dir: String): Double =
     accuracyOn(s, dir, trainFold = true)

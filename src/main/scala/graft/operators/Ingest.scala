@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.sources.Sources
+
+/** Ingest-edge operators: the CSV / JSON-lines readers exercised as
+  * suite entries, so the non-parquet input path is oracle-checked by
+  * the driver, not just round-tripped in specs.
+  *
+  * Each entry stages the source table into the edge format once per
+  * dataset (a bounded dim table — the staging write is the "ingest
+  * edge" a lake has anyway), then reads it back through the
+  * schema-enforced reader. The oracle runs on the original parquet, so
+  * a hash match proves the edge-format read is lossless.
+  */
+object Ingest {
+
+  private val staged =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stage(key: String, dir: String)(write: String => Unit): String =
+    staged.getOrElseUpdate(s"$key:$dir", {
+      val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        s"/graft-ingest/${Integer.toHexString(dir.hashCode)}/$key"
+      write(tmp)
+      tmp
+    })
+
+  val NationCsvSchema: StructType = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  /** I1: CSV ingest — nation staged as headered CSV, read back with an
+    * explicit schema (never inferSchema: that is a second full pass
+    * over the data at lake scale). */
+  def i1CsvIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = stage("nation_csv", dir) { tmp =>
+      Tables.nation(s, dir).select($"n_nationkey", $"n_name", $"n_regionkey")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+    }
+    Sources.readCsv(s, path, NationCsvSchema)
+      .orderBy($"n_nationkey")
+  }
+
+  val SupplierJsonSchema: StructType = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  /** I2: JSON-lines ingest — supplier staged as JSONL, read back with
+    * an explicit schema. Doubles survive bit-exactly (Spark writes
+    * round-trippable representations), which the oracle hash proves. */
+  def i2JsonIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = stage("supplier_json", dir) { tmp =>
+      Tables.supplier(s, dir)
+        .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+        .write.mode("overwrite").json(tmp)
+    }
+    Sources.readJsonLines(s, path, SupplierJsonSchema)
+      .orderBy($"s_suppkey")
+  }
+}

@@ -62,6 +62,25 @@ class MlSpec extends GraftSpecBase {
     assert(warm < 3.0, s"warm m2 took ${warm}s — registry not serving?")
   }
 
+  test("als and sentiment models persist and reload losslessly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_models").toString
+    // exact serving is a pure function of the factors, so reload must
+    // reproduce it bit-for-bit (the approximate path rebuilds its IVF
+    // index whose KMeans init depends on factor partitioning)
+    val before1 = Recommender.m1AlsRecommendExact(spark, sf).collect().map(_.toSeq).toSeq
+    Recommender.saveModel(spark, sf, s"$tmp/als")
+    Recommender.loadModel(spark, sf, s"$tmp/als")
+    val after1 = Recommender.m1AlsRecommendExact(spark, sf).collect().map(_.toSeq).toSeq
+    assert(after1 == before1)
+    assert(Recommender.m1AlsRecommend(spark, sf).count() > 0)
+    val before2 = Sentiment.m2Sentiment(spark, sf).collect().map(_.toSeq).toSeq
+    Sentiment.saveModel(spark, sf, s"$tmp/sentiment")
+    Sentiment.loadModel(spark, sf, s"$tmp/sentiment")
+    val after2 = Sentiment.m2Sentiment(spark, sf).collect().map(_.toSeq).toSeq
+    assert(after2 == before2)
+  }
+
   test("sentiment scores every document with a calibrated probability") {
     import spark.implicits._
     val scored = graft.ml.Sentiment.m2Sentiment(spark, sf)
