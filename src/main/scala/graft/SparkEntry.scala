@@ -62,6 +62,7 @@ object SparkEntry {
     "p1_clean_corpus"    -> (Dedup.p1CleanCorpus _),
     "i1_csv_ingest"      -> (Ingest.i1CsvIngest _),
     "i2_json_ingest"     -> (Ingest.i2JsonIngest _),
+    "d6_dup_groups"      -> (Dedup.d6DupGroups _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -396,5 +397,33 @@ object SparkEntry {
     "i2_json_ingest" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
          ORDER BY s_suppkey""",
+    "d6_dup_groups" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(
+             list_transform(string_split(text, ' '), (x, i) ->
+               CASE WHEN i + 2 <= len(string_split(text, ' '))
+                    THEN x || ' ' || string_split(text, ' ')[i+1]
+                           || ' ' || string_split(text, ' ')[i+2] END),
+             s -> s IS NOT NULL))) AS shingle
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_both
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         prs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON id_a = sa.doc_id
+           JOIN sizes sb ON id_b = sb.doc_id
+           WHERE CAST(n_both AS DOUBLE) / (sa.n_sh + sb.n_sh - n_both) >= 0.5),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM prs
+           UNION ALL SELECT id_b, id_a FROM prs),
+         reach(doc_id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id)
+         SELECT doc_id, min(r) AS group_id FROM reach
+         GROUP BY 1 ORDER BY 1""",
   )
 }

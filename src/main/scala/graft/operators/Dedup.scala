@@ -128,6 +128,48 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** D6: near-dup GROUPS — connected components over the d2 pair
+    * graph, labeling every paired doc with the minimum doc_id
+    * reachable from it (the canonical survivor of its dup cluster).
+    * Pairwise output (d2) under-counts: near-duplication is
+    * transitive in a corpus (A≈B, B≈C ⟹ one keeper for {A,B,C}),
+    * so the cleaning decision needs components, not edges.
+    *
+    * Min-label propagation, Pregel-style: each round is one
+    * distributed join+min-aggregate (label ← min of own and
+    * neighbors' labels), converging in graph-diameter rounds — near-
+    * dup clusters are shallow, so single digits. The driver loop only
+    * orchestrates; all data movement is shuffle joins on doc_id, and
+    * each round's result is cached + localCheckpointed so lineage
+    * stays flat. (At billion-edge scale the same loop gets the
+    * large-star/small-star optimization; the join shape is
+    * identical.) */
+  def d6DupGroups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = d2NgramJaccard(s, dir).select($"id_a", $"id_b")
+    val edges = pairs.union(pairs.select($"id_b", $"id_a"))
+      .toDF("src", "dst").cache()
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("group_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val fromNbr = edges
+        .join(labels.select($"doc_id".as("dst"), $"group_id"), "dst")
+        .select($"src".as("doc_id"), $"group_id")
+      val next = labels.union(fromNbr)
+        .groupBy($"doc_id").agg(min($"group_id").as("group_id"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select($"doc_id", $"group_id".as("old_gid")), "doc_id")
+        .filter($"group_id" =!= $"old_gid").count()
+      labels = next
+      iter += 1
+    }
+    labels.orderBy($"doc_id")
+  }
+
   // ---- MinHash -------------------------------------------------------
 
   val NumHashes: Int = graft.functions.MinHashAgg.NumHashes

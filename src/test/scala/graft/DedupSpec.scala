@@ -81,6 +81,21 @@ class DedupSpec extends GraftSpecBase {
     assert(prec >= 0.9, s"precision $prec over ${sim.size} pairs")
   }
 
+  test("dup groups are the transitive closure of the pair graph") {
+    import spark.implicits._
+    val groups = Dedup.d6DupGroups(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(groups.nonEmpty)
+    // every paired doc is labeled, endpoints agree, and the label is
+    // the minimum member of its component
+    exactPairs.foreach { case (a, b) =>
+      assert(groups(a) == groups(b), s"pair ($a,$b) split across groups")
+    }
+    groups.groupBy(_._2).foreach { case (gid, members) =>
+      assert(gid == members.keys.min, s"group $gid labeled above its min member")
+    }
+  }
+
   test("exact dedup groups partition the corpus") {
     import spark.implicits._
     val d = Dedup.d1ExactDedup(spark, sf)
