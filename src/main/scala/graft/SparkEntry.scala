@@ -49,6 +49,7 @@ object SparkEntry {
     "mm1_binary_meta"    -> (graft.multimodal.Multimodal.mm1BinaryMeta _),
     "mm2_frame_sample"   -> (graft.multimodal.Multimodal.mm2FrameSample _),
     "q16_asof_join"      -> (Advanced.q16AsofJoin _),
+    "q16_asof_exec"      -> (Advanced.q16AsofJoinExec _),
     "q17_range_join"     -> (Advanced.q17RangeJoin _),
     "q18_json_extract"   -> (Advanced.q18JsonExtract _),
     "q19_cube"           -> (Advanced.q19Cube _),
@@ -285,6 +286,16 @@ object SparkEntry {
          md5(text) AS digest
          FROM documents ORDER BY doc_id""",
     "q16_asof_join" ->
+      """WITH p AS (
+           SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
+           WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id, epoch_ms(ts) AS ms, max(event_id) AS c_event_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT p.event_id, p.user_id, p.ms, c.ms AS c_ms, c.c_event_id
+         FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ms >= c.ms
+         ORDER BY p.event_id""",
+    "q16_asof_exec" ->
       """WITH p AS (
            SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
            WHERE event_type = 'purchase'),

@@ -48,6 +48,27 @@ object Advanced {
       .orderBy($"event_id")
   }
 
+  /** Q16 through the custom AsOfJoinExec (plans/AsOfJoinPlan.scala) —
+    * same semantics and oracle as the union+window composition, but a
+    * single streaming merge per key-partition with O(1) state instead
+    * of a union sort + window frame. Both stay in the suite; the bench
+    * arbitrates (SURVEY §7). */
+  def q16AsofJoinExec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.eventsWithMs(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ms", $"event_id")
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ms")
+      .agg(max($"event_id").as("c_event_id"))
+      .select($"user_id".as("c_user"), $"ms".as("c_ms"), $"c_event_id")
+    org.apache.spark.sql.graft.AsOfJoinOps
+      .asofJoin(purchases, clicks, "user_id", "c_user", "ms", "c_ms")
+      .filter($"c_ms".isNotNull)
+      .select($"event_id", $"user_id", $"ms", $"c_ms", $"c_event_id")
+      .orderBy($"event_id")
+  }
+
   val RangeToleranceMs: Long = 5L * 60 * 1000
 
   /** Q17: range self-join — per user, count event pairs within 5

@@ -32,5 +32,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashAgg(children.head).toAggregateExpression()))
     ext.injectOptimizerRule(_ => FuseArrayDot)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

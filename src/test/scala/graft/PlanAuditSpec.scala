@@ -52,4 +52,15 @@ class PlanAuditSpec extends GraftSpecBase {
     val p = plan(ml.Recommender.m3SimilarItems(spark, sf))
     assert(!p.contains("collect_list"), p)
   }
+
+  test("q16_asof_exec plans through the custom AsOfJoinExec") {
+    val p = plan(operators.Advanced.q16AsofJoinExec(spark, sf))
+    assert(p.contains("AsOfJoin"), p)
+  }
+
+  test("custom as-of exec equals the union+window composition") {
+    val a = operators.Advanced.q16AsofJoinExec(spark, sf).collect().map(_.toSeq).toSeq
+    val b = operators.Advanced.q16AsofJoin(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
