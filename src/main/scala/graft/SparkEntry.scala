@@ -64,6 +64,8 @@ object SparkEntry {
     "i1_csv_ingest"      -> (Ingest.i1CsvIngest _),
     "i2_json_ingest"     -> (Ingest.i2JsonIngest _),
     "d6_dup_groups"      -> (Dedup.d6DupGroups _),
+    "t5_repetition"      -> (TextAnalysis.t5Repetition _),
+    "p2_sample_mix"      -> (Sampling.p2SampleMix _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -436,5 +438,25 @@ object SparkEntry {
            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id)
          SELECT doc_id, min(r) AS group_id FROM reach
          GROUP BY 1 ORDER BY 1""",
+    "t5_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         bi AS (
+           SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+             len(list_distinct(w)) AS n_distinct,
+             unnest(list_filter(list_transform(w, (x, i) ->
+               CASE WHEN i + 1 <= len(w) THEN x || ' ' || w[i+1] END),
+               g -> g IS NOT NULL)) AS bigram
+           FROM toks),
+         counts AS (
+           SELECT doc_id, n_tokens, n_distinct, bigram, count(*) AS c
+           FROM bi GROUP BY 1, 2, 3, 4),
+         agg AS (
+           SELECT doc_id, n_tokens, n_distinct, max(c) AS top_n, sum(c) AS n_bi
+           FROM counts GROUP BY 1, 2, 3)
+         SELECT doc_id, n_tokens,
+           floor(CAST(top_n AS DOUBLE) / CAST(n_bi AS DOUBLE) * 10000) / 10000.0 AS rep2,
+           floor(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 10000) / 10000.0 AS distinct_ratio
+         FROM agg ORDER BY doc_id""",
   )
 }

@@ -76,16 +76,23 @@ object TextFunctions {
     * Jaccard near-dup detection. */
   def shingles(text: Column, n: Int): Column = shinglesFromTokens(tokens(text), n)
 
-  /** Shingles from a pre-materialized token-array column. Hot paths
-    * must materialize the tokens first: `element_at(w, ·)` inside the
-    * transform lambda re-evaluates `w` per shingle if it is an inline
-    * `split`, which is O(tokens²) per document. */
-  def shinglesFromTokens(w: Column, n: Int): Column = {
+  /** ALL n-word grams (with repeats, in order) from a pre-materialized
+    * token-array column — the unit for repetition metrics, where the
+    * multiplicity IS the signal. */
+  def ngramsFromTokens(w: Column, n: Int): Column = {
     val idx = sequence(lit(0), size(w) - n) // 0-based start positions
     val mk = transform(idx, i =>
       concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
-    when(size(w) >= n, array_distinct(mk)).otherwise(array().cast("array<string>"))
+    when(size(w) >= n, mk).otherwise(array().cast("array<string>"))
   }
+
+  /** Shingles (distinct n-grams) from a pre-materialized token-array
+    * column. Hot paths must materialize the tokens first:
+    * `element_at(w, ·)` inside the transform lambda re-evaluates `w`
+    * per shingle if it is an inline `split`, which is O(tokens²) per
+    * document. */
+  def shinglesFromTokens(w: Column, n: Int): Column =
+    array_distinct(ngramsFromTokens(w, n))
 
   /** Per-language marker words for the language-ID heuristic.
     * ORDERED — ties in the argmax go to the earliest language, and

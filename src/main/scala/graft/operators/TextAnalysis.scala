@@ -61,4 +61,27 @@ object TextAnalysis {
       .select($"doc_id", fingerprint($"text").as("fp"))
       .orderBy($"doc_id")
   }
+
+  /** T5: repetition metrics — the Gopher-style repetition filters a
+    * corpus pipeline gates on: `rep2` = fraction of all bigrams taken
+    * by the single most frequent bigram (high = loopy/templated text)
+    * and the distinct-token ratio. Bigram counting is an explode +
+    * two-level aggregate, so the heavy step is map-side partial
+    * counts, not a per-doc in-memory histogram. */
+  def t5Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bi = Tables.documents(s, dir)
+      .withColumn("w", tokens($"text"))
+      .select($"doc_id", size($"w").as("n_tokens"),
+        size(array_distinct($"w")).as("n_distinct"),
+        explode(ngramsFromTokens($"w", 2)).as("bigram"))
+    bi.groupBy($"doc_id", $"n_tokens", $"n_distinct", $"bigram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"n_tokens", $"n_distinct")
+      .agg(max($"c").as("top_n"), sum($"c").as("n_bi"))
+      .select($"doc_id", $"n_tokens",
+        (floor($"top_n".cast("double") / $"n_bi".cast("double") * 10000) / 10000.0).as("rep2"),
+        (floor($"n_distinct".cast("double") / $"n_tokens".cast("double") * 10000) / 10000.0).as("distinct_ratio"))
+      .orderBy($"doc_id")
+  }
 }

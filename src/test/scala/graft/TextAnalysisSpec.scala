@@ -46,4 +46,27 @@ class TextAnalysisSpec extends GraftSpecBase {
     val got = df.select(size(TextFunctions.shingles($"text", 3))).as[Int].collect()
     assert(got.sameElements(Array(3, 0)))
   }
+
+  test("repetition metrics: rep2 in (0,1], a fully-repeated doc scores 1") {
+    import spark.implicits._
+    val t5 = operators.TextAnalysis.t5Repetition(spark, sf)
+    assert(t5.filter($"rep2" <= 0.0 || $"rep2" > 1.0).count() == 0)
+    assert(t5.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("stratified sample mix is seeded-deterministic and downweights only en") {
+    import spark.implicits._
+    val a = operators.Sampling.p2SampleMix(spark, sf).collect().map(_.toSeq).toSeq
+    val b = operators.Sampling.p2SampleMix(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == b, "same seed must reproduce the same sample")
+    val total = Tables.documents(spark, sf).groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    val kept = operators.Sampling.p2SampleMix(spark, sf).groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    total.foreach { case (lang, n) =>
+      val frac = kept.getOrElse(lang, 0L).toDouble / n
+      if (lang == "en") assert(frac > 0.2 && frac < 0.8, s"en kept $frac")
+      else assert(frac == 1.0, s"$lang kept $frac, expected all")
+    }
+  }
 }
