@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming twins of the batch event operators.
   *
@@ -70,18 +71,8 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          var st = state.getOption.getOrElse(SessionState(1L, Nil))
-          var frags = st.frags.toList
-          it.foreach { e =>
-            val (touch, rest) = frags.partition(f =>
-              e.ms >= f.firstMs - SessionGapMs && e.ms <= f.lastMs + SessionGapMs)
-            val merged = touch.foldLeft(SessionFrag(e.ms, e.ms, 1L, e.value)) {
-              (acc, f) => SessionFrag(math.min(acc.firstMs, f.firstMs),
-                math.max(acc.lastMs, f.lastMs), acc.n + f.n, acc.sumValue + f.sumValue)
-            }
-            frags = merged :: rest
-          }
-          val ordered = frags.sortBy(_.firstMs)
+          val st = state.getOption.getOrElse(SessionState(1L, Nil))
+          val ordered = mergeEvents(st.frags.toList, it).sortBy(_.firstMs)
           val (closed, open) =
             if (ordered.isEmpty) (Nil, Nil) else (ordered.init, List(ordered.last))
           val out = closed.zipWithIndex.map { case (f, i) =>
@@ -90,6 +81,59 @@ object EventStreams {
           state.update(SessionState(st.nextId + closed.size, open))
           out.iterator
       }
+  }
+
+  /** The interval-merge fold shared by both stateful sessionizer
+    * implementations: events join any open fragment within the gap
+    * (possibly bridging two), else open their own. */
+  private[streaming] def mergeEvents(
+      frags0: List[SessionFrag], it: Iterator[Event]): List[SessionFrag] = {
+    var frags = frags0
+    it.foreach { e =>
+      val (touch, rest) = frags.partition(f =>
+        e.ms >= f.firstMs - SessionGapMs && e.ms <= f.lastMs + SessionGapMs)
+      val merged = touch.foldLeft(SessionFrag(e.ms, e.ms, 1L, e.value)) {
+        (acc, f) => SessionFrag(math.min(acc.firstMs, f.firstMs),
+          math.max(acc.lastMs, f.lastMs), acc.n + f.n, acc.sumValue + f.sumValue)
+      }
+      frags = merged :: rest
+    }
+    frags
+  }
+
+  /** The sessionizer on Spark 4's `transformWithState` arbitrary-state
+    * API: per-key `ValueState` in the (RocksDB-backed) state store,
+    * same interval-merge fold, same output as `sessionize`. The new
+    * API is where stateful operators get state TTL, timers, and
+    * store-level eviction — the long-term home for this operator. */
+  class SessionProcessor extends StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, it: Iterator[Event],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val st = if (state.exists()) state.get() else SessionState(1L, Nil)
+      val ordered = mergeEvents(st.frags.toList, it).sortBy(_.firstMs)
+      val (closed, open) =
+        if (ordered.isEmpty) (Nil, Nil) else (ordered.init, List(ordered.last))
+      val out = closed.zipWithIndex.map { case (f, i) =>
+        SessionOut(user, st.nextId + i, f.n, f.firstMs, f.lastMs, f.sumValue)
+      }
+      state.update(SessionState(st.nextId + closed.size, open))
+      out.iterator
+    }
+  }
+
+  /** Streaming twin of `sessionize` through transformWithState
+    * (requires the RocksDB state store provider). */
+  def sessionizeTws(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        TimeMode.None(), OutputMode.Append(), Encoders.product[SessionOut])
   }
 
   /** The same sessionization through Spark's native `session_window`
@@ -157,17 +201,7 @@ object EventStreams {
     import events.sparkSession.implicits._
     val closed = sessionize(events)
     val open = events.groupByKey(_.user_id).mapGroups { (user, it) =>
-      var frags = List.empty[SessionFrag]
-      it.foreach { e =>
-        val (touch, rest) = frags.partition(f =>
-          e.ms >= f.firstMs - SessionGapMs && e.ms <= f.lastMs + SessionGapMs)
-        val merged = touch.foldLeft(SessionFrag(e.ms, e.ms, 1L, e.value)) {
-          (acc, f) => SessionFrag(math.min(acc.firstMs, f.firstMs),
-            math.max(acc.lastMs, f.lastMs), acc.n + f.n, acc.sumValue + f.sumValue)
-        }
-        frags = merged :: rest
-      }
-      val ordered = frags.sortBy(_.firstMs)
+      val ordered = mergeEvents(Nil, it).sortBy(_.firstMs)
       val last = ordered.last
       SessionOut(user, ordered.size.toLong, last.n, last.firstMs, last.lastMs, last.sumValue)
     }

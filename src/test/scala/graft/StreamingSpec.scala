@@ -144,6 +144,39 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer matches the flatMapGroupsWithState twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionizeTws(stream.toDS())
+      .writeStream.format("memory").queryName("tws_sessions")
+      .outputMode("append").start()
+    try {
+      events.grouped(math.max(1, events.size / 4 + 1)).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val closed = spark.table("tws_sessions").as[SessionOut].collect()
+        .map(s => (s.user_id, s.session_id, s.n_events, s.start_ms, s.end_ms)).toSet
+      val batch = operators.Sessionize.q14Sessionize(spark, sf)
+        .select($"user_id", $"session_id", $"n_events", $"start_ms", $"end_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val lastPerUser = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val expectClosed = batch.filterNot { case (u, sid, _, _, _) => lastPerUser(u) == sid }
+      assert(closed == expectClosed)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("file-source stream with RocksDB state store matches batch windowed agg") {
     import spark.implicits._
     import org.apache.spark.sql.types._
