@@ -66,6 +66,9 @@ object SparkEntry {
     "d6_dup_groups"      -> (Dedup.d6DupGroups _),
     "t5_repetition"      -> (TextAnalysis.t5Repetition _),
     "p2_sample_mix"      -> (Sampling.p2SampleMix _),
+    "q26_corr_subquery"  -> (Advanced.q26CorrSubquery _),
+    "q27_set_ops"        -> (Advanced.q27SetOps _),
+    "q28_unpivot"        -> (Advanced.q28Unpivot _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -458,5 +461,26 @@ object SparkEntry {
            floor(CAST(top_n AS DOUBLE) / CAST(n_bi AS DOUBLE) * 10000) / 10000.0 AS rep2,
            floor(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 10000) / 10000.0 AS distinct_ratio
          FROM agg ORDER BY doc_id""",
+    "q26_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+         WHERE o_totalprice > 1.5 * (
+           SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+    "q27_set_ops" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001
+         ORDER BY o_custkey""",
+    "q28_unpivot" ->
+      """SELECT l_returnflag, measure, round(sum(value), 2) AS total
+         FROM (
+           SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'l_discount', l_discount FROM lineitem) u
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

@@ -91,6 +91,50 @@ object Advanced {
       .orderBy($"user_id")
   }
 
+  /** Q26: CORRELATED scalar subquery — orders priced above 1.5× their
+    * own customer's average. Written in SQL so Catalyst's
+    * decorrelation rewrites the per-row subquery into a grouped
+    * aggregate + join (the only shape that runs at scale; a per-row
+    * subquery would be an O(n) re-scan per row). The plan audit
+    * asserts the decorrelated form. */
+  def q26CorrSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v o
+      WHERE o_totalprice > 1.5 * (
+        SELECT avg(o_totalprice) FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""")
+  }
+
+  /** Q27: set operations — customers ordering in both 1995 and 1996
+    * (INTERSECT), minus those also ordering in 2001 (EXCEPT). Both
+    * plan as hash-dedup joins on the shuffled key, not materialized
+    * intermediate sets. */
+  def q27SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def buyers(year: Int) = Tables.orders(s, dir)
+      .filter(org.apache.spark.sql.functions.year($"o_orderdate") === year)
+      .select($"o_custkey")
+    buyers(1995).intersect(buyers(1996)).except(buyers(2001))
+      .orderBy($"o_custkey")
+  }
+
+  /** Q28: UNPIVOT — wide measure columns to (measure, value) rows,
+    * then aggregate. Plans as a single Expand (each input row emits k
+    * rows in-task) + one shuffle for the aggregate — no self-union
+    * re-scanning the table k times. */
+  def q28Unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice", $"l_discount")
+      .unpivot(Array($"l_returnflag"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+        "measure", "value")
+      .groupBy($"l_returnflag", $"measure")
+      .agg(round(sum($"value"), 2).as("total"))
+      .orderBy($"l_returnflag", $"measure")
+  }
+
   /** Q18: semi-structured extraction — pull a typed field out of the
     * JSON `props` column and aggregate on it. get_json_object is a
     * per-row codegen'd path evaluation; no parse-to-struct shuffle. */

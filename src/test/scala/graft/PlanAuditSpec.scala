@@ -53,6 +53,22 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(!p.contains("collect_list"), p)
   }
 
+  test("q26: correlated subquery decorrelates to an aggregate + join") {
+    val p = plan(operators.Advanced.q26CorrSubquery(spark, sf))
+    assert(p.contains("avg("), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    // no per-row subquery re-evaluation survives planning
+    assert(!p.contains("Subquery"), p)
+  }
+
+  test("q28: unpivot plans as a single Expand, not a self-union") {
+    val p = plan(operators.Advanced.q28Unpivot(spark, sf))
+    assert(p.contains("Expand"), p)
+    // one scan of lineitem, not three (formatted mode names each scan
+    // twice: once in the tree, once in the details section)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+  }
+
   test("q16_asof_exec plans through the custom AsOfJoinExec") {
     val p = plan(operators.Advanced.q16AsofJoinExec(spark, sf))
     assert(p.contains("AsOfJoin"), p)
