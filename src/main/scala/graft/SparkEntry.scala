@@ -69,6 +69,7 @@ object SparkEntry {
     "q26_corr_subquery"  -> (Advanced.q26CorrSubquery _),
     "q27_set_ops"        -> (Advanced.q27SetOps _),
     "q28_unpivot"        -> (Advanced.q28Unpivot _),
+    "q29_funnel"         -> (Advanced.q29Funnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -482,5 +483,38 @@ object SparkEntry {
            UNION ALL
            SELECT l_returnflag, 'l_discount', l_discount FROM lineitem) u
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q29_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+         flagged AS (
+           SELECT user_id, event_id, ms, event_type,
+             CASE WHEN lag(ms) OVER w IS NULL
+                    OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         sessions AS (
+           SELECT user_id, event_id, ms, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged),
+         seq AS (
+           SELECT user_id, session_id,
+             list_transform(
+               list_sort(list({'ms': ms, 'eid': event_id, 't': event_type})),
+               r -> r.t) AS types
+           FROM sessions GROUP BY 1, 2),
+         staged AS (
+           SELECT list_reduce(
+               list_prepend(0, list_transform(types, t ->
+                 CASE t WHEN 'view' THEN -1 WHEN 'click' THEN -2
+                        WHEN 'purchase' THEN -3 ELSE -9 END)),
+               (acc, x) -> CASE
+                 WHEN acc = 0 AND x = -1 THEN 1
+                 WHEN acc = 1 AND x = -2 THEN 2
+                 WHEN acc = 2 AND x = -3 THEN 3
+                 ELSE acc END) AS funnel_stage
+           FROM seq)
+         SELECT CAST(funnel_stage AS INTEGER) AS funnel_stage,
+           count(*) AS n_sessions
+         FROM staged GROUP BY 1 ORDER BY 1""",
   )
 }

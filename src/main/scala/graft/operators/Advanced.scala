@@ -135,6 +135,40 @@ object Advanced {
       .orderBy($"l_returnflag", $"measure")
   }
 
+  /** Q29: funnel analysis — how far each SESSION progresses through
+    * the view → click → purchase sequence (in event-time order),
+    * counted per reached stage. Composes the q14 session assignment
+    * (lag + running sum) with a per-session ordered event-type list;
+    * the subsequence match is then a per-row `aggregate` fold over
+    * that array — no joins, no self-windows, per-session state is one
+    * int. Funnel-per-whole-history saturates (every active user
+    * eventually does everything); per-session is the form analysts
+    * actually gate on. */
+  def q29Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val sess = Tables.eventsWithMs(s, dir)
+      .select($"user_id", $"event_id", $"ms", $"event_type")
+      .withColumn("prev_ms", lag($"ms", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ms".isNull || $"ms" - $"prev_ms" > Sessionize.SessionGapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val perSession = sess.groupBy($"user_id", $"session_id")
+      .agg(array_sort(collect_list(struct($"ms", $"event_id", $"event_type"))).as("es"))
+    val types = transform($"es", _.getField("event_type"))
+    val stage = aggregate(types, lit(0), (acc, t) =>
+      when(acc === 0 && t === "view", 1)
+        .when(acc === 1 && t === "click", 2)
+        .when(acc === 2 && t === "purchase", 3)
+        .otherwise(acc))
+    perSession.select(stage.as("funnel_stage"))
+      .groupBy($"funnel_stage")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"funnel_stage")
+  }
+
   /** Q18: semi-structured extraction — pull a typed field out of the
     * JSON `props` column and aggregate on it. get_json_object is a
     * per-row codegen'd path evaluation; no parse-to-struct shuffle. */
