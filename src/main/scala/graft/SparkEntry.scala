@@ -70,6 +70,7 @@ object SparkEntry {
     "q27_set_ops"        -> (Advanced.q27SetOps _),
     "q28_unpivot"        -> (Advanced.q28Unpivot _),
     "q29_funnel"         -> (Advanced.q29Funnel _),
+    "mm4_phash"          -> (graft.multimodal.Multimodal.mm4Phash _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -67,4 +67,44 @@ class MultimodalSpec extends GraftSpecBase {
           / lit(Multimodal.SampleEvery.toDouble)))
     assert(counts.count() == 0)
   }
+
+  test("perceptual hash: deterministic, edit-tolerant, zero for exact copies") {
+    val base = Array.tabulate(520)(i => ((i * 31 + 7) % 251).toByte)
+    val h = Multimodal.perceptualHash(base)
+    assert(h == Multimodal.perceptualHash(base.clone()))
+    assert(java.lang.Long.bitCount(h ^ Multimodal.perceptualHash(base)) == 0)
+    // a 3-byte insertion shifts every downstream bucket slightly; the
+    // coarse averages keep the hash hamming-close
+    val edited = base.take(100) ++ Array[Byte](1, 2, 3) ++ base.drop(100)
+    val d = java.lang.Long.bitCount(h ^ Multimodal.perceptualHash(edited))
+    assert(d <= 12, s"insertion moved $d bits")
+  }
+
+  test("mm4 phash index covers every payload deterministically") {
+    import spark.implicits._
+    val a = Multimodal.mm4Phash(spark, sf).as[(Long, Long)].collect().toSeq
+    val b = Multimodal.mm4Phash(spark, sf).as[(Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.size == Tables.documents(spark, sf).count())
+  }
+
+  test("phash pigeonhole pairs equal brute-force hamming<=3 (constructed hashes)") {
+    import spark.implicits._
+    // copies and k-bit variants of a base hash — exactly what decoded
+    // near-identical images produce
+    val base = 0x5a5a_1234_9abc_def0L
+    val hashes = Seq[(Long, Long)](
+      (1L, base), (2L, base),                       // exact copy: hamming 0
+      (3L, base ^ 1L), (4L, base ^ ((1L << 5) | (1L << 63))), // 1-,2-bit variants
+      (5L, base ^ ((1L << 7) | (1L << 23) | (1L << 41) | (1L << 59))), // 4 bits: out
+      (6L, ~base))                                  // far away
+    val got = Multimodal.phashPairs(hashes.toDF("doc_id", "phash"))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(got == want)
+    assert(want.contains((1L, 2L)) && want.contains((1L, 3L)) && !want.contains((1L, 5L)))
+  }
 }
