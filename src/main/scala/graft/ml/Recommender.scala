@@ -37,14 +37,23 @@ object Recommender {
   private val models =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.recommendation.ALSModel]
 
+  /** ALS block count ~ ratings volume: each block's factors must fit
+    * an executor, but at small volume per-block overhead dominates —
+    * measured at sf0.1 (~1M ratings): 4 blocks fit in 1.9 s vs 3.0 s
+    * at the default 10 and 8.9 s at 32. */
+  def alsBlocks(nRatings: Long): Int =
+    math.min(256, math.max(4, (nRatings / 250000L).toInt))
+
   def fit(s: SparkSession, dir: String): org.apache.spark.ml.recommendation.ALSModel =
     models.getOrElseUpdate(dir, {
+      val r = ratings(s, dir).cache() // ALS iterates over it
       new ALS()
         .setRank(Rank).setMaxIter(Iters).setSeed(Seed)
         .setRegParam(0.1)
+        .setNumBlocks(alsBlocks(r.count()))
         .setUserCol("user").setItemCol("item").setRatingCol("rating")
         .setColdStartStrategy("drop")
-        .fit(ratings(s, dir))
+        .fit(r)
     })
 
   /** IVF cluster count ~ √(catalog size) (the standard IVF sizing):
@@ -100,6 +109,12 @@ object Recommender {
     // fraction shrinks as the catalog grows, the way IVF search should
     val probesN = math.max(UserProbes, centers.length / 8)
     val users = model.userFactors
+      // factors come out in numBlocks (few, at this volume) partitions;
+      // the scoring fan-out below is the expensive part, so spread the
+      // cheap probe stream across the full shuffle width first. The
+      // explicit count matters: AQE would coalesce this tiny shuffle
+      // to one partition, not seeing the 600× explode behind it.
+      .repartition(s.sessionState.conf.numShufflePartitions, $"id")
       .select($"id".as("c_custkey"), transform($"features", _.cast("double")).as("u"))
       .withColumn("cdot", transform(centerLit, c => dot($"u", c)))
       .select($"c_custkey", $"u", explode(topIndicesDesc($"cdot", probesN)).as("probe"))
