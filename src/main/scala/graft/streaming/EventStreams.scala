@@ -86,7 +86,7 @@ object EventStreams {
   /** The interval-merge fold shared by both stateful sessionizer
     * implementations: events join any open fragment within the gap
     * (possibly bridging two), else open their own. */
-  private[streaming] def mergeEvents(
+  private[graft] def mergeEvents(
       frags0: List[SessionFrag], it: Iterator[Event]): List[SessionFrag] = {
     var frags = frags0
     it.foreach { e =>

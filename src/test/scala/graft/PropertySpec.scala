@@ -59,6 +59,50 @@ class PropertySpec extends GraftSpecBase {
     }
   }
 
+  test("minhash_agg equals a local min model on 100 random shingle groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31337)
+    val rows = (0 until 100).flatMap { g =>
+      Seq.fill(1 + rnd.nextInt(40))((g.toLong, rnd.nextLong(2147483647L)))
+    }
+    val got = rows.toDF("g", "x")
+      .groupBy($"g").agg(call_function("minhash_agg", $"x").as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val m = graft.functions.MinHashAgg.MersennePrime
+    val want = rows.groupBy(_._1).map { case (g, xs) =>
+      g -> graft.functions.MinHashAgg.Perms.map { case (a, b) =>
+        xs.map { case (_, x) => (x * a + b) % m }.min
+      }.toList
+    }
+    assert(got.view.mapValues(_.toList).toMap == want)
+  }
+
+  test("sessionizer fold is arrival-order invariant on random event streams") {
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.Event
+    val rnd = new scala.util.Random(2024)
+    val gap = EventStreams.SessionGapMs
+    for (trial <- 0 until 30) {
+      val events = Seq.fill(1 + rnd.nextInt(60))(Event(
+        user_id = 1L, event_id = rnd.nextLong(1L << 40),
+        ms = rnd.nextLong(gap * 20), event_type = "e", value = rnd.nextInt(10)))
+      // reference: sort by time, split on gaps
+      val sorted = events.sortBy(e => (e.ms, e.event_id))
+      val ref = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, e) =>
+        if (e.ms - acc.head.head.ms > gap) List(e) :: acc
+        else (e :: acc.head) :: acc.tail
+      }.reverse.map { s =>
+        (s.map(_.ms).min, s.map(_.ms).max, s.size.toLong, s.map(_.value).sum)
+      }
+      // the fold sees events in a RANDOM arrival order
+      val shuffled = rnd.shuffle(events)
+      val got = EventStreams.mergeEvents(Nil, shuffled.iterator)
+        .sortBy(_.firstMs)
+        .map(f => (f.firstMs, f.lastMs, f.n, f.sumValue))
+      assert(got == ref, s"trial $trial: $got vs $ref")
+    }
+  }
+
   test("salted join equals plain join on random skewed data") {
     import spark.implicits._
     val rnd = new scala.util.Random(777)
