@@ -71,6 +71,8 @@ object SparkEntry {
     "q28_unpivot"        -> (Advanced.q28Unpivot _),
     "q29_funnel"         -> (Advanced.q29Funnel _),
     "mm4_phash"          -> (graft.multimodal.Multimodal.mm4Phash _),
+    "i3_orc_ingest"      -> (Ingest.i3OrcIngest _),
+    "q30_ewma"           -> (Advanced.q30Ewma _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -517,5 +519,19 @@ object SparkEntry {
          SELECT CAST(funnel_stage AS INTEGER) AS funnel_stage,
            count(*) AS n_sessions
          FROM staged GROUP BY 1 ORDER BY 1""",
+    "i3_orc_ingest" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+         ORDER BY s_suppkey""",
+    "q30_ewma" ->
+      """WITH seq AS (
+           SELECT user_id,
+             list_transform(
+               list_sort(list({'ms': epoch_ms(ts), 'eid': event_id, 'v': value})),
+               r -> r.v) AS vals
+           FROM events GROUP BY 1)
+         SELECT user_id, CAST(len(vals) AS INTEGER) AS n_events,
+           floor(list_reduce(vals, (acc, x) -> 0.25e0 * x + 0.75e0 * acc)
+             * 10000) / 10000.0 AS ewma
+         FROM seq ORDER BY user_id""",
   )
 }

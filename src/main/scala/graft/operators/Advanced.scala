@@ -169,6 +169,29 @@ object Advanced {
       .orderBy($"funnel_stage")
   }
 
+  val EwmaAlpha = 0.25
+
+  /** Q30: exponentially-weighted moving average of each user's event
+    * values in time order — the time-decay aggregate monitoring
+    * pipelines use. One shuffle to assemble the ordered value list,
+    * then a per-row left fold (`aggregate`) seeded with the first
+    * value; identical fold order in the DuckDB oracle makes it
+    * bit-comparable before the final floor-quantization. */
+  def q30Ewma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perUser = Tables.eventsWithMs(s, dir)
+      .select($"user_id", struct($"ms", $"event_id", $"value").as("e"))
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list($"e")).as("es"))
+      .select($"user_id", transform($"es", _.getField("value")).as("vals"))
+    val rest = slice($"vals", lit(2), size($"vals") - 1)
+    val ew = aggregate(rest, element_at($"vals", 1),
+      (acc, x) => lit(EwmaAlpha) * x + lit(1 - EwmaAlpha) * acc)
+    perUser.select($"user_id", size($"vals").as("n_events"),
+        (floor(ew * 10000) / 10000.0).as("ewma"))
+      .orderBy($"user_id")
+  }
+
   /** Q18: semi-structured extraction — pull a typed field out of the
     * JSON `props` column and aggregate on it. get_json_object is a
     * per-row codegen'd path evaluation; no parse-to-struct shuffle. */

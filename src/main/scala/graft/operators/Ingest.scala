@@ -65,4 +65,19 @@ object Ingest {
     Sources.readJsonLines(s, path, SupplierJsonSchema)
       .orderBy($"s_suppkey")
   }
+
+  /** I3: ORC ingest — the other columnar lake format Spark reads
+    * natively (predicate pushdown + column pruning, like parquet).
+    * Supplier staged as ORC, read back; the oracle runs on the
+    * original parquet, so the hash proves the ORC round-trip is
+    * value-exact, doubles included. */
+  def i3OrcIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = stage("supplier_orc", dir) { tmp =>
+      Tables.supplier(s, dir)
+        .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+        .write.mode("overwrite").orc(tmp)
+    }
+    s.read.orc(path).orderBy($"s_suppkey")
+  }
 }
