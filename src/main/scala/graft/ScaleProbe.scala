@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale experiment: replicate documents/embeddings N× (with id
+  * offsets and token perturbation so fingerprints vary but planted
+  * near-dup structure survives) and time the dedup/text operators on
+  * the blown-up corpus. `runMain graft.ScaleProbe [N]` — evidence for
+  * the "does the plan survive a data blow-up" question that sf0.1
+  * alone can't answer.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val base = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft-scale-x$factor"
+    val spark = GraftSession.builder(s"local[${GraftSession.defaultCpus}]")
+      .config("spark.sql.shuffle.partitions", GraftSession.defaultCpus.toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      val docs = Tables.documents(spark, base)
+      val nDocs = docs.count()
+      val copies = spark.range(factor).select($"id".as("copy"))
+      docs.crossJoin(copies)
+        .select(($"doc_id" + $"copy" * nDocs).as("doc_id"),
+          // vary ~every 3rd copy's text so exact-dup, near-dup and
+          // distinct strata all exist at scale
+          when($"copy" % 3 === 0, $"text")
+            .otherwise(concat($"text", lit(" tag"), $"copy")).as("text"),
+          $"lang", $"source", $"n_chars")
+        .repartition(GraftSession.defaultCpus)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      val emb = Tables.embeddings(spark, base)
+      val nEmb = emb.count()
+      emb.crossJoin(copies.filter($"copy" < math.max(2, factor / 2)))
+        .select(($"vec_id" + $"copy" * nEmb).as("vec_id"), $"embedding", $"label")
+        .repartition(GraftSession.defaultCpus)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    val nd = spark.read.parquet(s"$out/documents.parquet").count()
+    val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
+    println(s"== corpus: $nd docs, $ne embeddings (x$factor from sf0.1)")
+
+    for (q <- Seq("d1_exact_dedup", "t5_repetition", "t2_quality_score",
+                  "d4_simhash", "d3_minhash_lsh", "d5_embedding_dedup")) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, out).count()
+      println(f"== $q%-22s ${(System.nanoTime() - t0) / 1e9}%7.1f s  ($n rows)")
+    }
+    spark.stop()
+  }
+}
