@@ -207,29 +207,44 @@ object Dedup {
 
   /** D3: MinHash + LSH banding near-dup candidates with signature-
     * estimated Jaccard ≥ 0.5. Approximate → rows-only check; the spec
-    * compares against exact Jaccard (d2). */
+    * compares against exact Jaccard (d2).
+    *
+    * Duplicate-compressed like d4: docs with IDENTICAL signatures
+    * (est 1.0) pair through a plain equi-join on the signature, and
+    * the LSH band join runs over DISTINCT signatures only, expanding
+    * back to doc pairs afterwards — candidate generation follows
+    * distinct content, not corpus size. */
   def d3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rowsPerBand = NumHashes / NumBands
-    // cached: the LSH band self-join would recompute the signature
-    // aggregation (the expensive part) for both sides
+    // cached: the joins below would recompute the signature
+    // aggregation (the expensive part) for every use
     val sigs = minhashSignatures(s, dir).cache()
-    val bands = sigs.select($"doc_id", $"sig",
+    val intra = sigs.as("x").join(sigs.as("y"),
+        $"x.sig" === $"y.sig" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+        lit(1.0).as("est_jaccard"))
+    val distinctSigs = sigs.select($"sig").distinct().cache()
+    val bands = distinctSigs.select($"sig",
       explode(array((0 until NumBands).map { j =>
         struct(lit(j).as("band"),
           xxhash64(lit(j), slice($"sig", j * rowsPerBand + 1, rowsPerBand)).as("bh"))
       }: _*)).as("b"))
-      .select($"doc_id", $"sig", $"b.band", $"b.bh")
-    val pairs = bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
-              $"x.sig".as("sa"), $"y.sig".as("sb"))
-      .dropDuplicates("id_a", "id_b")
+      .select($"sig", $"b.band", $"b.bh")
     val est = size(filter(zip_with($"sa", $"sb", (p, q) => p === q), v => v))
       .cast("double") / lit(NumHashes.toDouble)
-    pairs.select($"id_a", $"id_b", round(est, 4).as("est_jaccard"))
+    val sigPairs = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sig" < $"y.sig")
+      .select($"x.sig".as("sa"), $"y.sig".as("sb"))
+      .dropDuplicates("sa", "sb")
+      .select($"sa", $"sb", round(est, 4).as("est_jaccard"))
       .filter($"est_jaccard" >= 0.5)
-      .orderBy($"id_a", $"id_b")
+    val inter = sigPairs
+      .join(sigs.select($"doc_id".as("da"), $"sig".as("sa")), "sa")
+      .join(sigs.select($"doc_id".as("db"), $"sig".as("sb")), "sb")
+      .select(least($"da", $"db").as("id_a"),
+        greatest($"da", $"db").as("id_b"), $"est_jaccard")
+    intra.unionAll(inter).orderBy($"id_a", $"id_b")
   }
 
   // ---- SimHash -------------------------------------------------------
@@ -265,23 +280,44 @@ object Dedup {
       .select($"doc_id", assembled.as("simhash"))
   }
 
-  /** D4: SimHash near-dup pairs within hamming distance ≤ 3, found via
-    * the 4×16-bit pigeonhole join (hamming ≤3 ⟹ some chunk equal). */
+  /** D4: SimHash near-dup pairs within hamming distance ≤ 3.
+    *
+    * Duplicate-compressed: a mass-duplicated corpus has far fewer
+    * DISTINCT simhashes than docs, so (a) hamming-0 pairs come from a
+    * plain equi-join on the hash value, and (b) the 4×16-bit
+    * pigeonhole join (hamming ≤3 ⟹ some chunk equal) runs over
+    * distinct hash values only, expanding back to doc pairs at the
+    * end. Same result set as pairing docs directly (hamming 0 ⟺
+    * equal hash), but candidate generation cost follows the distinct-
+    * content count, not the corpus size — the regime that matters
+    * when 100 TB is one-third exact copies. */
   def d4Simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = simhashes(s, dir).cache()
-    val chunks = sh.select($"doc_id", $"simhash",
+    // (a) doc pairs sharing a hash: hamming 0 by definition
+    val intra = sh.as("x").join(sh.as("y"),
+        $"x.simhash" === $"y.simhash" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+        lit(0).as("hamming"))
+    // (b) pigeonhole over DISTINCT hashes, then expand to doc pairs
+    val distinctH = sh.select($"simhash").distinct().cache()
+    val chunks = distinctH.select($"simhash",
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("c"),
           shiftright($"simhash", c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))
       }: _*)).as("ch"))
-      .select($"doc_id", $"simhash", $"ch.c", $"ch.cv")
-    chunks.as("x").join(chunks.as("y"),
-        $"x.c" === $"y.c" && $"x.cv" === $"y.cv" && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
-        bit_count($"x.simhash".bitwiseXOR($"y.simhash")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      .select($"simhash", $"ch.c", $"ch.cv")
+    val hashPairs = chunks.as("x").join(chunks.as("y"),
+        $"x.c" === $"y.c" && $"x.cv" === $"y.cv" && $"x.simhash" < $"y.simhash")
+      .select($"x.simhash".as("ha"), $"y.simhash".as("hb"))
+      .dropDuplicates("ha", "hb")
+      .select($"ha", $"hb", bit_count($"ha".bitwiseXOR($"hb")).as("hamming"))
       .filter($"hamming" <= 3)
-      .orderBy($"id_a", $"id_b")
+    val inter = hashPairs
+      .join(sh.select($"doc_id".as("da"), $"simhash".as("ha")), "ha")
+      .join(sh.select($"doc_id".as("db"), $"simhash".as("hb")), "hb")
+      .select(least($"da", $"db").as("id_a"),
+        greatest($"da", $"db").as("id_b"), $"hamming")
+    intra.unionAll(inter).orderBy($"id_a", $"id_b")
   }
 }
