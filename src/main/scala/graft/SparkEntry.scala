@@ -73,6 +73,8 @@ object SparkEntry {
     "mm4_phash"          -> (graft.multimodal.Multimodal.mm4Phash _),
     "i3_orc_ingest"      -> (Ingest.i3OrcIngest _),
     "q30_ewma"           -> (Advanced.q30Ewma _),
+    "q31_string_agg"     -> (Advanced.q31StringAgg _),
+    "q32_date_parts"     -> (Advanced.q32DateParts _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -533,5 +535,17 @@ object SparkEntry {
            floor(list_reduce(vals, (acc, x) -> 0.25e0 * x + 0.75e0 * acc)
              * 10000) / 10000.0 AS ewma
          FROM seq ORDER BY user_id""",
+    "q31_string_agg" ->
+      """SELECT r_name,
+         list_aggregate(list_sort(list(n_name)), 'string_agg', ',') AS nations,
+         count(*) AS n_nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+    "q32_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

@@ -169,6 +169,33 @@ object Advanced {
       .orderBy($"funnel_stage")
   }
 
+  /** Q31: string aggregation — the LISTAGG/STRING_AGG shape: per
+    * region, the alphabetized nation list as one delimited string.
+    * `array_sort(collect_list(...))` keeps it deterministic (a bare
+    * string_agg is ordering-dependent and irreproducible). */
+  def q31StringAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(concat_ws(",", array_sort(collect_list($"n_name"))).as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy($"r_name")
+  }
+
+  /** Q32: calendar grouping — revenue by (year, quarter) of the order
+    * date. date_trunc-style parts are codegen scalar functions; the
+    * group key stays integer-exact across engines. */
+  def q32DateParts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy(year($"o_orderdate").as("o_year"),
+        quarter($"o_orderdate").as("o_quarter"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("revenue"))
+      .orderBy($"o_year", $"o_quarter")
+  }
+
   val EwmaAlpha = 0.25
 
   /** Q30: exponentially-weighted moving average of each user's event
