@@ -146,7 +146,9 @@ object Dedup {
     * identical.) */
   def d6DupGroups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = d2NgramJaccard(s, dir).select($"id_a", $"id_b")
+    // cache the pairs BEFORE the symmetric union: the union's two
+    // branches would otherwise each recompute the d2 candidate join
+    val pairs = d2NgramJaccard(s, dir).select($"id_a", $"id_b").cache()
     val edges = pairs.union(pairs.select($"id_b", $"id_a"))
       .toDF("src", "dst").cache()
     var labels = edges.select($"src".as("doc_id")).distinct()
