@@ -36,9 +36,12 @@ object Dedup {
     * Tokens materialize into a column first — building shingles off an
     * inline split re-evaluates the split per shingle (see
     * TextFunctions.shinglesFromTokens). */
-  private def shingleIndex(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    shingleIndexOf(Tables.documents(s, dir))
+
+  private def shingleIndexOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", tokens($"text").as("w"))
       .select($"doc_id", explode(shinglesFromTokens($"w", 3)).as("shingle"))
   }
@@ -59,11 +62,42 @@ object Dedup {
     * shuffle. */
   def d2NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // duplicate compression (same move as d3/d4): byte-identical
+    // normalized text ⟹ identical shingle sets, so the PPJoin runs
+    // over one representative per fingerprint group; intra-group pairs
+    // are J=1.0 by definition and inter-group rep pairs expand to all
+    // member pairs. Output identical (the oracle checks it); candidate
+    // cost follows distinct content.
+    val members = Tables.documents(s, dir)
+      .select($"doc_id", fingerprint($"text").as("fp"))
+      .withColumn("rep_id",
+        min($"doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+      .select($"doc_id", $"rep_id")
+      .cache()
+    val intra = members.as("x").join(members.as("y"),
+        $"x.rep_id" === $"y.rep_id" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+        lit(1.0).as("jaccard"))
+    val reps = Tables.documents(s, dir)
+      .join(members.filter($"doc_id" === $"rep_id").select($"doc_id"), "doc_id")
+    val repPairs = ngramJaccardPairs(reps)
+    val inter = repPairs
+      .join(members.select($"doc_id".as("da"), $"rep_id".as("ra")), $"id_a" === $"ra")
+      .join(members.select($"doc_id".as("db"), $"rep_id".as("rb")), $"id_b" === $"rb")
+      .select(least($"da", $"db").as("id_a"),
+        greatest($"da", $"db").as("id_b"), $"jaccard")
+    intra.unionAll(inter).orderBy($"id_a", $"id_b")
+  }
+
+  /** The PPJoin core over an arbitrary (doc_id, text, …) frame. */
+  private def ngramJaccardPairs(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
     val t = JaccardThreshold
     // cached: the shingle index feeds both the df count and the doc
     // arrays, and the prefix self-join would otherwise recompute the
     // whole subtree for each side
-    val sh = shingleIndex(s, dir).cache()
+    val sh = shingleIndexOf(docsDf).cache()
     val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
     // per-doc shingle array in canonical (df asc, shingle asc) order
     val docs = sh.join(freq, "shingle")
@@ -100,7 +134,6 @@ object Dedup {
         size(array_intersect($"sa.sh", $"sb.sh")).as("n_both"))
       .filter(j >= t)
       .select($"id_a", $"id_b", round(j, 4).as("jaccard"))
-      .orderBy($"id_a", $"id_b")
   }
 
   /** P1: the end-to-end corpus-cleaning pipeline an LLM data run
