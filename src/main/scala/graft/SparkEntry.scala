@@ -75,6 +75,7 @@ object SparkEntry {
     "q30_ewma"           -> (Advanced.q30Ewma _),
     "q31_string_agg"     -> (Advanced.q31StringAgg _),
     "q32_date_parts"     -> (Advanced.q32DateParts _),
+    "q33_vector_stats"   -> (Similarity.q33VectorStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -547,5 +548,16 @@ object SparkEntry {
          count(*) AS n_orders,
          round(sum(o_totalprice), 2) AS revenue
          FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q33_vector_stats" ->
+      """WITH e AS (
+           SELECT label,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+           FROM embeddings)
+         SELECT label, count(*) AS n_vectors,
+           floor(avg(nrm) * 10000) / 10000.0 AS avg_norm,
+           floor(min(nrm) * 10000) / 10000.0 AS min_norm,
+           floor(max(nrm) * 10000) / 10000.0 AS max_norm
+         FROM e GROUP BY 1 ORDER BY 1""",
   )
 }

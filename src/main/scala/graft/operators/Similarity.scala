@@ -113,6 +113,23 @@ object Similarity {
   private val norms =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Q33: per-label vector statistics — the embedding-column health
+    * check a feature store runs (count, norm distribution per class).
+    * Norms go through the codegen ArrayDot; one partial-aggregated
+    * shuffle on the label. */
+  def q33VectorStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label", toDoubles($"embedding").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vectors"),
+        (floor(avg($"nrm") * 10000) / 10000.0).as("avg_norm"),
+        (floor(min($"nrm") * 10000) / 10000.0).as("min_norm"),
+        (floor(max($"nrm") * 10000) / 10000.0).as("max_norm"))
+      .orderBy($"label")
+  }
+
   /** Embeddings as double vectors with their norm, the shared scan for
     * the exact similarity operators. */
   private def withNorm(emb: DataFrame): DataFrame = {

@@ -223,6 +223,46 @@ class StreamingSpec extends GraftSpecBase {
     }
   }
 
+  test("file-to-file streaming job recovers exactly-once across a restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.Trigger
+    // the production shape: file source → transform → file sink, with
+    // the checkpoint's offset log + sink manifest giving exactly-once
+    // across process restarts
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_e2e_src").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_e2e_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_e2e_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ms", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val all = Tables.eventsWithMs(spark, sf)
+      .select($"user_id", $"event_id", $"ms", $"event_type", $"value")
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ms", ($"value" * 2).as("v2"))
+    def runOnce(): Unit = {
+      val q = transform(spark.readStream.schema(schema).parquet(srcDir))
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // first half of the data arrives, the job runs and exits
+    val Array(h1, h2) = all.randomSplit(Array(0.5, 0.5), seed = 7L)
+    h1.write.mode("append").parquet(srcDir)
+    runOnce()
+    // more data lands; a NEW process resumes from the same checkpoint
+    h2.write.mode("append").parquet(srcDir)
+    runOnce()
+    val got = spark.read.parquet(sinkDir)
+      .select($"event_id", $"v2").as[(Long, Double)].collect().sorted.toSeq
+    val want = transform(all)
+      .select($"event_id", $"v2").as[(Long, Double)].collect().sorted.toSeq
+    assert(got == want, s"${got.size} sink rows vs ${want.size} batch rows")
+  }
+
   test("batch-mode sessionizer with flush equals q14 exactly") {
     import spark.implicits._
     val ds = Tables.eventsWithMs(spark, sf)
