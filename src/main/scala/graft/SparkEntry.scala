@@ -46,6 +46,7 @@ object SparkEntry {
     "m1_als_recommend"   -> (graft.ml.Recommender.m1AlsRecommend _),
     "m2_sentiment"       -> (graft.ml.Sentiment.m2Sentiment _),
     "m3_similar_items"   -> (graft.ml.Recommender.m3SimilarItems _),
+    "m4_sentiment_rollup" -> (graft.ml.Sentiment.m4SentimentBySource _),
     "mm1_binary_meta"    -> (graft.multimodal.Multimodal.mm1BinaryMeta _),
     "mm2_frame_sample"   -> (graft.multimodal.Multimodal.mm2FrameSample _),
     "q16_asof_join"      -> (Advanced.q16AsofJoin _),

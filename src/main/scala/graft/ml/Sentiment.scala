@@ -85,6 +85,24 @@ object Sentiment {
       .orderBy($"doc_id")
   }
 
+  /** M4: corpus-level sentiment rollup — the reference's "sentiment
+    * by segment" aggregate: per (source, lang), document count, mean
+    * positive-class probability, and positive-prediction rate. Serves
+    * from the registry model; one partial-aggregated shuffle over the
+    * scored frame. */
+  def m4SentimentBySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = labeled(s, dir)
+    val scored = fit(s, dir).transform(docs)
+      .select($"source", $"lang", $"prediction",
+        element_at(vector_to_array($"probability"), 2).as("p_pos"))
+    scored.groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"p_pos"), 4).as("avg_p_positive"),
+        round(avg($"prediction"), 4).as("positive_rate"))
+      .orderBy($"source", $"lang")
+  }
+
   /** Persist the fitted pipeline (all stages, including the IDF and
     * LR coefficients) for fit-free serving. */
   def saveModel(s: SparkSession, dir: String, path: String): Unit =

@@ -62,6 +62,19 @@ class MlSpec extends GraftSpecBase {
     assert(warm < 3.0, s"warm m2 took ${warm}s — registry not serving?")
   }
 
+  test("sentiment rollup aggregates are consistent with per-doc scores") {
+    import spark.implicits._
+    val rollup = Sentiment.m4SentimentBySource(spark, sf)
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(rollup.nonEmpty)
+    val totalDocs = rollup.map(_._3).sum
+    assert(totalDocs == Tables.documents(spark, sf).count())
+    rollup.foreach { case (src, lang, n, avgP, rate) =>
+      assert(n > 0 && avgP >= 0.0 && avgP <= 1.0 && rate >= 0.0 && rate <= 1.0,
+        s"($src,$lang,$n,$avgP,$rate)")
+    }
+  }
+
   test("als and sentiment models persist and reload losslessly") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_models").toString
