@@ -26,10 +26,14 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // TypedImperativeAggregates (topk/minhash/simhash) carry small
-      // k-bounded buffers: millions of groups fit in memory, so keep
-      // ObjectHashAggregate in hash mode instead of the 128-group
-      // default that silently degrades to sort-based aggregation
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // k-bounded buffers, and the 128-group default silently degrades
+      // every ObjectHashAggregate to sort-based aggregation. 64k is
+      // deliberately NOT unbounded: collect_list-style aggregates also
+      // run through this operator with unbounded per-group buffers, and
+      // the sort-based fallback is what spills them — 64k groups covers
+      // every per-partition group count in this suite (≤ a few
+      // thousand) while capping the no-spill exposure.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       // events.parquet carries TIMESTAMP(NANOS); Spark has no ns
       // timestamp type, so read it as epoch-nanos LongType and convert
       // with exact integer arithmetic (see Tables.eventsWithMs).

@@ -44,9 +44,14 @@ case class TopKAgg(
   override def createAggregationBuffer(): TopKAgg.Buf =
     new TopKAgg.Buf(new Array[Double](k), new Array[Long](k), 0)
 
-  // rank order: score desc, id asc (deterministic ties)
-  private def beats(s: Double, i: Long, buf: TopKAgg.Buf, pos: Int): Boolean =
-    s > buf.scores(pos) || (s == buf.scores(pos) && i < buf.ids(pos))
+  // rank order: score desc, id asc (deterministic ties).
+  // Double.compare gives the same total order Spark's descending sort
+  // uses (NaN greatest) — a plain `>` would rank NaN scores LAST and
+  // diverge from the row_number formulation this aggregate replaces.
+  private def beats(s: Double, i: Long, buf: TopKAgg.Buf, pos: Int): Boolean = {
+    val c = java.lang.Double.compare(s, buf.scores(pos))
+    c > 0 || (c == 0 && i < buf.ids(pos))
+  }
 
   private def insert(buf: TopKAgg.Buf, s: Double, i: Long): Unit = {
     if (buf.n == k && !beats(s, i, buf, k - 1)) return

@@ -62,20 +62,26 @@ object Dedup {
     * shuffle. */
   def d2NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // duplicate compression (same move as d3/d4): byte-identical
-    // normalized text ⟹ identical shingle sets, so the PPJoin runs
-    // over one representative per fingerprint group; intra-group pairs
-    // are J=1.0 by definition and inter-group rep pairs expand to all
-    // member pairs. Output identical (the oracle checks it); candidate
-    // cost follows distinct content.
+    // duplicate compression (same move as d3/d4): byte-identical RAW
+    // text ⟹ identical shingle sets, so the PPJoin runs over one
+    // representative per identical-text group; intra-group pairs are
+    // J=1.0 by definition and inter-group rep pairs expand to all
+    // member pairs. The key is the RAW text hash — NOT the normalized
+    // fingerprint — because shingles come from the raw tokens, and a
+    // case/whitespace variant has a different shingle set. Docs with
+    // no shingles (<3 tokens) never pair, so they are excluded from
+    // the intra expansion too. Output identical (the oracle checks
+    // it); candidate cost follows distinct content.
     val members = Tables.documents(s, dir)
-      .select($"doc_id", fingerprint($"text").as("fp"))
+      .select($"doc_id", md5($"text".cast("binary")).as("raw_fp"),
+        size(tokens($"text")).as("n_tok"))
       .withColumn("rep_id",
-        min($"doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
-      .select($"doc_id", $"rep_id")
+        min($"doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy($"raw_fp")))
+      .select($"doc_id", $"rep_id", $"n_tok")
       .cache()
     val intra = members.as("x").join(members.as("y"),
-        $"x.rep_id" === $"y.rep_id" && $"x.doc_id" < $"y.doc_id")
+        $"x.rep_id" === $"y.rep_id" && $"x.doc_id" < $"y.doc_id" &&
+        $"x.n_tok" >= 3)
       .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
         lit(1.0).as("jaccard"))
     val reps = Tables.documents(s, dir)
@@ -189,7 +195,8 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    val maxIters = 50
+    while (changed > 0 && iter < maxIters) {
       val fromNbr = edges
         .join(labels.select($"doc_id".as("dst"), $"group_id"), "dst")
         .select($"src".as("doc_id"), $"group_id")
@@ -202,6 +209,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // fail LOUDLY rather than return partially-propagated labels — a
+    // component deeper than maxIters would otherwise be silently wrong
+    require(changed == 0,
+      s"d6 label propagation did not converge in $maxIters rounds " +
+        s"($changed labels still changing) — component diameter exceeds the bound")
     labels.orderBy($"doc_id")
   }
 

@@ -60,40 +60,7 @@ object Similarity {
   def d5EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val t = 0.5
-    val dBound = math.sqrt(2.0 - 2.0 * t) + 1e-9
-    val (assigned, _) = ivfIndex(s, dir) // (vec_id, v, cluster), cached
-    // nrm cached so the unit-vector lambda divides by a materialized
-    // column, not an inlined sqrt(dot) re-evaluated per element
-    val base = norms.getOrElseUpdate(dir,
-      assigned.withColumn("nrm", sqrt(dot($"v", $"v"))).cache())
-    val unit = base.withColumn("u", transform($"v", x => x / $"nrm"))
-    // unit-space pivot (elementwise mean) per cluster: K×dim values
-    val pivots: Map[Int, Array[Double]] = unit
-      .select($"cluster", posexplode($"u").as(Seq("pos", "x")))
-      .groupBy($"cluster", $"pos").agg(avg($"x").as("m"))
-      .groupBy($"cluster")
-      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-      .select($"cluster", transform($"pm", _.getField("m")).as("pivot"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-    val ids = pivots.keys.toSeq.sorted
-    val pivotLit = map(ids.flatMap(i =>
-      Seq(lit(i), array(pivots(i).map(lit): _*))): _*)
-    val pn2 = ids.map(i => i -> pivots(i).map(x => x * x).sum).toMap
-    val pn2Lit = map(ids.flatMap(i => Seq(lit(i), lit(pn2(i)))): _*)
-    // r_i = max ‖û − p_i‖; ‖û‖ = 1 up to FP eps, absorbed in the slack
-    val dist2 = lit(1.0) - lit(2.0) * dot($"u", element_at(pivotLit, $"cluster")) +
-      element_at(pn2Lit, $"cluster")
-    val radii: Map[Int, Double] = unit
-      .groupBy($"cluster").agg(max(sqrt(greatest(dist2, lit(0.0)))).as("r"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    def pdist(i: Int, j: Int): Double =
-      math.sqrt(pivots(i).zip(pivots(j)).map { case (x, y) => (x - y) * (x - y) }.sum)
-    val admissible = for {
-      i <- ids; j <- ids
-      if pdist(i, j) <= radii(i) + radii(j) + dBound + 1e-6
-    } yield (i, j)
-    val pairs = admissible.toDF("ci", "cj")
+    val (base, pairs) = d5Index(s, dir)
     val left = base.select($"vec_id".as("id_a"), $"v".as("va"),
       $"nrm".as("na"), $"cluster".as("ci"))
     val right = base.select($"vec_id".as("id_b"), $"v".as("vb"),
@@ -109,9 +76,58 @@ object Similarity {
       .orderBy($"id_a", $"id_b")
   }
 
-  // per-dataset cache of (vec_id, v, cluster, nrm) shared by d5 calls
-  private val norms =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // per-dataset registry of the d5 pruning artifacts: the norm-extended
+  // index frame and the admissible cluster-pair table. Pivots/radii are
+  // deterministic K-bounded derivations of the (cached) IVF index —
+  // recomputing their posexplode + two collect jobs per invocation
+  // would waste exactly what the registry pattern saves elsewhere.
+  private val d5Artifacts =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
+  private def d5Index(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    d5Artifacts.getOrElseUpdate(dir, {
+      import s.implicits._
+      val t = 0.5
+      val dBound = math.sqrt(2.0 - 2.0 * t) + 1e-9
+      val (assigned, _) = ivfIndex(s, dir) // (vec_id, v, cluster), cached
+      // nrm cached so the unit-vector lambda divides by a materialized
+      // column, not an inlined sqrt(dot) re-evaluated per element
+      val base = assigned.withColumn("nrm", sqrt(dot($"v", $"v"))).cache()
+      // zero-norm guard: divide by 1 so a zero vector stays the zero
+      // vector instead of going NaN — a single NaN would poison its
+      // cluster's radius (max propagates NaN) and silently drop every
+      // pair the admissibility test should keep. The zero vector's
+      // ‖u‖=0 only OVERestimates dist² below (completeness-safe).
+      val unit = base.withColumn("u",
+        transform($"v", x => x / when($"nrm" === 0.0, 1.0).otherwise($"nrm")))
+      // unit-space pivot (elementwise mean) per cluster: K×dim values
+      val pivots: Map[Int, Array[Double]] = unit
+        .select($"cluster", posexplode($"u").as(Seq("pos", "x")))
+        .groupBy($"cluster", $"pos").agg(avg($"x").as("m"))
+        .groupBy($"cluster")
+        .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+        .select($"cluster", transform($"pm", _.getField("m")).as("pivot"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val ids = pivots.keys.toSeq.sorted
+      val pivotLit = map(ids.flatMap(i =>
+        Seq(lit(i), array(pivots(i).map(lit): _*))): _*)
+      val pn2 = ids.map(i => i -> pivots(i).map(x => x * x).sum).toMap
+      val pn2Lit = map(ids.flatMap(i => Seq(lit(i), lit(pn2(i)))): _*)
+      // r_i = max ‖û − p_i‖; ‖û‖ = 1 up to FP eps, absorbed in the slack
+      val dist2 = lit(1.0) - lit(2.0) * dot($"u", element_at(pivotLit, $"cluster")) +
+        element_at(pn2Lit, $"cluster")
+      val radii: Map[Int, Double] = unit
+        .groupBy($"cluster").agg(max(sqrt(greatest(dist2, lit(0.0)))).as("r"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      def pdist(i: Int, j: Int): Double =
+        math.sqrt(pivots(i).zip(pivots(j)).map { case (x, y) => (x - y) * (x - y) }.sum)
+      val admissible = for {
+        i <- ids; j <- ids
+        if pdist(i, j) <= radii(i) + radii(j) + dBound + 1e-6
+      } yield (i, j)
+      (base, admissible.toDF("ci", "cj"))
+    })
 
   /** Q33: per-label vector statistics — the embedding-column health
     * check a feature store runs (count, norm distribution per class).

@@ -88,7 +88,12 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lkProj = UnsafeProjection.create(Seq(lk, lt), lOut)
       val rkProj = UnsafeProjection.create(Seq(rk, rt), rOut)
-      val outProj = UnsafeProjection.create(allOut, lOut ++ rOut)
+      // bind against NULLABLE right attrs: the projection must emit
+      // nulls for unmatched left rows even when the right child's own
+      // attributes are non-nullable (e.g. a case-class Dataset) —
+      // binding rOut directly would skip the null check and emit 0s
+      val outProj = UnsafeProjection.create(allOut,
+        lOut ++ rOut.map(_.withNullability(true)))
       val nullRight = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rOut.size)
       val joined = new JoinedRow
       // one buffered right row: the latest right row seen for the key

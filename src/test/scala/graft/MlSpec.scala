@@ -56,10 +56,11 @@ class MlSpec extends GraftSpecBase {
   }
 
   test("second m2 invocation serves from the model registry (no refit)") {
-    val t0 = System.nanoTime(); graft.ml.Sentiment.m2Sentiment(spark, sf).count()
-    val warm = (System.nanoTime() - t0) / 1e9
-    // a refit at this scale costs seconds; serving is sub-second-ish
-    assert(warm < 3.0, s"warm m2 took ${warm}s — registry not serving?")
+    // identity, not wall-clock: consecutive fits must return the SAME
+    // model instance (a timing bound is flaky under machine load and
+    // doesn't actually prove the registry served)
+    graft.ml.Sentiment.m2Sentiment(spark, sf).count()
+    assert(Sentiment.fit(spark, sf) eq Sentiment.fit(spark, sf))
   }
 
   test("sentiment rollup aggregates are consistent with per-doc scores") {

@@ -79,4 +79,17 @@ class PlanAuditSpec extends GraftSpecBase {
     val b = operators.Advanced.q16AsofJoin(spark, sf).collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("as-of exec emits NULLs for unmatched rows on a non-nullable right side") {
+    import spark.implicits._
+    // Seq.toDF gives non-nullable long columns — the projection must
+    // still null them out for unmatched left rows, not emit zeros
+    val left = Seq((1L, 100L, 5L), (2L, 50L, 6L)).toDF("user_id", "ms", "event_id")
+    val right = Seq((1L, 90L, 7L)).toDF("c_user", "c_ms", "c_event_id")
+    val j = org.apache.spark.sql.graft.AsOfJoinOps
+      .asofJoin(left, right, "user_id", "c_user", "ms", "c_ms")
+      .select($"user_id", $"c_ms", $"c_event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(j == Set((1L, Some(90L), Some(7L)), (2L, None, None)), j.toString)
+  }
 }

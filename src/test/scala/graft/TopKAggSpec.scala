@@ -26,6 +26,20 @@ class TopKAggSpec extends GraftSpecBase {
     df.unpersist()
   }
 
+  test("topk_agg ranks NaN scores first, matching the window's descending order") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0, 10L), (1L, Double.NaN, 11L), (1L, 2.0, 12L), (1L, 0.5, 13L))
+      .toDF("g", "score", "item")
+    val agg = df.groupBy($"g")
+      .agg(call_function("topk_agg", $"score", $"item", lit(2)).as("top"))
+      .select(posexplode($"top").as(Seq("pos", "rec")))
+      .select($"rec.id").as[Long].collect().toSeq
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"item")
+    val win = df.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 2)
+      .orderBy($"rnk").select($"item").as[Long].collect().toSeq
+    assert(agg == win && agg.head == 11L)
+  }
+
   test("topk_agg with k larger than the group returns the whole group ranked") {
     import spark.implicits._
     val df = Seq((1L, 3.0, 10L), (1L, 1.0, 11L), (2L, 2.0, 12L)).toDF("g", "score", "item")
