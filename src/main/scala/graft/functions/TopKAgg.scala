@@ -48,8 +48,12 @@ case class TopKAgg(
   // Double.compare gives the same total order Spark's descending sort
   // uses (NaN greatest) — a plain `>` would rank NaN scores LAST and
   // diverge from the row_number formulation this aggregate replaces.
+  // One divergence remains in raw Double.compare: it orders -0.0 < 0.0
+  // while Spark's nanSafeCompareDoubles treats them equal (tie-break by
+  // id). `+ 0.0` canonicalizes -0.0 to 0.0 (NaN stays NaN), restoring
+  // exact parity with the window formulation.
   private def beats(s: Double, i: Long, buf: TopKAgg.Buf, pos: Int): Boolean = {
-    val c = java.lang.Double.compare(s, buf.scores(pos))
+    val c = java.lang.Double.compare(s + 0.0, buf.scores(pos) + 0.0)
     c > 0 || (c == 0 && i < buf.ids(pos))
   }
 

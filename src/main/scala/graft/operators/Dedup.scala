@@ -62,41 +62,58 @@ object Dedup {
     * shuffle. */
   def d2NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // duplicate compression (same move as d3/d4): byte-identical RAW
-    // text ⟹ identical shingle sets, so the PPJoin runs over one
-    // representative per identical-text group; intra-group pairs are
-    // J=1.0 by definition and inter-group rep pairs expand to all
-    // member pairs. The key is the RAW text hash — NOT the normalized
-    // fingerprint — because shingles come from the raw tokens, and a
-    // case/whitespace variant has a different shingle set. Docs with
-    // no shingles (<3 tokens) never pair, so they are excluded from
-    // the intra expansion too. Output identical (the oracle checks
-    // it); candidate cost follows distinct content.
-    val members = Tables.documents(s, dir)
-      .select($"doc_id", md5($"text".cast("binary")).as("raw_fp"),
-        size(tokens($"text")).as("n_tok"))
-      .withColumn("rep_id",
-        min($"doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy($"raw_fp")))
-      .select($"doc_id", $"rep_id", $"n_tok")
-      .cache()
-    val intra = members.as("x").join(members.as("y"),
-        $"x.rep_id" === $"y.rep_id" && $"x.doc_id" < $"y.doc_id" &&
-        $"x.n_tok" >= 3)
-      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
-        lit(1.0).as("jaccard"))
-    val reps = Tables.documents(s, dir)
-      .join(members.filter($"doc_id" === $"rep_id").select($"doc_id"), "doc_id")
-    val repPairs = ngramJaccardPairs(reps)
-    val inter = repPairs
-      .join(members.select($"doc_id".as("da"), $"rep_id".as("ra")), $"id_a" === $"ra")
-      .join(members.select($"doc_id".as("db"), $"rep_id".as("rb")), $"id_b" === $"rb")
-      .select(least($"da", $"db").as("id_a"),
-        greatest($"da", $"db").as("id_b"), $"jaccard")
-    intra.unionAll(inter).orderBy($"id_a", $"id_b")
+    d2PairTable(s, dir).orderBy($"id_a", $"id_b")
   }
 
-  /** The PPJoin core over an arbitrary (doc_id, text, …) frame. */
-  private def ngramJaccardPairs(docsDf: DataFrame): DataFrame = {
+  /** The (unordered) d2 pair table, memoized per dataset: the pair
+    * graph is an artifact — p1's near-dup gate, d6's components, and
+    * repeated d2 calls all serve from one materialization, and the
+    * build's scaffolding caches (member map, shingle index, doc
+    * arrays) are unpersisted once it exists. */
+  private[graft] def d2PairTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("d2_pairs", dir) {
+      // duplicate compression (same move as d3/d4): byte-identical RAW
+      // text ⟹ identical shingle sets, so the PPJoin runs over one
+      // representative per identical-text group; intra-group pairs are
+      // J=1.0 by definition and inter-group rep pairs expand to all
+      // member pairs. The key is the RAW text hash — NOT the normalized
+      // fingerprint — because shingles come from the raw tokens, and a
+      // case/whitespace variant has a different shingle set. Docs with
+      // no shingles (<3 tokens) never pair, so they are excluded from
+      // the intra expansion too. Output identical (the oracle checks
+      // it); candidate cost follows distinct content.
+      val members = Tables.documents(s, dir)
+        .select($"doc_id", md5($"text".cast("binary")).as("raw_fp"),
+          size(tokens($"text")).as("n_tok"))
+        .withColumn("rep_id",
+          min($"doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy($"raw_fp")))
+        .select($"doc_id", $"rep_id", $"n_tok")
+        .cache()
+      scaffolding += members
+      val intra = members.as("x").join(members.as("y"),
+          $"x.rep_id" === $"y.rep_id" && $"x.doc_id" < $"y.doc_id" &&
+          $"x.n_tok" >= 3)
+        .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+          lit(1.0).as("jaccard"))
+      val reps = Tables.documents(s, dir)
+        .join(members.filter($"doc_id" === $"rep_id").select($"doc_id"), "doc_id")
+      val (repPairs, scaffold) = ngramJaccardPairs(reps)
+      scaffolding ++= scaffold
+      val inter = repPairs
+        .join(members.select($"doc_id".as("da"), $"rep_id".as("ra")), $"id_a" === $"ra")
+        .join(members.select($"doc_id".as("db"), $"rep_id".as("rb")), $"id_b" === $"rb")
+        .select(least($"da", $"db").as("id_a"),
+          greatest($"da", $"db").as("id_b"), $"jaccard")
+      intra.unionAll(inter)
+    } { scaffolding.foreach(_.unpersist()) }
+  }
+
+  /** The PPJoin core over an arbitrary (doc_id, text, …) frame.
+    * Returns (pairs, scaffolding caches for the caller to unpersist
+    * once the result is materialized). */
+  private def ngramJaccardPairs(docsDf: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val s = docsDf.sparkSession
     import s.implicits._
     val t = JaccardThreshold
@@ -133,13 +150,14 @@ object Dedup {
     // materialize the intersection size ONCE per pair: the filter and
     // the projection would otherwise each re-evaluate array_intersect
     val j = $"n_both".cast("double") / ($"na" + $"nb" - $"n_both").cast("double")
-    cands
+    val pairs = cands
       .join(docs.as("sa"), $"id_a" === $"sa.doc_id")
       .join(docs.as("sb"), $"id_b" === $"sb.doc_id")
       .select($"id_a", $"id_b", $"sa.n_sh".as("na"), $"sb.n_sh".as("nb"),
         size(array_intersect($"sa.sh", $"sb.sh")).as("n_both"))
       .filter(j >= t)
       .select($"id_a", $"id_b", round(j, 4).as("jaccard"))
+    (pairs, Seq(sh, docs))
   }
 
   /** P1: the end-to-end corpus-cleaning pipeline an LLM data run
@@ -158,7 +176,7 @@ object Dedup {
         $"fp" === $"fp2")
       .filter($"doc_id" =!= $"keep_id")
       .select($"doc_id")
-    val nearDupLosers = d2NgramJaccard(s, dir).select($"id_b".as("doc_id"))
+    val nearDupLosers = d2PairTable(s, dir).select($"id_b".as("doc_id"))
     scored
       .filter($"quality" >= 0.5)
       .join(dupLosers, Seq("doc_id"), "left_anti")
@@ -185,36 +203,41 @@ object Dedup {
     * identical.) */
   def d6DupGroups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // cache the pairs BEFORE the symmetric union: the union's two
-    // branches would otherwise each recompute the d2 candidate join
-    val pairs = d2NgramJaccard(s, dir).select($"id_a", $"id_b").cache()
-    val edges = pairs.union(pairs.select($"id_b", $"id_a"))
-      .toDF("src", "dst").cache()
-    var labels = edges.select($"src".as("doc_id")).distinct()
-      .select($"doc_id", $"doc_id".as("group_id"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    val maxIters = 50
-    while (changed > 0 && iter < maxIters) {
-      val fromNbr = edges
-        .join(labels.select($"doc_id".as("dst"), $"group_id"), "dst")
-        .select($"src".as("doc_id"), $"group_id")
-      val next = labels.union(fromNbr)
-        .groupBy($"doc_id").agg(min($"group_id").as("group_id"))
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("d6_labels", dir) {
+      // the pair table comes memoized+cached from d2 (the union's two
+      // branches would otherwise each recompute the candidate join)
+      val pairs = d2PairTable(s, dir).select($"id_a", $"id_b")
+      val edges = pairs.union(pairs.select($"id_b", $"id_a"))
+        .toDF("src", "dst").cache()
+      scaffolding += edges
+      var labels = edges.select($"src".as("doc_id")).distinct()
+        .select($"doc_id", $"doc_id".as("group_id"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select($"doc_id", $"group_id".as("old_gid")), "doc_id")
-        .filter($"group_id" =!= $"old_gid").count()
-      labels = next
-      iter += 1
-    }
-    // fail LOUDLY rather than return partially-propagated labels — a
-    // component deeper than maxIters would otherwise be silently wrong
-    require(changed == 0,
-      s"d6 label propagation did not converge in $maxIters rounds " +
-        s"($changed labels still changing) — component diameter exceeds the bound")
-    labels.orderBy($"doc_id")
+      var changed = 1L
+      var iter = 0
+      val maxIters = 50
+      while (changed > 0 && iter < maxIters) {
+        val fromNbr = edges
+          .join(labels.select($"doc_id".as("dst"), $"group_id"), "dst")
+          .select($"src".as("doc_id"), $"group_id")
+        val next = labels.union(fromNbr)
+          .groupBy($"doc_id").agg(min($"group_id").as("group_id"))
+          .localCheckpoint(true)
+        changed = next
+          .join(labels.select($"doc_id", $"group_id".as("old_gid")), "doc_id")
+          .filter($"group_id" =!= $"old_gid").count()
+        labels = next
+        iter += 1
+      }
+      // fail LOUDLY rather than return partially-propagated labels — a
+      // component deeper than maxIters would otherwise be silently wrong
+      require(changed == 0,
+        s"d6 label propagation did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — component diameter exceeds the bound")
+      labels
+    } { scaffolding.foreach(_.unpersist()) }
+      .orderBy($"doc_id")
   }
 
   // ---- MinHash -------------------------------------------------------
@@ -263,35 +286,41 @@ object Dedup {
     * distinct content, not corpus size. */
   def d3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rowsPerBand = NumHashes / NumBands
-    // cached: the joins below would recompute the signature
-    // aggregation (the expensive part) for every use
-    val sigs = minhashSignatures(s, dir).cache()
-    val intra = sigs.as("x").join(sigs.as("y"),
-        $"x.sig" === $"y.sig" && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
-        lit(1.0).as("est_jaccard"))
-    val distinctSigs = sigs.select($"sig").distinct().cache()
-    val bands = distinctSigs.select($"sig",
-      explode(array((0 until NumBands).map { j =>
-        struct(lit(j).as("band"),
-          xxhash64(lit(j), slice($"sig", j * rowsPerBand + 1, rowsPerBand)).as("bh"))
-      }: _*)).as("b"))
-      .select($"sig", $"b.band", $"b.bh")
-    val est = size(filter(zip_with($"sa", $"sb", (p, q) => p === q), v => v))
-      .cast("double") / lit(NumHashes.toDouble)
-    val sigPairs = bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sig" < $"y.sig")
-      .select($"x.sig".as("sa"), $"y.sig".as("sb"))
-      .dropDuplicates("sa", "sb")
-      .select($"sa", $"sb", round(est, 4).as("est_jaccard"))
-      .filter($"est_jaccard" >= 0.5)
-    val inter = sigPairs
-      .join(sigs.select($"doc_id".as("da"), $"sig".as("sa")), "sa")
-      .join(sigs.select($"doc_id".as("db"), $"sig".as("sb")), "sb")
-      .select(least($"da", $"db").as("id_a"),
-        greatest($"da", $"db").as("id_b"), $"est_jaccard")
-    intra.unionAll(inter).orderBy($"id_a", $"id_b")
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("d3_pairs", dir) {
+      val rowsPerBand = NumHashes / NumBands
+      // cached: the joins below would recompute the signature
+      // aggregation (the expensive part) for every use
+      val sigs = minhashSignatures(s, dir).cache()
+      scaffolding += sigs
+      val intra = sigs.as("x").join(sigs.as("y"),
+          $"x.sig" === $"y.sig" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+          lit(1.0).as("est_jaccard"))
+      val distinctSigs = sigs.select($"sig").distinct().cache()
+      scaffolding += distinctSigs
+      val bands = distinctSigs.select($"sig",
+        explode(array((0 until NumBands).map { j =>
+          struct(lit(j).as("band"),
+            xxhash64(lit(j), slice($"sig", j * rowsPerBand + 1, rowsPerBand)).as("bh"))
+        }: _*)).as("b"))
+        .select($"sig", $"b.band", $"b.bh")
+      val est = size(filter(zip_with($"sa", $"sb", (p, q) => p === q), v => v))
+        .cast("double") / lit(NumHashes.toDouble)
+      val sigPairs = bands.as("x").join(bands.as("y"),
+          $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sig" < $"y.sig")
+        .select($"x.sig".as("sa"), $"y.sig".as("sb"))
+        .dropDuplicates("sa", "sb")
+        .select($"sa", $"sb", round(est, 4).as("est_jaccard"))
+        .filter($"est_jaccard" >= 0.5)
+      val inter = sigPairs
+        .join(sigs.select($"doc_id".as("da"), $"sig".as("sa")), "sa")
+        .join(sigs.select($"doc_id".as("db"), $"sig".as("sb")), "sb")
+        .select(least($"da", $"db").as("id_a"),
+          greatest($"da", $"db").as("id_b"), $"est_jaccard")
+      intra.unionAll(inter)
+    } { scaffolding.foreach(_.unpersist()) }
+      .orderBy($"id_a", $"id_b")
   }
 
   // ---- SimHash -------------------------------------------------------
@@ -340,31 +369,37 @@ object Dedup {
     * when 100 TB is one-third exact copies. */
   def d4Simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = simhashes(s, dir).cache()
-    // (a) doc pairs sharing a hash: hamming 0 by definition
-    val intra = sh.as("x").join(sh.as("y"),
-        $"x.simhash" === $"y.simhash" && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
-        lit(0).as("hamming"))
-    // (b) pigeonhole over DISTINCT hashes, then expand to doc pairs
-    val distinctH = sh.select($"simhash").distinct().cache()
-    val chunks = distinctH.select($"simhash",
-      explode(array((0 until 4).map { c =>
-        struct(lit(c).as("c"),
-          shiftright($"simhash", c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))
-      }: _*)).as("ch"))
-      .select($"simhash", $"ch.c", $"ch.cv")
-    val hashPairs = chunks.as("x").join(chunks.as("y"),
-        $"x.c" === $"y.c" && $"x.cv" === $"y.cv" && $"x.simhash" < $"y.simhash")
-      .select($"x.simhash".as("ha"), $"y.simhash".as("hb"))
-      .dropDuplicates("ha", "hb")
-      .select($"ha", $"hb", bit_count($"ha".bitwiseXOR($"hb")).as("hamming"))
-      .filter($"hamming" <= 3)
-    val inter = hashPairs
-      .join(sh.select($"doc_id".as("da"), $"simhash".as("ha")), "ha")
-      .join(sh.select($"doc_id".as("db"), $"simhash".as("hb")), "hb")
-      .select(least($"da", $"db").as("id_a"),
-        greatest($"da", $"db").as("id_b"), $"hamming")
-    intra.unionAll(inter).orderBy($"id_a", $"id_b")
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("d4_pairs", dir) {
+      val sh = simhashes(s, dir).cache()
+      scaffolding += sh
+      // (a) doc pairs sharing a hash: hamming 0 by definition
+      val intra = sh.as("x").join(sh.as("y"),
+          $"x.simhash" === $"y.simhash" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+          lit(0).as("hamming"))
+      // (b) pigeonhole over DISTINCT hashes, then expand to doc pairs
+      val distinctH = sh.select($"simhash").distinct().cache()
+      scaffolding += distinctH
+      val chunks = distinctH.select($"simhash",
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("c"),
+            shiftright($"simhash", c * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))
+        }: _*)).as("ch"))
+        .select($"simhash", $"ch.c", $"ch.cv")
+      val hashPairs = chunks.as("x").join(chunks.as("y"),
+          $"x.c" === $"y.c" && $"x.cv" === $"y.cv" && $"x.simhash" < $"y.simhash")
+        .select($"x.simhash".as("ha"), $"y.simhash".as("hb"))
+        .dropDuplicates("ha", "hb")
+        .select($"ha", $"hb", bit_count($"ha".bitwiseXOR($"hb")).as("hamming"))
+        .filter($"hamming" <= 3)
+      val inter = hashPairs
+        .join(sh.select($"doc_id".as("da"), $"simhash".as("ha")), "ha")
+        .join(sh.select($"doc_id".as("db"), $"simhash".as("hb")), "hb")
+        .select(least($"da", $"db").as("id_a"),
+          greatest($"da", $"db").as("id_b"), $"hamming")
+      intra.unionAll(inter)
+    } { scaffolding.foreach(_.unpersist()) }
+      .orderBy($"id_a", $"id_b")
   }
 }

@@ -1,6 +1,8 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.Project
 import org.apache.spark.sql.classic.{Dataset => CDataset}
 import graft.plans.AsOfJoin
 
@@ -22,7 +24,18 @@ object AsOfJoinOps {
     val l = left.asInstanceOf[CDataset[org.apache.spark.sql.Row]]
     val r = right.asInstanceOf[CDataset[org.apache.spark.sql.Row]]
     val lp = l.queryExecution.analyzed
-    val rp = r.queryExecution.analyzed
+    val rp0 = r.queryExecution.analyzed
+    // Self-join safety: when both sides share lineage (same DataFrame,
+    // or one derived from the other), their plans carry the SAME
+    // attribute expression ids, and a join node built from them
+    // mis-resolves — Dataset.join deduplicates this case, so this
+    // bridge must too. Re-alias every right-side column behind fresh
+    // expression ids whenever any overlap exists; the Aliases sit over
+    // resolved attributes, so the plan stays resolved.
+    val rp =
+      if (rp0.outputSet.intersect(lp.outputSet).nonEmpty)
+        Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+      else rp0
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))

@@ -92,4 +92,22 @@ class PlanAuditSpec extends GraftSpecBase {
       .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
     assert(j == Set((1L, Some(90L), Some(7L)), (2L, None, None)), j.toString)
   }
+
+  test("as-of exec self-join: shared lineage resolves via fresh right-side ids") {
+    import spark.implicits._
+    // both sides derive from the SAME DataFrame — without attribute
+    // deduplication the join condition would bind both sides to one
+    // expression id and mis-resolve
+    val base = Seq((1L, 100L, 5L), (1L, 90L, 7L), (2L, 50L, 6L))
+      .toDF("user_id", "ms", "event_id")
+    val right = base.select($"user_id".as("c_user"), $"ms".as("c_ms"),
+      $"event_id".as("c_event_id"))
+    val j = org.apache.spark.sql.graft.AsOfJoinOps
+      .asofJoin(base, right, "user_id", "c_user", "ms", "c_ms")
+      .select($"user_id", $"ms", $"c_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    // each row matches itself (greatest c_ms <= ms within the key)
+    assert(j == Set((1L, 100L, Some(100L)), (1L, 90L, Some(90L)),
+      (2L, 50L, Some(50L))), j.toString)
+  }
 }

@@ -40,6 +40,23 @@ class TopKAggSpec extends GraftSpecBase {
     assert(agg == win && agg.head == 11L)
   }
 
+  test("topk_agg treats -0.0 and 0.0 as equal scores, tie-breaking by id") {
+    import spark.implicits._
+    // raw Double.compare orders -0.0 < 0.0; Spark's sort comparator
+    // treats them equal and the window tie-breaks by id — the id with
+    // the -0.0 score must still win rank 1 when its id is smaller
+    val df = Seq((1L, 0.0, 20L), (1L, -0.0, 10L), (1L, -1.0, 30L))
+      .toDF("g", "score", "item")
+    val agg = df.groupBy($"g")
+      .agg(call_function("topk_agg", $"score", $"item", lit(2)).as("top"))
+      .select(posexplode($"top").as(Seq("pos", "rec")))
+      .select($"rec.id").as[Long].collect().toSeq
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"item")
+    val win = df.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 2)
+      .orderBy($"rnk").select($"item").as[Long].collect().toSeq
+    assert(agg == win && agg == Seq(10L, 20L))
+  }
+
   test("topk_agg with k larger than the group returns the whole group ranked") {
     import spark.implicits._
     val df = Seq((1L, 3.0, 10L), (1L, 1.0, 11L), (2L, 2.0, 12L)).toDF("g", "score", "item")
