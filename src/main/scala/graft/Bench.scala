@@ -14,7 +14,10 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       SparkEntry.queries.get("q1_pricing_summary").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
+    // optional arg: regex over query names, for timing a subset
+    // without the full 61-entry sweep (e.g. `runMain graft.Bench d6.*`)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.headOption.forall(n.matches) }
     def sweep(): Seq[(String, Double)] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -63,11 +63,31 @@ object Sentiment {
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.ml.PipelineModel]
 
   /** Fit the pipeline on the labeled TRAIN fold only (the test fold
-    * stays unseen for `heldOutAccuracy`). */
+    * stays unseen for `heldOutAccuracy`).
+    *
+    * Fitted stage-wise rather than via `Pipeline.fit` so the term-
+    * frequency frame is computed ONCE and cached: inside Pipeline.fit
+    * the tokenize→stopwords→hashingTF prefix is lazy, so IDF's
+    * document-frequency pass and LR's instance materialization would
+    * each re-run it over the corpus. The final assembly `Pipeline.fit`
+    * over already-fitted transformers refits nothing — it just wraps
+    * them in the same serveable PipelineModel the one-shot fit
+    * returns. */
   def fit(s: SparkSession, dir: String): org.apache.spark.ml.PipelineModel =
     models.getOrElseUpdate(dir, {
       import s.implicits._
-      pipeline.fit(labeled(s, dir).filter($"label".isNotNull && $"is_train"))
+      val train = labeled(s, dir).filter($"label".isNotNull && $"is_train")
+      val Array(tok, sw, tf, idf, lr) = pipeline.getStages
+      val featurize = new Pipeline().setStages(Array(tok, sw, tf)).fit(train)
+      val tfFrame = featurize.transform(train).select($"tf", $"label").cache()
+      val idfModel = idf.asInstanceOf[IDF].fit(tfFrame)
+      val lrModel = lr.asInstanceOf[LogisticRegression]
+        .fit(idfModel.transform(tfFrame))
+      val model = new Pipeline()
+        .setStages(featurize.stages ++ Array(idfModel, lrModel))
+        .fit(train.limit(0))
+      tfFrame.unpersist()
+      model
     })
 
   /** M2: train on polarity-labeled train-fold docs, score every doc.

@@ -192,15 +192,17 @@ object Dedup {
     * transitive in a corpus (A≈B, B≈C ⟹ one keeper for {A,B,C}),
     * so the cleaning decision needs components, not edges.
     *
-    * Min-label propagation, Pregel-style: each round is one
-    * distributed join+min-aggregate (label ← min of own and
-    * neighbors' labels), converging in graph-diameter rounds — near-
-    * dup clusters are shallow, so single digits. The driver loop only
-    * orchestrates; all data movement is shuffle joins on doc_id, and
-    * each round's result is cached + localCheckpointed so lineage
-    * stays flat. (At billion-edge scale the same loop gets the
-    * large-star/small-star optimization; the join shape is
-    * identical.) */
+    * Min-label propagation with pointer jumping, Pregel-style: each
+    * round is one neighbor join+min-aggregate (label ← min of own and
+    * neighbors' labels) followed by label compression
+    * (label[u] ← label[label[u]]), so remaining component depth halves
+    * per round and the loop converges in O(log diameter) rounds
+    * instead of O(diameter) — the same doubling trick that makes
+    * large-star/small-star work at billion-edge scale. The driver loop
+    * only orchestrates; all data movement is shuffle joins on doc_id,
+    * and each round's result is localCheckpointed so lineage stays
+    * flat. The convergence check reads the carried old label from the
+    * same checkpointed frame — no extra join or job per round. */
   def d6DupGroups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
@@ -211,6 +213,17 @@ object Dedup {
       val edges = pairs.union(pairs.select($"id_b", $"id_a"))
         .toDF("src", "dst").cache()
       scaffolding += edges
+      // the iterative tail runs many small jobs; its shuffle width
+      // follows the pair-graph size (the per-stage decision AQE makes
+      // for one-shot queries) — a dup graph of thousands of edges on a
+      // 32-way shuffle is pure task-startup overhead per round, while
+      // a billion-edge graph keeps the session's full width
+      val loopParts = math.max(1L, math.min(
+        s.sessionState.conf.numShufflePartitions.toLong,
+        edges.count() / 100000L)).toInt
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      try {
       var labels = edges.select($"src".as("doc_id")).distinct()
         .select($"doc_id", $"doc_id".as("group_id"))
         .localCheckpoint(true)
@@ -220,14 +233,29 @@ object Dedup {
       while (changed > 0 && iter < maxIters) {
         val fromNbr = edges
           .join(labels.select($"doc_id".as("dst"), $"group_id"), "dst")
-          .select($"src".as("doc_id"), $"group_id")
-        val next = labels.union(fromNbr)
-          .groupBy($"doc_id").agg(min($"group_id").as("group_id"))
+          .select($"src".as("doc_id"), lit(null).cast("long").as("old_gid"),
+            $"group_id")
+        // neighbor-min round, carrying each node's previous label
+        // (every doc_id has exactly one `labels` row, so max(old_gid)
+        // recovers it through the union's nulls)
+        val prop = labels
+          .select($"doc_id", $"group_id".as("old_gid"), $"group_id")
+          .union(fromNbr)
+          .groupBy($"doc_id")
+          .agg(max($"old_gid").as("old_gid"), min($"group_id").as("group_id"))
+          .cache() // referenced twice by the compression self-join
+        // pointer jumping: a node's label is itself a node in the same
+        // component (labels only ever hold reachable ids), so adopting
+        // label[label[u]] is sound and halves the remaining depth
+        val next = prop.as("a")
+          .join(prop.select($"doc_id".as("gid"), $"group_id".as("ggid")).as("b"),
+            $"a.group_id" === $"b.gid")
+          .select($"a.doc_id", $"a.old_gid",
+            least($"a.group_id", $"ggid").as("group_id"))
           .localCheckpoint(true)
-        changed = next
-          .join(labels.select($"doc_id", $"group_id".as("old_gid")), "doc_id")
-          .filter($"group_id" =!= $"old_gid").count()
-        labels = next
+        changed = next.filter($"group_id" =!= $"old_gid").count()
+        prop.unpersist()
+        labels = next.select($"doc_id", $"group_id")
         iter += 1
       }
       // fail LOUDLY rather than return partially-propagated labels — a
@@ -236,6 +264,7 @@ object Dedup {
         s"d6 label propagation did not converge in $maxIters rounds " +
           s"($changed labels still changing) — component diameter exceeds the bound")
       labels
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     } { scaffolding.foreach(_.unpersist()) }
       .orderBy($"doc_id")
   }

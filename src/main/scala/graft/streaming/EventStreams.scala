@@ -15,6 +15,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Production state-store configuration: RocksDB keeps state off-heap
+    * (bounded executor memory however large the keyspace grows), and
+    * changelog checkpointing uploads only each micro-batch's delta to
+    * the checkpoint location instead of snapshotting the full store —
+    * at large state (billions of keys across 1000 executors) the
+    * snapshot upload is the commit-latency bottleneck, the changelog
+    * is O(batch). Snapshots still happen, asynchronously, for bounded
+    * replay on recovery. */
+  val stateStoreConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   /** One event on the wire. `ms` is epoch milliseconds (the parquet
     * source carries ns — see Tables.eventsWithMs). */
   case class Event(user_id: Long, event_id: Long, ms: Long,

@@ -263,6 +263,66 @@ class StreamingSpec extends GraftSpecBase {
     assert(got == want, s"${got.size} sink rows vs ${want.size} batch rows")
   }
 
+  test("stateful file-to-file sessionize job with changelog checkpointing recovers across restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.streaming.Trigger
+    // the full production shape for a STATEFUL job: file source →
+    // flatMapGroupsWithState sessionizer → file sink, RocksDB store
+    // with changelog checkpointing, killed and resumed mid-stream —
+    // open-session state must survive the restart through the
+    // checkpoint's changelog + snapshot
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sess_src").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_sess_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sess_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ms", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val events = loadEvents
+    val prev = EventStreams.stateStoreConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    EventStreams.stateStoreConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(srcDir).as[Event]
+      val q = EventStreams.sessionize(src)
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    try {
+      // time-ordered halves: the first run closes what it can and
+      // leaves every user's latest fragment open in RocksDB state; the
+      // second run (a NEW query instance on the same checkpoint) must
+      // resume from that state to close and number sessions correctly
+      val (h1, h2) = events.splitAt(events.size / 2)
+      spark.createDataset(h1).write.mode("append").parquet(srcDir)
+      runOnce()
+      spark.createDataset(h2).write.mode("append").parquet(srcDir)
+      runOnce()
+      val closed = spark.read.parquet(sinkDir).as[SessionOut].collect()
+        .map(s => (s.user_id, s.session_id, s.n_events, s.start_ms, s.end_ms)).toSet
+      val batch = operators.Sessionize.q14Sessionize(spark, sf)
+        .select($"user_id", $"session_id", $"n_events", $"start_ms", $"end_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val lastPerUser = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val expectClosed = batch.filterNot { case (u, sid, _, _, _) => lastPerUser(u) == sid }
+      assert(closed == expectClosed,
+        s"${closed.size} closed vs ${expectClosed.size} expected")
+      // changelog checkpointing really engaged: the state checkpoint
+      // carries .changelog delta files, not only full snapshots
+      val changelogs = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(_.toString.endsWith(".changelog")).count()
+      assert(changelogs > 0, s"no .changelog files under $ckpt")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("batch-mode sessionizer with flush equals q14 exactly") {
     import spark.implicits._
     val ds = Tables.eventsWithMs(spark, sf)
