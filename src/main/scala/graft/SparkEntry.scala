@@ -77,6 +77,9 @@ object SparkEntry {
     "q31_string_agg"     -> (Advanced.q31StringAgg _),
     "q32_date_parts"     -> (Advanced.q32DateParts _),
     "q33_vector_stats"   -> (Similarity.q33VectorStats _),
+    "q34_upsert"         -> (Relational.q34Upsert _),
+    "t6_heavy_hitters"   -> (TextAnalysis.t6HeavyHitters _),
+    "t7_bigram_freq"     -> (TextAnalysis.t7BigramFreq _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -560,5 +563,37 @@ object SparkEntry {
            floor(min(nrm) * 10000) / 10000.0 AS min_norm,
            floor(max(nrm) * 10000) / 10000.0 AS max_norm
          FROM e GROUP BY 1 ORDER BY 1""",
+    "q34_upsert" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderkey % 7 <> 0),
+         delta AS (
+           SELECT o_orderkey, o_custkey AS d_custkey,
+             o_totalprice + 1000.0 AS d_totalprice, 'U' AS d_status
+           FROM orders WHERE o_orderkey % 5 = 0)
+         SELECT COALESCE(base.o_orderkey, delta.o_orderkey) AS o_orderkey,
+           COALESCE(d_custkey, base.o_custkey) AS o_custkey,
+           COALESCE(d_totalprice, base.o_totalprice) AS o_totalprice,
+           COALESCE(d_status, base.o_orderstatus) AS o_orderstatus
+         FROM base FULL OUTER JOIN delta
+           ON base.o_orderkey = delta.o_orderkey
+         ORDER BY o_orderkey""",
+    "t6_heavy_hitters" ->
+      """WITH tok AS (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         nonempty AS (SELECT token FROM tok WHERE token <> '')
+         SELECT token, count(*) AS n FROM nonempty
+         GROUP BY 1
+         HAVING count(*) * 1000 >= (SELECT count(*) FROM nonempty) * 34
+         ORDER BY token""",
+    "t7_bigram_freq" ->
+      """WITH toks AS (
+           SELECT string_split(text, ' ') AS t FROM documents),
+         bg AS (
+           SELECT z[1] || ' ' || z[2] AS bigram
+           FROM toks, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u(z)
+           WHERE len(t) >= 2)
+         SELECT bigram, count(*) AS n FROM bg
+         GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""",
   )
 }

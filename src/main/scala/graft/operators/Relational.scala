@@ -213,4 +213,33 @@ object Relational {
       .na.fill(0L, types)
       .orderBy($"user_id")
   }
+
+  /** Q34: upsert / CDC merge — apply a change batch onto a base
+    * snapshot by key: delta rows override matching base rows (updates)
+    * and land as new rows where the base has no key (inserts). The
+    * deterministic derivation: base = orders outside every 7th key,
+    * delta = every 5th order repriced (+1000, exact double arithmetic —
+    * no rounding divergence) and flagged 'U'.
+    *
+    * One full-outer shuffle join on the key + per-column coalesce —
+    * the engine-agnostic MERGE INTO shape. At 100 TB the base side is
+    * bucketed/partitioned by the same key, so the delta (typically
+    * orders of magnitude smaller) shuffles to it and the join is
+    * co-located; nothing is ever broadcast or collected. */
+  def q34Upsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+    val base = orders.filter($"o_orderkey" % 7 =!= 0)
+    val delta = orders.filter($"o_orderkey" % 5 === 0)
+      .select($"o_orderkey", $"o_custkey".as("d_custkey"),
+        ($"o_totalprice" + 1000.0).as("d_totalprice"),
+        lit("U").as("d_status"))
+    base.join(delta, Seq("o_orderkey"), "full_outer")
+      .select($"o_orderkey",
+        coalesce($"d_custkey", $"o_custkey").as("o_custkey"),
+        coalesce($"d_totalprice", $"o_totalprice").as("o_totalprice"),
+        coalesce($"d_status", $"o_orderstatus").as("o_orderstatus"))
+      .orderBy($"o_orderkey")
+  }
 }

@@ -84,4 +84,53 @@ object TextAnalysis {
         (floor($"n_distinct".cast("double") / $"n_tokens".cast("double") * 10000) / 10000.0).as("distinct_ratio"))
       .orderBy($"doc_id")
   }
+
+  /** T6: corpus heavy hitters — tokens holding at least 3.4% of all
+    * token occurrences. The frequency table is one explode + grouped
+    * count (map-side partials carry the load); the threshold compare
+    * is INTEGER arithmetic (`n*1000 >= total*34`) so Spark and the
+    * DuckDB oracle agree bit-for-bit at the boundary. At 100 TB the
+    * exact form is still one shuffle keyed on token; the sketch twin
+    * (`t6Cms`, spec-bounded) serves when even that table is too big. */
+  def t6HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select(explode(tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+    val total = tok.agg(count(lit(1)).as("total"))
+    tok.groupBy($"token").agg(count(lit(1)).as("n"))
+      .join(broadcast(total))
+      .filter($"n" * 1000 >= $"total" * 34)
+      .select($"token", $"n")
+      .orderBy($"token")
+  }
+
+  /** The sketch twin of t6: a Count-Min estimate for every token —
+    * the bounded-memory path when the exact frequency table itself is
+    * too large to materialize. The sketch is a fixed-size mergeable
+    * artifact (one per partition, merged on the driver), so the
+    * aggregation is one pass with no shuffle of per-token rows. */
+  def t6Cms(s: SparkSession, dir: String,
+      eps: Double = 0.001, confidence: Double = 0.99)
+      : org.apache.spark.util.sketch.CountMinSketch = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+      .stat.countMinSketch("token", eps, confidence, 42)
+  }
+
+  /** T7: bigram frequency table — the top-50 most frequent bigrams
+    * corpus-wide (n-gram LM / contamination statistics). Same explode +
+    * grouped-count shape as t6; the top-50 is a TakeOrderedAndProject
+    * (per-partition heaps, no global sort). */
+  def t7BigramFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("w", tokens($"text"))
+      .select(explode(ngramsFromTokens($"w", 2)).as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(50)
+  }
 }

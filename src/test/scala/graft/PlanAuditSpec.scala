@@ -93,6 +93,18 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(j == Set((1L, Some(90L), Some(7L)), (2L, None, None)), j.toString)
   }
 
+  test("t7: corpus top-50 plans as TakeOrderedAndProject over a partial agg") {
+    val p = plan(operators.TextAnalysis.t7BigramFreq(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q34: upsert is one shuffle full-outer join on the key") {
+    val p = plan(operators.Relational.q34Upsert(spark, sf))
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("as-of exec self-join: shared lineage resolves via fresh right-side ids") {
     import spark.implicits._
     // both sides derive from the SAME DataFrame — without attribute

@@ -63,4 +63,28 @@ class RelationalSpec extends GraftSpecBase {
         $"start_ms" - $"prev_end" <= operators.Sessionize.SessionGapMs)
     assert(bad.count() == 0)
   }
+
+  test("q34 upsert: delta overrides base, inserts new keys, untouched rows pass through") {
+    import spark.implicits._
+    val merged = operators.Relational.q34Upsert(spark, sf)
+    val orders = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+    // exactly the union of base and delta keys, once each
+    val baseKeys = orders.filter($"o_orderkey" % 7 =!= 0)
+      .select($"o_orderkey").as[Long].collect().toSet
+    val deltaKeys = orders.filter($"o_orderkey" % 5 === 0)
+      .select($"o_orderkey").as[Long].collect().toSet
+    val keys = merged.select($"o_orderkey").as[Long].collect().toSeq
+    assert(keys.toSet == (baseKeys ++ deltaKeys) && keys.size == keys.toSet.size)
+    // delta keys carry the repriced value and the 'U' flag; others are
+    // byte-identical to the base snapshot
+    val orig = orders.as[(Long, Long, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    merged.as[(Long, Long, Double, String)].collect().foreach {
+      case (k, c, p, st) =>
+        val (_, oc, op, ost) = orig(k)
+        if (deltaKeys(k)) assert(st == "U" && p == op + 1000.0 && c == oc)
+        else assert(st == ost && p == op && c == oc, s"base row $k changed")
+    }
+  }
 }

@@ -69,4 +69,41 @@ class TextAnalysisSpec extends GraftSpecBase {
       else assert(frac == 1.0, s"$lang kept $frac, expected all")
     }
   }
+
+  test("heavy hitters hold >= 3.4% of tokens each; count-min bounds their exact counts") {
+    import spark.implicits._
+    val hh = operators.TextAnalysis.t6HeavyHitters(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(hh.nonEmpty)
+    val exact = Tables.documents(spark, sf)
+      .select(explode(TextFunctions.tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token").count().as[(String, Long)].collect().toMap
+    val totalTok = exact.values.sum
+    hh.foreach { case (t, n) =>
+      assert(exact(t) == n && n * 1000 >= totalTok * 34, s"$t n=$n total=$totalTok")
+    }
+    // count-min never undercounts, and overcounts by at most eps * total
+    // (the sketch guarantee with prob >= confidence)
+    val cms = operators.TextAnalysis.t6Cms(spark, sf, eps = 0.001, confidence = 0.99)
+    exact.foreach { case (t, n) =>
+      val est = cms.estimateCount(t)
+      assert(est >= n, s"$t: cms $est < exact $n")
+      assert(est <= n + math.ceil(0.001 * totalTok).toLong, s"$t: cms $est too high vs $n")
+    }
+  }
+
+  test("bigram freq: top-50, counts descending, consistent with per-doc bigrams") {
+    import spark.implicits._
+    val bf = operators.TextAnalysis.t7BigramFreq(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(bf.size <= 50 && bf.nonEmpty)
+    assert(bf.map(_._2) == bf.map(_._2).sorted.reverse, "counts must be non-increasing")
+    // every reported bigram really occurs that many times
+    val all = Tables.documents(spark, sf)
+      .withColumn("w", TextFunctions.tokens($"text"))
+      .select(explode(TextFunctions.ngramsFromTokens($"w", 2)).as("bigram"))
+      .groupBy($"bigram").count().as[(String, Long)].collect().toMap
+    bf.foreach { case (b, n) => assert(all(b) == n, s"$b: $n vs ${all(b)}") }
+  }
 }
