@@ -46,8 +46,9 @@ object ScaleProbe {
     println(s"== corpus: $nd docs, $ne embeddings (x$factor from sf0.1)")
 
     for (q <- Seq("d1_exact_dedup", "t5_repetition", "t2_quality_score",
+                  "t6_heavy_hitters", "t7_bigram_freq",
                   "d4_simhash", "d3_minhash_lsh", "d5_embedding_dedup",
-                  "d2_ngram_jaccard")) {
+                  "d2_ngram_jaccard", "d6_dup_groups")) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, out).count()
       println(f"== $q%-22s ${(System.nanoTime() - t0) / 1e9}%7.1f s  ($n rows)")

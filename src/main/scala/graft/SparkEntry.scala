@@ -78,6 +78,7 @@ object SparkEntry {
     "q32_date_parts"     -> (Advanced.q32DateParts _),
     "q33_vector_stats"   -> (Similarity.q33VectorStats _),
     "q34_upsert"         -> (Relational.q34Upsert _),
+    "q35_sql"            -> (Relational.q35Sql _),
     "t6_heavy_hitters"   -> (TextAnalysis.t6HeavyHitters _),
     "t7_bigram_freq"     -> (TextAnalysis.t7BigramFreq _),
   )
@@ -578,13 +579,24 @@ object SparkEntry {
          FROM base FULL OUTER JOIN delta
            ON base.o_orderkey = delta.o_orderkey
          ORDER BY o_orderkey""",
+    "q35_sql" ->
+      """SELECT n_name,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1997-01-01'
+         GROUP BY n_name
+         ORDER BY n_name""",
     "t6_heavy_hitters" ->
       """WITH tok AS (
            SELECT unnest(string_split(text, ' ')) AS token FROM documents),
          nonempty AS (SELECT token FROM tok WHERE token <> '')
          SELECT token, count(*) AS n FROM nonempty
          GROUP BY 1
-         HAVING count(*) * 1000 >= (SELECT count(*) FROM nonempty) * 34
+         HAVING count(*) * 1000 >= (SELECT count(*) FROM nonempty) * 33
          ORDER BY token""",
     "t7_bigram_freq" ->
       """WITH toks AS (

@@ -226,6 +226,29 @@ object Relational {
     * bucketed/partitioned by the same key, so the delta (typically
     * orders of magnitude smaller) shuffles to it and the join is
     * co-located; nothing is ever broadcast or collected. */
+  /** Q35: the SQL surface — the same engine driven through `spark.sql`
+    * over registered temp views, proving a SQL-speaking user runs
+    * their queries untranslated. The statement compiles to the same
+    * Catalyst plan the DataFrame formulation would (pushdown,
+    * broadcast dims, partial aggs all apply unchanged); the oracle is
+    * the identical statement in DuckDB. */
+  def q35Sql(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+    s.sql("""
+      SELECT n_name,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders_v
+      JOIN customer_v ON o_custkey = c_custkey
+      JOIN nation_v ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY n_name""")
+  }
+
   def q34Upsert(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val orders = Tables.orders(s, dir)

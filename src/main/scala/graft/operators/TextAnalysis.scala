@@ -85,10 +85,10 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  /** T6: corpus heavy hitters — tokens holding at least 3.4% of all
+  /** T6: corpus heavy hitters — tokens holding at least 3.3% of all
     * token occurrences. The frequency table is one explode + grouped
     * count (map-side partials carry the load); the threshold compare
-    * is INTEGER arithmetic (`n*1000 >= total*34`) so Spark and the
+    * is INTEGER arithmetic (`n*1000 >= total*33`) so Spark and the
     * DuckDB oracle agree bit-for-bit at the boundary. At 100 TB the
     * exact form is still one shuffle keyed on token; the sketch twin
     * (`t6Cms`, spec-bounded) serves when even that table is too big. */
@@ -100,7 +100,7 @@ object TextAnalysis {
     val total = tok.agg(count(lit(1)).as("total"))
     tok.groupBy($"token").agg(count(lit(1)).as("n"))
       .join(broadcast(total))
-      .filter($"n" * 1000 >= $"total" * 34)
+      .filter($"n" * 1000 >= $"total" * 33)
       .select($"token", $"n")
       .orderBy($"token")
   }
