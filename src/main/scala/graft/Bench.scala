@@ -8,11 +8,22 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JVM/codegen spin-up and first-touch of the input
-    // files otherwise lands on whichever query happens to run first
+    // untimed warmup: run the whole suite once at the smallest SF.
+    // Whole-stage codegen sources depend on plan shape, not data, so
+    // this compiles every query's generated classes (and C2-JITs the
+    // interpreters they run on) before anything is timed — the timed
+    // sweeps below then measure the benched dataset's compute, not
+    // compiler latency. No result leaks across: frame memos and
+    // model/index registries key on the dataset dir, and the warmup
+    // dir's entries are dropped before the timed sweeps.
+    val warmupDir = "/root/testdata/sf0.001"
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
-      SparkEntry.queries.get("q1_pricing_summary").foreach(_(spark, sfDir).count())
+      if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
+        SparkEntry.queries.foreach { case (_, fn) =>
+          try fn(spark, warmupDir).count() catch { case _: Throwable => }
+        }
+      Caches.clear()
     } catch { case _: Throwable => }
     // optional arg: regex over query names, for timing a subset
     // without the full 61-entry sweep (e.g. `runMain graft.Bench d6.*`)
