@@ -122,18 +122,29 @@ object Dedup {
     // whole subtree for each side
     val sh = shingleIndexOf(docsDf).cache()
     val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-    // per-doc shingle array in canonical (df asc, shingle asc) order
-    val docs = sh.join(freq, "shingle")
+    // dictionary-encode the vocabulary: sid = rank in (df asc, shingle
+    // asc) order, so ascending sid IS the canonical rarest-first order
+    // AND the merge order — one sorted int array per doc serves both
+    // the prefix slice and the verify. Arrays of ints instead of
+    // 20-byte shingle strings cut the candidate-join shuffle ~5× (the
+    // measured d2 bottleneck at 20×: 23.6M pairs × 2 arrays). The
+    // dictionary is vocabulary-sized (orders below the corpus — 39k at
+    // 20×), so the single-partition rank window is a non-issue here;
+    // at a billion-shingle vocabulary the same ids come from
+    // zipWithIndex over a range-partitioned sort.
+    val dict = freq.select($"shingle", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"df", $"shingle"))
+      .as("sid")).cache()
+    val docs = sh.join(broadcast(dict), "shingle")
       .groupBy($"doc_id")
-      .agg(array_sort(collect_list(struct($"df", $"shingle"))).as("ordered"))
-      .select($"doc_id", transform($"ordered", _.getField("shingle")).as("sh"),
-        size($"ordered").as("n_sh"))
+      .agg(array_sort(collect_list($"sid")).as("sh"))
+      .select($"doc_id", $"sh", size($"sh").as("n_sh"))
       .cache()
     // prefix length p = n - ceil(t*n) + 1, with each element's 1-based
     // position for the positional filter
     val prefix = docs.select($"doc_id", $"n_sh",
       posexplode(slice($"sh", lit(1), ($"n_sh" - ceil($"n_sh" * t) + 1).cast("int"))))
-      .select($"doc_id", $"n_sh", ($"pos" + 1).as("p"), $"col".as("p_shingle"))
+      .select($"doc_id", $"n_sh", ($"pos" + 1).as("p"), $"col".as("p_sid"))
     // candidate pruning before the expensive verify:
     //  - size filter: J >= t ⟹ t·|A| <= |B| <= |A|/t
     //  - positional filter (PPJoin): overlap from match position
@@ -142,22 +153,25 @@ object Dedup {
     val overlapNeeded = ceil(($"x.n_sh" + $"y.n_sh") * (t / (1 + t)))
     val overlapUbound = lit(1) + least($"x.n_sh" - $"x.p", $"y.n_sh" - $"y.p")
     val cands = prefix.as("x").join(prefix.as("y"),
-        $"x.p_shingle" === $"y.p_shingle" && $"x.doc_id" < $"y.doc_id" &&
+        $"x.p_sid" === $"y.p_sid" && $"x.doc_id" < $"y.doc_id" &&
         $"y.n_sh" >= ceil($"x.n_sh" * t) && $"x.n_sh" >= ceil($"y.n_sh" * t) &&
         overlapUbound >= overlapNeeded)
       .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
       .distinct()
-    // materialize the intersection size ONCE per pair: the filter and
-    // the projection would otherwise each re-evaluate array_intersect
+    // materialize the intersection size ONCE per pair (the filter and
+    // the projection would otherwise each re-evaluate it), via the
+    // codegen two-pointer merge over the pre-sorted id arrays — not
+    // array_intersect, which builds a hash set and materializes the
+    // intersection array per PAIR
     val j = $"n_both".cast("double") / ($"na" + $"nb" - $"n_both").cast("double")
     val pairs = cands
       .join(docs.as("sa"), $"id_a" === $"sa.doc_id")
       .join(docs.as("sb"), $"id_b" === $"sb.doc_id")
       .select($"id_a", $"id_b", $"sa.n_sh".as("na"), $"sb.n_sh".as("nb"),
-        size(array_intersect($"sa.sh", $"sb.sh")).as("n_both"))
+        call_function("sorted_intersect_size", $"sa.sh", $"sb.sh").as("n_both"))
       .filter(j >= t)
       .select($"id_a", $"id_b", round(j, 4).as("jaccard"))
-    (pairs, Seq(sh, docs))
+    (pairs, Seq(sh, dict, docs))
   }
 
   /** P1: the end-to-end corpus-cleaning pipeline an LLM data run

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayDot, MinHashAgg, SimHashAgg, TopKAgg}
+import graft.functions.{ArrayDot, MinHashAgg, SimHashAgg, SortedIntersectSize, TopKAgg}
 
 /** Session extensions: registers graft's native Catalyst expressions
   * so they resolve in both the Column DSL (`call_function`) and SQL.
@@ -31,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashAgg(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedIntersectSize(children(0), children(1))))
     ext.injectOptimizerRule(_ => FuseArrayDot)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }

@@ -15,6 +15,32 @@ class DedupSpec extends GraftSpecBase {
     assert(exactPairs.nonEmpty, "expected planted near-dups at sf0.001")
   }
 
+  test("sorted_intersect_size equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { _ =>
+      def arr() = rnd.shuffle((0 until 60).toList).take(rnd.nextInt(20) + 1)
+        .map(i => s"sh$i").distinct.sorted
+      (arr(), arr())
+    } :+ ((Nil: List[String], List("sh1"))) :+ ((List("a"), Nil: List[String]))
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+        call_function("sorted_intersect_size", $"a", $"b").as("fast"),
+        size(array_intersect($"a", $"b")).as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(bad.count() == 0)
+    // int-array variant (the d2 verify path after dictionary encoding)
+    val intRows = rows.map { case (a, b) =>
+      (a.map(_.drop(2).toIntOption.getOrElse(-1)).sorted,
+        b.map(_.drop(2).toIntOption.getOrElse(-1)).sorted)
+    }
+    val intBad = intRows.toDF("ai", "bi")
+      .select(call_function("sorted_intersect_size", $"ai", $"bi").as("fast"),
+        size(array_intersect($"ai", $"bi")).as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(intBad.count() == 0)
+  }
+
   test("minhash-lsh recalls >= 80% of exact near-dup pairs") {
     import spark.implicits._
     val approx = Dedup.d3MinhashLsh(spark, sf)
