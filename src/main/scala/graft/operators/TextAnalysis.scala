@@ -65,20 +65,26 @@ object TextAnalysis {
   /** T5: repetition metrics — the Gopher-style repetition filters a
     * corpus pipeline gates on: `rep2` = fraction of all bigrams taken
     * by the single most frequent bigram (high = loopy/templated text)
-    * and the distinct-token ratio. Bigram counting is an explode +
-    * two-level aggregate, so the heavy step is map-side partial
-    * counts, not a per-doc in-memory histogram. */
+    * and the distinct-token ratio.
+    *
+    * Zero-shuffle: the top-bigram multiplicity is the longest run of
+    * equal elements in the doc's SORTED bigram array, computed by the
+    * codegen `max_run_length` expression — no explode, no grouped
+    * re-aggregation of bigram occurrence rows (the previous
+    * formulation shuffled every bigram occurrence twice; at 20× that
+    * was most of its 14+ s; an interpreted HOF fold was tried and
+    * spent tens of seconds in CodegenFallback warm-up). The whole
+    * operator now runs at scan speed, like t1–t4. */
   def t5Repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bi = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .withColumn("w", tokens($"text"))
+      .withColumn("bi", array_sort(ngramsFromTokens($"w", 2)))
       .select($"doc_id", size($"w").as("n_tokens"),
         size(array_distinct($"w")).as("n_distinct"),
-        explode(ngramsFromTokens($"w", 2)).as("bigram"))
-    bi.groupBy($"doc_id", $"n_tokens", $"n_distinct", $"bigram")
-      .agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id", $"n_tokens", $"n_distinct")
-      .agg(max($"c").as("top_n"), sum($"c").as("n_bi"))
+        call_function("max_run_length", $"bi").as("top_n"),
+        size($"bi").as("n_bi"))
+      .filter($"n_bi" > 0) // docs with < 2 tokens have no bigram stats
       .select($"doc_id", $"n_tokens",
         (floor($"top_n".cast("double") / $"n_bi".cast("double") * 10000) / 10000.0).as("rep2"),
         (floor($"n_distinct".cast("double") / $"n_tokens".cast("double") * 10000) / 10000.0).as("distinct_ratio"))

@@ -70,6 +70,21 @@ class TextAnalysisSpec extends GraftSpecBase {
     }
   }
 
+  test("max_run_length equals the max element multiplicity of a sorted array") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 100).map { _ =>
+      (0 until rnd.nextInt(30)).map(_ => s"e${rnd.nextInt(6)}").sorted.toList
+    } :+ Nil :+ List("x") :+ List("y", "y", "y")
+    val bad = rows.toDF("a")
+      .select(call_function("max_run_length", $"a").as("fast"),
+        // reference: multiplicity of the most frequent element, 0 if empty
+        coalesce(array_max(transform(array_distinct($"a"),
+          e => size(filter($"a", v => v === e)).cast("long"))), lit(0L)).as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(bad.count() == 0)
+  }
+
   test("heavy hitters hold >= 3.3% of tokens each; count-min bounds their exact counts") {
     import spark.implicits._
     val hh = operators.TextAnalysis.t6HeavyHitters(spark, sf)
