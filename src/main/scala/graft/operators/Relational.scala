@@ -255,14 +255,25 @@ object Relational {
       .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
     val base = orders.filter($"o_orderkey" % 7 =!= 0)
     val delta = orders.filter($"o_orderkey" % 5 === 0)
-      .select($"o_orderkey", $"o_custkey".as("d_custkey"),
-        ($"o_totalprice" + 1000.0).as("d_totalprice"),
-        lit("U").as("d_status"))
-    base.join(delta, Seq("o_orderkey"), "full_outer")
-      .select($"o_orderkey",
-        coalesce($"d_custkey", $"o_custkey").as("o_custkey"),
-        coalesce($"d_totalprice", $"o_totalprice").as("o_totalprice"),
-        coalesce($"d_status", $"o_orderstatus").as("o_orderstatus"))
-      .orderBy($"o_orderkey")
+      .select($"o_orderkey", $"o_custkey",
+        ($"o_totalprice" + 1000.0).as("o_totalprice"),
+        lit("U").as("o_orderstatus"))
+    upsert(base, delta, "o_orderkey").orderBy($"o_orderkey")
+  }
+
+  /** Generic MERGE by key: delta rows override matching base rows,
+    * delta-only keys insert, base-only rows pass through. Both sides
+    * must share the schema; delta must be unique per key. One
+    * full-outer shuffle join + per-column coalesce — at scale the base
+    * is partitioned/bucketed on the key so the (smaller) delta
+    * shuffles to it. */
+  def upsert(base: DataFrame, delta: DataFrame, key: String): DataFrame = {
+    val cols = base.columns.filterNot(_ == key)
+    val renamed = cols.foldLeft(delta) { (df, c) =>
+      df.withColumnRenamed(c, "__d_" + c)
+    }
+    base.join(renamed, Seq(key), "full_outer")
+      .select(col(key) +: cols.map(c =>
+        coalesce(col("__d_" + c), col(c)).as(c)): _*)
   }
 }

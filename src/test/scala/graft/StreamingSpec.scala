@@ -323,6 +323,65 @@ class StreamingSpec extends GraftSpecBase {
     }
   }
 
+  test("streaming CDC upsert maintains the base table across batches and restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // base snapshot on disk
+    val baseDir = java.nio.file.Files.createTempDirectory("graft_cdc").toString + "/base"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cdc_src").toString
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "amount").write.parquet(baseDir)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("amount", DoubleType)))
+    def runOnce(): Unit = {
+      val changes = spark.readStream.schema(schema).parquet(srcDir)
+      val q = graft.streaming.CdcStream.start(changes, baseDir, "id", ckpt)
+      q.awaitTermination()
+    }
+    // batch 1: update id=2, insert id=4
+    Seq((2L, "b2", 25.0), (4L, "d", 40.0)).toDF("id", "name", "amount")
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    // a NEW query instance on the same checkpoint: update id=4 again
+    // (cross-batch key repeat → last batch wins), insert id=5
+    Seq((4L, "d2", 44.0), (5L, "e", 50.0)).toDF("id", "name", "amount")
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    val got = spark.read.parquet(baseDir).as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0),
+      (4L, "d2", 44.0), (5L, "e", 50.0)), got.toString)
+  }
+
+  test("two concurrent queries drain one shared source independently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents
+    val stream = MemoryStream[Event]
+    // one upstream, two independent stateful consumers — each query
+    // tracks its own offsets and state in its own checkpoint
+    val q1 = EventStreams.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("mq_sessions")
+      .outputMode("append").start()
+    val q2 = EventStreams.windowedAgg(stream.toDF())
+      .writeStream.format("memory").queryName("mq_win")
+      .outputMode("complete").start()
+    try {
+      events.grouped(math.max(1, events.size / 3 + 1)).foreach { chunk =>
+        stream.addData(chunk)
+        q1.processAllAvailable(); q2.processAllAvailable()
+      }
+      val win = spark.table("mq_win")
+        .select(($"window_start_ms" / 3600000L).cast("long"), $"event_type", $"n", $"total_value")
+        .collect().map(_.toSeq).toSet
+      val wantWin = operators.Sessionize.st1WindowAgg(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(win == wantWin)
+      assert(spark.table("mq_sessions").count() > 0)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("batch-mode sessionizer with flush equals q14 exactly") {
     import spark.implicits._
     val ds = Tables.eventsWithMs(spark, sf)
