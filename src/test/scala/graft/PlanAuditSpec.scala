@@ -93,6 +93,21 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(j == Set((1L, Some(90L), Some(7L)), (2L, None, None)), j.toString)
   }
 
+  test("t5: zero-shuffle — only the presentation sort exchanges data") {
+    val p = plan(operators.TextAnalysis.t5Repetition(spark, sf))
+    // the only exchange is the final orderBy's range partitioning —
+    // no hash exchange means no aggregation/join shuffle anywhere
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("hashpartitioning"), p)
+    assert(p.contains("max_run_length"), p)
+  }
+
+  test("d2: verify runs the sorted merge expression, not array_intersect") {
+    val p = plan(operators.Dedup.d2NgramJaccard(spark, sf))
+    assert(p.contains("sorted_intersect_size"), p)
+    assert(!p.contains("array_intersect"), p)
+  }
+
   test("t7: corpus top-50 plans as TakeOrderedAndProject over a partial agg") {
     val p = plan(operators.TextAnalysis.t7BigramFreq(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
