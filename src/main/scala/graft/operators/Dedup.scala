@@ -113,7 +113,7 @@ object Dedup {
   /** The PPJoin core over an arbitrary (doc_id, text, …) frame.
     * Returns (pairs, scaffolding caches for the caller to unpersist
     * once the result is materialized). */
-  private def ngramJaccardPairs(docsDf: DataFrame): (DataFrame, Seq[DataFrame]) = {
+  private[graft] def ngramJaccardPairs(docsDf: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val s = docsDf.sparkSession
     import s.implicits._
     val t = JaccardThreshold
@@ -124,18 +124,36 @@ object Dedup {
     val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
     // dictionary-encode the vocabulary: sid = rank in (df asc, shingle
     // asc) order, so ascending sid IS the canonical rarest-first order
-    // AND the merge order — one sorted int array per doc serves both
-    // the prefix slice and the verify. Arrays of ints instead of
+    // AND the merge order — one sorted integer array per doc serves
+    // both the prefix slice and the verify. Fixed-width ids instead of
     // 20-byte shingle strings cut the candidate-join shuffle ~5× (the
-    // measured d2 bottleneck at 20×: 23.6M pairs × 2 arrays). The
-    // dictionary is vocabulary-sized (orders below the corpus — 39k at
-    // 20×), so the single-partition rank window is a non-issue here;
-    // at a billion-shingle vocabulary the same ids come from
-    // zipWithIndex over a range-partitioned sort.
-    val dict = freq.select($"shingle", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy($"df", $"shingle"))
-      .as("sid")).cache()
-    val docs = sh.join(broadcast(dict), "shingle")
+    // measured d2 bottleneck at 20×: 23.6M pairs × 2 arrays).
+    //
+    // Id assignment is DISTRIBUTED: range-partition the vocabulary on
+    // the sort key, sort within partitions, and zipWithIndex — which
+    // numbers rows in partition order, so the global index IS the
+    // (df, shingle) rank. No row ever funnels through a single task,
+    // so this holds at a billions-entry vocabulary (ids are longs for
+    // the same reason), unlike a partitionBy-less row_number window
+    // whose one-partition sort would be d2's OOM point at corpus scale.
+    val dict = {
+      val sorted = freq
+        .repartitionByRange(s.sessionState.conf.numShufflePartitions, $"df", $"shingle")
+        .sortWithinPartitions($"df", $"shingle")
+      val outSchema = org.apache.spark.sql.types.StructType(
+        sorted.schema.fields :+
+          org.apache.spark.sql.types.StructField("sid", org.apache.spark.sql.types.LongType, false))
+      s.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+        }, outSchema)
+        .select($"shingle", $"sid")
+        .cache()
+    }
+    // no broadcast hint: the dictionary is vocabulary-sized, which AQE
+    // broadcasts at runtime when it is small and keeps as a shuffle
+    // join when it is not (a billion-entry dict must never broadcast)
+    val docs = sh.join(dict, "shingle")
       .groupBy($"doc_id")
       .agg(array_sort(collect_list($"sid")).as("sh"))
       .select($"doc_id", $"sh", size($"sh").as("n_sh"))

@@ -108,6 +108,18 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(!p.contains("array_intersect"), p)
   }
 
+  test("d2: pair build contains no single-partition exchange (dict ids are distributed)") {
+    // the shingle-dictionary id assignment must never funnel the
+    // vocabulary through one task — a partitionBy-less window would
+    // plan an `Exchange SinglePartition` here and OOM at corpus scale
+    val (pairs, scaffolding) = operators.Dedup.ngramJaccardPairs(
+      Tables.documents(spark, sf))
+    try {
+      val p = plan(pairs)
+      assert(!p.contains("SinglePartition"), p)
+    } finally scaffolding.foreach(_.unpersist())
+  }
+
   test("t7: corpus top-50 plans as TakeOrderedAndProject over a partial agg") {
     val p = plan(operators.TextAnalysis.t7BigramFreq(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
