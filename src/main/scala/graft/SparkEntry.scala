@@ -43,6 +43,10 @@ object SparkEntry {
     "d5_embedding_dedup" -> (Similarity.d5EmbeddingDedup _),
     "s1_knn_brute"       -> (Similarity.s1KnnBrute _),
     "s2_ann_ivf"         -> ((s: SparkSession, d: String) => Similarity.s2AnnIvf(s, d)),
+    // the deterministic IVF configuration: probing every cluster makes
+    // the index path exact, so the same brute-force SQL oracles it
+    "s2_ann_full"        -> ((s: SparkSession, d: String) =>
+      Similarity.s2AnnIvf(s, d, Similarity.IvfClusters)),
     "m1_als_recommend"   -> (graft.ml.Recommender.m1AlsRecommend _),
     "m2_sentiment"       -> (graft.ml.Sentiment.m2Sentiment _),
     "m3_similar_items"   -> (graft.ml.Recommender.m3SimilarItems _),
@@ -298,6 +302,21 @@ object SparkEntry {
            FROM scored)
          SELECT q_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
          ORDER BY q_id, rnk""",
+    "s2_ann_full" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             floor(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               * 10000) / 10000.0 AS cos
+           FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id),
+         ranked AS (
+           SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk, neighbor_id, cos
+           FROM scored)
+         SELECT q_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
+         ORDER BY q_id, rnk""",
     "mm1_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
          md5(text) AS digest
@@ -536,11 +555,15 @@ object SparkEntry {
              list_transform(
                list_sort(list({'ms': epoch_ms(ts), 'eid': event_id, 'v': value})),
                r -> r.v) AS vals
-           FROM events GROUP BY 1)
-         SELECT user_id, CAST(len(vals) AS INTEGER) AS n_events,
-           floor(list_reduce(vals, (acc, x) -> 0.25e0 * x + 0.75e0 * acc)
+           FROM events GROUP BY 1),
+         recent AS (
+           SELECT user_id, CAST(len(vals) AS INTEGER) AS n_events,
+             vals[greatest(len(vals) - 255, 1):len(vals)] AS tail_vals
+           FROM seq)
+         SELECT user_id, n_events,
+           floor(list_reduce(tail_vals, (acc, x) -> 0.25e0 * x + 0.75e0 * acc)
              * 10000) / 10000.0 AS ewma
-         FROM seq ORDER BY user_id""",
+         FROM recent ORDER BY user_id""",
     "q31_string_agg" ->
       """SELECT r_name,
          list_aggregate(list_sort(list(n_name)), 'string_agg', ',') AS nations,

@@ -198,23 +198,45 @@ object Advanced {
 
   val EwmaAlpha = 0.25
 
+  /** Per-user event horizon for the EWMA fold. An event `h` steps back
+    * contributes (1−α)^h of its value; at α=0.25 and h=256 that is
+    * ~10⁻³², 28 orders of magnitude below the output's 1e-4
+    * quantization — the windowed fold is numerically indistinguishable
+    * from the full-history one for any bounded value range. */
+  val EwmaHorizon = 256
+
   /** Q30: exponentially-weighted moving average of each user's event
     * values in time order — the time-decay aggregate monitoring
-    * pipelines use. One shuffle to assemble the ordered value list,
-    * then a per-row left fold (`aggregate`) seeded with the first
-    * value; identical fold order in the DuckDB oracle makes it
-    * bit-comparable before the final floor-quantization. */
+    * pipelines use, folded over the most recent `EwmaHorizon` events.
+    *
+    * The horizon is what makes this safe on a hot user: the per-user
+    * sort happens inside the window operator (a spillable external
+    * sort), and only the ≤256-row suffix ever reaches a collect_list
+    * buffer or an array value — an unbounded collect_list of the full
+    * history would put one hot user's millions of events in one
+    * aggregation buffer. The fold itself (`aggregate` seeded with the
+    * suffix's first value) is replicated verbatim in the DuckDB oracle
+    * over the same suffix, so the result is bit-comparable before the
+    * final floor-quantization. */
   def q30Ewma(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val perUser = Tables.eventsWithMs(s, dir)
-      .select($"user_id", struct($"ms", $"event_id", $"value").as("e"))
+    val recency = Window.partitionBy($"user_id").orderBy($"ms".desc, $"event_id".desc)
+    val perUserAll = Window.partitionBy($"user_id")
+    val recent = Tables.eventsWithMs(s, dir)
+      .select($"user_id", $"ms", $"event_id", $"value")
+      .withColumn("rn", row_number().over(recency))
+      .withColumn("n_total", count(lit(1)).over(perUserAll))
+      .filter($"rn" <= EwmaHorizon)
+    val perUser = recent
+      .select($"user_id", $"n_total", struct($"ms", $"event_id", $"value").as("e"))
       .groupBy($"user_id")
-      .agg(array_sort(collect_list($"e")).as("es"))
-      .select($"user_id", transform($"es", _.getField("value")).as("vals"))
+      .agg(max($"n_total").cast("int").as("n_events"),
+        array_sort(collect_list($"e")).as("es"))
+      .select($"user_id", $"n_events", transform($"es", _.getField("value")).as("vals"))
     val rest = slice($"vals", lit(2), size($"vals") - 1)
     val ew = aggregate(rest, element_at($"vals", 1),
       (acc, x) => lit(EwmaAlpha) * x + lit(1 - EwmaAlpha) * acc)
-    perUser.select($"user_id", size($"vals").as("n_events"),
+    perUser.select($"user_id", $"n_events",
         (floor(ew * 10000) / 10000.0).as("ewma"))
       .orderBy($"user_id")
   }

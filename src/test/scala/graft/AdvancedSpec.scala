@@ -79,4 +79,33 @@ class AdvancedSpec extends GraftSpecBase {
       .filter($"p25" > $"p50" || $"p50" > $"p90")
     assert(bad.count() == 0)
   }
+
+  test("q30: hot user folds only the horizon suffix, n_events stays total") {
+    import spark.implicits._
+    // one user with far more events than the horizon, one small user —
+    // the hot user's fold must cover exactly the last EwmaHorizon
+    // events in time order while n_events still reports the full count
+    val dir = java.nio.file.Files.createTempDirectory("graft_q30").toString
+    val hot = (0 until 1000).map { i =>
+      (1000000000000000000L + i * 1000000L, i.toLong, 1L, ((i * 37) % 100) / 3.0)
+    }
+    val small = (0 until 10).map { i =>
+      (1000000000000000000L + i * 1000000L, 10000L + i, 2L, i * 1.5)
+    }
+    (hot ++ small).toDF("ts", "event_id", "user_id", "value")
+      .write.parquet(s"$dir/events.parquet")
+    def ref(vals: Seq[Double]): Double = {
+      val tail = vals.takeRight(Advanced.EwmaHorizon)
+      val folded = tail.tail.foldLeft(tail.head) { (acc, x) =>
+        Advanced.EwmaAlpha * x + (1 - Advanced.EwmaAlpha) * acc
+      }
+      math.floor(folded * 10000) / 10000.0
+    }
+    val got = Advanced.q30Ewma(spark, dir)
+      .select($"user_id", $"n_events", $"ewma")
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1000, ref(hot.sortBy(e => (e._1, e._2)).map(_._4))),
+      (2L, 10, ref(small.map(_._4)))), got.toString)
+  }
 }
