@@ -354,6 +354,82 @@ class StreamingSpec extends GraftSpecBase {
       (4L, "d2", 44.0), (5L, "e", 50.0)), got.toString)
   }
 
+  test("bucketed CDC merge rewrites only touched buckets, byte-identically elsewhere") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcb").toString
+    val baseDir = root + "/base"
+    val ckpt = root + "/ckpt"
+    val srcDir = root + "/src"
+    val nBuckets = 8
+    // 64 keys spread over 8 buckets so plenty of buckets stay untouched
+    val base = (1L to 64L).map(i => (i, s"n$i", i * 1.0)).toDF("id", "name", "amount")
+    graft.streaming.CdcStream.writeBucketedBase(base, baseDir, "id", nBuckets)
+
+    def inventory(): Map[String, (Long, String)] = {
+      val out = scala.collection.mutable.Map.empty[String, (Long, String)]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(baseDir)).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          out(p.toString.stripPrefix(baseDir)) =
+            (bytes.length.toLong, md.map("%02x".format(_)).mkString)
+        }
+      }
+      out.toMap
+    }
+    def bucketsOf(ids: Seq[Long]): Set[Int] =
+      ids.toDF("id").select(pmod(hash(col("id")), lit(nBuckets))).collect()
+        .map(_.getInt(0)).toSet
+
+    val before = inventory()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("amount", DoubleType)))
+    def runOnce(): Unit = {
+      val changes = spark.readStream.schema(schema).parquet(srcDir)
+      val q = graft.streaming.CdcStream.startBucketed(
+        changes, baseDir, "id", nBuckets, ckpt)
+      q.awaitTermination()
+    }
+    // batch 1: update id=3, insert id=100
+    Seq((3L, "u3", 33.0), (100L, "new", 100.0)).toDF("id", "name", "amount")
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    val after = inventory()
+    val touched = bucketsOf(Seq(3L, 100L))
+    def bucketOfPath(p: String): Int =
+      "__bucket=(\\d+)".r.findFirstMatchIn(p).get.group(1).toInt
+    val untouchedFiles = before.keys.filterNot(p => touched(bucketOfPath(p)))
+    assert(untouchedFiles.nonEmpty, "test needs at least one untouched bucket")
+    // untouched buckets: exact same files, byte for byte
+    untouchedFiles.foreach { p =>
+      assert(after.contains(p), s"untouched file $p disappeared")
+      assert(after(p) == before(p), s"untouched file $p was rewritten")
+    }
+    // touched buckets: actually rewritten (no stale files survive)
+    before.keys.filter(p => touched(bucketOfPath(p))).foreach { p =>
+      assert(!after.contains(p), s"touched bucket still holds stale file $p")
+    }
+    // the merge itself is correct
+    val got1 = spark.read.parquet(baseDir).select($"id", $"name", $"amount")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    val want1 = ((1L to 64L).filterNot(_ == 3L).map(i => (i, s"n$i", i * 1.0)) ++
+      Seq((3L, "u3", 33.0), (100L, "new", 100.0))).sortBy(_._1)
+    assert(got1 == want1, got1.toString)
+    // batch 2 through a NEW query on the same checkpoint (restart):
+    // cross-batch key repeat (100) takes the latest value
+    Seq((100L, "new2", 101.0), (200L, "ins", 200.0)).toDF("id", "name", "amount")
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    val got2 = spark.read.parquet(baseDir)
+      .filter($"id".isin(100L, 200L, 3L))
+      .select($"id", $"name", $"amount")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got2 == Seq((3L, "u3", 33.0), (100L, "new2", 101.0),
+      (200L, "ins", 200.0)), got2.toString)
+  }
+
   test("two concurrent queries drain one shared source independently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
