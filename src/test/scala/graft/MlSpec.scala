@@ -95,6 +95,23 @@ class MlSpec extends GraftSpecBase {
     assert(after2 == before2)
   }
 
+  test("fitOrLoad persists on first fit and serves the reload fit-free") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_store").toString
+    // first call: fits and writes the artifact into the store
+    val fitted = Recommender.fitOrLoad(spark, sf, Some(store))
+    val saved = new java.io.File(store).listFiles()
+    assert(saved != null && saved.exists(_.getName.startsWith("als-")), store)
+    // second call: loads — exact serving is a pure function of the
+    // factors, so the reloaded model must reproduce it bit-for-bit
+    val reloaded = Recommender.fitOrLoad(spark, sf, Some(store))
+    val a = fitted.itemFactors.orderBy($"id")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+    val b = reloaded.itemFactors.orderBy($"id")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+    assert(a == b)
+  }
+
   test("sentiment scores every document with a calibrated probability") {
     import spark.implicits._
     val scored = graft.ml.Sentiment.m2Sentiment(spark, sf)
