@@ -58,6 +58,60 @@ class StreamMetricsSpec extends GraftSpecBase {
     }
   }
 
+  test("soak: slaReport isolates an injected slow batch across watermark advances") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.eventsWithMs(spark, sf)
+      .select($"user_id", $"event_id", $"ms", $"event_type", $"value")
+      .as[Event].collect().toSeq.sortBy(e => (e.ms, e.event_id))
+    val collector = new StreamMetrics.Collector()
+    spark.streams.addListener(collector)
+    val stream = MemoryStream[Event]
+    val SlowMs = 5000L
+    val SlowBatch = 2L
+    // the injected stall lives in the sink, so triggerExecution (what
+    // batch_duration_ms reports) absorbs it — the same signature a
+    // slow downstream write or an overloaded executor produces
+    val q = EventStreams.windowedAgg(stream.toDF())
+      .writeStream.queryName("soak_agg").outputMode("complete")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.count()
+        if (id == SlowBatch) Thread.sleep(SlowMs)
+      }
+      .start()
+    try {
+      // four time-ordered chunks → the event-time max rises every
+      // batch, so the watermark advances repeatedly during the run
+      events.grouped(math.max(1, events.size / 4 + 1)).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      awaitBatches(collector, 4)
+      val metrics = collector.toDF(spark).filter($"query_name" === "soak_agg")
+      val rows = metrics.orderBy($"batch_id").collect()
+      // several watermark advances happened (strictly increasing once set)
+      val wms = rows.map(_.getAs[Long]("watermark_ms")).filter(_ > 0)
+      assert(wms.distinct.length >= 3, s"watermarks: ${wms.toSeq}")
+      assert(wms.toSeq == wms.sorted.toSeq, s"watermarks regressed: ${wms.toSeq}")
+      val durs = rows.map(r =>
+        r.getAs[Long]("batch_id") -> r.getAs[Long]("batch_duration_ms")).toMap
+      val slow = durs(SlowBatch)
+      val others = (durs - SlowBatch).values
+      assert(slow >= SlowMs, s"injected batch took ${slow}ms")
+      assert(others.max < slow,
+        s"injected batch (${slow}ms) is not the slowest: $durs")
+      // a budget between the normal batches and the stalled one flags
+      // exactly the stalled batch
+      val budget = (others.max + slow) / 2
+      val rep = StreamMetrics.slaReport(metrics, maxBatchMs = budget,
+        maxWatermarkLagMs = Long.MaxValue / 2).first()
+      assert(!rep.getAs[Boolean]("sla_ok"))
+      assert(rep.getAs[Long]("duration_violations") == 1L, rep.toString)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(collector)
+    }
+  }
+
   test("sla report flags budget violations per query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
