@@ -130,26 +130,22 @@ object Dedup {
     // measured d2 bottleneck at 20×: 23.6M pairs × 2 arrays).
     //
     // Id assignment is DISTRIBUTED: range-partition the vocabulary on
-    // the sort key, sort within partitions, and zipWithIndex — which
-    // numbers rows in partition order, so the global index IS the
-    // (df, shingle) rank. No row ever funnels through a single task,
-    // so this holds at a billions-entry vocabulary (ids are longs for
-    // the same reason), unlike a partitionBy-less row_number window
-    // whose one-partition sort would be d2's OOM point at corpus scale.
-    val dict = {
-      val sorted = freq
-        .repartitionByRange(s.sessionState.conf.numShufflePartitions, $"df", $"shingle")
-        .sortWithinPartitions($"df", $"shingle")
-      val outSchema = org.apache.spark.sql.types.StructType(
-        sorted.schema.fields :+
-          org.apache.spark.sql.types.StructField("sid", org.apache.spark.sql.types.LongType, false))
-      s.createDataFrame(
-        sorted.rdd.zipWithIndex.map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
-        }, outSchema)
-        .select($"shingle", $"sid")
-        .cache()
-    }
+    // the sort key, sort within partitions, then take
+    // monotonically_increasing_id — its high bits are the partition id
+    // and its low bits count rows in partition order, so over a
+    // range-partitioned sort ascending sid IS ascending (df, shingle)
+    // rank (ids are sparse across partition boundaries, which the
+    // merge order doesn't care about). No row ever funnels through a
+    // single task, so this holds at a billions-entry vocabulary (ids
+    // are longs for the same reason), unlike a partitionBy-less
+    // row_number window whose one-partition sort would be d2's OOM
+    // point at corpus scale — and unlike rdd.zipWithIndex it needs no
+    // extra counting job and stays inside codegen.
+    val dict = freq
+      .repartitionByRange(s.sessionState.conf.numShufflePartitions, $"df", $"shingle")
+      .sortWithinPartitions($"df", $"shingle")
+      .select($"shingle", monotonically_increasing_id().as("sid"))
+      .cache()
     // no broadcast hint: the dictionary is vocabulary-sized, which AQE
     // broadcasts at runtime when it is small and keeps as a shuffle
     // join when it is not (a billion-entry dict must never broadcast)
