@@ -85,6 +85,8 @@ object SparkEntry {
     "q35_sql"            -> (Relational.q35Sql _),
     "t6_heavy_hitters"   -> (TextAnalysis.t6HeavyHitters _),
     "t7_bigram_freq"     -> (TextAnalysis.t7BigramFreq _),
+    "t8_pii_scrub"       -> (TextAnalysis.t8PiiScrub _),
+    "p3_decontaminate"   -> (Dedup.p3Decontaminate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -621,6 +623,37 @@ object SparkEntry {
          GROUP BY 1
          HAVING count(*) * 1000 >= (SELECT count(*) FROM nonempty) * 33
          ORDER BY token""",
+    "t8_pii_scrub" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+         CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INTEGER) AS n_phones,
+         CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+         md5(regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_fp
+         FROM documents ORDER BY doc_id""",
+    "p3_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(
+             list_transform(string_split(text, ' '), (x, i) ->
+               CASE WHEN i + 7 <= len(string_split(text, ' '))
+                    THEN x || ' ' || string_split(text, ' ')[i+1]
+                           || ' ' || string_split(text, ' ')[i+2]
+                           || ' ' || string_split(text, ' ')[i+3]
+                           || ' ' || string_split(text, ' ')[i+4]
+                           || ' ' || string_split(text, ' ')[i+5]
+                           || ' ' || string_split(text, ' ')[i+6]
+                           || ' ' || string_split(text, ' ')[i+7] END),
+             g -> g IS NOT NULL))) AS sh8
+           FROM documents),
+         bench AS (SELECT DISTINCT sh8 FROM sh WHERE doc_id % 7 = 0)
+         SELECT s.doc_id, count(*) AS n_hits
+         FROM sh s JOIN bench b ON s.sh8 = b.sh8
+         WHERE s.doc_id % 7 <> 0
+         GROUP BY 1 ORDER BY 1""",
     "t7_bigram_freq" ->
       """WITH toks AS (
            SELECT string_split(text, ' ') AS t FROM documents),

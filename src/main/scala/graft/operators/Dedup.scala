@@ -213,6 +213,35 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** P3: benchmark decontamination — flag training docs sharing any
+    * 8-token shingle with a benchmark/eval set, the n-gram-overlap
+    * filter LLM corpus builds run before training (the same family as
+    * GPT-3's 13-gram eval decontamination; 8 fits this corpus's short
+    * docs). The benchmark stand-in is docs with
+    * `doc_id % DecontamMod == 0`.
+    *
+    * Scale shape: an inverted-index equi-join on the shingle — only
+    * docs sharing a shingle with the benchmark set ever meet (d2's
+    * candidate-generation shape, no cross join), and the benchmark
+    * side is DISTINCT shingles, orders smaller than the corpus.
+    * Output: each contaminated doc with its matched-shingle count. */
+  val DecontamMod = 7
+
+  def p3Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id", explode(shinglesFromTokens($"w", 8)).as("sh8"))
+    val bench = sh.filter($"doc_id" % DecontamMod === 0).select($"sh8").distinct()
+    sh.filter($"doc_id" % DecontamMod =!= 0)
+      // shingles are distinct per doc and the bench side is distinct,
+      // so each (doc, shingle) hit lands exactly once
+      .join(bench, "sh8")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy($"doc_id")
+  }
+
   /** D6: near-dup GROUPS — connected components over the d2 pair
     * graph, labeling every paired doc with the minimum doc_id
     * reachable from it (the canonical survivor of its dup cluster).

@@ -126,6 +126,44 @@ object TextAnalysis {
       .stat.countMinSketch("token", eps, confidence, 42)
   }
 
+  // PII patterns — deliberately the regex subset that compiles to the
+  // same automaton under Java regex (Spark) and RE2 (DuckDB), so the
+  // op and its oracle agree match-for-match.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** T8: PII scrubbing — the redaction stage a training-data pipeline
+    * runs before anything ships: per-doc match counts for
+    * email/phone/IPv4 patterns plus the fingerprint of the redacted
+    * text (emails first, then phones, then IPs — the oracle nests its
+    * replaces identically). Counts are per-pattern matches on the RAW
+    * text. Pure per-row regex evaluation — scan speed at 100 TB, like
+    * t1–t5; the semantics spec drives it over constructed PII docs
+    * (this synthetic corpus itself carries none). */
+  def t8PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    piiScrubOf(Tables.documents(s, dir))
+      .select($"doc_id", $"n_emails", $"n_phones", $"n_ips",
+        md5($"redacted".cast("binary")).as("redacted_fp"))
+      .orderBy($"doc_id")
+  }
+
+  /** The scrub core over any (doc_id, text, …) frame, keeping the
+    * redacted text visible (the spec asserts it verbatim). */
+  private[graft] def piiScrubOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id",
+      size(regexp_extract_all($"text", lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all($"text", lit(PhoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all($"text", lit(Ipv4Re), lit(0))).as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace($"text", EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>").as("redacted"))
+  }
+
   /** T7: bigram frequency table — the top-50 most frequent bigrams
     * corpus-wide (n-gram LM / contamination statistics). Same explode +
     * grouped-count shape as t6; the top-50 is a TakeOrderedAndProject

@@ -108,6 +108,47 @@ class TextAnalysisSpec extends GraftSpecBase {
     }
   }
 
+  test("pii scrub redacts emails/phones/ips and counts them per pattern") {
+    import spark.implicits._
+    // the synthetic corpus carries no PII, so the semantics are pinned
+    // on constructed docs; the suite entry proves the plumbing + oracle
+    val docs = Seq(
+      (1L, "contact alice@example.com or call 555-123-4567 now"),
+      (2L, "server 192.168.0.1 admin bob.smith@corp.co.uk backup 10.0.0.254"),
+      (3L, "no personal data in this row"),
+      (4L, "twice a@b.io c@d.org and 111.222.3333 dotted-phone")
+    ).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.piiScrubOf(docs)
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1, 1, 0, "contact <EMAIL> or call <PHONE> now"),
+      (2L, 1, 0, 2, "server <IP> admin <EMAIL> backup <IP>"),
+      (3L, 0, 0, 0, "no personal data in this row"),
+      (4L, 2, 1, 0, "twice <EMAIL> <EMAIL> and <PHONE> dotted-phone")),
+      got.toString)
+    // the real-corpus entry runs clean: zero PII, fingerprints intact
+    val t8 = operators.TextAnalysis.t8PiiScrub(spark, sf)
+    assert(t8.filter($"n_emails" > 0 || $"n_phones" > 0 || $"n_ips" > 0).count() == 0)
+    assert(t8.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("decontamination flags exactly the docs sharing an 8-shingle with the benchmark set") {
+    import spark.implicits._
+    val flagged = operators.Dedup.p3Decontaminate(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // naive recompute: benchmark 8-shingle set vs every training doc
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", TextFunctions.shingles($"text", 8).as("sh"))
+      .as[(Long, Seq[String])].collect()
+    val m = operators.Dedup.DecontamMod
+    val bench = docs.filter(_._1 % m == 0).flatMap(_._2).toSet
+    val want = docs.filter(_._1 % m != 0)
+      .map { case (id, sh) => id -> sh.count(bench).toLong }
+      .filter(_._2 > 0).toMap
+    assert(flagged == want,
+      s"${flagged.size} flagged vs ${want.size} expected")
+  }
+
   test("bigram freq: top-50, counts descending, consistent with per-doc bigrams") {
     import spark.implicits._
     val bf = operators.TextAnalysis.t7BigramFreq(spark, sf)
