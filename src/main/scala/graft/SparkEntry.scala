@@ -87,6 +87,7 @@ object SparkEntry {
     "t7_bigram_freq"     -> (TextAnalysis.t7BigramFreq _),
     "t8_pii_scrub"       -> (TextAnalysis.t8PiiScrub _),
     "p3_decontaminate"   -> (Dedup.p3Decontaminate _),
+    "p4_chunk_docs"      -> (TextAnalysis.p4ChunkDocs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -654,6 +655,16 @@ object SparkEntry {
          FROM sh s JOIN bench b ON s.sh8 = b.sh8
          WHERE s.doc_id % 7 <> 0
          GROUP BY 1 ORDER BY 1""",
+    "p4_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         c AS (
+           SELECT doc_id, w,
+             unnest(range(0, (len(w) + 31) // 32)) AS chunk_id
+           FROM t)
+         SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(len(w[chunk_id*32+1 : least((chunk_id+1)*32, len(w))]) AS INTEGER) AS n_tok_chunk,
+           md5(array_to_string(w[chunk_id*32+1 : least((chunk_id+1)*32, len(w))], ' ')) AS chunk_fp
+         FROM c ORDER BY doc_id, chunk_id""",
     "t7_bigram_freq" ->
       """WITH toks AS (
            SELECT string_split(text, ' ') AS t FROM documents),

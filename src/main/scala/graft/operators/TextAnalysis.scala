@@ -164,6 +164,32 @@ object TextAnalysis {
         Ipv4Re, "<IP>").as("redacted"))
   }
 
+  /** Tokens per training-sequence chunk for `p4ChunkDocs`. */
+  val ChunkTokens = 32
+
+  /** P4: training-sequence chunking — split every document into
+    * fixed-`ChunkTokens` token segments (the context-length packing
+    * prep step before tokenization proper), emitting per chunk its
+    * token count and content fingerprint. A flat per-row transform
+    * (explode over the chunk-index range + array slices), no shuffle
+    * anywhere but the presentation sort — scan speed at 100 TB.
+    * Chunk count uses integer arithmetic (`(n+31) div 32`) so the
+    * DuckDB oracle agrees exactly at every boundary. */
+  def p4ChunkDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = ChunkTokens
+    Tables.documents(s, dir)
+      .withColumn("w", tokens($"text"))
+      .withColumn("n_chunks", expr(s"(size(w) + ${n - 1}) div $n").cast("int"))
+      .select($"doc_id", $"w",
+        explode(sequence(lit(0), $"n_chunks" - 1)).as("chunk_id"))
+      .withColumn("cw", slice($"w", $"chunk_id" * n + 1, lit(n)))
+      .select($"doc_id", $"chunk_id",
+        size($"cw").as("n_tok_chunk"),
+        md5(array_join($"cw", " ").cast("binary")).as("chunk_fp"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** T7: bigram frequency table — the top-50 most frequent bigrams
     * corpus-wide (n-gram LM / contamination statistics). Same explode +
     * grouped-count shape as t6; the top-50 is a TakeOrderedAndProject

@@ -149,6 +149,22 @@ class TextAnalysisSpec extends GraftSpecBase {
       s"${flagged.size} flagged vs ${want.size} expected")
   }
 
+  test("chunking preserves every token: full chunks except one tail per doc") {
+    import spark.implicits._
+    val n = operators.TextAnalysis.ChunkTokens
+    val chunks = operators.TextAnalysis.p4ChunkDocs(spark, sf)
+    // per doc: all chunks full-size except possibly the last
+    val bad = chunks.withColumn("max_cid",
+        max($"chunk_id").over(org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+      .filter($"chunk_id" < $"max_cid" && $"n_tok_chunk" =!= n)
+    assert(bad.count() == 0)
+    // token conservation: chunk token counts sum to the doc's count
+    val got = chunks.groupBy($"doc_id").agg(sum($"n_tok_chunk").as("s"))
+    val want = operators.TextAnalysis.t1TokenStats(spark, sf)
+      .select($"doc_id", $"n_tokens")
+    assert(got.join(want, "doc_id").filter($"s" =!= $"n_tokens").count() == 0)
+  }
+
   test("bigram freq: top-50, counts descending, consistent with per-doc bigrams") {
     import spark.implicits._
     val bf = operators.TextAnalysis.t7BigramFreq(spark, sf)
