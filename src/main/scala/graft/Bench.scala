@@ -16,12 +16,20 @@ object Bench {
     // compiler latency. No result leaks across: frame memos and
     // model/index registries key on the dataset dir, and the warmup
     // dir's entries are dropped before the timed sweeps.
+    // force FULL evaluation: `count()` lets the optimizer prune every
+    // cardinality-preserving operator (windows, per-row projections —
+    // a fingerprint query counted at scan speed without ever hashing),
+    // silently under-measuring the transform-heavy entries. The noop
+    // sink materializes every output column and discards it — the cost
+    // a real consumer pays, minus I/O.
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val warmupDir = "/root/testdata/sf0.001"
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
         SparkEntry.queries.foreach { case (_, fn) =>
-          try fn(spark, warmupDir).count() catch { case _: Throwable => }
+          try exec(fn(spark, warmupDir)) catch { case _: Throwable => }
         }
       Caches.clear()
     } catch { case _: Throwable => }
@@ -31,7 +39,7 @@ object Bench {
       .filter { case (n, _) => args.headOption.forall(n.matches) }
     def sweep(): Seq[(String, Double)] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { exec(fn(spark, sfDir)) } catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // two sweeps: the first pays every one-time artifact cost (JIT /

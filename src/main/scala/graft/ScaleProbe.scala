@@ -49,9 +49,13 @@ object ScaleProbe {
                   "t6_heavy_hitters", "t7_bigram_freq",
                   "d4_simhash", "d3_minhash_lsh", "d5_embedding_dedup",
                   "d2_ngram_jaccard", "d6_dup_groups")) {
+      val df = SparkEntry.queries(q)(spark, out)
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, out).count()
-      println(f"== $q%-22s ${(System.nanoTime() - t0) / 1e9}%7.1f s  ($n rows)")
+      // noop sink: full evaluation (count() would prune windows and
+      // per-row projections — see Bench)
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"== $q%-22s $sec%7.1f s  (${df.count()} rows)")
     }
     spark.stop()
   }
