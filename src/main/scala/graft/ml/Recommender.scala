@@ -120,6 +120,34 @@ object Recommender {
       (assigned, km.clusterCenters.map(_.toArray))
     })
 
+  // packed inverted lists: each cluster's candidate vectors laid out as
+  // ONE flat double array (ids ordered ascending) — the IVF-Flat
+  // contiguous-block layout, scanned whole by `dot_topk` in a single
+  // expression evaluation per (user, probe) row. Two variants: raw
+  // factors for m1's ALS-dot scores, unit-normalized for m3's cosine.
+  private val packedIdx =
+    scala.collection.concurrent.TrieMap.empty[(String, Boolean), DataFrame]
+
+  private[graft] def itemIvfPacked(s: SparkSession, dir: String,
+      normalized: Boolean): DataFrame =
+    packedIdx.getOrElseUpdate((dir, normalized), {
+      import s.implicits._
+      val (assigned, _) = itemIvf(s, dir)
+      val vec =
+        if (normalized) transform($"v", x => x / when($"nrm" === 0.0, 1.0).otherwise($"nrm"))
+        else $"v"
+      // K rows of ~|catalog|/K packed vectors each: the block per row is
+      // bounded by the cluster size the quantizer controls, never the
+      // catalog — the same per-inverted-list memory shape FAISS keeps
+      assigned.select($"cluster", struct($"id", vec.as("v")).as("iv"))
+        .groupBy($"cluster")
+        .agg(array_sort(collect_list($"iv")).as("ivs"))
+        .select($"cluster",
+          transform($"ivs", _.getField("id")).as("ids"),
+          flatten(transform($"ivs", _.getField("v"))).as("flat"))
+        .cache()
+    })
+
   val UserProbes = 4
 
   /** M1: top-5 part recommendations per customer, served approximately:
@@ -132,10 +160,15 @@ object Recommender {
     * bounds recall vs the exact top-5. */
   def m1AlsRecommend(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.functions.VectorFunctions.{dot, topIndicesDesc}
     val model = fit(s, dir)
-    val (items, centers) = itemIvf(s, dir)
-    val centerLit = array(centers.map(c => array(c.map(lit): _*)): _*)
+    val (_, centers) = itemIvf(s, dir)
+    val packed = itemIvfPacked(s, dir, normalized = false)
+    // the coarse quantizer is the same kernel as the fine scan: the
+    // centroid matrix is one flat literal block (K·rank doubles) and
+    // each user picks its probes with a single dot_topk evaluation —
+    // no per-centroid lambda evaluation
+    val cidsLit = typedlit(centers.indices.toArray)
+    val cflatLit = typedlit(centers.toSeq.flatten)
     // probe ~12.5% of clusters (min 4): with √n clusters the scanned
     // fraction shrinks as the catalog grows, the way IVF search should
     val probesN = math.max(UserProbes, centers.length / 8)
@@ -144,23 +177,30 @@ object Recommender {
       // the scoring fan-out below is the expensive part, so spread the
       // cheap probe stream across the full shuffle width first. The
       // explicit count matters: AQE would coalesce this tiny shuffle
-      // to one partition, not seeing the 600× explode behind it.
+      // to one partition, not seeing the per-row block scans behind it.
       .repartition(s.sessionState.conf.numShufflePartitions, $"id")
       .select($"id".as("c_custkey"), transform($"features", _.cast("double")).as("u"))
-      .withColumn("cdot", transform(centerLit, c => dot($"u", c)))
-      .select($"c_custkey", $"u", explode(topIndicesDesc($"cdot", probesN)).as("probe"))
-    val scored = users
-      .join(items.select($"id".as("p_partkey"), $"v", $"cluster"), $"probe" === $"cluster")
-      .select($"c_custkey", $"p_partkey", round(dot($"u", $"v"), 4).as("score"))
-    // bounded top-k aggregate, NOT a window rank: a window would
-    // shuffle-sort every scored candidate (users × probed-catalog
-    // rows); topk_agg partial-aggregates map-side so the shuffle
+      .select($"c_custkey", $"u",
+        explode(call_function("dot_topk", $"u", cidsLit, cflatLit, lit(probesN))
+          .getField("id")).as("probe"))
+    // each (user, probe) row scans its cluster's packed block in ONE
+    // dot_topk evaluation — a tight multiply-add loop over the flat
+    // array — so only users × probes × 5 candidate rows ever
+    // materialize, not users × probes × |cluster|. Ranking is by raw
+    // ALS dot (like MLlib's recommendForAllUsers); rounding happens
+    // after selection and cannot reorder (monotonic).
+    val local = users.join(packed, $"probe" === $"cluster")
+      .select($"c_custkey",
+        explode(call_function("dot_topk", $"u", $"ids", $"flat", lit(5))).as("cand"))
+      .select($"c_custkey", $"cand.score".as("score"), $"cand.id".as("p_partkey"))
+    // bounded top-k aggregate, NOT a window rank: topk_agg
+    // partial-aggregates map-side so the per-user combine shuffle
     // carries ≤ 5 rows per user per partition
-    scored.groupBy($"c_custkey")
+    local.groupBy($"c_custkey")
       .agg(call_function("topk_agg", $"score", $"p_partkey", lit(5)).as("top"))
       .select($"c_custkey", posexplode($"top").as(Seq("pos", "rec")))
       .select($"c_custkey", ($"pos" + 1).as("rnk"),
-        $"rec.id".as("p_partkey"), $"rec.score".as("score"))
+        $"rec.id".as("p_partkey"), round($"rec.score", 4).as("score"))
       .orderBy($"c_custkey", $"rnk")
   }
 
@@ -185,30 +225,43 @@ object Recommender {
     * (which is exactly the trap at catalog scale). */
   def m3SimilarItems(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.functions.VectorFunctions.{cosine, dot, q4, topIndicesDesc}
+    import graft.functions.VectorFunctions.q4
     val (assigned, centers) = itemIvf(s, dir)
-    val centerLit = array(centers.map(c => array(c.map(lit): _*)): _*)
+    val packed = itemIvfPacked(s, dir, normalized = true)
+    // normalized centroid matrix as one flat literal block: ranking by
+    // dot(v̂, ĉ) equals ranking by cosine(v, c) (scale-invariant), so
+    // probe selection is one dot_topk evaluation per item
+    val cidsLit = typedlit(centers.indices.toArray)
+    val cflatLit = typedlit(centers.toSeq.flatMap { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c.toSeq else c.toSeq.map(_ / n)
+    })
     val probes = assigned
-      .withColumn("cdist", transform(centerLit, c => q4(cosine($"v", c))))
-      .select($"id".as("p_partkey"), $"v".as("qv"), $"nrm".as("qn"),
-        explode(topIndicesDesc($"cdist", 2)).as("probe"))
-    // candidate generation is a shuffle equi-join on the cluster id —
-    // the inverted lists stay partitioned on their key instead of being
-    // collected and broadcast (a whole-catalog broadcast is GBs at real
-    // item-catalog scale); a pair still appears exactly once per probe
-    // because each candidate lives in exactly one cluster
-    val cands = assigned.select($"id".as("cand_id"), $"v".as("cv"),
-      $"nrm".as("cn"), $"cluster")
-    val scored = probes.join(cands, $"probe" === $"cluster")
-      .filter($"cand_id" =!= $"p_partkey")
-      .select($"p_partkey", $"cand_id".as("similar_partkey"),
-        q4(dot($"qv", $"cv") / ($"qn" * $"cn")).as("cos"))
-    // bounded top-k aggregate instead of a window rank (see m1)
-    scored.groupBy($"p_partkey")
-      .agg(call_function("topk_agg", $"cos", $"similar_partkey", lit(5)).as("top"))
+      .select($"id".as("p_partkey"),
+        // unit-normalize the query so the packed block's raw dot IS the
+        // cosine (blocks store normalized vectors); zero-norm guard as
+        // in d5 — the zero vector stays zero, cosine 0 to everything
+        transform($"v", x => x / when($"nrm" === 0.0, 1.0).otherwise($"nrm")).as("qhat"))
+      .select($"p_partkey", $"qhat",
+        explode(call_function("dot_topk", $"qhat", cidsLit, cflatLit, lit(2))
+          .getField("id")).as("probe"))
+    // candidate generation joins the PACKED inverted lists on their
+    // cluster key (partitioned, never a whole-catalog broadcast) and
+    // each (item, probe) row scans its block in one dot_topk call.
+    // Local top-6: the self pair lives in exactly one probed cluster,
+    // so 6 local winners always leave 5 non-self candidates.
+    val local = probes.join(packed, $"probe" === $"cluster")
+      .select($"p_partkey",
+        explode(call_function("dot_topk", $"qhat", $"ids", $"flat", lit(6))).as("cand"))
+      .filter($"cand.id" =!= $"p_partkey")
+      .select($"p_partkey", $"cand.score".as("cos_raw"), $"cand.id".as("similar_partkey"))
+    // bounded top-k aggregate instead of a window rank (see m1);
+    // ranking on the raw cosine, 4-dp floor quantize after selection
+    local.groupBy($"p_partkey")
+      .agg(call_function("topk_agg", $"cos_raw", $"similar_partkey", lit(5)).as("top"))
       .select($"p_partkey", posexplode($"top").as(Seq("pos", "rec")))
       .select($"p_partkey", ($"pos" + 1).as("rnk"),
-        $"rec.id".as("similar_partkey"), $"rec.score".as("cos"))
+        $"rec.id".as("similar_partkey"), q4($"rec.score").as("cos"))
       .orderBy($"p_partkey", $"rnk")
   }
 
@@ -223,6 +276,8 @@ object Recommender {
     val m = org.apache.spark.ml.recommendation.ALSModel.load(path)
     models.put(dir, m)
     itemIdx.remove(dir) // the IVF index derives from the factors
+    packedIdx.remove((dir, false))
+    packedIdx.remove((dir, true))
     m
   }
 

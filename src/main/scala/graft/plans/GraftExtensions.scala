@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayDot, MaxRunLength, MinHashAgg, SimHashAgg, SortedIntersectSize, TopKAgg}
+import graft.functions.{ArrayDot, DotTopK, MaxRunLength, MinHashAgg, SimHashAgg, SortedIntersectSize, TopKAgg}
 
 /** Session extensions: registers graft's native Catalyst expressions
   * so they resolve in both the Column DSL (`call_function`) and SQL.
@@ -36,6 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedIntersectSize(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_topk"),
+      new ExpressionInfo(classOf[DotTopK].getName, "dot_topk"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotTopK(children(0), children(1), children(2),
+          children(3).eval(null).asInstanceOf[Number].intValue())))
     ext.injectFunction((
       FunctionIdentifier("max_run_length"),
       new ExpressionInfo(classOf[MaxRunLength].getName, "max_run_length"),

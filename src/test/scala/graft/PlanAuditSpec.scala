@@ -48,9 +48,15 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("m3: no whole-catalog collect_list broadcast in the candidate join") {
-    val p = plan(ml.Recommender.m3SimilarItems(spark, sf))
-    assert(!p.contains("collect_list"), p)
+  test("m3: packed-block serving — dot_topk scan, no catalog cross join") {
+    val df = ml.Recommender.m3SimilarItems(spark, sf)
+    df.collect() // force AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    // candidates come from one dot_topk block scan per (item, probe)
+    // row over the packed inverted lists, never an all-pairs join
+    assert(p.contains("dot_topk"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q26: correlated subquery decorrelates to an aggregate + join") {
