@@ -303,14 +303,21 @@ object Dedup {
           .cache() // referenced twice by the compression self-join
         // pointer jumping: a node's label is itself a node in the same
         // component (labels only ever hold reachable ids), so adopting
-        // label[label[u]] is sound and halves the remaining depth
+        // label[label[u]] is sound and halves the remaining depth.
+        // The convergence count rides the SAME job as the checkpoint
+        // materialization (an observed metric collected while rows
+        // stream through), so each round is exactly one job — one
+        // driver barrier per round instead of two, which is the loop
+        // overhead that matters on a 1000-executor cluster.
+        val obs = org.apache.spark.sql.Observation(s"d6_conv_$iter")
         val next = prop.as("a")
           .join(prop.select($"doc_id".as("gid"), $"group_id".as("ggid")).as("b"),
             $"a.group_id" === $"b.gid")
           .select($"a.doc_id", $"a.old_gid",
             least($"a.group_id", $"ggid").as("group_id"))
+          .observe(obs, sum(when($"group_id" =!= $"old_gid", 1L).otherwise(0L)).as("changed"))
           .localCheckpoint(true)
-        changed = next.filter($"group_id" =!= $"old_gid").count()
+        changed = Option(obs.get("changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
         prop.unpersist()
         labels = next.select($"doc_id", $"group_id")
         iter += 1
