@@ -88,6 +88,11 @@ object SparkEntry {
     "t8_pii_scrub"       -> (TextAnalysis.t8PiiScrub _),
     "p3_decontaminate"   -> (Dedup.p3Decontaminate _),
     "p4_chunk_docs"      -> (TextAnalysis.p4ChunkDocs _),
+    "q36_grouping_sets"  -> (Analytics.q36GroupingSets _),
+    "q38_window_suite"   -> (Analytics.q38WindowSuite _),
+    "q39_range_frame"    -> (Analytics.q39RangeFrame _),
+    "q40_regexp_extract" -> (Analytics.q40RegexpExtract _),
+    "q42_cohort_retention" -> (Analytics.q42CohortRetention _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -674,5 +679,43 @@ object SparkEntry {
            WHERE len(t) >= 2)
          SELECT bigram, count(*) AS n FROM bg
          GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""",
+    "q36_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+         CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q38_window_suite" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+         CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+         ORDER BY c_mktsegment, c_custkey""",
+    "q39_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+         CAST(date_diff('day', DATE '1990-01-01', o_orderdate) AS INTEGER) AS o_day,
+         round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY date_diff('day', DATE '1990-01-01', o_orderdate)
+           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+         FROM orders ORDER BY o_orderkey""",
+    "q40_regexp_extract" ->
+      """SELECT CAST(regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS INTEGER) AS prio_level,
+         regexp_extract(o_orderpriority, '([A-Z]+)$', 1) AS prio_word,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+         FROM orders
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q42_cohort_retention" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+         c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+         SELECT c.cohort_wk, e.wk - c.cohort_wk AS wk_offset,
+           count(DISTINCT e.user_id) AS n_users
+         FROM e JOIN c ON e.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

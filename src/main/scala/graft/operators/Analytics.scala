@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Analytic-SQL surface beyond the relational core: explicit grouping
+  * sets, the ranking-distribution window family, value-range frames,
+  * regex field extraction, and cohort retention — the dashboard-layer
+  * queries an analytics engine serves daily. All declarative single
+  * DataFrame plans: Catalyst keeps aggregates two-phase and windows
+  * hash-partitioned on their keys, so every one of these scales the
+  * same way the core q1–q35 set does.
+  */
+object Analytics {
+
+  /** Q36: explicit GROUPING SETS — the (status, priority) detail grid
+    * plus per-status subtotals and the grand total in ONE pass (a
+    * single Expand over the scan, like q11's rollup but user-chosen
+    * sets), with `grouping()` disambiguating real NULLs from
+    * subtotal rows. */
+  def q36GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("revenue"))
+      .select($"o_orderstatus", $"o_orderpriority", $"g_status", $"g_priority",
+        $"n_orders", $"revenue")
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** Q38: the ranking-distribution window family — quartile bucket
+    * (ntile), percent_rank and cume_dist of every customer's balance
+    * within its market segment. One hash-partitioned window sort on
+    * the segment key serves all three functions. */
+  def q38WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // total order inside each partition (balance ties broken by key)
+    // so ntile assignment is engine-reproducible
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc, $"c_custkey")
+    Tables.customer(s, dir)
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+
+  /** Q39: value-RANGE window frame — each order's trailing-30-day
+    * revenue within its customer. The frame is defined by the ORDER BY
+    * VALUE (epoch-day), not row offsets, so gaps and same-day bursts
+    * are handled by semantics, not data luck. Epoch-day stays integer
+    * (exact across engines); the frame sort is the window operator's
+    * spillable external sort, partitioned per customer. */
+  def q39RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_day")
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        datediff($"o_orderdate", to_date(lit("1990-01-01"))).as("o_day"))
+      .withColumn("trailing_30d", round(sum($"o_totalprice").over(w), 2))
+      .select($"o_orderkey", $"o_custkey", $"o_day", $"trailing_30d")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Q40: regex field extraction — split the composite priority code
+    * ('5-LOW') into its numeric level and word with `regexp_extract`
+    * (codegen scalar, pushdown-friendly), then aggregate per part.
+    * The pattern stays in the RE2-compatible subset both engines
+    * (Java regex, DuckDB's RE2) interpret identically. */
+  def q40RegexpExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select(
+        regexp_extract($"o_orderpriority", "^([0-9]+)", 1).cast("int").as("prio_level"),
+        regexp_extract($"o_orderpriority", "([A-Z]+)$", 1).as("prio_word"),
+        $"o_totalprice")
+      .groupBy($"prio_level", $"prio_word")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("revenue"))
+      .orderBy($"prio_level", $"prio_word")
+  }
+
+  /** Q42: cohort retention — users bucketed by first-seen epoch-week,
+    * distinct actives per (cohort, week offset): the standard product
+    * retention triangle. Week indexes are integer epoch arithmetic
+    * (exact in both engines). Two shuffles total: the per-user min
+    * (partial-aggregated map-side) and the cohort-cell distinct count;
+    * the cohort frame re-joins on user_id, the key both sides already
+    * hash by. */
+  def q42CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weekMs = 7L * 24 * 3600 * 1000
+    val e = Tables.eventsWithMs(s, dir)
+      .select($"user_id", expr(s"ms div ${weekMs}L").as("wk"))
+    val cohorts = e.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    e.join(cohorts, "user_id")
+      .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("wk_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_wk", $"wk_offset")
+  }
+}
