@@ -93,6 +93,7 @@ object SparkEntry {
     "q39_range_frame"    -> (Analytics.q39RangeFrame _),
     "q40_regexp_extract" -> (Analytics.q40RegexpExtract _),
     "q42_cohort_retention" -> (Analytics.q42CohortRetention _),
+    "p5_pack_sequences"  -> (TextAnalysis.p5PackSequences _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -717,5 +718,18 @@ object SparkEntry {
            count(DISTINCT e.user_id) AS n_users
          FROM e JOIN c ON e.user_id = c.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "p5_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tok,
+             -- sum() over BIGINT widens to HUGEINT; pin back to BIGINT
+             CAST(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tok
+               AS tok_start
+           FROM t)
+         SELECT doc_id, n_tok, tok_start, tok_start // 512 AS seq_id
+         FROM c ORDER BY doc_id""",
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -188,6 +189,46 @@ object TextAnalysis {
         size($"cw").as("n_tok_chunk"),
         md5(array_join($"cw", " ").cast("binary")).as("chunk_fp"))
       .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** Tokens per packed training sequence for `p5PackSequences`. */
+  val SeqTokens = 512
+
+  /** Docs per prefix-sum bucket for `p5PackSequences`. */
+  val PackBucket = 1000L
+
+  /** P5: training-sequence packing — assign every document its token
+    * offset in the doc_id-ordered corpus concatenation and the
+    * `SeqTokens`-budget sequence its first token lands in: the packing
+    * ledger a concat-and-chunk training pipeline materializes before
+    * tokenization proper.
+    *
+    * The global running total is a DISTRIBUTED two-level prefix sum —
+    * the d2-dictionary lesson applied to cumsum: a partitionBy-less
+    * window would funnel every document through one task. Instead (1)
+    * per-bucket token totals (corpus/`PackBucket` rows) get exclusive
+    * prefix offsets in one bounded window — the only single-partition
+    * step, sized by bucket COUNT, never corpus size; (2) each row's
+    * in-bucket prefix comes from a window hash-partitioned on the
+    * bucket; (3) tok_start = bucket offset + in-bucket prefix. doc_ids
+    * bucket by integer div, so bucket boundaries are data-independent
+    * and both passes are one scan each. */
+  def p5PackSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.documents(s, dir)
+      .select($"doc_id", nTokens($"text").cast("long").as("n_tok"),
+        expr(s"doc_id div ${PackBucket}L").as("bucket"))
+    val bucketOffsets = t.groupBy($"bucket").agg(sum($"n_tok").as("btot"))
+      .withColumn("boff", coalesce(
+        sum($"btot").over(Window.orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"bucket", $"boff")
+    val inBucket = Window.partitionBy($"bucket").orderBy($"doc_id")
+    t.join(broadcast(bucketOffsets), "bucket")
+      .withColumn("tok_start", $"boff" + sum($"n_tok").over(inBucket) - $"n_tok")
+      .withColumn("seq_id", expr(s"tok_start div ${SeqTokens}L"))
+      .select($"doc_id", $"n_tok", $"tok_start", $"seq_id")
+      .orderBy($"doc_id")
   }
 
   /** T7: bigram frequency table — the top-50 most frequent bigrams

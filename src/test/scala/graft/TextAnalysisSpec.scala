@@ -178,4 +178,25 @@ class TextAnalysisSpec extends GraftSpecBase {
       .groupBy($"bigram").count().as[(String, Long)].collect().toMap
     bf.foreach { case (b, n) => assert(all(b) == n, s"$b: $n vs ${all(b)}") }
   }
+
+  test("p5 packing: offsets are the exact prefix sum and sequences stay contiguous") {
+    import spark.implicits._
+    val packed = operators.TextAnalysis.p5PackSequences(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(packed.nonEmpty)
+    // tok_start is the running total of every earlier doc's tokens
+    var run = 0L
+    packed.foreach { case (id, nTok, start, seq) =>
+      assert(start == run, s"doc $id: start $start, expected $run")
+      assert(seq == start / operators.TextAnalysis.SeqTokens)
+      run += nTok
+    }
+    // the two-level prefix sum never sends doc rows through one task:
+    // the per-row window is hash-partitioned on the bucket; the only
+    // SinglePartition exchange carries the bucket TOTALS (bounded by
+    // corpus/PackBucket rows)
+    val p = operators.TextAnalysis.p5PackSequences(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("hashpartitioning(bucket"), p)
+  }
 }
