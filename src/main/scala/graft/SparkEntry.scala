@@ -94,6 +94,10 @@ object SparkEntry {
     "q40_regexp_extract" -> (Analytics.q40RegexpExtract _),
     "q42_cohort_retention" -> (Analytics.q42CohortRetention _),
     "p5_pack_sequences"  -> (TextAnalysis.p5PackSequences _),
+    "q37_stats_suite"    -> (Analytics.q37StatsSuite _),
+    "q41_ship_delay"     -> (Analytics.q41ShipDelay _),
+    "t9_surprisal"       -> (TextAnalysis.t9Surprisal _),
+    "m5_unseen_recs"     -> (graft.ml.Recommender.m5UnseenRecs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -731,5 +735,34 @@ object SparkEntry {
            FROM t)
          SELECT doc_id, n_tok, tok_start, tok_start // 512 AS seq_id
          FROM c ORDER BY doc_id""",
+    "q37_stats_suite" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(stddev_samp(l_extendedprice), 2) AS sd_price,
+         round(var_samp(l_quantity), 4) AS var_qty,
+         round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+         round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q41_ship_delay" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(month(o_orderdate) AS INTEGER) AS o_month,
+         count(*) AS n_items,
+         floor(avg(date_diff('day', o_orderdate, l_shipdate)) * 10000) / 10000.0
+           AS avg_lag_days,
+         floor(avg(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+           THEN 1.0 ELSE 0.0 END) * 10000) / 10000.0 AS slow_ratio
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "t9_surprisal" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+         c AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
+         s AS (SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v FROM c)
+         SELECT tk.doc_id, count(*) AS n_tokens,
+           floor(avg(-log2((c.c + 1) / CAST(s.n_total + s.v AS DOUBLE))) * 10000)
+             / 10000.0 AS surprisal
+         FROM tk JOIN c USING (token), s
+         GROUP BY tk.doc_id ORDER BY tk.doc_id""",
   )
 }

@@ -111,11 +111,14 @@ object Recommender {
       // exact ALS dot product, and the recall-vs-exact spec guards the
       // partition quality. 4 Lloyd iterations halve the index build's
       // job count vs the default 20+ with no measured recall change.
-      val km = new org.apache.spark.ml.clustering.KMeans()
-        .setK(itemClusters(factors.count())).setSeed(Seed).setMaxIter(4)
-        .setInitMode("random")
-        .setFeaturesCol("features").setPredictionCol("cluster")
-        .fit(factors)
+      // summary dropped so transform closures never carry the session
+      // (see org.apache.spark.ml.graft.ModelHygiene)
+      val km = org.apache.spark.ml.graft.ModelHygiene.dropTrainingSummary(
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(itemClusters(factors.count())).setSeed(Seed).setMaxIter(4)
+          .setInitMode("random")
+          .setFeaturesCol("features").setPredictionCol("cluster")
+          .fit(factors))
       val assigned = km.transform(factors).select($"id", $"v", $"nrm", $"cluster").cache()
       (assigned, km.clusterCenters.map(_.toArray))
     })
@@ -160,6 +163,15 @@ object Recommender {
     * bounds recall vs the exact top-5. */
   def m1AlsRecommend(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    topkOf(s, scoredCandidates(s, dir))
+  }
+
+  /** The shared approximate-serving core of m1/m5: every user's
+    * IVF-probed, exactly-re-scored candidate set, one row per
+    * (user, candidate, ALS-dot score). */
+  private def scoredCandidates(s: SparkSession, dir: String,
+      perBlockK: Int = 5): DataFrame = {
+    import s.implicits._
     val model = fit(s, dir)
     val (_, centers) = itemIvf(s, dir)
     val packed = itemIvfPacked(s, dir, normalized = false)
@@ -189,19 +201,43 @@ object Recommender {
     // materialize, not users × probes × |cluster|. Ranking is by raw
     // ALS dot (like MLlib's recommendForAllUsers); rounding happens
     // after selection and cannot reorder (monotonic).
-    val local = users.join(packed, $"probe" === $"cluster")
+    users.join(packed, $"probe" === $"cluster")
       .select($"c_custkey",
-        explode(call_function("dot_topk", $"u", $"ids", $"flat", lit(5))).as("cand"))
+        explode(call_function("dot_topk", $"u", $"ids", $"flat", lit(perBlockK))).as("cand"))
       .select($"c_custkey", $"cand.score".as("score"), $"cand.id".as("p_partkey"))
-    // bounded top-k aggregate, NOT a window rank: topk_agg
-    // partial-aggregates map-side so the per-user combine shuffle
-    // carries ≤ 5 rows per user per partition
+  }
+
+  /** topk_agg presentation over a (c_custkey, score, p_partkey)
+    * candidate stream — bounded top-k aggregate, NOT a window rank:
+    * topk_agg partial-aggregates map-side so the per-user combine
+    * shuffle carries ≤ 5 rows per user per partition. */
+  private def topkOf(s: SparkSession, local: DataFrame): DataFrame = {
+    import s.implicits._
     local.groupBy($"c_custkey")
       .agg(call_function("topk_agg", $"score", $"p_partkey", lit(5)).as("top"))
       .select($"c_custkey", posexplode($"top").as(Seq("pos", "rec")))
       .select($"c_custkey", ($"pos" + 1).as("rnk"),
         $"rec.id".as("p_partkey"), round($"rec.score", 4).as("score"))
       .orderBy($"c_custkey", $"rnk")
+  }
+
+  /** M5: top-5 UNSEEN recommendations per customer — the serving
+    * post-filter every production recommender runs: candidates the
+    * user has already purchased are removed BEFORE the top-k, so the
+    * slate is discovery, not a receipt. Implemented as a left-anti
+    * shuffle join of the scored candidate stream against the rating
+    * pairs on the composite (user, item) key — both sides hash by the
+    * same key, no broadcast of the (users × items)-sized history —
+    * then the same bounded topk_agg as m1. */
+  def m5UnseenRecs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seen = ratings(s, dir)
+      .select($"user".as("c_custkey"), $"item".as("p_partkey"))
+    // a heavy purchaser's seen items can fill a probe block's top-5,
+    // so the pre-filter candidate depth doubles to keep the post-filter
+    // slate full
+    topkOf(s, scoredCandidates(s, dir, perBlockK = 10)
+      .join(seen, Seq("c_custkey", "p_partkey"), "left_anti"))
   }
 
   /** The exact MLlib serving path (blocked user×item cross) — the

@@ -81,8 +81,10 @@ object Sentiment {
       val featurize = new Pipeline().setStages(Array(tok, sw, tf)).fit(train)
       val tfFrame = featurize.transform(train).select($"tf", $"label").cache()
       val idfModel = idf.asInstanceOf[IDF].fit(tfFrame)
-      val lrModel = lr.asInstanceOf[LogisticRegression]
-        .fit(idfModel.transform(tfFrame))
+      // the summary would pin the session inside every serve closure —
+      // see ModelHygiene (a d6-then-m2 session order would crash)
+      val lrModel = org.apache.spark.ml.graft.ModelHygiene.dropTrainingSummary(
+        lr.asInstanceOf[LogisticRegression].fit(idfModel.transform(tfFrame)))
       val model = new Pipeline()
         .setStages(featurize.stages ++ Array(idfModel, lrModel))
         .fit(train.limit(0))

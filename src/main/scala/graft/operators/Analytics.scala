@@ -35,6 +35,47 @@ object Analytics {
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
+  /** Q37: the statistical-aggregate family — corr / covar / stddev /
+    * variance per return flag, the moment statistics a BI layer exposes
+    * next to sums and averages. All five are single-pass mergeable
+    * aggregates (Spark keeps the co-moment accumulators partial-agg
+    * map-side, same two-phase shape as q1), so the shuffle carries one
+    * accumulator row per (flag, partition) regardless of fact size. */
+  def q37StatsSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(stddev_samp($"l_extendedprice"), 2).as("sd_price"),
+        round(var_samp($"l_quantity"), 4).as("var_qty"),
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_discount"), 6).as("cov_qty_disc"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Q41: calendar arithmetic — per order month, the order→ship lag
+    * distribution (mean days and the slow-shipment ratio). Month keys
+    * are integer `year`/`month` parts (exact across engines); the lag
+    * is an integer day difference; the two ratios are exact rationals
+    * floor-quantized (the t2/t5 discipline — round() would disagree
+    * between engines exactly ON .5e-4 boundaries, which rationals can
+    * hit). One shuffle join orders⋈lineitem + one two-phase agg. */
+  def q41ShipDelay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate")
+      .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(year($"o_orderdate").as("o_year"), month($"o_orderdate").as("o_month"),
+        datediff($"l_shipdate", $"o_orderdate").as("lag_days"))
+      .groupBy($"o_year", $"o_month")
+      .agg(count(lit(1)).as("n_items"),
+        (floor(avg($"lag_days") * 10000) / 10000.0).as("avg_lag_days"),
+        (floor(avg(when($"lag_days" > 60, 1.0).otherwise(0.0)) * 10000) / 10000.0)
+          .as("slow_ratio"))
+      .orderBy($"o_year", $"o_month")
+  }
+
   /** Q38: the ranking-distribution window family — quartile bucket
     * (ntile), percent_rank and cume_dist of every customer's balance
     * within its market segment. One hash-partitioned window sort on

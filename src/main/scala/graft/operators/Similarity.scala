@@ -171,9 +171,12 @@ object Similarity {
       val emb = Tables.embeddings(s, dir)
         .select($"vec_id", toDoubles($"embedding").as("v"))
         .withColumn("features", array_to_vector($"v"))
-      val model = new KMeans().setK(IvfClusters).setSeed(42L).setMaxIter(10)
-        .setFeaturesCol("features").setPredictionCol("cluster")
-        .fit(emb)
+      // summary dropped so transform closures never carry the session
+      // (see org.apache.spark.ml.graft.ModelHygiene)
+      val model = org.apache.spark.ml.graft.ModelHygiene.dropTrainingSummary(
+        new KMeans().setK(IvfClusters).setSeed(42L).setMaxIter(10)
+          .setFeaturesCol("features").setPredictionCol("cluster")
+          .fit(emb))
       val assigned = model.transform(emb).select($"vec_id", $"v", $"cluster").cache()
       (assigned, model.clusterCenters.map(_.toArray))
     })

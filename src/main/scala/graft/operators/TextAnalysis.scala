@@ -231,6 +231,37 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** T9: unigram-LM surprisal — the CCNet-style perplexity quality
+    * filter: fit an add-one-smoothed unigram language model on the
+    * corpus itself, then score every document by its mean per-token
+    * surprisal −log2 p(t). Low = stereotypical in-distribution text,
+    * high = rare-vocabulary / noise — the standard cheap stand-in for
+    * a KenLM gate in training-data pipelines.
+    *
+    * Shape at 100 TB: the LM is one explode + grouped count (map-side
+    * partials, keyed on token) and scoring is a shuffle EQUI-join of
+    * token occurrences against that table on the token key — never a
+    * broadcast of the vocabulary (billions of entries at corpus
+    * scale). The two corpus scalars (N, V) ARE broadcast: one row.
+    * Surprisal values floor-quantize at 1e-4 (log2 is not required to
+    * be correctly rounded, so the engines may differ in the last ulp;
+    * the t2/t5 floor discipline absorbs it). */
+  def t9Surprisal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+    val counts = tok.groupBy($"token").agg(count(lit(1)).as("c"))
+    val scalars = counts.agg(sum($"c").as("n_total"), count(lit(1)).as("v"))
+    tok.join(counts, "token")
+      .join(broadcast(scalars))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (floor(avg(-log2(($"c" + 1).cast("double") /
+          ($"n_total" + $"v").cast("double"))) * 10000) / 10000.0).as("surprisal"))
+      .orderBy($"doc_id")
+  }
+
   /** T7: bigram frequency table — the top-50 most frequent bigrams
     * corpus-wide (n-gram LM / contamination statistics). Same explode +
     * grouped-count shape as t6; the top-50 is a TakeOrderedAndProject

@@ -45,6 +45,32 @@ class AnalyticsSpec extends GraftSpecBase {
     rows.unpersist()
   }
 
+  test("q37: moment statistics agree with their first-principles forms") {
+    val rows = Analytics.q37StatsSuite(spark, sf).cache()
+    // every flag present, counts partition the table
+    assert(rows.agg(sum($"n_rows")).as[Long].head() == Tables.lineitem(spark, sf).count())
+    // corr bounded; variance and stddev non-negative
+    assert(rows.filter($"corr_qty_price" < -1.0 || $"corr_qty_price" > 1.0).count() == 0)
+    assert(rows.filter($"var_qty" < 0.0 || $"sd_price" < 0.0).count() == 0)
+    // spot-check one group against the naive two-pass formula
+    import org.apache.spark.sql.Row
+    val li = Tables.lineitem(spark, sf).filter($"l_returnflag" === "N")
+      .select($"l_quantity").as[Double].collect()
+    val mean = li.sum / li.length
+    val varNaive = li.map(q => (q - mean) * (q - mean)).sum / (li.length - 1)
+    val varSpark = rows.filter($"l_returnflag" === "N").select($"var_qty").as[Double].head()
+    assert(math.abs(varNaive - varSpark) < 1e-3, s"$varNaive vs $varSpark")
+    rows.unpersist()
+  }
+
+  test("q41: ship lag is positive-mean and slow ratio is a proper fraction") {
+    val rows = Analytics.q41ShipDelay(spark, sf).cache()
+    assert(rows.agg(sum($"n_items")).as[Long].head() == Tables.lineitem(spark, sf).count())
+    assert(rows.filter($"slow_ratio" < 0.0 || $"slow_ratio" > 1.0).count() == 0)
+    assert(rows.filter($"o_month" < 1 || $"o_month" > 12).count() == 0)
+    rows.unpersist()
+  }
+
   test("q42: every cohort starts at offset 0 and offsets are non-negative") {
     val rows = Analytics.q42CohortRetention(spark, sf).cache()
     assert(rows.filter($"wk_offset" < 0).count() == 0)

@@ -112,6 +112,38 @@ class MlSpec extends GraftSpecBase {
     assert(a == b)
   }
 
+  test("m5 recommends only items the user has never purchased") {
+    import spark.implicits._
+    val recs = Recommender.m5UnseenRecs(spark, sf).cache()
+    assert(recs.count() > 0)
+    // the contract: zero overlap with the rating (purchase) pairs
+    val seen = Recommender.ratings(spark, sf)
+      .select($"user".as("c_custkey"), $"item".as("p_partkey"))
+    assert(recs.join(seen, Seq("c_custkey", "p_partkey"), "left_semi").count() == 0)
+    // still a ranked top-5 slate per user, positions dense from 1
+    val bad = recs.groupBy($"c_custkey")
+      .agg(count(lit(1)).as("n"), max($"rnk").as("mx"), min($"rnk").as("mn"))
+      .filter($"n" > 5 || $"mx" =!= $"n" || $"mn" =!= 1)
+    assert(bad.count() == 0)
+    recs.unpersist()
+  }
+
+  test("model serving survives a session whose observation manager is live") {
+    import spark.implicits._
+    // d6 registers an Observation, which initializes the session's
+    // observationManager lazy field — after that, a serve closure that
+    // still carried a training summary (and through it the session)
+    // would die with NotSerializableException (the r4 regression).
+    // Reproduce the order explicitly: observe first, then serve.
+    val obs = org.apache.spark.sql.Observation("mlspec_poison")
+    spark.range(10).observe(obs, count(lit(1)).as("n")).collect()
+    assert(obs.get("n") == 10L)
+    val scored = graft.ml.Sentiment.m2Sentiment(spark, sf)
+    assert(scored.count() > 0)
+    val recs = Recommender.m1AlsRecommend(spark, sf)
+    assert(recs.count() > 0)
+  }
+
   test("sentiment scores every document with a calibrated probability") {
     import spark.implicits._
     val scored = graft.ml.Sentiment.m2Sentiment(spark, sf)

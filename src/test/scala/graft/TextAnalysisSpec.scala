@@ -179,6 +179,46 @@ class TextAnalysisSpec extends GraftSpecBase {
     bf.foreach { case (b, n) => assert(all(b) == n, s"$b: $n vs ${all(b)}") }
   }
 
+  test("t9 surprisal: bounded by the smoothed LM's extremes, rare text scores higher") {
+    import spark.implicits._
+    val scored = operators.TextAnalysis.t9Surprisal(spark, sf).cache()
+    // every doc with at least one non-empty token is scored
+    val expect = Tables.documents(spark, sf)
+      .filter(length(regexp_replace($"text", " ", "")) > 0).count()
+    assert(scored.count() == expect)
+    // add-one smoothing bounds: every token was seen, so its smoothed
+    // probability sits in [2/(N+V), (cmax+1)/(N+V)] and per-doc mean
+    // surprisal must sit inside the matching log range
+    val tok = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ")).as("t")).filter($"t" =!= "")
+    val n = tok.count()
+    val v = tok.distinct().count()
+    val cmax = tok.groupBy($"t").count().agg(max($"count")).as[Long].head()
+    val hi = -math.log((cmax + 1.0) / (n + v)) / math.log(2.0)
+    val lo = -math.log(2.0 / (n + v)) / math.log(2.0)
+    assert(scored.filter($"surprisal" < hi - 1e-4 || $"surprisal" > lo + 1e-4).count() == 0)
+    // a doc of the most common token must score below one of a hapax
+    val byFreq = tok.groupBy($"t").count()
+    val (common, cc) = byFreq.orderBy($"count".desc, $"t")
+      .as[(String, Long)].head()
+    val (rare, rc) = byFreq.orderBy($"count".asc, $"t")
+      .as[(String, Long)].head()
+    assert(cc > rc, "corpus is frequency-uniform; pick another fixture")
+    val docs = scored.sparkSession.createDataFrame(Seq(
+      (900001L, common, "en", "spec"), (900002L, rare, "en", "spec")))
+      .toDF("doc_id", "text", "lang", "source")
+    // score synthetic docs against the same corpus LM by re-deriving
+    // the count join (the operator's own LM, different scan)
+    val counts = tok.groupBy($"t".as("token")).agg(count(lit(1)).as("c"))
+    val s2 = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+      .join(counts, "token")
+      .groupBy($"doc_id")
+      .agg(avg(-log2(($"c" + 1).cast("double") / lit((n + v).toDouble))).as("surp"))
+      .orderBy($"doc_id").select($"surp").as[Double].collect()
+    assert(s2(0) < s2(1), s"common ${s2(0)} !< rare ${s2(1)}")
+    scored.unpersist()
+  }
+
   test("p5 packing: offsets are the exact prefix sum and sequences stay contiguous") {
     import spark.implicits._
     val packed = operators.TextAnalysis.p5PackSequences(spark, sf)
