@@ -98,6 +98,9 @@ object SparkEntry {
     "q41_ship_delay"     -> (Analytics.q41ShipDelay _),
     "t9_surprisal"       -> (TextAnalysis.t9Surprisal _),
     "m5_unseen_recs"     -> (graft.ml.Recommender.m5UnseenRecs _),
+    "q43_cooccur"        -> (Analytics.q43Cooccur _),
+    "q44_gap_fill"       -> (Analytics.q44GapFill _),
+    "p6_mix_allocate"    -> (Sampling.p6MixAllocate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -764,5 +767,50 @@ object SparkEntry {
              / 10000.0 AS surprisal
          FROM tk JOIN c USING (token), s
          GROUP BY tk.doc_id ORDER BY tk.doc_id""",
+    "q43_cooccur" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+         FROM pp a JOIN pp b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2
+         ORDER BY n_orders DESC, part_a, part_b LIMIT 20""",
+    "q44_gap_fill" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+         daily AS (
+           SELECT user_id, day, count(*) AS n FROM e GROUP BY 1, 2),
+         spine AS (
+           SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+           FROM daily GROUP BY user_id)
+         SELECT s.user_id, s.day,
+           coalesce(d.n, 0) AS n_events,
+           CAST(sum(coalesce(d.n, 0)) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_events,
+           CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS is_gap
+         FROM spine s
+         LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+         ORDER BY s.user_id, s.day""",
+    "p6_mix_allocate" ->
+      """WITH lt AS (
+           SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+           FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t_tok FROM lt),
+         q AS (
+           SELECT lang, n_tok,
+             (1000000 * n_tok) // t_tok AS base,
+             (1000000 * n_tok) % t_tok AS rem
+           FROM lt, t),
+         x AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS extra FROM q),
+         r AS (
+           SELECT lang, n_tok, base,
+             row_number() OVER (ORDER BY rem DESC, lang) AS rnk
+           FROM q)
+         SELECT lang, n_tok,
+           CAST(base + CASE WHEN rnk <= x.extra THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_tokens
+         FROM r, x ORDER BY lang""",
   )
 }

@@ -129,6 +129,59 @@ object Analytics {
       .orderBy($"prio_level", $"prio_word")
   }
 
+  /** Q43: market-basket co-occurrence — the top co-purchased part
+    * pairs across all orders, the classic association-mining head a
+    * recommender serves as "customers also bought". Per-order distinct
+    * parts first (dedups multi-line repeats), then a self equi-join on
+    * the order key with `part_a < part_b` so each unordered pair counts
+    * once. The join fans out per order as C(parts-per-order, 2) — a
+    * basket-bounded quadratic, never catalog-quadratic — and both sides
+    * hash-partition on the order key, so the plan is one shuffle plus a
+    * partial-aggregated pair count. Presentation is a deterministic
+    * total order (count desc, then pair), TakeOrderedAndProject-able. */
+  def q43Cooccur(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("part_a"), $"b.l_partkey".as("part_b"))
+      .groupBy($"part_a", $"part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"n_orders".desc, $"part_a", $"part_b")
+      .limit(20)
+  }
+
+  /** Q44: time-series gap filling — every user's event timeline
+    * densified onto a daily spine between its first and last active
+    * day, with zero-filled daily counts, a running cumulative count,
+    * and an explicit gap flag. The spine is `sequence` + `explode` off
+    * each user's (min, max) day pair, so spine size is span-bounded per
+    * user and generated WHERE the user's rows already live (no global
+    * calendar broadcast, no driver loop); the left join back to the
+    * daily counts and the cumulative window both key on user_id, which
+    * the rows already hash by. Day keys are integer epoch-days (exact
+    * across engines). */
+  def q44GapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.eventsWithMs(s, dir)
+      .select($"user_id", expr("ms div 86400000L").as("day"))
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n_events"))
+    val spine = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        ($"n_events".isNull).cast("int").as("is_gap"))
+      .withColumn("cum_events", sum($"n_events")
+        .over(Window.partitionBy($"user_id").orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"user_id", $"day", $"n_events", $"cum_events", $"is_gap")
+      .orderBy($"user_id", $"day")
+  }
+
   /** Q42: cohort retention — users bucketed by first-seen epoch-week,
     * distinct actives per (cohort, week offset): the standard product
     * retention triangle. Week indexes are integer epoch arithmetic

@@ -29,4 +29,46 @@ object Sampling {
       .select($"doc_id", $"lang")
       .orderBy($"doc_id")
   }
+
+  /** Token budget for `p6MixAllocate` — the total training tokens to
+    * apportion across languages. */
+  val MixBudget = 1000000L
+
+  /** P6: training-mix budget allocation — apportion a fixed token
+    * budget across languages proportional to their exact corpus token
+    * counts, by largest-remainder (Hamilton) apportionment: every
+    * language gets floor(B·n_l/T) tokens, and the B − Σfloor leftover
+    * goes one token each to the largest fractional remainders. All
+    * integer arithmetic (exact, engine-portable, no float shares), so
+    * unlike RNG sampling (p2) this stage IS oracle-checkable.
+    *
+    * Shape at scale: the heavy work is the per-language token sum — a
+    * scan plus a map-side-partial aggregate. Everything after operates
+    * on ONE ROW PER LANGUAGE (a bounded artifact, ≤ a few hundred rows
+    * for any real corpus), so the single-partition remainder-rank
+    * window and the two broadcast one-row totals are K-bounded
+    * driver-scale steps, not data-scale ones — the same discipline as
+    * d5's pivot artifacts. BIGINT products B·n_l stay exact up to
+    * ~9.2e12 corpus tokens at this budget; a larger corpus casts the
+    * one multiply to DECIMAL(38,0) with no plan change. */
+  def p6MixAllocate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.tokens
+    val langTok = Tables.documents(s, dir)
+      .select($"lang", size(tokens($"text")).cast("long").as("n"))
+      .groupBy($"lang")
+      .agg(sum($"n").as("n_tok"))
+    val total = langTok.agg(sum($"n_tok").as("t_tok"))
+    val quotas = langTok.crossJoin(broadcast(total))
+      .select($"lang", $"n_tok",
+        expr(s"(${MixBudget}L * n_tok) div t_tok").as("base"),
+        expr(s"(${MixBudget}L * n_tok) % t_tok").as("rem"))
+    val leftover = quotas.agg((lit(MixBudget) - sum($"base")).as("extra"))
+    quotas.crossJoin(broadcast(leftover))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"rem".desc, $"lang")))
+      .select($"lang", $"n_tok",
+        ($"base" + when($"rnk" <= $"extra", 1L).otherwise(0L)).as("alloc_tokens"))
+      .orderBy($"lang")
+  }
 }

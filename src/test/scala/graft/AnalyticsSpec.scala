@@ -71,6 +71,53 @@ class AnalyticsSpec extends GraftSpecBase {
     rows.unpersist()
   }
 
+  test("q43: pairs are canonical-ordered and a spot pair's count matches a direct recount") {
+    val rows = graft.operators.Analytics.q43Cooccur(spark, sf).cache()
+    assert(rows.count() <= 20)
+    assert(rows.filter($"part_a" >= $"part_b").count() == 0)
+    // counts are non-increasing in presentation order
+    val ns = rows.select($"n_orders").as[Long].collect()
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // recount the top pair from the raw table
+    val top = rows.head()
+    val (pa, pb) = (top.getAs[Long]("part_a"), top.getAs[Long]("part_b"))
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val direct = li.filter($"l_partkey" === pa).select($"l_orderkey")
+      .intersect(li.filter($"l_partkey" === pb).select($"l_orderkey")).count()
+    assert(direct == top.getAs[Long]("n_orders"))
+    rows.unpersist()
+  }
+
+  test("q44: spine is dense per user, cum matches totals, gaps flag exactly the zero days") {
+    val rows = graft.operators.Analytics.q44GapFill(spark, sf).cache()
+    // dense spine: per user, rows == max(day)-min(day)+1 and all days distinct
+    val span = rows.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), (max($"day") - min($"day") + 1).as("expect"),
+        countDistinct($"day").as("nd"), max($"cum_events").as("cum_last"),
+        sum($"n_events").as("tot"))
+    assert(span.filter($"n" =!= $"expect" || $"nd" =!= $"n").count() == 0)
+    // cumulative sum ends at the user's total
+    assert(span.filter($"cum_last" =!= $"tot").count() == 0)
+    // zero-filled rows are exactly the flagged gaps
+    assert(rows.filter(($"n_events" === 0) =!= ($"is_gap" === 1)).count() == 0)
+    // every original event lands: totals match the raw table
+    val total = rows.agg(sum($"n_events")).as[Long].head()
+    assert(total == Tables.events(spark, sf).count())
+    rows.unpersist()
+  }
+
+  test("p6: allocation spends the budget exactly and stays within one token of proportional") {
+    val rows = graft.operators.Sampling.p6MixAllocate(spark, sf).cache()
+    val budget = graft.operators.Sampling.MixBudget
+    assert(rows.agg(sum($"alloc_tokens")).as[Long].head() == budget)
+    val t = rows.agg(sum($"n_tok")).as[Long].head().toDouble
+    val off = rows.select($"alloc_tokens".cast("double") -
+        lit(budget.toDouble) * $"n_tok".cast("double") / lit(t)).as[Double].collect()
+    assert(off.forall(d => d > -1.0 && d < 1.0), off.mkString(","))
+    rows.unpersist()
+  }
+
   test("q42: every cohort starts at offset 0 and offsets are non-negative") {
     val rows = Analytics.q42CohortRetention(spark, sf).cache()
     assert(rows.filter($"wk_offset" < 0).count() == 0)
