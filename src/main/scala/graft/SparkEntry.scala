@@ -101,6 +101,7 @@ object SparkEntry {
     "q43_cooccur"        -> (Analytics.q43Cooccur _),
     "q44_gap_fill"       -> (Analytics.q44GapFill _),
     "p6_mix_allocate"    -> (Sampling.p6MixAllocate _),
+    "s4_pq_ann"          -> (Similarity.s4PqAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

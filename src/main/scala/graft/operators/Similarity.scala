@@ -222,4 +222,153 @@ object Similarity {
     centers
   }
 
+  // ---- Product quantization (IVF-PQ) ---------------------------------
+
+  val PqM = 8          // subspaces: a 64-d vector → 8 codes
+  val PqK = 16         // centroids per subspace (4-bit codes)
+  val PqSample = 2048  // codebook training sample (driver-side, bounded)
+  val PqIters = 10     // Lloyd iterations per subspace
+  val PqCandidates = 32 // ADC candidates per probed cluster before refine
+
+  /** Train the PQ codebook on a bounded sample, driver-side Lloyd per
+    * subspace — the standard practice (FAISS trains its quantizers on
+    * a capped sample too): the codebook is m·k·(d/m) doubles, a
+    * K-bounded artifact like KMeans centers, and training touches at
+    * most `PqSample` vectors no matter the corpus size. Deterministic:
+    * the sample is the first `PqSample` vectors by vec_id and the init
+    * picks evenly-spaced sample subvectors. Empty clusters keep their
+    * previous center (they can only re-acquire members). */
+  private[operators] def pqTrain(sample: Array[Array[Double]], m: Int, k: Int,
+      iters: Int): Array[Double] = {
+    val d = sample.head.length
+    require(d % m == 0, s"pq: dim $d not divisible by m=$m")
+    val dsub = d / m
+    val flat = new Array[Double](m * k * dsub)
+    var s = 0
+    while (s < m) {
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      val cents = Array.tabulate(k)(j => subs((j.toLong * subs.length / k).toInt).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val cnt = new Array[Int](k)
+        for (sv <- subs) {
+          var best = 0; var bd = Double.MaxValue
+          var j = 0
+          while (j < k) {
+            var dd = 0.0; var t = 0
+            while (t < dsub) { val x = sv(t) - cents(j)(t); dd += x * x; t += 1 }
+            if (dd < bd) { bd = dd; best = j }
+            j += 1
+          }
+          cnt(best) += 1
+          var t = 0
+          while (t < dsub) { sums(best)(t) += sv(t); t += 1 }
+        }
+        var j = 0
+        while (j < k) {
+          if (cnt(j) > 0) {
+            var t = 0
+            while (t < dsub) { cents(j)(t) = sums(j)(t) / cnt(j); t += 1 }
+          }
+          j += 1
+        }
+        it += 1
+      }
+      var j = 0
+      while (j < k) {
+        System.arraycopy(cents(j), 0, flat, ((s * k) + j) * dsub, dsub)
+        j += 1
+      }
+      s += 1
+    }
+    flat
+  }
+
+  // PQ index registry: packed per-cluster code blocks + the codebook.
+  // Codes encode UNIT vectors, so ADC scores approximate cosine.
+  private val pqIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Array[Double])]
+
+  /** Build (or serve) the IVF-PQ index: every vector unit-normalized,
+    * PQ-encoded via the codegen `pq_encode` kernel (one distributed
+    * scan — training is the only driver-side step), and packed into
+    * per-cluster blocks of (ids asc, flat codes) exactly like the
+    * IVF-Flat blocks — except each candidate costs m ints instead of
+    * d doubles, the 32× memory drop that keeps a 100 TB corpus's index
+    * servable from cluster RAM. */
+  def pqIndex(s: SparkSession, dir: String): (DataFrame, Array[Double]) =
+    pqIndexes.getOrElseUpdate(dir, {
+      import s.implicits._
+      val (assigned, _) = ivfIndex(s, dir)
+      val unit = assigned
+        .withColumn("nrm", sqrt(dot($"v", $"v")))
+        .withColumn("u",
+          transform($"v", x => x / when($"nrm" === 0.0, 1.0).otherwise($"nrm")))
+      val sample = unit.orderBy($"vec_id").limit(PqSample)
+        .select($"u").as[Seq[Double]].collect().map(_.toArray)
+      val cb = pqTrain(sample, PqM, PqK, PqIters)
+      val cbLit = typedlit(cb.toSeq)
+      val packed = unit
+        .select($"cluster", struct($"vec_id",
+          call_function("pq_encode", $"u", cbLit, lit(PqM), lit(PqK)).as("codes")).as("ic"))
+        .groupBy($"cluster")
+        .agg(array_sort(collect_list($"ic")).as("ics"))
+        .select($"cluster",
+          transform($"ics", _.getField("vec_id")).as("ids"),
+          flatten(transform($"ics", _.getField("codes"))).as("codes"))
+        .cache()
+      (packed, cb)
+    })
+
+  /** S4: IVF-PQ approximate top-k — the compressed-index serving path.
+    * Per query: probe the nearest clusters by centroid cosine (as s2),
+    * ADC-scan each probed cluster's packed CODE block in one
+    * `pq_adc_topk` evaluation (per-query LUT + m table-adds per
+    * candidate — never touching the full vectors), then exact-refine
+    * only the surviving candidates: the refine join carries the
+    * candidate's (cluster, vec_id) key, so against the
+    * `s3WriteIvfIndex` cluster-partitioned layout it reads only probed
+    * clusters' lists (partition-pruned point lookups), never a full
+    * vector scan. Output ranking is by exact cosine, so quality
+    * degrades only through candidate selection — the recall spec
+    * bounds that, and full-probe recall isolates pure PQ quality. */
+  def s4PqAnn(s: SparkSession, dir: String): DataFrame =
+    s4PqAnn(s, dir, IvfProbes, PqCandidates)
+
+  def s4PqAnn(s: SparkSession, dir: String, probes: Int, kCand: Int): DataFrame = {
+    import s.implicits._
+    val (assigned, centers) = ivfIndex(s, dir)
+    val (packed, cb) = pqIndex(s, dir)
+    val cbLit = typedlit(cb.toSeq)
+    val centerLit = array(centers.map(c => array(c.map(lit): _*)): _*)
+    val queries = assigned.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .withColumn("qn", sqrt(dot($"qv", $"qv")))
+      .withColumn("qu",
+        transform($"qv", x => x / when($"qn" === 0.0, 1.0).otherwise($"qn")))
+      .withColumn("cdist", transform(centerLit, c => q4(cosine($"qv", c))))
+      .withColumn("probe", explode(topIndicesDesc($"cdist", probes)))
+      .select($"q_id", $"qv", $"qu", $"probe")
+    // one ADC evaluation per (query, probed cluster); a vector lives in
+    // exactly one cluster, so candidates never duplicate across probes
+    val cands = queries.join(packed, $"probe" === $"cluster")
+      .select($"q_id", $"qv", $"cluster",
+        explode(call_function("pq_adc_topk",
+          $"qu", $"ids", $"codes", cbLit,
+          lit(PqM), lit(PqK), lit(kCand))).as("cand"))
+      .filter($"cand.id" =!= $"q_id")
+      .select($"q_id", $"qv", $"cluster", $"cand.id".as("neighbor_id"))
+    // exact refine of the bounded candidate set, keyed (cluster, id) —
+    // partition-pruned point lookups against the serving layout
+    val exact = cands.join(assigned.select($"vec_id".as("neighbor_id"), $"cluster", $"v"),
+        Seq("cluster", "neighbor_id"))
+      .select($"q_id", $"neighbor_id", q4(cosine($"qv", $"v")).as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"neighbor_id")
+    exact.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"q_id", $"rnk", $"neighbor_id", $"cos")
+      .orderBy($"q_id", $"rnk")
+  }
+
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayDot, DotTopK, MaxRunLength, MinHashAgg, SimHashAgg, SortedIntersectSize, TopKAgg}
+import graft.functions.{ArrayDot, DotTopK, MaxRunLength, MinHashAgg, PqAdcTopK, PqEncode, SimHashAgg, SortedIntersectSize, TopKAgg}
 
 /** Session extensions: registers graft's native Catalyst expressions
   * so they resolve in both the Column DSL (`call_function`) and SQL.
@@ -42,6 +42,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotTopK(children(0), children(1), children(2),
           children(3).eval(null).asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PqEncode(children(0), children(1),
+          children(2).eval(null).asInstanceOf[Number].intValue(),
+          children(3).eval(null).asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc_topk"),
+      new ExpressionInfo(classOf[PqAdcTopK].getName, "pq_adc_topk"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PqAdcTopK(children(0), children(1), children(2), children(3),
+          children(4).eval(null).asInstanceOf[Number].intValue(),
+          children(5).eval(null).asInstanceOf[Number].intValue(),
+          children(6).eval(null).asInstanceOf[Number].intValue())))
     ext.injectFunction((
       FunctionIdentifier("max_run_length"),
       new ExpressionInfo(classOf[MaxRunLength].getName, "max_run_length"),

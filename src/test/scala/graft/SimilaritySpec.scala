@@ -47,6 +47,42 @@ class SimilaritySpec extends GraftSpecBase {
     assert(total == Tables.embeddings(spark, sf).count())
   }
 
+  test("pq codes are m ints in [0,k) per vector and the codebook has the right shape") {
+    import spark.implicits._
+    val (packed, cb) = Similarity.pqIndex(spark, sf)
+    val d = 64
+    assert(cb.length == Similarity.PqM * Similarity.PqK * (d / Similarity.PqM))
+    val flat = packed.select(explode($"codes").as("c"))
+    assert(flat.filter($"c" < 0 || $"c" >= Similarity.PqK).count() == 0)
+    // every vector encoded: ids across blocks partition the table,
+    // codes length = m per id
+    val counts = packed.select(size($"ids").as("n"), size($"codes").as("nc"))
+    assert(counts.filter($"nc" =!= $"n" * Similarity.PqM).count() == 0)
+    val total = packed.agg(sum(size($"ids"))).as[Long].head()
+    assert(total == Tables.embeddings(spark, sf).count())
+  }
+
+  test("pq adc with full probes recalls most exact neighbors; refine scores are exact") {
+    import spark.implicits._
+    val exact = Similarity.s1KnnBrute(spark, sf)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.s4PqAnn(spark, sf, Similarity.IvfClusters, Similarity.PqCandidates)
+      .collect()
+    assert(pq.length == 5 * 3)
+    val pqPairs = pq.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = pqPairs.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"full-probe PQ recall@3 $recall < 0.6")
+    // refined scores are EXACT cosines: every returned (q, n, cos) must
+    // match the brute-force score for that pair
+    val bruteScores = Similarity.s1KnnBrute(spark, sf)
+      .select($"q_id", $"neighbor_id", $"cos").as[(Long, Long, Double)]
+      .collect().map { case (q, n, c) => (q, n) -> c }.toMap
+    pq.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
+      bruteScores.get(key).foreach(c => assert(c == r.getAs[Double]("cos")))
+    }
+  }
+
   test("embedding dedup pairs are symmetric-free and above threshold") {
     import spark.implicits._
     val pairs = Similarity.d5EmbeddingDedup(spark, sf).collect()
