@@ -102,6 +102,9 @@ object SparkEntry {
     "q44_gap_fill"       -> (Analytics.q44GapFill _),
     "p6_mix_allocate"    -> (Sampling.p6MixAllocate _),
     "s4_pq_ann"          -> (Similarity.s4PqAnn _),
+    "q45_histogram"      -> (Analytics.q45Histogram _),
+    "q46_attribution"    -> (Analytics.q46Attribution _),
+    "t10_keywords"       -> (TextAnalysis.t10Keywords _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -813,5 +816,51 @@ object SparkEntry {
            CAST(base + CASE WHEN rnk <= x.extra THEN 1 ELSE 0 END AS BIGINT)
              AS alloc_tokens
          FROM r, x ORDER BY lang""",
+    "q45_histogram" ->
+      """WITH c AS (
+           SELECT CAST(least(floor(l_extendedprice / 5000.0), 19) AS INTEGER)
+             AS bucket, count(*) AS n_items
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT CAST(sum(n_items) AS BIGINT) AS t FROM c)
+         SELECT bucket, bucket * 5000.0 AS lo, n_items,
+           floor(n_items * 1000000 / t.t) / 1000000.0 AS share
+         FROM c, t ORDER BY bucket""",
+    "q46_attribution" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events),
+         r AS (
+           SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ms, event_id)
+               AS rn_first,
+             row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC)
+               AS rn_last
+           FROM e)
+         SELECT user_id,
+           max(CASE WHEN rn_first = 1 THEN event_type END) AS first_touch,
+           max(CASE WHEN rn_last = 1 THEN event_type END) AS last_touch,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchases
+         FROM r GROUP BY user_id ORDER BY user_id""",
+    "t10_keywords" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token <> '' GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (
+           SELECT tf.doc_id, tf.token,
+             floor(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / df.df) * 10000)
+               / 10000.0 AS score
+           FROM tf JOIN df USING (token), nd),
+         r AS (
+           SELECT doc_id, token, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, token) AS kw_rank
+           FROM sc)
+         SELECT doc_id, kw_rank, token, score
+         FROM r WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank""",
   )
 }

@@ -141,12 +141,22 @@ object Analytics {
     * total order (count desc, then pair), TakeOrderedAndProject-able. */
   def q43Cooccur(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, dir)
-      .select($"l_orderkey", $"l_partkey").distinct()
-    li.as("a").join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-      .select($"a.l_partkey".as("part_a"), $"b.l_partkey".as("part_b"))
-      .groupBy($"part_a", $"part_b")
+    // basket arrays instead of a self-join: ONE shuffle builds each
+    // order's sorted distinct part array (dedup inside the aggregate
+    // buffer), pair expansion is a narrow per-row transform over the
+    // sorted array (ascending order gives part_a < part_b for free),
+    // and the pair count is the second and last shuffle. The self-join
+    // formulation costs a third exchange (distinct keys ≠ join key)
+    // and materializes both join sides; this plan never joins at all.
+    val baskets = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey")
+      .groupBy($"l_orderkey")
+      .agg(array_sort(array_distinct(collect_list($"l_partkey"))).as("ps"))
+    baskets
+      .select(explode(flatten(transform($"ps", (x, i) =>
+        transform(slice($"ps", i + 2, size($"ps")),
+          y => struct(x.as("part_a"), y.as("part_b")))))).as("pr"))
+      .groupBy($"pr.part_a".as("part_a"), $"pr.part_b".as("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy($"n_orders".desc, $"part_a", $"part_b")
       .limit(20)
@@ -180,6 +190,52 @@ object Analytics {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select($"user_id", $"day", $"n_events", $"cum_events", $"is_gap")
       .orderBy($"user_id", $"day")
+  }
+
+  /** Q45: fixed-width histogram — the value-distribution summary every
+    * BI layer draws. Bucket assignment is a per-row floor division
+    * (integer-exact across engines, top bucket clamps the tail), so
+    * the whole query is one scan + one partial-aggregated shuffle on a
+    * bounded bucket key; shares are exact rationals floor-quantized. */
+  def q45Histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val width = 5000.0
+    val nBuckets = 20
+    val counts = Tables.lineitem(s, dir)
+      .select(least(floor($"l_extendedprice" / width), lit(nBuckets - 1))
+        .cast("int").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_items"))
+    // share denominator via a broadcast one-row total over the
+    // K-bounded bucket table (the p6 pattern), not a global window
+    val total = counts.agg(sum($"n_items").as("t"))
+    counts.crossJoin(broadcast(total))
+      .select($"bucket", ($"bucket" * width).as("lo"), $"n_items",
+        (floor($"n_items" * 1000000L / $"t") / 1000000.0).as("share"))
+      .orderBy($"bucket")
+  }
+
+  /** Q46: first/last-touch attribution — per user, the event type that
+    * opened and the one that closed their journey, plus volume counts:
+    * the marketing-attribution query every event warehouse serves. Two
+    * ranked windows over ONE partition key (user_id) with a total
+    * order (ms, event_id) so both touches are engine-reproducible;
+    * the final aggregate rides the same user-partitioned shuffle. */
+  def q46Attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.eventsWithMs(s, dir)
+      .select($"user_id", $"ms", $"event_id", $"event_type")
+    val asc = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val desc = Window.partitionBy($"user_id").orderBy($"ms".desc, $"event_id".desc)
+    e.withColumn("rn_first", row_number().over(asc))
+      .withColumn("rn_last", row_number().over(desc))
+      .groupBy($"user_id")
+      .agg(
+        max(when($"rn_first" === 1, $"event_type")).as("first_touch"),
+        max(when($"rn_last" === 1, $"event_type")).as("last_touch"),
+        count(lit(1)).as("n_events"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+      .orderBy($"user_id")
   }
 
   /** Q42: cohort retention — users bucketed by first-seen epoch-week,

@@ -262,6 +262,37 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** T10: per-document keyword extraction — the top-3 terms per doc by
+    * TF-IDF, the classic document-summary head. Plan shape: term
+    * frequencies are one (doc, token) grouped count; document
+    * frequencies derive from the SAME tf table (one grouped count on
+    * token — never a re-scan of the corpus); the idf join is keyed on
+    * token (vocabulary-sized, shuffle join, never a vocab broadcast —
+    * the t9 discipline); the per-doc top-3 is a ranked window on the
+    * doc key the tf rows already hash by. Ranking is on the
+    * floor-quantized score with a token tie-break, so order is
+    * engine-reproducible (raw-double ln ties at the 4-dp boundary are
+    * the only cross-engine risk, and quantization absorbs ulp noise). */
+  def t10Keywords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfq, "token")
+      .join(broadcast(nDocs))
+      .select($"doc_id", $"token",
+        (floor($"tf" * log($"n_docs".cast("double") / $"df") * 10000) / 10000.0)
+          .as("score"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"token")
+    scored.withColumn("kw_rank", row_number().over(w))
+      .filter($"kw_rank" <= 3)
+      .select($"doc_id", $"kw_rank", $"token", $"score")
+      .orderBy($"doc_id", $"kw_rank")
+  }
+
   /** T7: bigram frequency table — the top-50 most frequent bigrams
     * corpus-wide (n-gram LM / contamination statistics). Same explode +
     * grouped-count shape as t6; the top-50 is a TakeOrderedAndProject

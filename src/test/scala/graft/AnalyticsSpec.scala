@@ -118,6 +118,29 @@ class AnalyticsSpec extends GraftSpecBase {
     rows.unpersist()
   }
 
+  test("q45: buckets partition the table and shares are a sub-unit fraction") {
+    val rows = graft.operators.Analytics.q45Histogram(spark, sf).cache()
+    assert(rows.agg(sum($"n_items")).as[Long].head() ==
+      Tables.lineitem(spark, sf).count())
+    assert(rows.filter($"bucket" < 0 || $"bucket" > 19).count() == 0)
+    val shareSum = rows.agg(sum($"share")).as[Double].head()
+    assert(shareSum > 0.99 && shareSum <= 1.0 + 1e-9, s"share sum $shareSum")
+    rows.unpersist()
+  }
+
+  test("q46: one row per user; touches are real event types; counts partition events") {
+    val rows = graft.operators.Analytics.q46Attribution(spark, sf).cache()
+    val users = Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(rows.count() == users)
+    assert(rows.filter($"first_touch".isNull || $"last_touch".isNull).count() == 0)
+    assert(rows.agg(sum($"n_events")).as[Long].head() ==
+      Tables.events(spark, sf).count())
+    assert(rows.filter($"n_purchases" > $"n_events").count() == 0)
+    // single-event users must have first == last
+    assert(rows.filter($"n_events" === 1 && $"first_touch" =!= $"last_touch").count() == 0)
+    rows.unpersist()
+  }
+
   test("q42: every cohort starts at offset 0 and offsets are non-negative") {
     val rows = Analytics.q42CohortRetention(spark, sf).cache()
     assert(rows.filter($"wk_offset" < 0).count() == 0)

@@ -179,6 +179,36 @@ class TextAnalysisSpec extends GraftSpecBase {
     bf.foreach { case (b, n) => assert(all(b) == n, s"$b: $n vs ${all(b)}") }
   }
 
+  test("t10 keywords: up to 3 per doc, ranked non-increasing, and the top term maximizes tf-idf") {
+    import spark.implicits._
+    val kw = operators.TextAnalysis.t10Keywords(spark, sf).cache()
+    // rank structure: per doc, ranks are 1..n with n <= 3
+    val perDoc = kw.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), max($"kw_rank").as("mx"), min($"kw_rank").as("mn"))
+    assert(perDoc.filter($"n" > 3 || $"mx" =!= $"n" || $"mn" =!= 1).count() == 0)
+    // scores non-increasing in rank within each doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"kw_rank")
+    assert(kw.withColumn("prev", lag($"score", 1).over(w))
+      .filter($"prev".isNotNull && $"score" > $"prev").count() == 0)
+    // rank-1 keyword really attains the doc's max tf-idf: recompute
+    // scores first-principles for one doc and compare
+    val doc = kw.select($"doc_id").as[Long].head()
+    val tf = Tables.documents(spark, sf)
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("t"))
+      .filter($"t" =!= "")
+      .groupBy($"doc_id", $"t").count()
+    val nDocs = Tables.documents(spark, sf).count().toDouble
+    val dfm = tf.groupBy($"t").agg(count(lit(1)).as("df"))
+    val best = tf.filter($"doc_id" === doc).join(dfm, "t")
+      .select($"t", (floor($"count" * log(lit(nDocs) / $"df") * 10000) / 10000.0).as("s"))
+      .orderBy($"s".desc, $"t").as[(String, Double)].head()
+    val got = kw.filter($"doc_id" === doc && $"kw_rank" === 1)
+      .select($"token", $"score").as[(String, Double)].head()
+    assert(got == best, s"$got vs $best")
+    kw.unpersist()
+  }
+
   test("t9 surprisal: bounded by the smoothed LM's extremes, rare text scores higher") {
     import spark.implicits._
     val scored = operators.TextAnalysis.t9Surprisal(spark, sf).cache()
