@@ -138,6 +138,79 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q43: basket co-occurrence plans with no join and no single-partition exchange") {
+    val p = plan(operators.Analytics.q43Cooccur(spark, sf))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("SinglePartition"), p)
+    // top-20 is a bounded selection, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q44/q46: event windows stay partitioned on the user key") {
+    for (df <- Seq(operators.Analytics.q44GapFill(spark, sf),
+                   operators.Analytics.q46Attribution(spark, sf))) {
+      val p = plan(df)
+      // a partitionBy-less window would plan Exchange SinglePartition
+      assert(!p.contains("SinglePartition"), p)
+      assert(p.contains("hashpartitioning(user_id"), p)
+    }
+  }
+
+  test("t10: keyword ranking windows on the doc key, rank pushed into WindowGroupLimit") {
+    // (the one-row n_docs scalar legitimately aggregates on a single
+    // partition — that is a broadcast scalar, not a data funnel, so no
+    // blanket SinglePartition assertion here)
+    val p = plan(operators.TextAnalysis.t10Keywords(spark, sf))
+    assert(p.contains("hashpartitioning(doc_id"), p)
+    // rank<=3 predicate reaches the window operator as a group limit,
+    // so each doc's sort keeps 3 rows instead of materializing all
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("s4: ADC serving scans packed code blocks — no cartesian, pq kernels in plan") {
+    val df = operators.Similarity.s4PqAnn(spark, sf)
+    df.collect() // force AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pq_adc_topk"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
+    // Catalyst's InjectRuntimeFilter: a selective predicate on one join
+    // side creates a bloom filter consumed inside the other side's scan
+    // stage — at 100 TB this is what keeps a filtered fact-fact join
+    // from scanning the full probe side. Thresholds are sized for
+    // production data; drop them so the sf0.001 fixture demonstrates
+    // the same plan shape.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      // creation side must be SMALLER than its threshold (raise it),
+      // application side LARGER than its scan threshold (drop to 0)
+      conf.set(keys(0), "10GB")
+      conf.set(keys(1), "0")
+      // runtime filters target SHUFFLE joins (a broadcast build side
+      // already reaches the probe scan); force the fact-fact shape the
+      // filter exists for
+      conf.set(keys.last, "-1")
+      import spark.implicits._
+      val orders = Tables.orders(spark, sf)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey")
+      val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
+      val j = li.join(orders, $"l_orderkey" === $"o_orderkey")
+      val p = plan(j)
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"), p)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("as-of exec self-join: shared lineage resolves via fresh right-side ids") {
     import spark.implicits._
     // both sides derive from the SAME DataFrame — without attribute
