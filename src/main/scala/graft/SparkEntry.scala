@@ -105,6 +105,7 @@ object SparkEntry {
     "q45_histogram"      -> (Analytics.q45Histogram _),
     "q46_attribution"    -> (Analytics.q46Attribution _),
     "t10_keywords"       -> (TextAnalysis.t10Keywords _),
+    "d7_substring_spans" -> (Dedup.d7SubstringSpans _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -862,5 +863,29 @@ object SparkEntry {
            FROM sc)
          SELECT doc_id, kw_rank, token, score
          FROM r WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank""",
+    "d7_substring_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+15], ' ') AS sh
+           FROM tok, unnest(generate_series(1, len(t) - 15)) AS g(i)
+           WHERE len(t) >= 16),
+         rep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) >= 2),
+         sp AS (SELECT s.doc_id, s.pos AS a, s.pos + 15 AS b
+                FROM sh s JOIN rep USING (sh)),
+         gs AS (
+           SELECT doc_id, a, b,
+             CASE WHEN a > coalesce(max(b) OVER (PARTITION BY doc_id ORDER BY a
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS brk
+           FROM sp),
+         gg AS (
+           SELECT doc_id, a, b,
+             CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY a
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+           FROM gs)
+         SELECT doc_id, CAST(min(a) AS BIGINT) AS span_start,
+           CAST(max(b) AS BIGINT) AS span_end,
+           CAST(max(b) - min(a) + 1 AS BIGINT) AS span_len
+         FROM gg GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
   )
 }

@@ -495,4 +495,52 @@ object Dedup {
     } { scaffolding.foreach(_.unpersist()) }
       .orderBy($"id_a", $"id_b")
   }
+
+  /** Span shingle width for `d7SubstringSpans` — 16 tokens, in the
+    * range the exact-substring dedup literature uses for boilerplate
+    * (long enough that natural text rarely collides). */
+  val SpanShingle = 16
+
+  /** D7: repeated-substring SPANS — for every document, the merged
+    * token ranges covered by a 16-token shingle that occurs at least
+    * twice anywhere in the corpus (intra- or cross-document). This is
+    * exact-substring deduplication at shingle granularity (the
+    * ExactSubstr pass of "Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2022, shingle-approximated): d1-style
+    * whole-doc dedup misses shared boilerplate INSIDE otherwise-unique
+    * documents; these spans are what a cleaning pipeline cuts.
+    *
+    * Plan: positional shingles (narrow per-row transform), one
+    * partial-aggregated shuffle counts shingle multiplicity, one
+    * shingle-keyed join marks repeated positions (a hot boilerplate
+    * shingle is AQE's skew-join case, never a broadcast of the
+    * vocabulary-sized repeat set), then the per-doc interval merge is
+    * the q14 sessionize shape: a doc-keyed window with a running
+    * "no-overlap" break flag and a cumulative group id — all keyed on
+    * doc_id, which the span rows already hash by. */
+  def d7SubstringSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = SpanShingle
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id", posexplode(ngramsFromTokens($"w", n)).as(Seq("pos", "sh")))
+    val rep = sh.groupBy($"sh").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2).select($"sh")
+    val spans = sh.join(rep, "sh")
+      .select($"doc_id", $"pos".cast("long").as("a"),
+        ($"pos" + n - 1).cast("long").as("b"))
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy($"doc_id").orderBy($"a")
+    val prevMax = max($"b").over(
+      w1.rowsBetween(Window.unboundedPreceding, -1))
+    spans
+      .withColumn("brk", when($"a" > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("grp", sum($"brk").over(
+        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"a").as("span_start"), max($"b").as("span_end"))
+      .select($"doc_id", $"span_start", $"span_end",
+        ($"span_end" - $"span_start" + 1).as("span_len"))
+      .orderBy($"doc_id", $"span_start")
+  }
 }

@@ -128,4 +128,41 @@ class DedupSpec extends GraftSpecBase {
     val total = d.agg(sum($"n_copies")).as[Long].head()
     assert(total == Tables.documents(spark, sf).count())
   }
+
+  test("d7 substring spans: corpus spans are >= shingle-width, disjoint, and in order") {
+    import spark.implicits._
+    val spans = Dedup.d7SubstringSpans(spark, sf).cache()
+    assert(spans.count() > 0, "expected repeated 16-gram spans in the fixture corpus")
+    assert(spans.filter($"span_len" < Dedup.SpanShingle).count() == 0)
+    assert(spans.filter($"span_len" =!= $"span_end" - $"span_start" + 1).count() == 0)
+    // merged spans never overlap: within a doc, each span starts after
+    // the previous one ends
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"span_start")
+    assert(spans.withColumn("pe", lag($"span_end", 1).over(w))
+      .filter($"pe".isNotNull && $"span_start" <= $"pe").count() == 0)
+    spans.unpersist()
+  }
+
+  test("d7 substring spans: a planted cross-doc repeat is found and merged; unique text is not") {
+    import spark.implicits._
+    // 20 shared tokens at the HEAD of doc A and the TAIL of doc B give
+    // five overlapping repeated 16-grams in each doc that must merge
+    // into one [.,.] span of exactly 20 tokens; the remaining text is
+    // unique and must contribute nothing
+    val shared = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val uniqueA = (1 to 30).map(i => s"ua$i").mkString(" ")
+    val uniqueB = (1 to 25).map(i => s"ub$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared $uniqueA", "en", "spec", 0L),
+      (2L, s"$uniqueB $shared", "en", "spec", 0L),
+      (3L, (1 to 40).map(i => s"uc$i").mkString(" "), "en", "spec", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d7").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val spans = Dedup.d7SubstringSpans(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1: tokens 0..19 shared; doc 2: tokens 25..44 shared; doc 3: none
+    assert(spans == Set((1L, 0L, 19L, 20L), (2L, 25L, 44L, 20L)), spans.toString)
+  }
 }
