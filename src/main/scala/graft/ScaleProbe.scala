@@ -45,10 +45,16 @@ object ScaleProbe {
     val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
     println(s"== corpus: $nd docs, $ne embeddings (x$factor from sf0.1)")
 
-    for (q <- Seq("d1_exact_dedup", "t5_repetition", "t2_quality_score",
+    val all = Seq("d1_exact_dedup", "t5_repetition", "t2_quality_score",
                   "t6_heavy_hitters", "t7_bigram_freq",
                   "d4_simhash", "d3_minhash_lsh", "d5_embedding_dedup",
-                  "d2_ngram_jaccard", "d6_dup_groups")) {
+                  "d2_ngram_jaccard", "d6_dup_groups",
+                  "d7_substring_spans", "t10_keywords", "t9_surprisal",
+                  "p5_pack_sequences", "s4_pq_ann")
+    // optional arg 2: regex to probe a subset (factor stays arg 1)
+    val picked = args.drop(1).headOption
+      .map(re => all.filter(_.matches(re))).getOrElse(all)
+    for (q <- picked) {
       val df = SparkEntry.queries(q)(spark, out)
       val t0 = System.nanoTime()
       // noop sink: full evaluation (count() would prune windows and

@@ -510,13 +510,21 @@ object Dedup {
     * whole-doc dedup misses shared boilerplate INSIDE otherwise-unique
     * documents; these spans are what a cleaning pipeline cuts.
     *
-    * Plan: positional shingles (narrow per-row transform), one
-    * partial-aggregated shuffle counts shingle multiplicity, one
-    * shingle-keyed join marks repeated positions (a hot boilerplate
-    * shingle is AQE's skew-join case, never a broadcast of the
-    * vocabulary-sized repeat set), then the per-doc interval merge is
+    * Plan: positional shingles (narrow per-row transform) are keyed
+    * by a 128-bit hash pair the moment they exist, so the two heavy
+    * exchanges (multiplicity count, repeated-position join) move
+    * 16 bytes per shingle instead of the ~width-of-16-tokens string —
+    * on a 100 TB corpus that is the difference between a ~PB string
+    * shuffle and a ~10s-of-TB one, and it is the same trade the
+    * ExactSubstr literature makes. Two independent xxhash64 keys put
+    * the corpus-wide false-positive expectation near 1e-19 per pair at
+    * billions of distinct shingles (single-64-bit would already expect
+    * collisions there); the DuckDB oracle runs the exact-string
+    * formulation and hash-matches at validation scale. A hot
+    * boilerplate shingle is AQE's skew-join case, never a broadcast of
+    * the vocabulary-sized repeat set. The per-doc interval merge is
     * the q14 sessionize shape: a doc-keyed window with a running
-    * "no-overlap" break flag and a cumulative group id — all keyed on
+    * "no-overlap" break flag and a cumulative group id — keyed on
     * doc_id, which the span rows already hash by. */
   def d7SubstringSpans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -524,9 +532,11 @@ object Dedup {
     val sh = Tables.documents(s, dir)
       .select($"doc_id", tokens($"text").as("w"))
       .select($"doc_id", posexplode(ngramsFromTokens($"w", n)).as(Seq("pos", "sh")))
-    val rep = sh.groupBy($"sh").agg(count(lit(1)).as("c"))
-      .filter($"c" >= 2).select($"sh")
-    val spans = sh.join(rep, "sh")
+      .select($"doc_id", $"pos",
+        xxhash64($"sh").as("h1"), xxhash64($"sh", lit(1)).as("h2"))
+    val rep = sh.groupBy($"h1", $"h2").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2).select($"h1", $"h2")
+    val spans = sh.join(rep, Seq("h1", "h2"))
       .select($"doc_id", $"pos".cast("long").as("a"),
         ($"pos" + n - 1).cast("long").as("b"))
     import org.apache.spark.sql.expressions.Window
