@@ -106,6 +106,7 @@ object SparkEntry {
     "q46_attribution"    -> (Analytics.q46Attribution _),
     "t10_keywords"       -> (TextAnalysis.t10Keywords _),
     "d7_substring_spans" -> (Dedup.d7SubstringSpans _),
+    "p7_cut_spans"       -> (Dedup.p7CutSpans _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -887,5 +888,38 @@ object SparkEntry {
            CAST(max(b) AS BIGINT) AS span_end,
            CAST(max(b) - min(a) + 1 AS BIGINT) AS span_len
          FROM gg GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
+    "p7_cut_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+15], ' ') AS sh
+           FROM tok, unnest(generate_series(1, len(t) - 15)) AS g(i)
+           WHERE len(t) >= 16),
+         rep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) >= 2),
+         sp AS (SELECT s.doc_id, s.pos AS a, s.pos + 15 AS b
+                FROM sh s JOIN rep USING (sh)),
+         gs AS (
+           SELECT doc_id, a, b,
+             CASE WHEN a > coalesce(max(b) OVER (PARTITION BY doc_id ORDER BY a
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS brk
+           FROM sp),
+         gg AS (
+           SELECT doc_id, a, b,
+             CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY a
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+           FROM gs),
+         spans AS (
+           SELECT doc_id, min(a) AS s0, max(b) AS s1 FROM gg GROUP BY doc_id, grp),
+         pos AS (
+           SELECT doc_id, i - 1 AS p, t[i] AS tk
+           FROM tok, unnest(generate_series(1, len(t))) AS g(i)),
+         keep AS (
+           SELECT pos.doc_id, pos.p, pos.tk
+           FROM pos LEFT JOIN spans
+             ON pos.doc_id = spans.doc_id AND pos.p BETWEEN spans.s0 AND spans.s1
+           WHERE spans.doc_id IS NULL)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           md5(string_agg(tk, ' ' ORDER BY p)) AS kept_fp
+         FROM keep GROUP BY doc_id ORDER BY doc_id""",
   )
 }

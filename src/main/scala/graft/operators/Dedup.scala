@@ -553,4 +553,38 @@ object Dedup {
         ($"span_end" - $"span_start" + 1).as("span_len"))
       .orderBy($"doc_id", $"span_start")
   }
+
+  /** P7: boilerplate span CUTTING — the stage that applies d7: every
+    * document is re-emitted without the tokens its repeated spans
+    * cover, completing the ExactSubstr pass end-to-end (find repeats →
+    * cut repeats). Documents left with zero tokens (pure boilerplate —
+    * exact duplicates are the degenerate case) are dropped, which is
+    * the cleaning decision; the policy here cuts EVERY occurrence of
+    * repeated material, the conservative variant (d1 keeps one copy of
+    * whole-doc dups upstream in the p1 DAG).
+    *
+    * Plan: d7's merged spans collapse to one bounded array per doc
+    * (disjoint spans ⟹ ≤ n_tokens/16 entries), join back to the
+    * corpus on doc_id, and the cut itself is a narrow two-arg
+    * `filter((token, index) => …)` lambda with an `exists` over the
+    * span array — scan-speed per row, no further shuffle. Output is
+    * (kept-token count, fingerprint of the rebuilt text), the
+    * hash-comparable form of the cleaned corpus. */
+  def p7CutSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cuts = d7SubstringSpans(s, dir)
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"span_start", $"span_end")).as("cuts"))
+    Tables.documents(s, dir)
+      .select($"doc_id", tokens($"text").as("w"))
+      .join(cuts, Seq("doc_id"), "left")
+      .select($"doc_id", filter($"w", (t, i) =>
+        !coalesce(exists($"cuts", c =>
+          i.cast("long") >= c.getField("span_start") &&
+            i.cast("long") <= c.getField("span_end")), lit(false))).as("kept"))
+      .filter(size($"kept") > 0)
+      .select($"doc_id", size($"kept").cast("long").as("n_kept"),
+        md5(concat_ws(" ", $"kept")).as("kept_fp"))
+      .orderBy($"doc_id")
+  }
 }

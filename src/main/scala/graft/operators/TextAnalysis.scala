@@ -265,23 +265,33 @@ object TextAnalysis {
   /** T10: per-document keyword extraction — the top-3 terms per doc by
     * TF-IDF, the classic document-summary head. Plan shape: term
     * frequencies are one (doc, token) grouped count; document
-    * frequencies derive from the SAME tf table (one grouped count on
-    * token — never a re-scan of the corpus); the idf join is keyed on
-    * token (vocabulary-sized, shuffle join, never a vocab broadcast —
-    * the t9 discipline); the per-doc top-3 is a ranked window on the
-    * doc key the tf rows already hash by. Ranking is on the
-    * floor-quantized score with a token tie-break, so order is
-    * engine-reproducible (raw-double ln ties at the 4-dp boundary are
-    * the only cross-engine risk, and quantization absorbs ulp noise). */
+    * frequencies derive from the SAME tf table (one grouped count —
+    * never a re-scan of the corpus); the idf join is keyed on the
+    * token's 128-bit hash pair, so the df aggregate and the join
+    * exchange 16 B per key instead of the token string (the d7 trade:
+    * FP expectation ~1e-19 per pair at billion-token vocabularies; a
+    * collision would merge two tokens' counts, and the exact-string
+    * oracle guards validation scale). The token string itself rides
+    * the tf rows once, as a value — it has to reach the output. The
+    * per-doc top-3 is a ranked window on the doc key the tf rows
+    * already hash by (measured at the 20× corpus: 5.8–8.8 s
+    * string-keyed → 2.1–4.1 s hash-keyed, identical output). Ranking
+    * is on the floor-quantized score with a token tie-break, so order
+    * is engine-reproducible (raw-double ln ties at the 4-dp boundary
+    * are the only cross-engine risk; quantization absorbs ulp noise). */
   def t10Keywords(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tf = Tables.documents(s, dir)
       .select($"doc_id", explode(tokens($"text")).as("token"))
       .filter($"token" =!= "")
-      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val dfq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+      .groupBy($"doc_id",
+        xxhash64($"token").as("h1"), xxhash64($"token", lit(1)).as("h2"))
+      // every row in a (doc, h1, h2) group holds the same token string
+      // (absent a 128-bit collision), so max() reproduces it exactly
+      .agg(max($"token").as("token"), count(lit(1)).as("tf"))
+    val dfq = tf.groupBy($"h1", $"h2").agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfq, "token")
+    val scored = tf.join(dfq, Seq("h1", "h2"))
       .join(broadcast(nDocs))
       .select($"doc_id", $"token",
         (floor($"tf" * log($"n_docs".cast("double") / $"df") * 10000) / 10000.0)

@@ -164,5 +164,29 @@ class DedupSpec extends GraftSpecBase {
       .as[(Long, Long, Long, Long)].collect().toSet
     // doc 1: tokens 0..19 shared; doc 2: tokens 25..44 shared; doc 3: none
     assert(spans == Set((1L, 0L, 19L, 20L), (2L, 25L, 44L, 20L)), spans.toString)
+
+    // p7 applies exactly those cuts: doc 1 keeps its 30 unique tokens,
+    // doc 2 its 25, doc 3 everything (fingerprint == original text)
+    val cut = Dedup.p7CutSpans(spark, tmp)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(cut(1L)._1 == 30L && cut(2L)._1 == 25L && cut(3L)._1 == 40L, cut.toString)
+    val fp3 = docs.filter($"doc_id" === 3L)
+      .select(md5($"text")).as[String].head()
+    assert(cut(3L)._2 == fp3)
+  }
+
+  test("p7 cut corpus: kept counts never exceed originals and span-free docs are untouched") {
+    import spark.implicits._
+    val cut = Dedup.p7CutSpans(spark, sf).cache()
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"),
+        md5($"text").as("fp"))
+    val j = cut.join(toks, "doc_id").cache()
+    assert(j.filter($"n_kept" > $"n_tok").count() == 0)
+    // docs with no d7 span must come through bit-identical
+    val spanned = Dedup.d7SubstringSpans(spark, sf).select($"doc_id").distinct()
+    assert(j.join(spanned, Seq("doc_id"), "left_anti")
+      .filter($"kept_fp" =!= $"fp" || $"n_kept" =!= $"n_tok").count() == 0)
+    j.unpersist(); cut.unpersist()
   }
 }
