@@ -54,7 +54,8 @@ object SkewProbe {
       .filter($"user_id" === 1L).count()
     println(s"== skew corpus: $total events, hot user holds $hot (${hot * 100 / total}%)")
 
-    for (q <- Seq("q14_sessionize", "q22_moving_avg", "q30_ewma", "q17_range_join")) {
+    for (q <- Seq("q14_sessionize", "q22_moving_avg", "q30_ewma", "q17_range_join",
+                  "q44_gap_fill", "q46_attribution", "q42_cohort_retention")) {
       val df = SparkEntry.queries(q)(spark, out)
       val t0 = System.nanoTime()
       // noop sink: full evaluation (count() would prune the windows

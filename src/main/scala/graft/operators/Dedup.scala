@@ -528,31 +528,39 @@ object Dedup {
     * doc_id, which the span rows already hash by. */
   def d7SubstringSpans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val n = SpanShingle
-    val sh = Tables.documents(s, dir)
-      .select($"doc_id", tokens($"text").as("w"))
-      .select($"doc_id", posexplode(ngramsFromTokens($"w", n)).as(Seq("pos", "sh")))
-      .select($"doc_id", $"pos",
-        xxhash64($"sh").as("h1"), xxhash64($"sh", lit(1)).as("h2"))
-    val rep = sh.groupBy($"h1", $"h2").agg(count(lit(1)).as("c"))
-      .filter($"c" >= 2).select($"h1", $"h2")
-    val spans = sh.join(rep, Seq("h1", "h2"))
-      .select($"doc_id", $"pos".cast("long").as("a"),
-        ($"pos" + n - 1).cast("long").as("b"))
-    import org.apache.spark.sql.expressions.Window
-    val w1 = Window.partitionBy($"doc_id").orderBy($"a")
-    val prevMax = max($"b").over(
-      w1.rowsBetween(Window.unboundedPreceding, -1))
-    spans
-      .withColumn("brk", when($"a" > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
-      .withColumn("grp", sum($"brk").over(
-        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy($"doc_id", $"grp")
-      .agg(min($"a").as("span_start"), max($"b").as("span_end"))
-      .select($"doc_id", $"span_start", $"span_end",
-        ($"span_end" - $"span_start" + 1).as("span_len"))
-      .orderBy($"doc_id", $"span_start")
+    d7SpanTable(s, dir).orderBy($"doc_id", $"span_start")
   }
+
+  /** The memoized merged-span artifact shared by d7 and p7 (the d2
+    * pair-table pattern: a span table is a dataset artifact, not a
+    * per-query computation — p7 applies it right after d7 reports it). */
+  private def d7SpanTable(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo("d7_spans", dir) {
+      import s.implicits._
+      val n = SpanShingle
+      val sh = Tables.documents(s, dir)
+        .select($"doc_id", tokens($"text").as("w"))
+        .select($"doc_id", posexplode(ngramsFromTokens($"w", n)).as(Seq("pos", "sh")))
+        .select($"doc_id", $"pos",
+          xxhash64($"sh").as("h1"), xxhash64($"sh", lit(1)).as("h2"))
+      val rep = sh.groupBy($"h1", $"h2").agg(count(lit(1)).as("c"))
+        .filter($"c" >= 2).select($"h1", $"h2")
+      val spans = sh.join(rep, Seq("h1", "h2"))
+        .select($"doc_id", $"pos".cast("long").as("a"),
+          ($"pos" + n - 1).cast("long").as("b"))
+      import org.apache.spark.sql.expressions.Window
+      val w1 = Window.partitionBy($"doc_id").orderBy($"a")
+      val prevMax = max($"b").over(
+        w1.rowsBetween(Window.unboundedPreceding, -1))
+      spans
+        .withColumn("brk", when($"a" > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
+        .withColumn("grp", sum($"brk").over(
+          w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"doc_id", $"grp")
+        .agg(min($"a").as("span_start"), max($"b").as("span_end"))
+        .select($"doc_id", $"span_start", $"span_end",
+          ($"span_end" - $"span_start" + 1).as("span_len"))
+    }()
 
   /** P7: boilerplate span CUTTING — the stage that applies d7: every
     * document is re-emitted without the tokens its repeated spans
@@ -572,7 +580,7 @@ object Dedup {
     * hash-comparable form of the cleaned corpus. */
   def p7CutSpans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cuts = d7SubstringSpans(s, dir)
+    val cuts = d7SpanTable(s, dir)
       .groupBy($"doc_id")
       .agg(collect_list(struct($"span_start", $"span_end")).as("cuts"))
     Tables.documents(s, dir)
