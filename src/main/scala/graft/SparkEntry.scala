@@ -107,6 +107,7 @@ object SparkEntry {
     "t10_keywords"       -> (TextAnalysis.t10Keywords _),
     "d7_substring_spans" -> (Dedup.d7SubstringSpans _),
     "p7_cut_spans"       -> (Dedup.p7CutSpans _),
+    "m6_cold_start"      -> (graft.ml.Recommender.m6ColdStart _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -921,5 +922,22 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
            md5(string_agg(tk, ' ' ORDER BY p)) AS kept_fp
          FROM keep GROUP BY doc_id ORDER BY doc_id""",
+    "m6_cold_start" ->
+      """WITH cold AS (
+           SELECT c_custkey FROM customer
+           WHERE c_custkey NOT IN (
+             SELECT o_custkey FROM orders GROUP BY 1 HAVING count(*) >= 3)),
+         slate AS (
+           SELECT l_partkey AS p_partkey,
+             round(sum(l_quantity), 2) AS total_qty
+           FROM lineitem GROUP BY 1
+           ORDER BY total_qty DESC, p_partkey LIMIT 5),
+         r AS (
+           SELECT p_partkey, total_qty,
+             CAST(row_number() OVER (ORDER BY total_qty DESC, p_partkey)
+               AS INTEGER) AS rnk
+           FROM slate)
+         SELECT cold.c_custkey, r.rnk, r.p_partkey, r.total_qty
+         FROM cold, r ORDER BY c_custkey, rnk""",
   )
 }

@@ -240,6 +240,40 @@ object Recommender {
       .join(seen, Seq("c_custkey", "p_partkey"), "left_anti"))
   }
 
+  /** M6: cold-start fallback — customers with a sparse purchase
+    * history (fewer than `ColdMaxOrders` orders, including none) get
+    * the global bestseller slate (top-5 parts by total quantity sold):
+    * the popularity prior every production recommender serves when the
+    * factorization has no reliable row for the user. Deterministic
+    * relational logic, so unlike the ALS heads this one is fully
+    * oracle-checkable. Shape: the cold set is a left-anti join of
+    * customers against the ≥-threshold order counts (both sides hash
+    * on the customer key, counts partial-aggregated map-side); the
+    * slate is a 5-row TakeOrderedAndProject over a partial-aggregated
+    * part count, cross-joined back as a broadcast 5-row frame. */
+  val ColdMaxOrders = 3
+
+  def m6ColdStart(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val heavy = Tables.orders(s, dir)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      .filter($"n" >= ColdMaxOrders).select($"o_custkey")
+    val cold = Tables.customer(s, dir).select($"c_custkey")
+      .join(heavy, $"c_custkey" === $"o_custkey", "left_anti")
+    val slate = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey")
+      .agg(round(sum($"l_quantity"), 2).as("total_qty"))
+      .orderBy($"total_qty".desc, $"l_partkey")
+      .limit(5)
+      .select($"l_partkey".as("p_partkey"), $"total_qty")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"total_qty".desc, $"p_partkey")))
+    cold.crossJoin(broadcast(slate))
+      .select($"c_custkey", $"rnk", $"p_partkey", $"total_qty")
+      .orderBy($"c_custkey", $"rnk")
+  }
+
   /** The exact MLlib serving path (blocked user×item cross) — the
     * spec's recall baseline for m1. */
   def m1AlsRecommendExact(s: SparkSession, dir: String): DataFrame = {

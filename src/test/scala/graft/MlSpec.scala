@@ -155,4 +155,28 @@ class MlSpec extends GraftSpecBase {
     val agree = lab.filter($"prediction" === $"weak_label").count().toDouble / lab.count()
     assert(agree >= 0.9, s"label agreement $agree")
   }
+
+  test("m6 cold-start: sparse-history customers each get the exact global bestseller slate") {
+    import spark.implicits._
+    val recs = Recommender.m6ColdStart(spark, sf).cache()
+    assert(recs.count() > 0)
+    // every served customer is genuinely sparse (< threshold orders)
+    val counts = Tables.orders(spark, sf)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+    assert(recs.select($"c_custkey").distinct()
+      .join(counts.filter($"n" >= Recommender.ColdMaxOrders),
+        $"c_custkey" === $"o_custkey").count() == 0)
+    // exactly 5 recs per customer, ranks 1..5
+    val per = recs.groupBy($"c_custkey")
+      .agg(count(lit(1)).as("k"), min($"rnk").as("mn"), max($"rnk").as("mx"))
+    assert(per.filter($"k" =!= 5 || $"mn" =!= 1 || $"mx" =!= 5).count() == 0)
+    // the slate IS the global top-5 by quantity
+    val top = Tables.lineitem(spark, sf)
+      .groupBy($"l_partkey").agg(round(sum($"l_quantity"), 2).as("q"))
+      .orderBy($"q".desc, $"l_partkey").limit(5)
+      .select($"l_partkey").as[Long].collect().toSet
+    val served = recs.select($"p_partkey").distinct().as[Long].collect().toSet
+    assert(served == top, s"$served vs $top")
+    recs.unpersist()
+  }
 }
