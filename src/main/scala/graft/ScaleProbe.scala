@@ -49,14 +49,17 @@ object ScaleProbe {
                   "t6_heavy_hitters", "t7_bigram_freq",
                   "d4_simhash", "d3_minhash_lsh", "d5_embedding_dedup",
                   "d2_ngram_jaccard", "d6_dup_groups",
-                  "d7_substring_spans", "t10_keywords", "t9_surprisal",
-                  "p5_pack_sequences", "s4_pq_ann")
+                  "d7_substring_spans", "p7_cut_spans", "t10_keywords",
+                  "t9_surprisal", "p5_pack_sequences", "s4_pq_ann")
     // optional arg 2: regex to probe a subset (factor stays arg 1)
     val picked = args.drop(1).headOption
       .map(re => all.filter(_.matches(re))).getOrElse(all)
     for (q <- picked) {
-      val df = SparkEntry.queries(q)(spark, out)
+      // timer wraps CONSTRUCTION too: memoized artifacts (d2 pairs,
+      // d7 spans) build eagerly inside the queries() call, and that
+      // build is the cost being probed
       val t0 = System.nanoTime()
+      val df = SparkEntry.queries(q)(spark, out)
       // noop sink: full evaluation (count() would prune windows and
       // per-row projections — see Bench)
       df.write.format("noop").mode("overwrite").save()
