@@ -108,6 +108,7 @@ object SparkEntry {
     "d7_substring_spans" -> (Dedup.d7SubstringSpans _),
     "p7_cut_spans"       -> (Dedup.p7CutSpans _),
     "m6_cold_start"      -> (graft.ml.Recommender.m6ColdStart _),
+    "q48_yoy_growth"     -> (Analytics.q48YoyGrowth _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -939,5 +940,20 @@ object SparkEntry {
            FROM slate)
          SELECT cold.c_custkey, r.rnk, r.p_partkey, r.total_qty
          FROM cold, r ORDER BY c_custkey, rnk""",
+    "q48_yoy_growth" ->
+      """WITH rev AS (
+           SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             round(sum(o.o_totalprice), 2) AS revenue
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY 1, 2)
+         SELECT n_name, o_year, revenue,
+           CASE WHEN lag(revenue) OVER w IS NOT NULL
+             THEN floor(revenue / lag(revenue) OVER w * 10000) / 10000.0
+           END AS yoy_ratio
+         FROM rev
+         WINDOW w AS (PARTITION BY n_name ORDER BY o_year)
+         ORDER BY n_name, o_year""",
   )
 }

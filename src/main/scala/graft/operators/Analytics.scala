@@ -238,6 +238,32 @@ object Analytics {
       .orderBy($"user_id")
   }
 
+  /** Q48: year-over-year growth — revenue per (nation, year) with the
+    * YoY ratio, the trend table behind every exec dashboard. One
+    * broadcast dim chain (customer→nation), one partial-aggregated
+    * shuffle to the (nation, year) grain, then the lag window runs
+    * over the AGGREGATED frame — a few rows per nation, partitioned on
+    * the nation key, so the window costs nothing regardless of fact
+    * size. Ratio is computed on the already-rounded yearly sums and
+    * floor-quantized, so both engines divide identical IEEE doubles. */
+  def q48YoyGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.orders(s, dir)
+      .select($"o_custkey", $"o_totalprice", year($"o_orderdate").as("o_year"))
+      .join(Tables.customer(s, dir).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir).select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", $"o_year")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"))
+    val w = Window.partitionBy($"n_name").orderBy($"o_year")
+    rev.withColumn("prev", lag($"revenue", 1).over(w))
+      .select($"n_name", $"o_year", $"revenue",
+        when($"prev".isNotNull,
+          floor($"revenue" / $"prev" * 10000) / 10000.0).as("yoy_ratio"))
+      .orderBy($"n_name", $"o_year")
+  }
+
   /** Q42: cohort retention — users bucketed by first-seen epoch-week,
     * distinct actives per (cohort, week offset): the standard product
     * retention triangle. Week indexes are integer epoch arithmetic

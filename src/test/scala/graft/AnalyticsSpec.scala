@@ -141,6 +141,25 @@ class AnalyticsSpec extends GraftSpecBase {
     rows.unpersist()
   }
 
+  test("q48: yoy ratios start null per nation and revenues partition total sales") {
+    val rows = graft.operators.Analytics.q48YoyGrowth(spark, sf).cache()
+    // exactly one null-ratio row (the first year) per nation
+    val firsts = rows.filter($"yoy_ratio".isNull).groupBy($"n_name").count()
+    assert(firsts.filter($"count" =!= 1).count() == 0)
+    // yearly revenues sum back to the total order book (rounding-scale tolerance)
+    val total = rows.agg(sum($"revenue")).as[Double].head()
+    val expect = Tables.orders(spark, sf).agg(sum($"o_totalprice")).as[Double].head()
+    assert(math.abs(total - expect) < 1.0, s"$total vs $expect")
+    // a spot nation-year recomputes: ratio == revenue / previous year
+    val one = rows.filter($"yoy_ratio".isNotNull).head()
+    val (nm, yr) = (one.getAs[String]("n_name"), one.getAs[Int]("o_year"))
+    val prev = rows.filter($"n_name" === nm && $"o_year" === yr - 1)
+      .select($"revenue").as[Double].head()
+    val expect2 = math.floor(one.getAs[Double]("revenue") / prev * 10000) / 10000.0
+    assert(one.getAs[Double]("yoy_ratio") == expect2)
+    rows.unpersist()
+  }
+
   test("q42: every cohort starts at offset 0 and offsets are non-negative") {
     val rows = Analytics.q42CohortRetention(spark, sf).cache()
     assert(rows.filter($"wk_offset" < 0).count() == 0)
