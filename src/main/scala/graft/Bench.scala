@@ -66,11 +66,27 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""iterations":2,"cold_total":$coldTotal,"warm_total":$warmTotal,""" +
       s""""queries_cold":${jmap(cold)},"sf":"$sfDir"}"""
-    // print FIRST (the result line must never be lost to a file-write
+    // The driver records only a ~2000-char stdout TAIL, and the full
+    // per-query line (90 entries × 2 maps) overflows it — four rounds
+    // of BENCH_r{N}.json "parsed": null. So emit a COMPACT summary
+    // line (total + the top-12 most expensive queries, values rounded)
+    // BOTH before and after the full line: the trailing copy is what
+    // survives tail truncation; the leading copy serves a head-reader.
+    // The complete record still reaches BENCH.json below.
+    def r4(v: Double) = math.round(v * 10000) / 10000.0
+    val top = results.sortBy(-_._2).take(12).map { case (k, v) => k -> r4(v) }
+    val compact = s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
+      s""""queries":${jmap(top)},"iterations":2,"cold_total":${r4(coldTotal)},""" +
+      s""""warm_total":${r4(warmTotal)},"n_queries":${results.size},""" +
+      s""""queries_note":"top12 of ${results.size} by time; full map in BENCH.json",""" +
+      s""""sf":"$sfDir"}"""
+    // print the result lines (they must never be lost to a file-write
     // failure), then also drop a copy in a well-known file. The run is
-    // forked with StdoutOutput, so this line reaches stdout bare — no
+    // forked with StdoutOutput, so these lines reach stdout bare — no
     // sbt "[info] " prefix.
+    println(compact)
     println(json)
+    println(compact)
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         sys.props.getOrElse("user.dir", ".") + "/BENCH.json"))

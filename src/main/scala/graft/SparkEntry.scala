@@ -878,7 +878,7 @@ object SparkEntry {
          gs AS (
            SELECT doc_id, a, b,
              CASE WHEN a > coalesce(max(b) OVER (PARTITION BY doc_id ORDER BY a
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
              THEN 1 ELSE 0 END AS brk
            FROM sp),
          gg AS (
@@ -902,7 +902,7 @@ object SparkEntry {
          gs AS (
            SELECT doc_id, a, b,
              CASE WHEN a > coalesce(max(b) OVER (PARTITION BY doc_id ORDER BY a
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
              THEN 1 ELSE 0 END AS brk
            FROM sp),
          gg AS (

@@ -516,10 +516,15 @@ object Dedup {
     * 16 bytes per shingle instead of the ~width-of-16-tokens string —
     * on a 100 TB corpus that is the difference between a ~PB string
     * shuffle and a ~10s-of-TB one, and it is the same trade the
-    * ExactSubstr literature makes. Two independent xxhash64 keys put
-    * the corpus-wide false-positive expectation near 1e-19 per pair at
-    * billions of distinct shingles (single-64-bit would already expect
-    * collisions there); the DuckDB oracle runs the exact-string
+    * ExactSubstr literature makes. Two xxhash64 keys — h2 salted with
+    * the constant as the FIRST child, `xxhash64(lit(1), sh)`, so the
+    * second hash runs under an independent effective seed (salt-last
+    * would make h2 = H(salt, h1), a pure function of h1: any h1
+    * collision would imply an h2 collision and the pair would be
+    * 64-bit in effect) — put the corpus-wide false-positive
+    * expectation near 1e-19 per pair at billions of distinct shingles
+    * (single-64-bit would already expect collisions there); the
+    * DuckDB oracle runs the exact-string
     * formulation and hash-matches at validation scale. A hot
     * boilerplate shingle is AQE's skew-join case, never a broadcast of
     * the vocabulary-sized repeat set. The per-doc interval merge is
@@ -542,7 +547,7 @@ object Dedup {
         .select($"doc_id", tokens($"text").as("w"))
         .select($"doc_id", posexplode(ngramsFromTokens($"w", n)).as(Seq("pos", "sh")))
         .select($"doc_id", $"pos",
-          xxhash64($"sh").as("h1"), xxhash64($"sh", lit(1)).as("h2"))
+          xxhash64($"sh").as("h1"), xxhash64(lit(1), $"sh").as("h2"))
       val rep = sh.groupBy($"h1", $"h2").agg(count(lit(1)).as("c"))
         .filter($"c" >= 2).select($"h1", $"h2")
       val spans = sh.join(rep, Seq("h1", "h2"))
@@ -553,7 +558,12 @@ object Dedup {
       val prevMax = max($"b").over(
         w1.rowsBetween(Window.unboundedPreceding, -1))
       spans
-        .withColumn("brk", when($"a" > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
+        // break only on a genuine gap: a == prevMax + 1 is ADJACENT
+        // coverage ([0,15] then [16,31] is one contiguous covered
+        // range) and stays in the group, so reported spans are the
+        // maximal contiguous covered ranges.
+        .withColumn("brk",
+          when($"a" > coalesce(prevMax, lit(-2L)) + 1L, 1L).otherwise(0L))
         .withColumn("grp", sum($"brk").over(
           w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy($"doc_id", $"grp")

@@ -240,6 +240,8 @@ object Similarity {
     * previous center (they can only re-acquire members). */
   private[operators] def pqTrain(sample: Array[Array[Double]], m: Int, k: Int,
       iters: Int): Array[Double] = {
+    require(sample.nonEmpty,
+      "pq: empty training sample (embeddings table has no rows)")
     val d = sample.head.length
     require(d % m == 0, s"pq: dim $d not divisible by m=$m")
     val dsub = d / m

@@ -267,7 +267,9 @@ object TextAnalysis {
     * frequencies are one (doc, token) grouped count; document
     * frequencies derive from the SAME tf table (one grouped count —
     * never a re-scan of the corpus); the idf join is keyed on the
-    * token's 128-bit hash pair, so the df aggregate and the join
+    * token's 128-bit hash pair — h2 salt-FIRST, `xxhash64(lit(1),
+    * token)`, so it runs under an independent effective seed rather
+    * than as a function of h1 — so the df aggregate and the join
     * exchange 16 B per key instead of the token string (the d7 trade:
     * FP expectation ~1e-19 per pair at billion-token vocabularies; a
     * collision would merge two tokens' counts, and the exact-string
@@ -285,7 +287,7 @@ object TextAnalysis {
       .select($"doc_id", explode(tokens($"text")).as("token"))
       .filter($"token" =!= "")
       .groupBy($"doc_id",
-        xxhash64($"token").as("h1"), xxhash64($"token", lit(1)).as("h2"))
+        xxhash64($"token").as("h1"), xxhash64(lit(1), $"token").as("h2"))
       // every row in a (doc, h1, h2) group holds the same token string
       // (absent a 128-bit collision), so max() reproduces it exactly
       .agg(max($"token").as("token"), count(lit(1)).as("tf"))
