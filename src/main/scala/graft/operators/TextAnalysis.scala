@@ -203,28 +203,44 @@ object TextAnalysis {
     * ledger a concat-and-chunk training pipeline materializes before
     * tokenization proper.
     *
-    * The global running total is a DISTRIBUTED two-level prefix sum —
+    * The global running total is a DISTRIBUTED three-level prefix sum —
     * the d2-dictionary lesson applied to cumsum: a partitionBy-less
     * window would funnel every document through one task. Instead (1)
-    * per-bucket token totals (corpus/`PackBucket` rows) get exclusive
-    * prefix offsets in one bounded window — the only single-partition
-    * step, sized by bucket COUNT, never corpus size; (2) each row's
+    * per-bucket token totals roll up to SUPERBUCKET totals whose
+    * exclusive prefix runs in the only single-partition window — sized
+    * corpus/`PackBucket`² (1e-6 of the doc count: a trillion-doc corpus
+    * puts 1e6 16-byte rows in that task; the same div-rollup adds a
+    * fourth level if that ever binds); (2) each bucket's offset within
+    * its superbucket comes from a window hash-partitioned on the
+    * superbucket (≤ `PackBucket` rows per group); (3) each row's
     * in-bucket prefix comes from a window hash-partitioned on the
-    * bucket; (3) tok_start = bucket offset + in-bucket prefix. doc_ids
-    * bucket by integer div, so bucket boundaries are data-independent
-    * and both passes are one scan each. */
+    * bucket; tok_start = superbucket offset + bucket offset + in-bucket
+    * prefix. doc_ids bucket by integer div, so bucket boundaries are
+    * data-independent and every pass is one scan. The bucket-offset
+    * table (corpus/`PackBucket` rows) joins back WITHOUT a forced
+    * broadcast — AQE broadcasts it while it's small and shuffle-joins
+    * on the bucket key once it isn't. */
   def p5PackSequences(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val t = Tables.documents(s, dir)
       .select($"doc_id", nTokens($"text").cast("long").as("n_tok"),
         expr(s"doc_id div ${PackBucket}L").as("bucket"))
-    val bucketOffsets = t.groupBy($"bucket").agg(sum($"n_tok").as("btot"))
-      .withColumn("boff", coalesce(
-        sum($"btot").over(Window.orderBy($"bucket")
+    val bt = t.groupBy($"bucket").agg(sum($"n_tok").as("btot"))
+      .withColumn("sb", expr(s"bucket div ${PackBucket}L"))
+    // level 0: superbucket exclusive prefix — the bounded-grain funnel
+    val sbOffsets = bt.groupBy($"sb").agg(sum($"btot").as("stot"))
+      .withColumn("soff", coalesce(
+        sum($"stot").over(Window.orderBy($"sb")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"sb", $"soff")
+    // level 1: bucket offset inside the superbucket, distributed
+    val inSb = Window.partitionBy($"sb").orderBy($"bucket")
+    val bucketOffsets = bt.join(broadcast(sbOffsets), "sb")
+      .withColumn("boff", $"soff" + sum($"btot").over(inSb) - $"btot")
       .select($"bucket", $"boff")
+    // level 2: per-doc prefix inside the bucket, distributed
     val inBucket = Window.partitionBy($"bucket").orderBy($"doc_id")
-    t.join(broadcast(bucketOffsets), "bucket")
+    t.join(bucketOffsets, "bucket")
       .withColumn("tok_start", $"boff" + sum($"n_tok").over(inBucket) - $"n_tok")
       .withColumn("seq_id", expr(s"tok_start div ${SeqTokens}L"))
       .select($"doc_id", $"n_tok", $"tok_start", $"seq_id")

@@ -156,6 +156,18 @@ class PlanAuditSpec extends GraftSpecBase {
     }
   }
 
+  test("p5: per-doc and per-bucket prefix windows are hash-partitioned (funnel is superbucket-sized)") {
+    val p = plan(operators.TextAnalysis.p5PackSequences(spark, sf))
+    // the three-level prefix sum distributes levels 1 and 2: the
+    // per-doc cumsum windows on the bucket key and the bucket-offset
+    // cumsum windows on the superbucket key. The only remaining
+    // SinglePartition window runs over SUPERBUCKET totals —
+    // corpus/PackBucket^2 rows, 1e-6 of the doc count — which is the
+    // documented bounded grain, so no blanket SinglePartition assert.
+    assert(p.contains("hashpartitioning(bucket"), p)
+    assert(p.contains("hashpartitioning(sb"), p)
+  }
+
   test("t10: keyword ranking windows on the doc key, rank pushed into WindowGroupLimit") {
     // (the one-row n_docs scalar legitimately aggregates on a single
     // partition — that is a broadcast scalar, not a data funnel, so no
