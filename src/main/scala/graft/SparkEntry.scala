@@ -107,6 +107,7 @@ object SparkEntry {
     "t10_keywords"       -> (TextAnalysis.t10Keywords _),
     "d7_substring_spans" -> (Dedup.d7SubstringSpans _),
     "p7_cut_spans"       -> (Dedup.p7CutSpans _),
+    "p7_cut_keep_first"  -> (Dedup.p7CutKeepFirst _),
     "m6_cold_start"      -> (graft.ml.Recommender.m6ColdStart _),
     "q48_yoy_growth"     -> (Analytics.q48YoyGrowth _),
   )
@@ -899,6 +900,43 @@ object SparkEntry {
          rep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) >= 2),
          sp AS (SELECT s.doc_id, s.pos AS a, s.pos + 15 AS b
                 FROM sh s JOIN rep USING (sh)),
+         gs AS (
+           SELECT doc_id, a, b,
+             CASE WHEN a > coalesce(max(b) OVER (PARTITION BY doc_id ORDER BY a
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+             THEN 1 ELSE 0 END AS brk
+           FROM sp),
+         gg AS (
+           SELECT doc_id, a, b,
+             CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY a
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+           FROM gs),
+         spans AS (
+           SELECT doc_id, min(a) AS s0, max(b) AS s1 FROM gg GROUP BY doc_id, grp),
+         pos AS (
+           SELECT doc_id, i - 1 AS p, t[i] AS tk
+           FROM tok, unnest(generate_series(1, len(t))) AS g(i)),
+         keep AS (
+           SELECT pos.doc_id, pos.p, pos.tk
+           FROM pos LEFT JOIN spans
+             ON pos.doc_id = spans.doc_id AND pos.p BETWEEN spans.s0 AND spans.s1
+           WHERE spans.doc_id IS NULL)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           md5(string_agg(tk, ' ' ORDER BY p)) AS kept_fp
+         FROM keep GROUP BY doc_id ORDER BY doc_id""",
+    "p7_cut_keep_first" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+15], ' ') AS sh
+           FROM tok, unnest(generate_series(1, len(t) - 15)) AS g(i)
+           WHERE len(t) >= 16),
+         sp0 AS (
+           SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rk,
+             count(*) OVER (PARTITION BY sh) AS c
+           FROM sh),
+         sp AS (SELECT doc_id, pos AS a, pos + 15 AS b
+                FROM sp0 WHERE c >= 2 AND rk >= 2),
          gs AS (
            SELECT doc_id, a, b,
              CASE WHEN a > coalesce(max(b) OVER (PARTITION BY doc_id ORDER BY a

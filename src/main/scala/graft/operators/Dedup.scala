@@ -542,35 +542,51 @@ object Dedup {
   private def d7SpanTable(s: SparkSession, dir: String): DataFrame =
     graft.Caches.memo("d7_spans", dir) {
       import s.implicits._
-      val n = SpanShingle
-      val sh = Tables.documents(s, dir)
-        .select($"doc_id", tokens($"text").as("w"))
-        .select($"doc_id", posexplode(ngramsFromTokens($"w", n)).as(Seq("pos", "sh")))
-        .select($"doc_id", $"pos",
-          xxhash64($"sh").as("h1"), xxhash64(lit(1), $"sh").as("h2"))
+      val sh = positionalShingles(s, dir)
       val rep = sh.groupBy($"h1", $"h2").agg(count(lit(1)).as("c"))
         .filter($"c" >= 2).select($"h1", $"h2")
-      val spans = sh.join(rep, Seq("h1", "h2"))
-        .select($"doc_id", $"pos".cast("long").as("a"),
-          ($"pos" + n - 1).cast("long").as("b"))
-      import org.apache.spark.sql.expressions.Window
-      val w1 = Window.partitionBy($"doc_id").orderBy($"a")
-      val prevMax = max($"b").over(
-        w1.rowsBetween(Window.unboundedPreceding, -1))
-      spans
-        // break only on a genuine gap: a == prevMax + 1 is ADJACENT
-        // coverage ([0,15] then [16,31] is one contiguous covered
-        // range) and stays in the group, so reported spans are the
-        // maximal contiguous covered ranges.
-        .withColumn("brk",
-          when($"a" > coalesce(prevMax, lit(-2L)) + 1L, 1L).otherwise(0L))
-        .withColumn("grp", sum($"brk").over(
-          w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy($"doc_id", $"grp")
-        .agg(min($"a").as("span_start"), max($"b").as("span_end"))
-        .select($"doc_id", $"span_start", $"span_end",
-          ($"span_end" - $"span_start" + 1).as("span_len"))
+      mergeSpans(s, sh.join(rep, Seq("h1", "h2")))
     }()
+
+  /** (doc_id, pos, h1, h2) for every `SpanShingle`-gram occurrence —
+    * the shared front end of the d7/p7 span family (hash-pair keyed
+    * the moment it exists; strings never reach an exchange). */
+  private def positionalShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id",
+        posexplode(ngramsFromTokens($"w", SpanShingle)).as(Seq("pos", "sh")))
+      .select($"doc_id", $"pos",
+        xxhash64($"sh").as("h1"), xxhash64(lit(1), $"sh").as("h2"))
+  }
+
+  /** Interval-merge (doc_id, pos) shingle occurrences into maximal
+    * contiguous covered ranges — the q14 sessionize shape, keyed on
+    * doc_id which the rows already hash by. */
+  private def mergeSpans(s: SparkSession, occ: DataFrame): DataFrame = {
+    import s.implicits._
+    val n = SpanShingle
+    val spans = occ.select($"doc_id", $"pos".cast("long").as("a"),
+      ($"pos" + n - 1).cast("long").as("b"))
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy($"doc_id").orderBy($"a")
+    val prevMax = max($"b").over(
+      w1.rowsBetween(Window.unboundedPreceding, -1))
+    spans
+      // break only on a genuine gap: a == prevMax + 1 is ADJACENT
+      // coverage ([0,15] then [16,31] is one contiguous covered
+      // range) and stays in the group, so reported spans are the
+      // maximal contiguous covered ranges.
+      .withColumn("brk",
+        when($"a" > coalesce(prevMax, lit(-2L)) + 1L, 1L).otherwise(0L))
+      .withColumn("grp", sum($"brk").over(
+        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"a").as("span_start"), max($"b").as("span_end"))
+      .select($"doc_id", $"span_start", $"span_end",
+        ($"span_end" - $"span_start" + 1).as("span_len"))
+  }
 
   /** P7: boilerplate span CUTTING — the stage that applies d7: every
     * document is re-emitted without the tokens its repeated spans
@@ -588,9 +604,41 @@ object Dedup {
     * span array — scan-speed per row, no further shuffle. Output is
     * (kept-token count, fingerprint of the rebuilt text), the
     * hash-comparable form of the cleaned corpus. */
-  def p7CutSpans(s: SparkSession, dir: String): DataFrame = {
+  def p7CutSpans(s: SparkSession, dir: String): DataFrame =
+    cutBySpans(s, dir, d7SpanTable(s, dir))
+
+  /** P7 keep-first variant — the ExactSubstr literature's default
+    * policy (Lee et al. 2022 keep one copy of repeated material): each
+    * repeated 16-gram's FIRST occurrence in the (doc_id, pos) global
+    * order survives; only the later occurrences' positions are cut.
+    * The first occurrence is a partial-aggregatable `min(struct(doc_id,
+    * pos))` on the same hash-pair-keyed count shuffle d7 already pays —
+    * no window sort over the (potentially hot) shingle key — and the
+    * non-first occurrences then merge and cut through the exact d7/p7
+    * machinery. A doc can still lose its own "first" text to an
+    * OVERLAPPING different shingle's later occurrence — span semantics,
+    * mirrored by the oracle. */
+  def p7CutKeepFirst(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cuts = d7SpanTable(s, dir)
+    val sh = positionalShingles(s, dir)
+    val rep = sh.groupBy($"h1", $"h2")
+      .agg(count(lit(1)).as("c"), min(struct($"doc_id", $"pos")).as("first"))
+      .filter($"c" >= 2)
+      .select($"h1", $"h2", $"first")
+    val later = sh.join(rep, Seq("h1", "h2"))
+      .filter($"doc_id" =!= $"first.doc_id" || $"pos" =!= $"first.pos")
+    cutBySpans(s, dir, mergeSpans(s, later))
+  }
+
+  /** Re-emit the corpus without the tokens covered by `spanTable`:
+    * spans collapse to one bounded array per doc (disjoint ⟹
+    * ≤ n_tokens/16 entries), one doc-keyed join back, then a narrow
+    * `filter((token, index) => …)` cut — scan-speed per row. Zero-token
+    * survivors (pure boilerplate) are dropped. */
+  private def cutBySpans(s: SparkSession, dir: String,
+      spanTable: DataFrame): DataFrame = {
+    import s.implicits._
+    val cuts = spanTable
       .groupBy($"doc_id")
       .agg(collect_list(struct($"span_start", $"span_end")).as("cuts"))
     Tables.documents(s, dir)

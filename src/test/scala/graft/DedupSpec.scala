@@ -175,6 +175,38 @@ class DedupSpec extends GraftSpecBase {
     assert(cut(3L)._2 == fp3)
   }
 
+  test("p7 keep-first: the first occurrence survives, later ones are cut; never cuts more than cut-every") {
+    import spark.implicits._
+    // same planted corpus as the d7 test: doc 1 holds the FIRST
+    // occurrence of the shared 20 tokens in (doc_id, pos) order
+    val shared = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val uniqueA = (1 to 30).map(i => s"ua$i").mkString(" ")
+    val uniqueB = (1 to 25).map(i => s"ub$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared $uniqueA", "en", "spec", 0L),
+      (2L, s"$uniqueB $shared", "en", "spec", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p7kf").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val kf = Dedup.p7CutKeepFirst(spark, tmp)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 1 is untouched (keep-first keeps its copy); cut-every would
+    // have cut it to 30 tokens
+    assert(kf(1L)._1 == 50L, kf.toString)
+    val fp1 = docs.filter($"doc_id" === 1L).select(md5($"text")).as[String].head()
+    assert(kf(1L)._2 == fp1)
+    // doc 2's copy is a later occurrence — its 20 shared tokens go
+    assert(kf(2L)._1 == 25L, kf.toString)
+
+    // corpus-level dominance on the fixture corpus: keep-first never
+    // keeps fewer tokens than cut-every, and every cut-every survivor
+    // also survives keep-first
+    val ce = Dedup.p7CutSpans(spark, sf).select($"doc_id", $"n_kept".as("n_ce"))
+    val kfc = Dedup.p7CutKeepFirst(spark, sf).select($"doc_id", $"n_kept".as("n_kf"))
+    assert(ce.join(kfc, Seq("doc_id"), "left")
+      .filter($"n_kf".isNull || $"n_kf" < $"n_ce").count() == 0)
+  }
+
   test("p7 cut corpus: kept counts never exceed originals and span-free docs are untouched") {
     import spark.implicits._
     val cut = Dedup.p7CutSpans(spark, sf).cache()
