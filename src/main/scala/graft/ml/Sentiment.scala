@@ -152,6 +152,51 @@ object Sentiment {
     scored.filter($"prediction" === $"label").count().toDouble / scored.count()
   }
 
+  /** Noise-robustness eval — the NON-VACUOUS complement to
+    * `heldOutAccuracy`: the weak polarity labels are trivially
+    * separable (the marker terms are in the features), so clean
+    * train/held-out accuracy pins at ~1.0 and cannot regress. Here a
+    * deterministic ~15% of the TRAIN fold's labels flip (keyed on
+    * xxhash64(doc_id) — reproducible across runs and engines), a fresh
+    * pipeline fits on the noisy fold, and the result is
+    * (held-out CLEAN accuracy, train accuracy vs the NOISY labels):
+    *
+    *  - the first sits meaningfully below 1.0 (≈0.91 at sf0.001) and
+    *    falls when the learner stops recovering the true signal under
+    *    supervision noise — regularization broken, featurization
+    *    broken, fit diverging;
+    *  - the second sits well below 1.0 (≈0.84) precisely because a
+    *    good fit must DISAGREE with the flipped labels; if it climbs
+    *    toward 1.0 the model is memorizing noise (overfit).
+    *
+    * Fresh fit, never the registry: this is an eval instrument — m2
+    * serving stays noise-free. */
+  def noiseRobustEval(s: SparkSession, dir: String): (Double, Double) = {
+    import s.implicits._
+    val base = labeled(s, dir).filter($"label".isNotNull)
+      .withColumn("flip", pmod(xxhash64($"doc_id"), lit(20)) < 3)
+      .withColumn("noisy_label",
+        when($"flip", lit(1.0) - $"label").otherwise($"label"))
+    val train = base.filter($"is_train")
+      .withColumn("label", $"noisy_label")
+    val Array(tok, sw, tf, idf, lr) = pipeline.getStages
+    val featurize = new Pipeline().setStages(Array(tok, sw, tf)).fit(train)
+    val tfFrame = featurize.transform(train).select($"tf", $"label").cache()
+    val idfModel = idf.asInstanceOf[IDF].fit(tfFrame)
+    val lrModel = org.apache.spark.ml.graft.ModelHygiene.dropTrainingSummary(
+      lr.asInstanceOf[LogisticRegression].fit(idfModel.transform(tfFrame)))
+    val model = new Pipeline()
+      .setStages(featurize.stages ++ Array(idfModel, lrModel))
+      .fit(train.limit(0))
+    tfFrame.unpersist()
+    def acc(df: DataFrame, labelCol: String): Double = {
+      val scored = model.transform(df)
+      scored.filter($"prediction" === col(labelCol)).count().toDouble / scored.count()
+    }
+    (acc(base.filter(!$"is_train"), "label"),
+      acc(base.filter($"is_train"), "noisy_label"))
+  }
+
   private def vector_to_array(c: org.apache.spark.sql.Column) =
     org.apache.spark.ml.functions.vector_to_array(c)
 }

@@ -55,6 +55,20 @@ class MlSpec extends GraftSpecBase {
     assert(acc >= 0.8, s"held-out accuracy $acc")
   }
 
+  test("noise-robust eval: signal recovered under 15% label noise, noise not memorized") {
+    // the clean-label eval pins at ~1.0 (weak labels are trivially
+    // separable), so this is the band that can actually regress:
+    // held-out CLEAN accuracy under noisy supervision must stay high
+    // but BELOW 1.0 (1.0 here means the eval went vacuous again), and
+    // train accuracy against the NOISY labels must stay well below 1.0
+    // (approaching 1.0 means the model memorized the flipped labels)
+    val (heldOutClean, trainOnNoisy) = Sentiment.noiseRobustEval(spark, sf)
+    assert(heldOutClean >= 0.82 && heldOutClean <= 0.99,
+      s"held-out clean accuracy under label noise: $heldOutClean")
+    assert(trainOnNoisy >= 0.75 && trainOnNoisy <= 0.95,
+      s"train accuracy vs noisy labels: $trainOnNoisy")
+  }
+
   test("second m2 invocation serves from the model registry (no refit)") {
     // identity, not wall-clock: consecutive fits must return the SAME
     // model instance (a timing bound is flaky under machine load and
