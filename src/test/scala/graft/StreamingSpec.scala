@@ -430,6 +430,79 @@ class StreamingSpec extends GraftSpecBase {
       (200L, "ins", 200.0)), got2.toString)
   }
 
+  test("bucketed CDC under key skew: a one-bucket delta rewrites only the hot bucket, within budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    import org.apache.spark.sql.types._
+    // hot-partition regime: EVERY delta key lands in one bucket — the
+    // worst skew a CDC feed can present. The merge must stay
+    // bucket-scoped (7/8 of the base byte-identical) and complete
+    // under a wall-clock budget: a regression to O(base) rewriting or
+    // a skew-hostile join plan blows both.
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcskew").toString
+    val baseDir = root + "/base"
+    val nBuckets = 8
+    val base = spark.range(1L, 200001L)
+      .select($"id", concat(lit("n"), $"id").as("name"),
+        ($"id" * 1.0).as("amount"))
+    graft.streaming.CdcStream.writeBucketedBase(base, baseDir, "id", nBuckets)
+
+    def bucketsOf(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.select(pmod(hash(col("id")), lit(nBuckets))).distinct()
+        .collect().map(_.getInt(0)).toSet
+    val hot = bucketsOf(Seq(7L).toDF("id")).head
+    // updates: existing ids in the hot bucket; inserts: new ids there
+    val updates = spark.range(1L, 200001L)
+      .filter(pmod(hash(col("id")), lit(nBuckets)) === hot).limit(4000)
+      .select($"id", lit("upd").as("name"), ($"id" * 2.0).as("amount"))
+    val inserts = spark.range(200001L, 400001L)
+      .filter(pmod(hash(col("id")), lit(nBuckets)) === hot).limit(4000)
+      .select($"id", lit("ins").as("name"), ($"id" * 3.0).as("amount"))
+    val delta = updates.union(inserts).cache()
+    val nDelta = delta.count()
+    assert(bucketsOf(delta) == Set(hot), "fixture must be one-bucket skewed")
+
+    def inventory(): Map[String, String] = {
+      val out = scala.collection.mutable.Map.empty[String, String]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(baseDir)).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(p))
+          out(p.toString.stripPrefix(baseDir)) = md.map("%02x".format(_)).mkString
+        }
+      }
+      out.toMap
+    }
+    val before = inventory()
+    delta.write.mode("append").parquet(root + "/src")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("amount", DoubleType)))
+    val t0 = System.nanoTime()
+    val q = graft.streaming.CdcStream.startBucketed(
+      spark.readStream.schema(schema).parquet(root + "/src"),
+      baseDir, "id", nBuckets, root + "/ckpt")
+    q.awaitTermination()
+    val durSec = (System.nanoTime() - t0) / 1e9
+    assert(durSec < 120.0, s"hot-bucket merge took $durSec s")
+    val after = inventory()
+    def bucketOfPath(p: String): Int =
+      "__bucket=(\\d+)".r.findFirstMatchIn(p).get.group(1).toInt
+    val untouched = before.keys.filterNot(p => bucketOfPath(p) == hot)
+    assert(untouched.nonEmpty)
+    untouched.foreach { p =>
+      assert(after.get(p).contains(before(p)), s"untouched file $p changed")
+    }
+    before.keys.filter(p => bucketOfPath(p) == hot).foreach { p =>
+      assert(!after.contains(p), s"hot bucket still holds stale file $p")
+    }
+    // merge landed: all updates applied, all inserts present
+    val merged = spark.read.parquet(baseDir)
+    assert(merged.filter($"name" === "upd").count() == 4000)
+    assert(merged.filter($"name" === "ins").count() == 4000)
+    assert(merged.count() == 200000L + 4000L, s"nDelta=$nDelta")
+    delta.unpersist()
+  }
+
   test("two concurrent queries drain one shared source independently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
