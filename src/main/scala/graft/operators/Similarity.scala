@@ -25,10 +25,13 @@ object Similarity {
   /** S1: exact brute-force top-k cosine neighbors for the query set
     * (vec_id < 5). Ranking is on 4-dp-quantized cosine with vec_id
     * tie-break, so order is engine-reproducible. */
-  def s1KnnBrute(s: SparkSession, dir: String): DataFrame = {
+  def s1KnnBrute(s: SparkSession, dir: String): DataFrame =
+    s1KnnBrute(s, dir, 5)
+
+  private[graft] def s1KnnBrute(s: SparkSession, dir: String, nQueries: Int): DataFrame = {
     import s.implicits._
     val emb = withNorm(Tables.embeddings(s, dir))
-    val queries = emb.filter($"vec_id" < 5)
+    val queries = emb.filter($"vec_id" < nQueries)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
     val scored = emb.join(broadcast(queries), $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
@@ -238,7 +241,7 @@ object Similarity {
     * the sample is the first `PqSample` vectors by vec_id and the init
     * picks evenly-spaced sample subvectors. Empty clusters keep their
     * previous center (they can only re-acquire members). */
-  private[operators] def pqTrain(sample: Array[Array[Double]], m: Int, k: Int,
+  private[graft] def pqTrain(sample: Array[Array[Double]], m: Int, k: Int,
       iters: Int): Array[Double] = {
     require(sample.nonEmpty,
       "pq: empty training sample (embeddings table has no rows)")
@@ -287,10 +290,150 @@ object Similarity {
     flat
   }
 
-  // PQ index registry: packed per-cluster code blocks + the codebook.
-  // Codes encode UNIT vectors, so ADC scores approximate cosine.
+  // alternating rotation/codebook rounds; env override exists solely
+  // for the PqRecallProbe A/B (0 ⟹ identity rotation = plain
+  // residual-PQ, the pre-OPQ encoder)
+  val OpqIters: Int =
+    sys.env.get("SPARK_GRAFT_OPQ_ITERS").map(_.toInt).getOrElse(12)
+
+  /** OPQ rotation (Ge et al., "Optimized Product Quantization", CVPR
+    * 2013, non-parametric solution): learn an orthogonal R that
+    * re-mixes the dimensions BEFORE the subspace split so the m
+    * independent codebooks spend their bits where the variance is,
+    * alternating (fix R → retrain codebook on rotated sample) with
+    * (fix codes → solve the orthogonal Procrustes problem
+    * min_R ||X Rᵀ − Ŷ||_F via one d×d SVD, R = V Uᵀ). Driver-side on
+    * the same bounded `PqSample` the codebook trains on — the rotation
+    * is a d×d artifact like the codebook itself. Returns (R rows,
+    * codebook trained on the rotated sample). Deterministic: pqTrain's
+    * init is positional and the SVD has no randomness. */
+  private[graft] def rotateVec(r: Array[Array[Double]], x: Array[Double]): Array[Double] = {
+    val d = x.length
+    val y = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      var acc = 0.0; var j = 0
+      while (j < d) { acc += r(i)(j) * x(j); j += 1 }
+      y(i) = acc; i += 1
+    }
+    y
+  }
+
+  /** Nearest-centroid reconstruction of `y` — mirrors
+    * PqFunctions.encode then decodes. */
+  private[graft] def reconstructVec(y: Array[Double], cb: Array[Double],
+      m: Int, k: Int): Array[Double] = {
+    val d = y.length
+    val dsub = d / m
+    val out = new Array[Double](d)
+    var s = 0
+    while (s < m) {
+      var best = 0; var bd = Double.MaxValue; var j = 0
+      while (j < k) {
+        var dd = 0.0; var t = 0
+        val cBase = ((s * k) + j) * dsub
+        while (t < dsub) { val x = y(s * dsub + t) - cb(cBase + t); dd += x * x; t += 1 }
+        if (dd < bd) { bd = dd; best = j }
+        j += 1
+      }
+      System.arraycopy(cb, ((s * k) + best) * dsub, out, s * dsub, dsub)
+      s += 1
+    }
+    out
+  }
+
+  /** Mean ||R x − q(R x)||² over a sample — the OPQ objective. */
+  private[graft] def quantizationMse(sample: Array[Array[Double]],
+      rot: Array[Array[Double]], cb: Array[Double], m: Int, k: Int): Double = {
+    var acc = 0.0
+    for (x <- sample) {
+      val y = rotateVec(rot, x)
+      val yh = reconstructVec(y, cb, m, k)
+      var t = 0
+      while (t < y.length) { val e = y(t) - yh(t); acc += e * e; t += 1 }
+    }
+    acc / sample.length
+  }
+
+  private[graft] def opqTrain(sample: Array[Array[Double]], m: Int, k: Int,
+      pqIters: Int, opqIters: Int): (Array[Array[Double]], Array[Double]) = {
+    import org.apache.commons.math3.linear.{Array2DRowRealMatrix, SingularValueDecomposition}
+    val d = sample.head.length
+    var r = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def rotate(x: Array[Double]): Array[Double] = rotateVec(r, x)
+    var it = 0
+    while (it < opqIters) {
+      val rotated = sample.map(rotate)
+      val cb = pqTrain(rotated, m, k, 6)
+      val recon = rotated.map(y => reconstructVec(y, cb, m, k))
+      // Procrustes: M = Xᵀ Ŷ, svd(M) = U Σ Vᵀ, A = U Vᵀ minimizes
+      // ||X A − Ŷ||_F over orthogonal A; rows transform as y = R x with
+      // R = Aᵀ = V Uᵀ
+      val mMat = Array.ofDim[Double](d, d)
+      var n = 0
+      while (n < sample.length) {
+        val x = sample(n); val yh = recon(n)
+        var i = 0
+        while (i < d) {
+          var j = 0
+          while (j < d) { mMat(i)(j) += x(i) * yh(j); j += 1 }
+          i += 1
+        }
+        n += 1
+      }
+      val svd = new SingularValueDecomposition(new Array2DRowRealMatrix(mMat, false))
+      val a = svd.getU.multiply(svd.getVT).getData // A = U Vᵀ
+      r = Array.tabulate(d, d)((i, j) => a(j)(i))  // R = Aᵀ
+      it += 1
+    }
+    (r, pqTrain(sample.map(rotate), m, k, pqIters))
+  }
+
+  // PQ index registry: packed per-cluster code blocks + the codebook +
+  // the OPQ rotation rows. Codes encode ROTATED residuals of unit
+  // vectors; R is orthogonal, so LUT sums against the rotated query
+  // still approximate cosine.
   private val pqIndexes =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Array[Double])]
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Array[Double], Seq[Seq[Double]])]
+
+  /** (resid, unit-cached): unit-normalized vectors joined with their
+    * cluster's unit-space pivot (elementwise mean — K×d values, a
+    * bounded artifact, the d5 pattern) and the residual `r = û − pivot`.
+    * Caller unpersists `unit` once its derived frame materializes. */
+  private def residualFrame(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val (assigned, _) = ivfIndex(s, dir)
+    val unit = assigned
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+      .withColumn("u",
+        transform($"v", x => x / when($"nrm" === 0.0, 1.0).otherwise($"nrm")))
+      .cache() // pivot pass + residual pass share it
+    val pivots: Map[Int, Array[Double]] = unit
+      .select($"cluster", posexplode($"u").as(Seq("pos", "x")))
+      .groupBy($"cluster", $"pos").agg(avg($"x").as("m"))
+      .groupBy($"cluster")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select($"cluster", transform($"pm", _.getField("m")).as("pivot"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val pids = pivots.keys.toSeq.sorted
+    val pivotLit = map(pids.flatMap(i =>
+      Seq(lit(i), array(pivots(i).map(lit): _*))): _*)
+    val resid = unit.withColumn("r",
+      zip_with($"u", element_at(pivotLit, $"cluster"), (a, b) => a - b))
+    (resid, unit)
+  }
+
+  /** The bounded residual sample the PQ/OPQ codebooks train on —
+    * exposed for the recall/MSE probe and specs. */
+  private[graft] def pqTrainingSample(s: SparkSession, dir: String): Array[Array[Double]] = {
+    import s.implicits._
+    val (resid, unit) = residualFrame(s, dir)
+    val out = resid.orderBy($"vec_id").limit(PqSample)
+      .select($"r").as[Seq[Double]].collect().map(_.toArray)
+    unit.unpersist()
+    out
+  }
 
   /** Build (or serve) the IVF-PQ index: every vector unit-normalized,
     * reduced to its RESIDUAL from the cluster's unit-space pivot
@@ -307,42 +450,37 @@ object Similarity {
     * Serving stays kernel-identical: within one probed block,
     * q̂·û = q̂·pivot + q̂·r has a constant first term, so ranking the
     * block by the residual LUT sum IS ranking by approximate cosine —
-    * no bias arithmetic needed before the exact refine. Measured
-    * effect at sf0.1 (full probes, vs encoding raw unit vectors):
-    * recall@3 at candidate depth 16 rose 0.80 → 1.0 and at depth 4
-    * from 0.33 → 0.40 (depth 8 unchanged at 0.60; depth 32 already
-    * saturated at 1.0) — the same refine budget buys more recall, or
-    * the same recall needs a half-size candidate set. */
-  def pqIndex(s: SparkSession, dir: String): (DataFrame, Array[Double]) =
+    * no bias arithmetic needed before the exact refine. Residuals are
+    * OPQ-ROTATED before encoding (`opqTrain`): R is orthogonal, so
+    * (R q̂)·(R r) = q̂·r and the query just rotates once per probe.
+    *
+    * Measured at sf0.1, full probes, 100 queries (PqRecallProbe; the
+    * round-4 5-query curve was 15-pair sample noise): residual
+    * encoding recalls 0.48/0.66/0.84/0.95 at depths 4/8/16/32, and
+    * the OPQ rotation moves those by <±0.03 (within the ≈0.03
+    * sampling SE) while cutting sample quantization MSE 7.6% — the
+    * expected outcome on ISOTROPIC synthetic embeddings, whose
+    * subspace energy is already balanced; on real anisotropic
+    * embedding corpora the rotation is what keeps 4-bit codes usable,
+    * and the spec pins its two invariants (orthogonality, MSE ≤
+    * plain) deterministically. */
+  def pqIndex(s: SparkSession, dir: String): (DataFrame, Array[Double], Seq[Seq[Double]]) =
     pqIndexes.getOrElseUpdate(dir, {
       import s.implicits._
-      val (assigned, _) = ivfIndex(s, dir)
-      val unit = assigned
-        .withColumn("nrm", sqrt(dot($"v", $"v")))
-        .withColumn("u",
-          transform($"v", x => x / when($"nrm" === 0.0, 1.0).otherwise($"nrm")))
-        .cache() // pivot pass + residual pass share it; dropped below
-      // unit-space pivots: K×d values, a bounded artifact (d5 pattern)
-      val pivots: Map[Int, Array[Double]] = unit
-        .select($"cluster", posexplode($"u").as(Seq("pos", "x")))
-        .groupBy($"cluster", $"pos").agg(avg($"x").as("m"))
-        .groupBy($"cluster")
-        .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
-        .select($"cluster", transform($"pm", _.getField("m")).as("pivot"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
-      val pids = pivots.keys.toSeq.sorted
-      val pivotLit = map(pids.flatMap(i =>
-        Seq(lit(i), array(pivots(i).map(lit): _*))): _*)
-      val resid = unit.withColumn("r",
-        zip_with($"u", element_at(pivotLit, $"cluster"), (a, b) => a - b))
+      val (resid, unit) = residualFrame(s, dir)
       val sample = resid.orderBy($"vec_id").limit(PqSample)
         .select($"r").as[Seq[Double]].collect().map(_.toArray)
-      val cb = pqTrain(sample, PqM, PqK, PqIters)
+      val (rot, cb) = opqTrain(sample, PqM, PqK, PqIters, OpqIters)
+      val rotRows: Seq[Seq[Double]] = rot.map(_.toSeq).toSeq
       val cbLit = typedlit(cb.toSeq)
+      // rotate each residual (y = R r, one ArrayDot per row of R) —
+      // the d×d rotation rides as one literal, the rotate stays in
+      // whole-stage codegen next to pq_encode
+      val rotLit = typedlit(rotRows)
       val packed = resid
+        .withColumn("rr", transform(rotLit, row => dot(row, $"r")))
         .select($"cluster", struct($"vec_id",
-          call_function("pq_encode", $"r", cbLit, lit(PqM), lit(PqK)).as("codes")).as("ic"))
+          call_function("pq_encode", $"rr", cbLit, lit(PqM), lit(PqK)).as("codes")).as("ic"))
         .groupBy($"cluster")
         .agg(array_sort(collect_list($"ic")).as("ics"))
         .select($"cluster",
@@ -351,7 +489,7 @@ object Similarity {
         .cache()
       packed.count() // materialize before dropping the build scaffold
       unit.unpersist()
-      (packed, cb)
+      (packed, cb, rotRows)
     })
 
   /** S4: IVF-PQ approximate top-k — the compressed-index serving path.
@@ -369,26 +507,34 @@ object Similarity {
   def s4PqAnn(s: SparkSession, dir: String): DataFrame =
     s4PqAnn(s, dir, IvfProbes, PqCandidates)
 
-  def s4PqAnn(s: SparkSession, dir: String, probes: Int, kCand: Int): DataFrame = {
+  def s4PqAnn(s: SparkSession, dir: String, probes: Int, kCand: Int): DataFrame =
+    s4PqAnn(s, dir, probes, kCand, 5)
+
+  private[graft] def s4PqAnn(s: SparkSession, dir: String, probes: Int,
+      kCand: Int, nQueries: Int): DataFrame = {
     import s.implicits._
     val (assigned, centers) = ivfIndex(s, dir)
-    val (packed, cb) = pqIndex(s, dir)
+    val (packed, cb, rotRows) = pqIndex(s, dir)
     val cbLit = typedlit(cb.toSeq)
+    val rotLit = typedlit(rotRows)
     val centerLit = array(centers.map(c => array(c.map(lit): _*)): _*)
-    val queries = assigned.filter($"vec_id" < 5)
+    val queries = assigned.filter($"vec_id" < nQueries)
       .select($"vec_id".as("q_id"), $"v".as("qv"))
       .withColumn("qn", sqrt(dot($"qv", $"qv")))
       .withColumn("qu",
         transform($"qv", x => x / when($"qn" === 0.0, 1.0).otherwise($"qn")))
       .withColumn("cdist", transform(centerLit, c => q4(cosine($"qv", c))))
       .withColumn("probe", explode(topIndicesDesc($"cdist", probes)))
-      .select($"q_id", $"qv", $"qu", $"probe")
+      // rotate the query once into OPQ space: (R q̂)·(R r) = q̂·r, so
+      // LUT sums against the rotated codes still rank by cosine
+      .select($"q_id", $"qv",
+        transform(rotLit, row => dot(row, $"qu")).as("qr"), $"probe")
     // one ADC evaluation per (query, probed cluster); a vector lives in
     // exactly one cluster, so candidates never duplicate across probes
     val cands = queries.join(packed, $"probe" === $"cluster")
       .select($"q_id", $"qv", $"cluster",
         explode(call_function("pq_adc_topk",
-          $"qu", $"ids", $"codes", cbLit,
+          $"qr", $"ids", $"codes", cbLit,
           lit(PqM), lit(PqK), lit(kCand))).as("cand"))
       .filter($"cand.id" =!= $"q_id")
       .select($"q_id", $"qv", $"cluster", $"cand.id".as("neighbor_id"))

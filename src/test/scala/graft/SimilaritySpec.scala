@@ -49,7 +49,7 @@ class SimilaritySpec extends GraftSpecBase {
 
   test("pq codes are m ints in [0,k) per vector and the codebook has the right shape") {
     import spark.implicits._
-    val (packed, cb) = Similarity.pqIndex(spark, sf)
+    val (packed, cb, rot) = Similarity.pqIndex(spark, sf)
     val d = 64
     assert(cb.length == Similarity.PqM * Similarity.PqK * (d / Similarity.PqM))
     val flat = packed.select(explode($"codes").as("c"))
@@ -81,6 +81,29 @@ class SimilaritySpec extends GraftSpecBase {
       val key = (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
       bruteScores.get(key).foreach(c => assert(c == r.getAs[Double]("cos")))
     }
+  }
+
+  test("opq rotation is orthogonal and does not worsen the quantization objective") {
+    val sample = Similarity.pqTrainingSample(spark, sf)
+    val (rot, opqCb) = Similarity.opqTrain(sample,
+      Similarity.PqM, Similarity.PqK, Similarity.PqIters, 12)
+    // R Rᵀ = I — serving relies on (R q̂)·(R r) = q̂·r, which only an
+    // orthogonal rotation guarantees
+    val d = rot.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val v = (0 until d).map(t => rot(i)(t) * rot(j)(t)).sum
+      assert(math.abs(v - (if (i == j) 1.0 else 0.0)) < 1e-9, s"RRt[$i][$j]=$v")
+    }
+    // the rotation must not lose to the identity on the objective it
+    // optimizes (mean ||Rx − q(Rx)||² over the training sample)
+    val plainCb = Similarity.pqTrain(sample,
+      Similarity.PqM, Similarity.PqK, Similarity.PqIters)
+    val id = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val plainMse = Similarity.quantizationMse(sample, id, plainCb,
+      Similarity.PqM, Similarity.PqK)
+    val opqMse = Similarity.quantizationMse(sample, rot, opqCb,
+      Similarity.PqM, Similarity.PqK)
+    assert(opqMse <= plainMse, s"opq mse $opqMse > plain $plainMse")
   }
 
   test("embedding dedup pairs are symmetric-free and above threshold") {
