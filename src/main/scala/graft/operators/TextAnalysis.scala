@@ -75,17 +75,26 @@ object TextAnalysis {
     * formulation shuffled every bigram occurrence twice; at 20× that
     * was most of its 14+ s; an interpreted HOF fold was tried and
     * spent tens of seconds in CodegenFallback warm-up). The whole
-    * operator now runs at scan speed, like t1–t4. */
+    * operator now runs at scan speed, like t1–t4.
+    *
+    * The no-bigram filter is expressed on the TOKEN count, not on
+    * `size(bi)`: a predicate on the derived column gets pushed below
+    * the projections with the whole tokenize→bigram→sort chain
+    * SUBSTITUTED into it, where the split re-evaluates per lambda
+    * element — the round-1 lambda-inlining trap reintroduced by
+    * predicate pushdown. `size(tokens) >= 2` is the same row set
+    * (n bigrams = n_tokens − 1) and pushes down as one linear split
+    * per row (measured: 5.3 s → ~0.9 s at sf0.1). */
   def t5Repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
+      .filter(size(tokens($"text")) >= 2) // docs with < 2 tokens have no bigram stats
       .withColumn("w", tokens($"text"))
       .withColumn("bi", array_sort(ngramsFromTokens($"w", 2)))
       .select($"doc_id", size($"w").as("n_tokens"),
         size(array_distinct($"w")).as("n_distinct"),
         call_function("max_run_length", $"bi").as("top_n"),
         size($"bi").as("n_bi"))
-      .filter($"n_bi" > 0) // docs with < 2 tokens have no bigram stats
       .select($"doc_id", $"n_tokens",
         (floor($"top_n".cast("double") / $"n_bi".cast("double") * 10000) / 10000.0).as("rep2"),
         (floor($"n_distinct".cast("double") / $"n_tokens".cast("double") * 10000) / 10000.0).as("distinct_ratio"))
