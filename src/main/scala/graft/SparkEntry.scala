@@ -39,6 +39,7 @@ object SparkEntry {
     "d1_exact_dedup"     -> (Dedup.d1ExactDedup _),
     "d2_ngram_jaccard"   -> (Dedup.d2NgramJaccard _),
     "d3_minhash_lsh"     -> (Dedup.d3MinhashLsh _),
+    "d8_containment"     -> (Dedup.d8Containment _),
     "d4_simhash"         -> (Dedup.d4Simhash _),
     "d5_embedding_dedup" -> (Similarity.d5EmbeddingDedup _),
     "s1_knn_brute"       -> (Similarity.s1KnnBrute _),
@@ -298,6 +299,25 @@ object SparkEntry {
          JOIN sizes sa ON id_a = sa.doc_id
          JOIN sizes sb ON id_b = sb.doc_id
          WHERE CAST(n_both AS DOUBLE) / (sa.n_sh + sb.n_sh - n_both) >= 0.5
+         ORDER BY 1, 2""",
+    "d8_containment" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(
+             list_transform(string_split(text, ' '), (x, i) ->
+               CASE WHEN i + 2 <= len(string_split(text, ' '))
+                    THEN x || ' ' || string_split(text, ' ')[i+1]
+                           || ' ' || string_split(text, ' ')[i+2] END),
+             s -> s IS NOT NULL))) AS shingle
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_both
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, CAST(n_both AS BIGINT) AS n_both,
+           floor(CAST(n_both AS DOUBLE) / sa.n_sh * 10000) / 10000.0 AS containment
+         FROM inter JOIN sizes sa ON id_a = sa.doc_id
+         WHERE n_both * 10 >= sa.n_sh * 8
          ORDER BY 1, 2""",
     "d5_embedding_dedup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

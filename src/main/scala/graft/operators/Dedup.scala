@@ -110,6 +110,51 @@ object Dedup {
     } { scaffolding.foreach(_.unpersist()) }
   }
 
+  val ContainmentThreshold = 0.8 // as n_both*10 >= n_sh(a)*8, exact ints
+
+  /** D8: n-gram CONTAINMENT near-dup pairs — the ASYMMETRIC companion
+    * to d2: C(A→B) = |S(A)∩S(B)| / |S(A)| over distinct 3-word
+    * shingles. Containment is what catches a document swallowed inside
+    * a bigger one (quotes, partial copies, page-plus-boilerplate):
+    * there J(A,B) = |A∩B|/|A∪B| dilutes below any usable threshold
+    * while C(A→B) stays at 1.0 — the DedupSpec plants exactly that
+    * case and shows d2 misses it. Directed output: (id_a contained-in
+    * id_b, shared count, containment ≥ 0.8).
+    *
+    * Shape at 100 TB: one distinct-shingle pass where shingles become
+    * 128-bit hash pairs the moment they exist (the d7/t10 trade —
+    * strings never ride the exchanges), one posting self-join on the
+    * hash pair (AQE skew-handles hot boilerplate shingles), one
+    * grouped count per directed pair, one broadcast-or-shuffle join
+    * against the per-doc sizes. The threshold compare is integer
+    * arithmetic so Spark and DuckDB agree at the boundary. Candidate
+    * cost follows true shingle co-occurrence; the d2 lessons
+    * (duplicate compression over identical raw texts, and the
+    * asymmetric PPJoin prefix — index all of B but only A's
+    * rarest-first |A|−⌈t·|A|⌉+1 prefix) bolt on unchanged if a corpus
+    * makes this the bottleneck. */
+  def d8Containment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id", explode(shinglesFromTokens($"w", 3)).as("shingle"))
+      .select($"doc_id",
+        xxhash64($"shingle").as("h1"), xxhash64(lit(1), $"shingle").as("h2"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"),
+        $"x.h1" === $"y.h1" && $"x.h2" === $"y.h2" &&
+        $"x.doc_id" =!= $"y.doc_id")
+      .groupBy($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(sizes.select($"doc_id".as("id_a"), $"n_sh".as("na")), "id_a")
+      .filter($"n_both" * 10 >= $"na" * 8)
+      .select($"id_a", $"id_b", $"n_both",
+        (floor($"n_both".cast("double") / $"na".cast("double") * 10000) / 10000.0)
+          .as("containment"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** The PPJoin core over an arbitrary (doc_id, text, …) frame.
     * Returns (pairs, scaffolding caches for the caller to unpersist
     * once the result is materialized). */

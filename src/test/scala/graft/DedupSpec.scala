@@ -175,6 +175,29 @@ class DedupSpec extends GraftSpecBase {
     assert(cut(3L)._2 == fp3)
   }
 
+  test("d8 containment: finds a doc swallowed inside a bigger one that Jaccard misses") {
+    import spark.implicits._
+    // doc 1 (20 tokens) appears verbatim inside doc 2 (50 tokens):
+    // C(1→2) = 1.0 but J(1,2) = 18/48 = 0.375 — below d2's 0.5 gate
+    val inner = (1 to 20).map(i => s"quote$i").mkString(" ")
+    val extra = (1 to 30).map(i => s"extra$i").mkString(" ")
+    val docs = Seq(
+      (1L, inner, "en", "spec", 0L),
+      (2L, s"$inner $extra", "en", "spec", 0L),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" "), "en", "spec", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d8").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val cont = Dedup.d8Containment(spark, tmp)
+      .as[(Long, Long, Long, Double)].collect()
+    // exactly one directed pair: 1 contained in 2 at containment 1.0
+    // (2→1 is 18/48 = 0.375, below threshold; doc 3 shares nothing)
+    assert(cont.toSeq == Seq((1L, 2L, 18L, 1.0)), cont.mkString(","))
+    // and d2's Jaccard gate structurally misses the pair
+    val jac = Dedup.d2NgramJaccard(spark, tmp).count()
+    assert(jac == 0, s"expected no Jaccard pair at J=0.375, got $jac")
+  }
+
   test("p7 keep-first: the first occurrence survives, later ones are cut; never cuts more than cut-every") {
     import spark.implicits._
     // same planted corpus as the d7 test: doc 1 holds the FIRST
