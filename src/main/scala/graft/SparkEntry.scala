@@ -40,6 +40,7 @@ object SparkEntry {
     "d2_ngram_jaccard"   -> (Dedup.d2NgramJaccard _),
     "d3_minhash_lsh"     -> (Dedup.d3MinhashLsh _),
     "d8_containment"     -> (Dedup.d8Containment _),
+    "t11_zipf"           -> (TextAnalysis.t11Zipf _),
     "d4_simhash"         -> (Dedup.d4Simhash _),
     "d5_embedding_dedup" -> (Similarity.d5EmbeddingDedup _),
     "s1_knn_brute"       -> (Similarity.s1KnnBrute _),
@@ -300,6 +301,20 @@ object SparkEntry {
          JOIN sizes sb ON id_b = sb.doc_id
          WHERE CAST(n_both AS DOUBLE) / (sa.n_sh + sb.n_sh - n_both) >= 0.5
          ORDER BY 1, 2""",
+    "t11_zipf" ->
+      """WITH tok AS (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         freq AS (
+           SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY 1),
+         top AS (SELECT token, n FROM freq ORDER BY n DESC, token LIMIT 1000),
+         ranked AS (
+           SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+           FROM top)
+         SELECT CAST(count(*) AS BIGINT) AS n_points,
+           floor(covar_pop(log10(rank), log10(n)) / var_pop(log10(rank))
+             * 10000) / 10000.0 AS zipf_slope,
+           floor(corr(log10(rank), log10(n)) * 10000) / 10000.0 AS zipf_corr
+         FROM ranked""",
     "d8_containment" ->
       """WITH sh AS (
            SELECT doc_id, unnest(list_distinct(list_filter(

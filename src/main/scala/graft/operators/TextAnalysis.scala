@@ -330,6 +330,38 @@ object TextAnalysis {
       .orderBy($"doc_id", $"kw_rank")
   }
 
+  /** T11: Zipf-law fit — the corpus-health diagnostic a pipeline runs
+    * after every cleaning stage: OLS slope and correlation of
+    * log10(frequency) on log10(rank) over the TOP-1000 vocabulary.
+    * Natural text sits near slope −1; templated/synthetic corpora go
+    * flat; a cleaning bug that eats common words shows up immediately.
+    *
+    * Scale shape: the frequency table is t6's one explode + grouped
+    * count (map-side partials); the top-1000 is a
+    * TakeOrderedAndProject (per-partition heaps — never a global
+    * vocabulary sort, which at billions of distinct tokens is the
+    * single-partition trap); ranking and the two co-moment aggregates
+    * then run over a 1000-row BOUNDED frame (the q45 broadcast-total
+    * pattern: constant-size work, not corpus-size work). Slope and
+    * corr floor-quantize at 1e-4 — co-moment sums over 1000 doubles
+    * agree across engines well inside that. */
+  def t11Zipf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val freq = Tables.documents(s, dir)
+      .select(explode(tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+    val top = freq.orderBy($"n".desc, $"token").limit(1000)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy($"n".desc, $"token")))
+    ranked.agg(
+      count(lit(1)).as("n_points"),
+      (floor(covar_pop(log10($"rank"), log10($"n")) /
+        var_pop(log10($"rank")) * 10000) / 10000.0).as("zipf_slope"),
+      (floor(corr(log10($"rank"), log10($"n")) * 10000) / 10000.0)
+        .as("zipf_corr"))
+  }
+
   /** T7: bigram frequency table — the top-50 most frequent bigrams
     * corpus-wide (n-gram LM / contamination statistics). Same explode +
     * grouped-count shape as t6; the top-50 is a TakeOrderedAndProject

@@ -249,6 +249,17 @@ class TextAnalysisSpec extends GraftSpecBase {
     scored.unpersist()
   }
 
+  test("t11 zipf: rank-frequency slope is negative with a strong fit on the top vocabulary") {
+    val r = operators.TextAnalysis.t11Zipf(spark, sf).collect()(0)
+    val n = r.getAs[Long]("n_points")
+    assert(n > 0 && n <= 1000, s"n_points $n")
+    // frequency is non-increasing in rank by construction, so the
+    // log-log slope and correlation must both be negative
+    assert(r.getAs[Double]("zipf_slope") < 0.0)
+    val c = r.getAs[Double]("zipf_corr")
+    assert(c >= -1.0 && c < 0.0, s"corr $c")
+  }
+
   test("p5 packing: offsets are the exact prefix sum and sequences stay contiguous") {
     import spark.implicits._
     val packed = operators.TextAnalysis.p5PackSequences(spark, sf)
