@@ -41,6 +41,7 @@ object SparkEntry {
     "d3_minhash_lsh"     -> (Dedup.d3MinhashLsh _),
     "d8_containment"     -> (Dedup.d8Containment _),
     "t11_zipf"           -> (TextAnalysis.t11Zipf _),
+    "s5_radius_search"   -> (Similarity.s5RadiusSearch _),
     "d4_simhash"         -> (Dedup.d4Simhash _),
     "d5_embedding_dedup" -> (Similarity.d5EmbeddingDedup _),
     "s1_knn_brute"       -> (Similarity.s1KnnBrute _),
@@ -346,6 +347,19 @@ object SparkEntry {
              z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
            / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.5
+         ORDER BY 1, 2""",
+    "s5_radius_search" ->
+      """SELECT q.vec_id AS q_id, x.vec_id AS neighbor_id,
+         floor(list_sum(list_transform(list_zip(q.embedding, x.embedding),
+             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
+            * sqrt(list_sum(list_transform(x.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))))
+           * 10000) / 10000.0 AS cosine
+         FROM embeddings q JOIN embeddings x ON q.vec_id < 5 AND x.vec_id <> q.vec_id
+         WHERE list_sum(list_transform(list_zip(q.embedding, x.embedding),
+             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
+            * sqrt(list_sum(list_transform(x.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))) >= 0.25
          ORDER BY 1, 2""",
     "s1_knn_brute" ->
       """WITH scored AS (

@@ -63,7 +63,7 @@ object Similarity {
   def d5EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val t = 0.5
-    val (base, pairs) = d5Index(s, dir)
+    val (base, pairs, _, _) = d5Index(s, dir)
     val left = base.select($"vec_id".as("id_a"), $"v".as("va"),
       $"nrm".as("na"), $"cluster".as("ci"))
     val right = base.select($"vec_id".as("id_b"), $"v".as("vb"),
@@ -80,14 +80,16 @@ object Similarity {
   }
 
   // per-dataset registry of the d5 pruning artifacts: the norm-extended
-  // index frame and the admissible cluster-pair table. Pivots/radii are
-  // deterministic K-bounded derivations of the (cached) IVF index —
-  // recomputing their posexplode + two collect jobs per invocation
-  // would waste exactly what the registry pattern saves elsewhere.
-  private val d5Artifacts =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+  // index frame, the admissible cluster-pair table, and the per-cluster
+  // unit-space (pivot, radius) maps — K-bounded artifacts shared with
+  // s5's radius search. Recomputing their posexplode + two collect jobs
+  // per invocation would waste exactly what the registry pattern saves
+  // elsewhere.
+  private val d5Artifacts = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame, Map[Int, Array[Double]], Map[Int, Double])]
 
-  private def d5Index(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private def d5Index(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Map[Int, Array[Double]], Map[Int, Double]) =
     d5Artifacts.getOrElseUpdate(dir, {
       import s.implicits._
       val t = 0.5
@@ -129,8 +131,52 @@ object Similarity {
         i <- ids; j <- ids
         if pdist(i, j) <= radii(i) + radii(j) + dBound + 1e-6
       } yield (i, j)
-      (base, admissible.toDF("ci", "cj"))
+      (base, admissible.toDF("ci", "cj"), pivots, radii)
     })
+
+  val RadiusThreshold = 0.25
+
+  /** S5: RADIUS search — every neighbor with cosine ≥ `RadiusThreshold`
+    * per query (the fixed-radius companion to s1/s2's top-k: near-dup
+    * lookup, "everything similar to X" retrieval). Cluster-pruned but
+    * EXACT, so the brute-force SQL oracles it: cos(q,x) ≥ t ⟹
+    * ‖q̂−x̂‖ ≤ √(2−2t) on the unit sphere, and x in cluster c implies
+    * ‖x̂−p_c‖ ≤ r_c, so only clusters with ‖q̂−p_c‖ ≤ r_c + √(2−2t)
+    * can hold a result (triangle inequality — the d5 admissibility
+    * test, query-side). Per query the scan touches only admitted
+    * clusters' inverted lists (the IVF layout's partition pruning);
+    * the (pivot, radius) table is the K-bounded artifact shared with
+    * d5 via its registry. On clustered corpora most clusters prune;
+    * on isotropic data it degrades to a distributed full scan — the
+    * same bound d5 documents, never a driver-side loop. */
+  def s5RadiusSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = RadiusThreshold
+    val dBound = math.sqrt(2.0 - 2.0 * t) + 1e-9
+    val (base, _, pivots, radii) = d5Index(s, dir)
+    val ids = pivots.keys.toSeq.sorted
+    val boundsLit = array(ids.map(i => struct(
+      lit(i).as("cluster"),
+      array(pivots(i).map(lit): _*).as("pivot"),
+      lit(radii(i)).as("radius"))): _*)
+    val queries = base.filter($"vec_id" < 5)
+      .withColumn("qu",
+        transform($"v", x => x / when($"nrm" === 0.0, 1.0).otherwise($"nrm")))
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"), $"qu")
+      .withColumn("cb", explode(boundsLit))
+      // ‖q̂ − p‖ = √(1 − 2·q̂·p + ‖p‖²), clamped for FP
+      .withColumn("qpd", sqrt(greatest(
+        lit(1.0) - lit(2.0) * dot($"qu", $"cb.pivot") +
+          dot($"cb.pivot", $"cb.pivot"), lit(0.0))))
+      .filter($"qpd" <= $"cb.radius" + lit(dBound))
+      .select($"q_id", $"qv", $"qn", $"cb.cluster".as("cluster"))
+    val cos = dot($"qv", $"v") / ($"qn" * $"nrm")
+    queries.join(base, Seq("cluster"))
+      .filter($"vec_id" =!= $"q_id")
+      .filter(cos >= t)
+      .select($"q_id", $"vec_id".as("neighbor_id"), q4(cos).as("cosine"))
+      .orderBy($"q_id", $"neighbor_id")
+  }
 
   /** Q33: per-label vector statistics — the embedding-column health
     * check a feature store runs (count, norm distribution per class).

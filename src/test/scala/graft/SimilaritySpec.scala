@@ -83,6 +83,26 @@ class SimilaritySpec extends GraftSpecBase {
     }
   }
 
+  test("s5 radius search: cluster-pruned result equals brute force exactly") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.{dot, toDoubles, q4}
+    // the triangle-inequality admissibility test must be complete:
+    // pruning decides which clusters are SCANNED, never the result
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", toDoubles($"embedding").as("v"))
+      .withColumn("nrm", sqrt(dot($"v", $"v")))
+    val qq = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val cosc = dot($"qv", $"v") / ($"qn" * $"nrm")
+    val brute = emb.join(qq, $"vec_id" =!= $"q_id")
+      .filter(cosc >= Similarity.RadiusThreshold)
+      .select($"q_id", $"vec_id".as("neighbor_id"), q4(cosc).as("cosine"))
+      .orderBy($"q_id", $"neighbor_id")
+    val got = Similarity.s5RadiusSearch(spark, sf).collect().toSeq
+    assert(got.nonEmpty, "fixture should yield radius neighbors")
+    assert(got == brute.collect().toSeq)
+  }
+
   test("opq rotation is orthogonal and does not worsen the quantization objective") {
     val sample = Similarity.pqTrainingSample(spark, sf)
     val (rot, opqCb) = Similarity.opqTrain(sample,
