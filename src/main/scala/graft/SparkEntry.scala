@@ -113,6 +113,9 @@ object SparkEntry {
     "p7_cut_keep_first"  -> (Dedup.p7CutKeepFirst _),
     "m6_cold_start"      -> (graft.ml.Recommender.m6ColdStart _),
     "q48_yoy_growth"     -> (Analytics.q48YoyGrowth _),
+    "q47_share_of_total" -> (Analytics.q47ShareOfTotal _),
+    "st2_sliding_window" -> (Sessionize.st2SlidingWindow _),
+    "i4_partitioned_ingest" -> (Ingest.i4PartitionedIngest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -228,6 +231,20 @@ object SparkEntry {
       """SELECT epoch_ms(ts) // 3600000 AS hour_bucket, event_type,
          count(*) AS n, round(sum(value), 2) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "i4_partitioned_ingest" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+         FROM customer
+         WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+         ORDER BY c_custkey""",
+    "st2_sliding_window" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ms, event_type, value FROM events),
+         w AS (
+           SELECT ((ms // 900000) - k) * 900000 AS win_start_ms,
+             event_type, value
+           FROM e, unnest(generate_series(0, 3)) AS g(k))
+         SELECT win_start_ms, event_type, count(*) AS n,
+           round(sum(value), 2) AS total_value
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     "t1_token_stats" ->
       """SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
@@ -1042,5 +1059,22 @@ object SparkEntry {
          FROM rev
          WINDOW w AS (PARTITION BY n_name ORDER BY o_year)
          ORDER BY n_name, o_year""",
+    "q47_share_of_total" ->
+      """WITH rev AS (
+           SELECT r.r_name, n.n_name, round(sum(o.o_totalprice), 2) AS revenue
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           GROUP BY 1, 2)
+         SELECT r_name, n_name, revenue,
+           CAST(rank() OVER (PARTITION BY r_name
+             ORDER BY revenue DESC, n_name) AS INTEGER) AS region_rank,
+           floor(revenue / sum(revenue) OVER (PARTITION BY r_name)
+             * 10000) / 10000.0 AS region_share,
+           floor(revenue / sum(revenue) OVER ()
+             * 10000) / 10000.0 AS world_share
+         FROM rev
+         ORDER BY r_name, n_name""",
   )
 }

@@ -264,6 +264,40 @@ object Analytics {
       .orderBy($"n_name", $"o_year")
   }
 
+  /** Q47: share-of-total decomposition — each nation's revenue as a
+    * share of its region and of the world, plus its rank within the
+    * region: the market-share dashboard head. Everything downstream of
+    * ONE (region, nation) partial aggregate: the region total and the
+    * grand total are window sums over the ~25-row aggregated frame
+    * (the q48 lesson — windows cost nothing after aggregation, never
+    * run them over the fact table), so the fact scan is one shuffle.
+    * Shares floor-quantize at 1e-4; revenue rounds at 2dp BEFORE the
+    * ratios so both engines divide identical doubles. */
+  def q47ShareOfTotal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.orders(s, dir)
+      .select($"o_custkey", $"o_totalprice")
+      .join(Tables.customer(s, dir).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)
+        .select($"n_nationkey", $"n_name", $"n_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir).select($"r_regionkey", $"r_name")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"))
+    val wr = Window.partitionBy($"r_name")
+    rev
+      .withColumn("region_rev", sum($"revenue").over(wr))
+      .withColumn("world_rev", sum($"revenue").over(Window.partitionBy()))
+      .withColumn("region_rank", rank().over(
+        wr.orderBy($"revenue".desc, $"n_name")))
+      .select($"r_name", $"n_name", $"revenue", $"region_rank",
+        (floor($"revenue" / $"region_rev" * 10000) / 10000.0).as("region_share"),
+        (floor($"revenue" / $"world_rev" * 10000) / 10000.0).as("world_share"))
+      .orderBy($"r_name", $"n_name")
+  }
+
   /** Q42: cohort retention — users bucketed by first-seen epoch-week,
     * distinct actives per (cohort, week offset): the standard product
     * retention triangle. Week indexes are integer epoch arithmetic

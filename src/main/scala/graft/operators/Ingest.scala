@@ -80,4 +80,26 @@ object Ingest {
     }
     s.read.orc(path).orderBy($"s_suppkey")
   }
+
+  /** I4: hive-partitioned sink + partition-pruned read — the lake
+    * layout move: customer staged as parquet partitioned by
+    * `c_mktsegment`, read back with a segment filter that must resolve
+    * as PARTITION pruning (directory-level skip — the scan never opens
+    * the other segments' files; PlanAuditSpec asserts PartitionFilters
+    * carries the predicate and the data filter list stays empty). At
+    * 100 TB partition layout is the first 10–100× before any row is
+    * read; the oracle (a plain WHERE on the original table) proves
+    * pruning loses nothing. */
+  def i4PartitionedIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = stage("customer_part", dir) { tmp =>
+      Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"c_mktsegment")
+        .write.mode("overwrite").partitionBy("c_mktsegment").parquet(tmp)
+    }
+    s.read.parquet(path)
+      .filter($"c_mktsegment".isin("BUILDING", "MACHINERY"))
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
 }

@@ -56,4 +56,24 @@ object Sessionize {
            round(sum($"value"), 2).as("total_value"))
       .orderBy($"hour_bucket", $"event_type")
   }
+
+  /** ST2 (batch twin): SLIDING 1-hour windows every 15 minutes — each
+    * event lands in 4 overlapping windows, the moving-dashboard shape
+    * tumbling windows can't express. Uses Spark's native `window()`
+    * (the same operator the streaming twin runs), keyed back to exact
+    * epoch-ms starts; the oracle mirrors the assignment as integer
+    * arithmetic (4 generated starts per event). The ×4 row expansion
+    * is the operator's inherent cost and happens map-side before the
+    * one grouped shuffle. */
+  def st2SlidingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.eventsWithMs(s, dir)
+      .withColumn("ts", timestamp_millis($"ms"))
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+           round(sum($"value"), 2).as("total_value"))
+      .select(unix_millis($"window.start").as("win_start_ms"),
+        $"event_type", $"n", $"total_value")
+      .orderBy($"win_start_ms", $"event_type")
+  }
 }

@@ -62,6 +62,21 @@ object EventStreams {
         $"event_type", $"n", $"total_value")
   }
 
+  /** Sliding-window streaming twin of `st2SlidingWindow`: 1-hour
+    * windows every 15 minutes under a 1-hour watermark. Same operator,
+    * same state keying (window × type) — the spec drives it over a
+    * MemoryStream and asserts equality with the batch twin. */
+  def slidingWindowAgg(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_millis($"ms"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .select(unix_millis($"window.start").as("window_start_ms"),
+        $"event_type", $"n", $"total_value")
+  }
+
   val SessionGapMs: Long = graft.operators.Sessionize.SessionGapMs
 
   /** Gap-based stateful sessionizer — streaming twin of

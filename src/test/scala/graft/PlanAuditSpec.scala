@@ -156,6 +156,16 @@ class PlanAuditSpec extends GraftSpecBase {
     }
   }
 
+  test("i4: segment filter resolves as partition pruning, not a data filter") {
+    val df = operators.Ingest.i4PartitionedIngest(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    // the predicate must reach the scan as a PartitionFilter
+    // (directory-level skip); a PushedFilters/data-filter fallback
+    // would open every segment's files
+    assert(scan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*c_mktsegment".r.findFirstIn(scan).isDefined, scan)
+  }
+
   test("p5: per-doc and per-bucket prefix windows are hash-partitioned (funnel is superbucket-sized)") {
     val p = plan(operators.TextAnalysis.p5PackSequences(spark, sf))
     // the three-level prefix sum distributes levels 1 and 2: the

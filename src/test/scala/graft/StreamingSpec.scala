@@ -37,6 +37,28 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("streaming sliding-window agg over memory stream matches batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents
+    val stream = MemoryStream[Event]
+    val q = EventStreams.slidingWindowAgg(stream.toDF())
+      .writeStream.format("memory").queryName("slide_agg")
+      .outputMode("complete").start()
+    try {
+      val (h1, h2) = events.splitAt(events.size / 2)
+      stream.addData(h1); q.processAllAvailable()
+      stream.addData(h2); q.processAllAvailable()
+      val got = spark.table("slide_agg")
+        .select($"window_start_ms".as("win_start_ms"),
+          $"event_type", $"n", $"total_value")
+        .collect().map(_.toSeq).toSet
+      val want = operators.Sessionize.st2SlidingWindow(spark, sf)
+        .collect().map(_.toSeq).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionizer matches batch q14 (closed + flushed)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
