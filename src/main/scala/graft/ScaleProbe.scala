@@ -49,8 +49,10 @@ object ScaleProbe {
                   "t6_heavy_hitters", "t7_bigram_freq",
                   "d4_simhash", "d3_minhash_lsh", "d5_embedding_dedup",
                   "d2_ngram_jaccard", "d6_dup_groups",
-                  "d7_substring_spans", "p7_cut_spans", "t10_keywords",
-                  "t9_surprisal", "p5_pack_sequences", "s4_pq_ann")
+                  "d7_substring_spans", "p7_cut_spans", "p7_cut_keep_first",
+                  "d8_containment", "t11_zipf", "t10_keywords",
+                  "t9_surprisal", "p5_pack_sequences", "s4_pq_ann",
+                  "s5_radius_search")
     // optional arg 2: regex to probe a subset (factor stays arg 1)
     val picked = args.drop(1).headOption
       .map(re => all.filter(_.matches(re))).getOrElse(all)
