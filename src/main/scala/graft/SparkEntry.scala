@@ -116,6 +116,7 @@ object SparkEntry {
     "q47_share_of_total" -> (Analytics.q47ShareOfTotal _),
     "st2_sliding_window" -> (Sessionize.st2SlidingWindow _),
     "i4_partitioned_ingest" -> (Ingest.i4PartitionedIngest _),
+    "q49_rfm"            -> (Analytics.q49Rfm _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -231,6 +232,25 @@ object SparkEntry {
       """SELECT epoch_ms(ts) // 3600000 AS hour_bucket, event_type,
          count(*) AS n, round(sum(value), 2) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q49_rfm" ->
+      """WITH per AS (
+           SELECT o_custkey, max(o_orderdate) AS last_dt,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+           FROM orders GROUP BY 1),
+         mx AS (SELECT max(o_orderdate) AS corpus_max FROM orders),
+         rfm AS (
+           SELECT o_custkey, frequency, monetary,
+             CAST(date_diff('day', last_dt, corpus_max) AS INTEGER) AS recency_days
+           FROM per, mx)
+         SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS VARCHAR)
+             || '-' ||
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS VARCHAR)
+             || '-' ||
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS VARCHAR)
+             AS rfm_segment
+         FROM rfm ORDER BY o_custkey""",
     "i4_partitioned_ingest" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
          FROM customer

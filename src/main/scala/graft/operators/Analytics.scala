@@ -298,6 +298,101 @@ object Analytics {
       .orderBy($"r_name", $"n_name")
   }
 
+  /** Exact DISTRIBUTED global rank — a partitionBy-less `row_number`
+    * window would plan Exchange SinglePartition over the whole frame
+    * (the trap p5/d2 exist to avoid). Instead: range-partition on the
+    * sort key (ascending pids = ascending ranges), rank within each
+    * partition, and add per-partition exclusive offsets — a
+    * ≤ numShufflePartitions bounded artifact (the q45 broadcast-total
+    * pattern). Returns the ranked frame and the total row count (free
+    * from the same counts). */
+  /** The ranked frame is CACHED (caller unpersists via `scaffolding`
+    * after materializing downstream): the offsets branch and the main
+    * branch must observe the SAME physical partitioning — uncached,
+    * each read re-executes the range shuffle and AQE may coalesce the
+    * two executions differently, silently skewing every offset (found
+    * by the q49 oracle: 28 of 1500 tiles off by one). */
+  private def withGlobalRank(df: DataFrame, out: String,
+      scaffolding: scala.collection.mutable.ListBuffer[DataFrame],
+      sort: org.apache.spark.sql.Column*): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val n = s.sessionState.conf.numShufflePartitions
+    val local = df.repartitionByRange(n, sort: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr",
+        row_number().over(Window.partitionBy($"__pid").orderBy(sort: _*)))
+      .cache()
+    scaffolding += local
+    // exclusive per-partition offsets, in-plan: ≤ numShufflePartitions
+    // rows through one bounded single-partition window (the q45
+    // bounded-artifact pattern), broadcast back onto the ranked rows
+    val offs = local.groupBy($"__pid").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum($"__c").over(
+        Window.orderBy($"__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"__pid", $"__off")
+    local.join(broadcast(offs), "__pid")
+      .withColumn(out, $"__off" + $"__lr")
+      .drop("__pid", "__lr", "__off")
+  }
+
+  /** SQL ntile(k) from an exact global rank: bucket sizes differ by at
+    * most one with the larger buckets first — `tile(r) =
+    * ceil(r/(size+1))` inside the first (N mod k) oversized buckets,
+    * then `rem + ceil((r − (size+1)·rem)/size)`. Exact integer
+    * arithmetic (positive operands), so it matches both engines'
+    * ntile bit-for-bit. */
+  private def tileOf(rank: org.apache.spark.sql.Column,
+      total: org.apache.spark.sql.Column, k: Long) = {
+    val size = floor(total / k).cast("long")
+    val rem = total % k
+    val big = (size + lit(1L)) * rem
+    when(rank <= big, floor((rank + size) / (size + lit(1L))).cast("long"))
+      .otherwise(rem + floor((rank - big + size - lit(1L)) / size).cast("long"))
+  }
+
+  /** Q49: RFM customer segmentation — the classic marketing cut:
+    * per-customer Recency (days from last order to the corpus's last
+    * date), Frequency (order count), Monetary (total spend), each
+    * quartiled and concatenated into the segment code ("1-4-4" =
+    * recent heavy spender; tile 1 is always "best"). One partial
+    * aggregate over orders, then three DISTRIBUTED exact global ranks
+    * over the per-customer frame (`withGlobalRank` — never a
+    * single-partition ntile window, which at a billion customers is
+    * the OOM point), with total-order tie-breaks so quartile
+    * boundaries are engine-reproducible; the corpus max date is a
+    * one-row broadcast. The oracle's plain `ntile(4)` windows
+    * hash-match, proving the distributed rank+formula IS SQL ntile. */
+  def q49Rfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("q49_rfm", dir) {
+      val per = Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(max($"o_orderdate").as("last_dt"),
+          count(lit(1)).as("frequency"),
+          round(sum($"o_totalprice"), 2).as("monetary"))
+      val maxDt = Tables.orders(s, dir).agg(max($"o_orderdate").as("corpus_max"))
+      val rfm = per.join(broadcast(maxDt))
+        .select($"o_custkey", $"frequency", $"monetary",
+          datediff($"corpus_max", $"last_dt").as("recency_days"))
+      val tot = rfm.agg(count(lit(1)).as("__n"))
+      val r1 = withGlobalRank(rfm, "r_rank", scaffolding,
+        $"recency_days", $"o_custkey")
+      val r2 = withGlobalRank(r1, "f_rank", scaffolding,
+        $"frequency".desc, $"o_custkey")
+      val r3 = withGlobalRank(r2, "m_rank", scaffolding,
+        $"monetary".desc, $"o_custkey")
+      r3.join(broadcast(tot))
+        .select($"o_custkey", $"recency_days", $"frequency", $"monetary",
+          concat_ws("-", tileOf($"r_rank", $"__n", 4),
+            tileOf($"f_rank", $"__n", 4),
+            tileOf($"m_rank", $"__n", 4)).as("rfm_segment"))
+        .orderBy($"o_custkey")
+    } { scaffolding.foreach(_.unpersist()) }
+  }
+
   /** Q42: cohort retention — users bucketed by first-seen epoch-week,
     * distinct actives per (cohort, week offset): the standard product
     * retention triangle. Week indexes are integer epoch arithmetic

@@ -141,6 +141,30 @@ class AnalyticsSpec extends GraftSpecBase {
     rows.unpersist()
   }
 
+  test("q49: distributed rfm tiles equal single-window ntile exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the whole point of withGlobalRank is replacing the
+    // single-partition ntile window WITHOUT changing one tile
+    val got = operators.Analytics.q49Rfm(spark, sf)
+      .select($"o_custkey", $"rfm_segment").as[(Long, String)].collect().toMap
+    val per = Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last_dt"), count(lit(1)).as("frequency"),
+        round(sum($"o_totalprice"), 2).as("monetary"))
+      .join(broadcast(Tables.orders(spark, sf)
+        .agg(max($"o_orderdate").as("corpus_max"))))
+      .select($"o_custkey", $"frequency", $"monetary",
+        datediff($"corpus_max", $"last_dt").as("recency_days"))
+    val want = per
+      .withColumn("rt", ntile(4).over(Window.orderBy($"recency_days", $"o_custkey")))
+      .withColumn("ft", ntile(4).over(Window.orderBy($"frequency".desc, $"o_custkey")))
+      .withColumn("mt", ntile(4).over(Window.orderBy($"monetary".desc, $"o_custkey")))
+      .select($"o_custkey", concat_ws("-", $"rt", $"ft", $"mt").as("seg"))
+      .as[(Long, String)].collect().toMap
+    assert(got.nonEmpty && got == want)
+  }
+
   test("q48: yoy ratios start null per nation and revenues partition total sales") {
     val rows = graft.operators.Analytics.q48YoyGrowth(spark, sf).cache()
     // exactly one null-ratio row (the first year) per nation
