@@ -117,6 +117,7 @@ object SparkEntry {
     "st2_sliding_window" -> (Sessionize.st2SlidingWindow _),
     "i4_partitioned_ingest" -> (Ingest.i4PartitionedIngest _),
     "q49_rfm"            -> (Analytics.q49Rfm _),
+    "m7_rec_metrics"     -> (graft.ml.Recommender.m7RecMetrics _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -221,6 +221,39 @@ object Recommender {
       .orderBy($"c_custkey", $"rnk")
   }
 
+  /** M7: corpus-level recommendation-quality metrics — the eval
+    * dashboard a recommender ships with: per-slate hit rate against
+    * actual purchase history (m1 recommends from the full catalog, so
+    * hits measure how well the factorization reconstructs observed
+    * behavior), catalog coverage (distinct recommended items / catalog
+    * — a collapse detector: a popularity-degenerate model recommends
+    * the same few items to everyone), and slate novelty (share of
+    * recommended pairs the user has NOT purchased — m5's reason to
+    * exist). One row; every input is a serving-registry read plus two
+    * partial-aggregated joins on keys the frames already hash by.
+    * Rows-only (ALS factors aren't SQL) + spec bands. */
+  def m7RecMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = m1AlsRecommend(s, dir).select($"c_custkey", $"p_partkey")
+    val bought = ratings(s, dir)
+      .select($"user".as("c_custkey"), $"item".as("p_partkey"))
+    val hits = recs.join(bought, Seq("c_custkey", "p_partkey"), "left_semi")
+    val nParts = Tables.part(s, dir).agg(count(lit(1)).as("n_parts"))
+    recs.agg(
+        countDistinct($"c_custkey").as("n_users"),
+        count(lit(1)).as("n_recs"),
+        countDistinct($"p_partkey").as("n_rec_items"))
+      .join(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .join(broadcast(nParts))
+      .select($"n_users", $"n_recs", $"n_hits",
+        (floor($"n_hits" / $"n_users".cast("double") * 10000) / 10000.0)
+          .as("hits_per_user"),
+        (floor($"n_rec_items" / $"n_parts".cast("double") * 10000) / 10000.0)
+          .as("catalog_coverage"),
+        (floor(($"n_recs" - $"n_hits") / $"n_recs".cast("double") * 10000) / 10000.0)
+          .as("novelty"))
+  }
+
   /** M5: top-5 UNSEEN recommendations per customer — the serving
     * post-filter every production recommender runs: candidates the
     * user has already purchased are removed BEFORE the top-k, so the

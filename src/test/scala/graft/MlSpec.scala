@@ -55,6 +55,25 @@ class MlSpec extends GraftSpecBase {
     assert(acc >= 0.8, s"held-out accuracy $acc")
   }
 
+  test("m7 rec metrics: one consistent row with sane bands") {
+    val r = graft.ml.Recommender.m7RecMetrics(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val nUsers = row.getAs[Long]("n_users")
+    val nRecs = row.getAs[Long]("n_recs")
+    val nHits = row.getAs[Long]("n_hits")
+    assert(nUsers > 0 && nRecs == nUsers * 5, s"$nUsers users, $nRecs recs")
+    assert(nHits >= 0 && nHits <= nRecs)
+    val cov = row.getAs[Double]("catalog_coverage")
+    assert(cov > 0.0 && cov <= 1.0, s"coverage $cov")
+    // a non-degenerate factorization recommends more than a handful of
+    // distinct items; full-catalog slates should also land SOME items
+    // the user actually bought at this density
+    assert(cov >= 0.01, s"popularity collapse? coverage $cov")
+    val nov = row.getAs[Double]("novelty")
+    assert(nov >= 0.0 && nov <= 1.0)
+  }
+
   test("noise-robust eval: signal recovered under 15% label noise, noise not memorized") {
     // the clean-label eval pins at ~1.0 (weak labels are trivially
     // separable), so this is the band that can actually regress:
