@@ -142,6 +142,35 @@ class StreamingSpec extends GraftSpecBase {
     assert(got == want)
   }
 
+  test("dynamic-gap session_window equals the interval-merge reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.eventsWithMs(spark, sf)
+      .select($"user_id", $"event_id", $"ms", $"event_type")
+    val got = EventStreams.dynamicSessionize(ev)
+      .select($"user_id", $"start_ms", $"win_end_ms", $"n_events")
+      .collect().map(_.toSeq).toSet
+    // reference: per-event window [ms, ms + gap(type)); a session
+    // breaks when an event starts at or after the running max end
+    val gapMs = when($"event_type" === "purchase",
+      lit(EventStreams.PurchaseGapMs)).otherwise(lit(EventStreams.DefaultGapMs))
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val want = ev
+      .withColumn("end0", $"ms" + gapMs)
+      .withColumn("prevMax", max($"end0").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when($"prevMax".isNull || $"ms" >= $"prevMax", 1L).otherwise(0L))
+      .withColumn("sid", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"ms").as("start_ms"), max($"end0").as("win_end_ms"),
+        count(lit(1)).as("n_events"))
+      .select($"user_id", $"start_ms", $"win_end_ms", $"n_events")
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("native session_window streams: emitted sessions are final batch sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
