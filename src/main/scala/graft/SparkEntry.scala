@@ -118,6 +118,12 @@ object SparkEntry {
     "i4_partitioned_ingest" -> (Ingest.i4PartitionedIngest _),
     "q49_rfm"            -> (Analytics.q49Rfm _),
     "m7_rec_metrics"     -> (graft.ml.Recommender.m7RecMetrics _),
+    "q50_assoc_rules"    -> (Analytics.q50AssocRules _),
+    "q51_user_growth"    -> (Analytics.q51UserGrowth _),
+    "q52_outlier_days"   -> (Analytics.q52OutlierDays _),
+    "t12_bigram_surprisal" -> (TextAnalysis.t12BigramSurprisal _),
+    "p8_canonicalize"    -> (Dedup.p8Canonicalize _),
+    "i5_xml_ingest"      -> (Ingest.i5XmlIngest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1097,5 +1103,106 @@ object SparkEntry {
              * 10000) / 10000.0 AS world_share
          FROM rev
          ORDER BY r_name, n_name""",
+    "q50_assoc_rules" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 3),
+         items AS (SELECT l_partkey AS p, count(*) AS n_p FROM pp GROUP BY 1),
+         tot AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM pp),
+         directed AS (
+           SELECT pa AS ante, pb AS cons, n_ab FROM pairs
+           UNION ALL SELECT pb, pa, n_ab FROM pairs)
+         SELECT ante, cons, n_ab,
+           floor(CAST(n_ab AS DOUBLE) / ia.n_p * 10000) / 10000.0 AS confidence,
+           floor(CAST(n_baskets AS DOUBLE) * n_ab / (ia.n_p * ic.n_p)
+             * 10000) / 10000.0 AS lift
+         FROM directed
+         JOIN items ia ON directed.ante = ia.p
+         JOIN items ic ON directed.cons = ic.p, tot
+         ORDER BY lift DESC, confidence DESC, ante, cons LIMIT 25""",
+    "q51_user_growth" ->
+      """WITH fs AS (
+           SELECT user_id, min(epoch_ms(ts) // 3600000) AS first_hr
+           FROM events GROUP BY 1),
+         hourly AS (
+           SELECT first_hr AS hr, count(*) AS new_users FROM fs GROUP BY 1)
+         SELECT hr, new_users,
+           CAST(sum(new_users) OVER (ORDER BY hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+         FROM hourly ORDER BY hr""",
+    "q52_outlier_days" ->
+      """WITH daily AS (
+           SELECT user_id, epoch_ms(ts) // 86400000 AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT user_id, day, n,
+             avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sd,
+             count(*) OVER w AS n_days
+           FROM daily WINDOW w AS (PARTITION BY user_id))
+         SELECT user_id, day, n,
+           floor((n - mu) / sd * 10000) / 10000.0 AS z
+         FROM st
+         WHERE n_days >= 3 AND sd > 0
+           AND floor((n - mu) / sd * 10000) / 10000.0 >= 2.0
+         ORDER BY user_id, day""",
+    "t12_bigram_surprisal" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         bg AS (
+           SELECT doc_id, z[1] || ' ' || z[2] AS bigram, z[1] AS w1
+           FROM toks, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS u(z)
+           WHERE len(t) >= 2),
+         cbg AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY 1),
+         ctx AS (SELECT w1, count(*) AS cw FROM bg GROUP BY 1),
+         vv AS (SELECT count(DISTINCT token) AS v FROM
+           (SELECT unnest(t) AS token FROM toks))
+         SELECT bg.doc_id, count(*) AS n_bigrams,
+           floor(avg(-log2((cbg.cb + 1) / CAST(ctx.cw + vv.v AS DOUBLE)))
+             * 10000) / 10000.0 AS bi_surprisal
+         FROM bg JOIN cbg USING (bigram) JOIN ctx USING (w1), vv
+         GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    "p8_canonicalize" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(
+             list_transform(string_split(text, ' '), (x, i) ->
+               CASE WHEN i + 2 <= len(string_split(text, ' '))
+                    THEN x || ' ' || string_split(text, ' ')[i+1]
+                           || ' ' || string_split(text, ' ')[i+2] END),
+             s -> s IS NOT NULL))) AS shingle
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_both
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         prs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON id_a = sa.doc_id
+           JOIN sizes sb ON id_b = sb.doc_id
+           WHERE CAST(n_both AS DOUBLE) / (sa.n_sh + sb.n_sh - n_both) >= 0.5),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM prs
+           UNION ALL SELECT id_b, id_a FROM prs),
+         reach(doc_id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+         groups AS (
+           SELECT doc_id, min(r) AS group_id FROM reach GROUP BY 1),
+         ranked AS (
+           SELECT g.group_id, g.doc_id, CAST(length(d.text) AS BIGINT) AS len,
+             row_number() OVER (PARTITION BY g.group_id
+               ORDER BY length(d.text) DESC, g.doc_id) AS rn,
+             count(*) OVER (PARTITION BY g.group_id) AS n_members
+           FROM groups g JOIN documents d ON g.doc_id = d.doc_id)
+         SELECT group_id, n_members, doc_id AS rep_doc_id, len AS rep_len
+         FROM ranked WHERE rn = 1 ORDER BY group_id""",
+    "i5_xml_ingest" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+         FROM nation ORDER BY n_nationkey""",
   )
 }

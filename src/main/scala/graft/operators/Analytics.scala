@@ -312,7 +312,7 @@ object Analytics {
     * each read re-executes the range shuffle and AQE may coalesce the
     * two executions differently, silently skewing every offset (found
     * by the q49 oracle: 28 of 1500 tiles off by one). */
-  private def withGlobalRank(df: DataFrame, out: String,
+  private[graft] def withGlobalRank(df: DataFrame, out: String,
       scaffolding: scala.collection.mutable.ListBuffer[DataFrame],
       sort: org.apache.spark.sql.Column*): DataFrame = {
     val s = df.sparkSession
@@ -343,7 +343,7 @@ object Analytics {
     * then `rem + ceil((r − (size+1)·rem)/size)`. Exact integer
     * arithmetic (positive operands), so it matches both engines'
     * ntile bit-for-bit. */
-  private def tileOf(rank: org.apache.spark.sql.Column,
+  private[graft] def tileOf(rank: org.apache.spark.sql.Column,
       total: org.apache.spark.sql.Column, k: Long) = {
     val size = floor(total / k).cast("long")
     val rem = total % k
@@ -410,5 +410,100 @@ object Analytics {
       .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("wk_offset"))
       .agg(countDistinct($"user_id").as("n_users"))
       .orderBy($"cohort_wk", $"wk_offset")
+  }
+
+  /** Q50: association rules over order baskets — support, confidence,
+    * and lift for directed part→part rules, min pair support 3, top 25
+    * by lift. Reuses q43's basket-array pair expansion (no self-join:
+    * one shuffle builds sorted distinct baskets, pair counts are the
+    * second), item supports come from exploding the same basket arrays
+    * (third, part-count-sized), and the basket total rides in as a
+    * one-row broadcast. Item supports are part-cardinality-sized — tiny
+    * next to lineitem at any scale — so both direction joins broadcast.
+    * Ratios are floor-quantized at 4dp (engine-independent, unlike
+    * round) and ordering tie-breaks on the rule key, so the top-k
+    * frontier is exact across engines. */
+  def q50AssocRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.q4
+    val baskets = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey")
+      .groupBy($"l_orderkey")
+      .agg(array_sort(array_distinct(collect_list($"l_partkey"))).as("ps"))
+    val pairs = baskets
+      .select(explode(flatten(transform($"ps", (x, i) =>
+        transform(slice($"ps", i + 2, size($"ps")),
+          y => struct(x.as("pa"), y.as("pb")))))).as("pr"))
+      .groupBy($"pr.pa".as("pa"), $"pr.pb".as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 3)
+    val items = baskets.select(explode($"ps").as("p"))
+      .groupBy($"p").agg(count(lit(1)).as("n_p"))
+    val total = baskets.agg(count(lit(1)).as("n_baskets"))
+    // each undirected pair yields both directed rules; confidence is
+    // direction-specific, lift is symmetric
+    val directed = pairs.select($"pa".as("ante"), $"pb".as("cons"), $"n_ab")
+      .unionAll(pairs.select($"pb".as("ante"), $"pa".as("cons"), $"n_ab"))
+    directed
+      .join(broadcast(items.withColumnRenamed("p", "ante")
+        .withColumnRenamed("n_p", "n_ante")), "ante")
+      .join(broadcast(items.withColumnRenamed("p", "cons")
+        .withColumnRenamed("n_p", "n_cons")), "cons")
+      .join(broadcast(total))
+      .select($"ante", $"cons", $"n_ab",
+        q4($"n_ab" / $"n_ante").as("confidence"),
+        q4($"n_baskets" * $"n_ab" / ($"n_ante" * $"n_cons")).as("lift"))
+      .orderBy($"lift".desc, $"confidence".desc, $"ante", $"cons")
+      .limit(25)
+  }
+
+  /** Q51: cumulative-distinct user growth — per epoch-hour, how many
+    * NEW users appeared and the running total of distinct users ever
+    * seen. Computed as first-seen-hour per user (one map-side-combined
+    * shuffle over events) then an hour-grain rollup; the running sum's
+    * window runs over the HOUR-GRAIN frame only (corpus span in hours
+    * — tens of thousands of rows for years of data, at any corpus
+    * size), so the single-partition window is bounded by calendar
+    * time, not data volume. */
+  def q51UserGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val firstSeen = Tables.eventsWithMs(s, dir)
+      .select($"user_id", expr("ms div 3600000L").as("hr"))
+      .groupBy($"user_id").agg(min($"hr").as("first_hr"))
+    val w = Window.orderBy($"first_hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstSeen.groupBy($"first_hr")
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum($"new_users").over(w))
+      .select($"first_hr".as("hr"), $"new_users", $"cum_users")
+      .orderBy($"hr")
+  }
+
+  /** Q52: per-user activity anomalies — days whose event count sits
+    * ≥ 2 sample-stddevs above that user's own daily mean. The daily
+    * counts aggregate once on (user, day); the per-user moments run as
+    * a window partitioned by user_id over the AGGREGATED day-grain
+    * frame (rows per partition = that user's active-day span, never
+    * the raw event count), so a hot user costs days, not events.
+    * Users with < 3 active days or zero variance are excluded (a
+    * z-score needs a non-degenerate baseline); the z itself is
+    * floor-quantized for engine-exact comparison. */
+  def q52OutlierDays(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.q4
+    val daily = Tables.eventsWithMs(s, dir)
+      .select($"user_id", expr("ms div 86400000L").as("day"))
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"user_id")
+    daily
+      .withColumn("mu", avg($"n").over(w))
+      .withColumn("sd", stddev_samp($"n").over(w))
+      .withColumn("n_days", count(lit(1)).over(w))
+      .filter($"n_days" >= 3 && $"sd" > 0.0)
+      .withColumn("z", q4(($"n" - $"mu") / $"sd"))
+      .filter($"z" >= 2.0)
+      .select($"user_id", $"day", $"n", $"z")
+      .orderBy($"user_id", $"day")
   }
 }

@@ -791,4 +791,28 @@ object Dedup {
         md5(concat_ws(" ", $"kept")).as("kept_fp"))
       .orderBy($"doc_id")
   }
+
+  /** P8: canonical-representative selection — the step after d6 in a
+    * real dedup pipeline: from each near-dup group keep exactly one
+    * document, the LONGEST member (min doc_id on ties — content-light
+    * members are the truncated/boilerplate variants), and report the
+    * group roster. Reuses d6's converged labels (memoized — the
+    * propagation loop runs once per session per SF) joined to a
+    * 2-column (doc_id, len) projection; the representative argmax is a
+    * single `min(struct(-len, doc_id))` aggregation buffer per group —
+    * no window, no second shuffle past the group key, and group count
+    * (not corpus size) bounds the output. */
+  def p8Canonicalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lens = Tables.documents(s, dir)
+      .select($"doc_id", length($"text").cast("long").as("len"))
+    d6DupGroups(s, dir)
+      .join(lens, "doc_id")
+      .groupBy($"group_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-$"len").as("neg"), $"doc_id")).as("rep"))
+      .select($"group_id", $"n_members",
+        $"rep.doc_id".as("rep_doc_id"), (-$"rep.neg").as("rep_len"))
+      .orderBy($"group_id")
+  }
 }

@@ -102,4 +102,24 @@ object Ingest {
       .select($"c_custkey", $"c_name", $"c_acctbal", $"c_mktsegment")
       .orderBy($"c_custkey")
   }
+
+  /** I5: XML ingest — the document-feed edge format, via Spark 4's
+    * NATIVE xml data source (the spark-xml donation, SPARK-44265):
+    * nation staged as `<row>` elements, read back with an explicit
+    * schema and the same rowTag. Like every ingest entry the reader is
+    * schema-enforced (inference on XML is a full extra pass, worse
+    * than CSV because tags repeat per field), and the oracle runs on
+    * the original parquet so the hash proves the tag round-trip is
+    * lossless. Integer/string columns only: XML carries no type
+    * system, so this edge is for feeds, not for doubles. */
+  def i5XmlIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = stage("nation_xml", dir) { tmp =>
+      Tables.nation(s, dir).select($"n_nationkey", $"n_name", $"n_regionkey")
+        .write.mode("overwrite").option("rowTag", "row").xml(tmp)
+    }
+    s.read.option("rowTag", "row").schema(NationCsvSchema).xml(path)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .orderBy($"n_nationkey")
+  }
 }

@@ -375,4 +375,41 @@ object TextAnalysis {
       .orderBy($"n".desc, $"bigram")
       .limit(50)
   }
+
+  /** T12: bigram-LM surprisal — t9's quality gate upgraded one order:
+    * fit an add-one-smoothed BIGRAM model p(w₂|w₁) = (c(w₁w₂)+1) /
+    * (c(w₁)+V) on the corpus, score each document by its mean bigram
+    * surprisal −log₂ p. Context counts c(w₁) are derived from the
+    * SAME bigram table (count of bigrams starting at w₁ — i.e. w₁'s
+    * occurrences as a non-final token), so the corpus is tokenized
+    * once; V is the full unigram vocabulary size, one broadcast row.
+    *
+    * Shape at 100 TB: both model joins are shuffle EQUI-joins keyed on
+    * the bigram / context token the occurrence rows already carry —
+    * never a vocabulary broadcast (bigram vocabularies run 10× unigram;
+    * t10's 16-byte hash-pair key is the drop-in upgrade if the string
+    * exchange ever dominates). Surprisal floor-quantizes at 1e-4: log2
+    * is not correctly-rounded, the floor discipline absorbs the ulp. */
+  def t12BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bg = Tables.documents(s, dir)
+      .withColumn("w", tokens($"text"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", explode(ngramsFromTokens($"w", 2)).as("bigram"))
+      .withColumn("w1", substring_index($"bigram", " ", 1))
+    val cbg = bg.groupBy($"bigram").agg(count(lit(1)).as("cb"))
+    val ctx = bg.groupBy($"w1").agg(count(lit(1)).as("cw"))
+    val vocab = Tables.documents(s, dir)
+      .select(explode(tokens($"text")).as("token"))
+      .agg(countDistinct($"token").as("v"))
+    bg.join(cbg, "bigram")
+      .join(ctx, "w1")
+      .join(broadcast(vocab))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(avg(-log2(($"cb" + 1).cast("double") /
+          ($"cw" + $"v").cast("double"))) * 10000) / 10000.0)
+          .as("bi_surprisal"))
+      .orderBy($"doc_id")
+  }
 }

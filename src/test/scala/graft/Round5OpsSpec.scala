@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural invariants for the round-5 additions (q50–q52, t12, p8,
+  * i5); the DuckDB hash compare is the value-level gate for all six. */
+class Round5OpsSpec extends GraftSpecBase {
+  import spark.implicits._
+  import graft.operators.{Analytics, Dedup, Ingest, TextAnalysis}
+
+  test("q50: confidence ≤ 1, lift > 0, and every rule's support respects the floor") {
+    val rules = Analytics.q50AssocRules(spark, sf).cache()
+    assert(rules.filter($"confidence" > 1.0 || $"confidence" <= 0.0).count() == 0)
+    assert(rules.filter($"lift" <= 0.0).count() == 0)
+    assert(rules.filter($"n_ab" < 3).count() == 0)
+    // confidence is direction-specific: recompute one rule by hand
+    val r = rules.orderBy($"ante", $"cons").head()
+    val pp = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct().cache()
+    val nAnte = pp.filter($"l_partkey" === r.getAs[Long]("ante")).count()
+    val expected = math.floor(r.getAs[Long]("n_ab").toDouble / nAnte * 10000) / 10000.0
+    assert(r.getAs[Double]("confidence") == expected)
+    pp.unpersist(); rules.unpersist()
+  }
+
+  test("q51: cum_users is the prefix sum of new_users and ends at the distinct-user total") {
+    val g = Analytics.q51UserGrowth(spark, sf).collect()
+    val prefix = g.map(_.getAs[Long]("new_users")).scanLeft(0L)(_ + _).drop(1)
+    assert(g.map(_.getAs[Long]("cum_users")).sameElements(prefix))
+    val total = Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(g.last.getAs[Long]("cum_users") == total)
+  }
+
+  test("q52: every flagged day is ≥ 2 sample-stddevs above that user's own mean") {
+    val flagged = Analytics.q52OutlierDays(spark, sf).cache()
+    assert(flagged.filter($"z" < 2.0).count() == 0)
+    // recompute one user's moments from the raw events
+    flagged.limit(1).collect().foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val daily = Tables.eventsWithMs(spark, sf)
+        .filter($"user_id" === uid)
+        .select(expr("ms div 86400000L").as("day"))
+        .groupBy($"day").agg(count(lit(1)).as("n"))
+        .select($"n".cast("double")).as[Double].collect()
+      val mu = daily.sum / daily.length
+      val sd = math.sqrt(daily.map(x => (x - mu) * (x - mu)).sum / (daily.length - 1))
+      val z = math.floor((r.getAs[Long]("n") - mu) / sd * 10000) / 10000.0
+      assert(z == r.getAs[Double]("z"))
+    }
+    flagged.unpersist()
+  }
+
+  test("t12: bigram counts per doc equal n_tokens - 1 and surprisal is positive") {
+    val out = TextAnalysis.t12BigramSurprisal(spark, sf)
+      .join(Tables.documents(spark, sf)
+        .select($"doc_id", size(split($"text", " ")).as("n_tokens")), "doc_id")
+      .cache()
+    assert(out.filter($"n_bigrams" =!= $"n_tokens" - 1).count() == 0)
+    assert(out.filter($"bi_surprisal" <= 0.0).count() == 0)
+    // the bigram LM conditions on context: a doc of globally-common
+    // bigrams must score below the corpus mean (sanity on direction)
+    val mean = out.agg(avg($"bi_surprisal")).as[Double].head()
+    assert(out.agg(min($"bi_surprisal")).as[Double].head() < mean)
+    out.unpersist()
+  }
+
+  test("p8: one representative per d6 group, and it is the longest member (min id ties)") {
+    val reps = Dedup.p8Canonicalize(spark, sf).cache()
+    val labels = Dedup.d6DupGroups(spark, sf).cache()
+    assert(reps.count() == labels.select($"group_id").distinct().count())
+    // no member of any group is strictly longer than its representative,
+    // and equal-length members never have a smaller doc_id
+    val lens = Tables.documents(spark, sf)
+      .select($"doc_id", length($"text").cast("long").as("len"))
+    val bad = labels.join(lens, "doc_id")
+      .join(reps, "group_id")
+      .filter($"len" > $"rep_len" ||
+        ($"len" === $"rep_len" && $"doc_id" < $"rep_doc_id"))
+    assert(bad.count() == 0)
+    // members sum to the labelled population
+    val mSum = reps.agg(sum($"n_members")).as[Long].head()
+    assert(mSum == labels.count())
+    reps.unpersist(); labels.unpersist()
+  }
+
+  test("i5: XML round-trip preserves every nation row and the declared schema") {
+    val back = Ingest.i5XmlIngest(spark, sf)
+    assert(back.schema == Ingest.NationCsvSchema)
+    val orig = Tables.nation(spark, sf)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+    assert(back.exceptAll(orig).count() == 0 && orig.exceptAll(back).count() == 0)
+  }
+}
