@@ -124,6 +124,7 @@ object SparkEntry {
     "t12_bigram_surprisal" -> (TextAnalysis.t12BigramSurprisal _),
     "p8_canonicalize"    -> (Dedup.p8Canonicalize _),
     "i5_xml_ingest"      -> (Ingest.i5XmlIngest _),
+    "p9_curriculum"      -> (Sampling.p9Curriculum _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1204,5 +1205,25 @@ object SparkEntry {
     "i5_xml_ingest" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation ORDER BY n_nationkey""",
+    "p9_curriculum" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1) AS swr,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS pr
+           FROM documents),
+         q AS (
+           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             floor(least(greatest((least(CAST(n_tokens AS DOUBLE) / 32.0, 1.0)
+               + greatest(1.0 - abs(swr - 0.08) * 2.0, 0.0)
+               + greatest(1.0 - pr * 4.0, 0.0)) / 3.0, 0.0), 1.0) * 10000)
+               / 10000.0 AS quality
+           FROM base)
+         SELECT doc_id, n_tokens, quality,
+           CAST(ntile(4) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS phase
+         FROM q ORDER BY doc_id""",
   )
 }

@@ -71,4 +71,31 @@ object Sampling {
         ($"base" + when($"rnk" <= $"extra", 1L).otherwise(0L)).as("alloc_tokens"))
       .orderBy($"lang")
   }
+
+  /** P9: curriculum assignment — rank the corpus by t2's quality score
+    * and deal it into 4 curriculum phases (quartiles: phase 1 = best),
+    * the "quality-ordered training schedule" stage between cleaning
+    * and packing. The quality ranking is q49's exact DISTRIBUTED
+    * global rank (range-partition + per-partition row_number + bounded
+    * offset join — never a single-partition ntile window over a
+    * billion-doc corpus), with total-order (quality desc, doc_id)
+    * tie-breaks so phase boundaries are engine-reproducible, and the
+    * phase formula is q49's SQL-exact `tileOf` integer arithmetic —
+    * the oracle's plain `ntile(4)` hash-match proves the distributed
+    * rank IS SQL ntile on this frame too. t2's quality is already
+    * 4-dp floor-quantized, so rank order carries across engines. */
+  def p9Curriculum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("p9_curriculum", dir) {
+      val q = TextAnalysis.t2QualityScore(s, dir)
+        .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"), $"quality")
+      val tot = q.agg(count(lit(1)).as("__n"))
+      Analytics.withGlobalRank(q, "q_rank", scaffolding, $"quality".desc, $"doc_id")
+        .join(broadcast(tot))
+        .select($"doc_id", $"n_tokens", $"quality",
+          Analytics.tileOf($"q_rank", $"__n", 4).as("phase"))
+        .orderBy($"doc_id")
+    } { scaffolding.foreach(_.unpersist()) }
+  }
 }

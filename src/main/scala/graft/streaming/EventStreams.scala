@@ -239,6 +239,30 @@ object EventStreams {
         unix_millis($"p_ts").as("p_ms"), unix_millis($"c_ts").as("c_ms"), $"value")
   }
 
+  /** Stream-static enrichment — the dimension-join surface every
+    * production stream has: each arriving event LEFT-joined to a
+    * static user→segment dimension, then windowed per (window,
+    * segment). The static side is a bounded dim table, so Catalyst
+    * plans a BROADCAST hash join per micro-batch (no stream-side
+    * shuffle before the window agg, no state kept for the join — only
+    * the agg holds state); the dim is re-resolvable per batch, which
+    * is exactly how slowly-changing dimensions refresh under
+    * Structured Streaming. Unmatched users keep their rows with a
+    * null-bucket segment ("unknown"), because dropping events on a dim
+    * miss silently under-counts the window. */
+  def staticEnrichedAgg(events: DataFrame, dim: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_millis($"ms"))
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .withColumn("segment", coalesce($"segment", lit("unknown")))
+      .groupBy(window($"ts", "1 hour"), $"segment")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .select(unix_millis($"window.start").as("window_start_ms"),
+        $"segment", $"n", $"total_value")
+  }
+
   /** Streaming exact dedup — the streaming twin of d1: drop duplicate
     * payload fingerprints as they arrive, with the watermark bounding
     * dedup state (a fingerprint older than the watermark horizon can

@@ -83,6 +83,24 @@ class Round5OpsSpec extends GraftSpecBase {
     reps.unpersist(); labels.unpersist()
   }
 
+  test("p9: phases are balanced quartiles and quality never increases across phases") {
+    import graft.operators.Sampling
+    val cur = Sampling.p9Curriculum(spark, sf).cache()
+    val n = cur.count()
+    val sizes = cur.groupBy($"phase").count().collect()
+      .map(r => r.getAs[Long]("phase") -> r.getAs[Long]("count")).toMap
+    assert(sizes.keySet == Set(1L, 2L, 3L, 4L))
+    assert(sizes.values.max - sizes.values.min <= 1 && sizes.values.sum == n)
+    // phase boundaries respect the quality order: min quality of phase
+    // k is >= max quality of phase k+1
+    val bounds = cur.groupBy($"phase")
+      .agg(min($"quality").as("lo"), max($"quality").as("hi"))
+      .collect().map(r => r.getAs[Long]("phase") ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toMap
+    for (k <- 1L to 3L) assert(bounds(k)._1 >= bounds(k + 1)._2)
+    cur.unpersist()
+  }
+
   test("i5: XML round-trip preserves every nation row and the declared schema") {
     val back = Ingest.i5XmlIngest(spark, sf)
     assert(back.schema == Ingest.NationCsvSchema)

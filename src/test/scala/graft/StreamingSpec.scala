@@ -37,6 +37,39 @@ class StreamingSpec extends GraftSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static dim enrichment matches batch twin, dim misses kept as unknown") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents
+    // static user→segment dim covering 2/3 of users: the left-join
+    // miss path (segment "unknown") must carry real traffic
+    val dim = Tables.events(spark, sf).select($"user_id").distinct()
+      .filter($"user_id" % 3 =!= 2)
+      .withColumn("segment",
+        when($"user_id" % 3 === 0, "power").otherwise("casual"))
+      .cache()
+    val stream = MemoryStream[Event]
+    val q = EventStreams.staticEnrichedAgg(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched_agg")
+      .outputMode("complete").start()
+    try {
+      val (h1, h2) = events.splitAt(events.size / 2)
+      stream.addData(h1); q.processAllAvailable()
+      stream.addData(h2); q.processAllAvailable()
+      val got = spark.table("enriched_agg").collect().map(_.toSeq).toSet
+      val want = Tables.eventsWithMs(spark, sf)
+        .join(dim, Seq("user_id"), "left")
+        .withColumn("segment", coalesce($"segment", lit("unknown")))
+        .select((expr("ms div 3600000L") * 3600000L).as("window_start_ms"),
+          $"segment", $"value")
+        .groupBy($"window_start_ms", $"segment")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+        .collect().map(_.toSeq).toSet
+      assert(got == want)
+      assert(got.exists(_(1) == "unknown") && got.exists(_(1) == "power"))
+    } finally { q.stop(); dim.unpersist() }
+  }
+
   test("streaming sliding-window agg over memory stream matches batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
