@@ -250,4 +250,41 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(j == Set((1L, 100L, Some(100L)), (1L, 90L, Some(90L)),
       (2L, 50L, Some(50L))), j.toString)
   }
+
+  test("q50: rule scoring broadcasts item supports; top-25 is bounded, not a global sort") {
+    val p = plan(operators.Analytics.q50AssocRules(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q52: moments window partitions on user_id over the day-grain aggregate") {
+    val p = plan(operators.Analytics.q52OutlierDays(spark, sf))
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+    // daily counts pre-aggregate map-side before the window sees them
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("t12: model joins are shuffle equi-joins on carried keys — no vocabulary broadcast") {
+    val p = plan(operators.TextAnalysis.t12BigramSurprisal(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // the bigram-count and context-count joins exchange on their keys
+    assert(p.contains("hashpartitioning(bigram"), p)
+    assert(p.contains("hashpartitioning(w1"), p)
+  }
+
+  test("p8: representative argmax is one partial-aggregated pass — no window") {
+    val p = plan(operators.Dedup.p8Canonicalize(spark, sf))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+  }
+
+  test("p9: curriculum rank is range-partitioned with broadcast offsets — never a global ntile window") {
+    val p = plan(operators.Sampling.p9Curriculum(spark, sf))
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("ntile"), p)
+  }
 }
