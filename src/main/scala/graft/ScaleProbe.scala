@@ -52,7 +52,8 @@ object ScaleProbe {
                   "d7_substring_spans", "p7_cut_spans", "p7_cut_keep_first",
                   "d8_containment", "t11_zipf", "t10_keywords",
                   "t9_surprisal", "p5_pack_sequences", "s4_pq_ann",
-                  "s5_radius_search")
+                  "s5_radius_search",
+                  "t12_bigram_surprisal", "p8_canonicalize", "p9_curriculum")
     // optional arg 2: regex to probe a subset (factor stays arg 1)
     val picked = args.drop(1).headOption
       .map(re => all.filter(_.matches(re))).getOrElse(all)

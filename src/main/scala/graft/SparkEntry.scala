@@ -125,6 +125,7 @@ object SparkEntry {
     "p8_canonicalize"    -> (Dedup.p8Canonicalize _),
     "i5_xml_ingest"      -> (Ingest.i5XmlIngest _),
     "p9_curriculum"      -> (Sampling.p9Curriculum _),
+    "m8_implicit_recs"   -> (graft.ml.Recommender.m8ImplicitRecs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -48,6 +48,27 @@ object Recommender {
     models.getOrElseUpdate(dir,
       fitOrLoad(s, dir, sys.env.get("SPARK_GRAFT_MODEL_DIR")))
 
+  /** The implicit-feedback twin (Hu/Koren/Volinsky 2008): quantities
+    * become CONFIDENCE in a binary preference, not a rating to
+    * reconstruct — `implicitPrefs` reweights the least-squares loss to
+    * c_ui = 1 + α·r_ui over ALL cells (observed and not). Same blocked
+    * solver, same two shuffles per iteration, so the 100 TB shape is
+    * unchanged; only the per-block normal equations differ. */
+  def fitImplicit(s: SparkSession, dir: String): org.apache.spark.ml.recommendation.ALSModel =
+    models.getOrElseUpdate(s"implicit|$dir", {
+      val r = ratings(s, dir).cache()
+      val m = new ALS()
+        .setRank(Rank).setMaxIter(Iters).setSeed(Seed)
+        .setRegParam(0.1)
+        .setImplicitPrefs(true).setAlpha(8.0)
+        .setNumBlocks(alsBlocks(r.count()))
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        .setColdStartStrategy("drop")
+        .fit(r)
+      r.unpersist()
+      m
+    })
+
   /** Fit, or reload a previously-persisted factorization if `store`
     * is set and holds one for this dataset — the cross-SESSION half of
     * the model registry: a serving tier restarting against the same
@@ -95,12 +116,15 @@ object Recommender {
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Array[Array[Double]])]
 
   /** Item factors clustered for IVF probing: (id, v, nrm, cluster)
-    * cached, plus the centroid arrays (a K-bounded artifact). */
-  def itemIvf(s: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) =
-    itemIdx.getOrElseUpdate(dir, {
+    * cached, plus the centroid arrays (a K-bounded artifact).
+    * `variant` picks the trainer ("explicit" = m1's fit, "implicit" =
+    * fitImplicit) — each variant's factor space gets its own index. */
+  def itemIvf(s: SparkSession, dir: String,
+      variant: String = "explicit"): (DataFrame, Array[Array[Double]]) =
+    itemIdx.getOrElseUpdate(s"$variant|$dir", {
       import s.implicits._
       import graft.functions.VectorFunctions.dot
-      val model = fit(s, dir)
+      val model = if (variant == "implicit") fitImplicit(s, dir) else fit(s, dir)
       val factors = model.itemFactors
         .select($"id", transform($"features", _.cast("double")).as("v"))
         .withColumn("nrm", sqrt(dot($"v", $"v")))
@@ -132,10 +156,10 @@ object Recommender {
     scala.collection.concurrent.TrieMap.empty[(String, Boolean), DataFrame]
 
   private[graft] def itemIvfPacked(s: SparkSession, dir: String,
-      normalized: Boolean): DataFrame =
-    packedIdx.getOrElseUpdate((dir, normalized), {
+      normalized: Boolean, variant: String = "explicit"): DataFrame =
+    packedIdx.getOrElseUpdate((s"$variant|$dir", normalized), {
       import s.implicits._
-      val (assigned, _) = itemIvf(s, dir)
+      val (assigned, _) = itemIvf(s, dir, variant)
       val vec =
         if (normalized) transform($"v", x => x / when($"nrm" === 0.0, 1.0).otherwise($"nrm"))
         else $"v"
@@ -170,11 +194,11 @@ object Recommender {
     * IVF-probed, exactly-re-scored candidate set, one row per
     * (user, candidate, ALS-dot score). */
   private def scoredCandidates(s: SparkSession, dir: String,
-      perBlockK: Int = 5): DataFrame = {
+      perBlockK: Int = 5, variant: String = "explicit"): DataFrame = {
     import s.implicits._
-    val model = fit(s, dir)
-    val (_, centers) = itemIvf(s, dir)
-    val packed = itemIvfPacked(s, dir, normalized = false)
+    val model = if (variant == "implicit") fitImplicit(s, dir) else fit(s, dir)
+    val (_, centers) = itemIvf(s, dir, variant)
+    val packed = itemIvfPacked(s, dir, normalized = false, variant)
     // the coarse quantizer is the same kernel as the fine scan: the
     // centroid matrix is one flat literal block (K·rank doubles) and
     // each user picks its probes with a single dot_topk evaluation —
@@ -312,6 +336,33 @@ object Recommender {
   def m1AlsRecommendExact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val model = fit(s, dir)
+    model.recommendForAllUsers(5)
+      .select($"user", posexplode($"recommendations").as(Seq("pos", "rec")))
+      .select($"user".as("c_custkey"), ($"pos" + 1).as("rnk"),
+        $"rec.item".as("p_partkey"),
+        round($"rec.rating".cast("double"), 4).as("score"))
+      .orderBy($"c_custkey", $"rnk")
+  }
+
+  /** M8: implicit-feedback recommendations — m1's slate re-trained
+    * under the Hu/Koren/Volinsky objective (`fitImplicit`): purchase
+    * quantities weight CONFIDENCE in a binary preference instead of
+    * being regression targets, the formulation that matches real
+    * interaction logs (views, clicks, buys) where absence ≠ dislike.
+    * Serving is the SAME IVF machinery as m1 — per-variant factor
+    * index, packed-block dot_topk candidate scan, bounded topk_agg —
+    * so the approximate-serving scale story carries over unchanged;
+    * the recall spec re-checks it against this model's exact slates
+    * (implicit scores are preference estimates in [0,~1], so ranking
+    * semantics differ from m1's rating reconstruction). */
+  def m8ImplicitRecs(s: SparkSession, dir: String): DataFrame =
+    topkOf(s, scoredCandidates(s, dir, variant = "implicit"))
+
+  /** Exact serving twin of m8 (blocked cross product) — the recall
+    * baseline. */
+  private[graft] def m8ImplicitRecsExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val model = fitImplicit(s, dir)
     model.recommendForAllUsers(5)
       .select($"user", posexplode($"recommendations").as(Seq("pos", "rec")))
       .select($"user".as("c_custkey"), ($"pos" + 1).as("rnk"),

@@ -27,6 +27,28 @@ class MlSpec extends GraftSpecBase {
     assert(recall >= 0.7, s"recall $recall over ${exact.size} exact pairs")
   }
 
+  test("implicit-feedback serving recalls its exact top-5; trainer differs from explicit") {
+    import spark.implicits._
+    val exact = Recommender.m8ImplicitRecsExact(spark, sf)
+      .select($"c_custkey", $"p_partkey").as[(Long, Long)].collect().toSet
+    val approx = Recommender.m8ImplicitRecs(spark, sf)
+      .select($"c_custkey", $"p_partkey").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall over ${exact.size} exact pairs")
+    // the implicit objective must actually change the slates — if the
+    // confidence weighting produced m1's ranking verbatim, the entry
+    // would be a re-export, not a second trainer
+    val explicit = Recommender.m1AlsRecommend(spark, sf)
+      .select($"c_custkey", $"p_partkey").as[(Long, Long)].collect().toSet
+    val overlap = explicit.count(approx.contains).toDouble / explicit.size
+    assert(overlap < 0.9, s"implicit slates ~identical to explicit ($overlap)")
+    // implicit predictions are bounded preference estimates, not
+    // quantity reconstructions
+    val maxScore = Recommender.m8ImplicitRecs(spark, sf)
+      .agg(org.apache.spark.sql.functions.max($"score")).as[Double].head()
+    assert(maxScore <= 2.0, s"implicit preference score out of band: $maxScore")
+  }
+
   test("als reconstructs training ratings with sane rmse") {
     val rmse = Recommender.trainRmse(spark, sf)
     // ratings are quantity sums in [1, ~100]; a factorized fit should
