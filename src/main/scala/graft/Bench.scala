@@ -87,11 +87,15 @@ object Bench {
     println(compact)
     println(json)
     println(compact)
-    val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        sys.props.getOrElse("user.dir", ".") + "/BENCH.json"))
-    try java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"bench: file write skipped: $e") }
+    // subset runs (a regex arg) are triage probes — they must not
+    // clobber the repo's full-suite record
+    if (args.isEmpty) {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+          sys.props.getOrElse("user.dir", ".") + "/BENCH.json"))
+      try java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"bench: file write skipped: $e") }
+    }
     spark.stop()
   }
 }
