@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over the co-purchase graph (parts are nodes, an
+  * edge joins parts bought together in ≥ 2 orders) — the "customers
+  * also bought" graph every retail analytics stack mines. d6 covers
+  * connected components on the document near-dup graph; this module
+  * adds centrality.
+  */
+object Graph {
+
+  /** Fixed-point scale: ranks live in integer micro-units (1.0 ≡ 1e6).
+    * PageRank is float iteration in every textbook (Page et al. 1999),
+    * but float sums are addition-order-dependent, which across two
+    * engines (and across Spark's own shuffle nondeterminism) makes
+    * bit-exact verification impossible. Integer fixed-point makes the
+    * whole computation EXACT — same result on Spark, DuckDB, or a
+    * calculator — at a quantization error (≤ 1 micro-unit per
+    * operation, 5 iterations ≈ 1e-5 relative) far below anything a
+    * ranking consumer can observe. */
+  val Scale = 1000000L
+  val Iters = 5
+
+  /** Q53: 5-iteration damped PageRank (d = 0.85) over the threshold-2
+    * co-purchase graph, in exact integer fixed-point.
+    *
+    * Shape at scale: the edge list comes from q43's basket-array pair
+    * expansion (one grouped shuffle, no self-join), thresholded so the
+    * graph holds signal, not noise. Each iteration is ONE shuffle —
+    * contributions `rank div deg` flow along edges and aggregate on
+    * the destination key (map-side partials); the rank update joins
+    * back on the node key both frames already hash by, and
+    * `localCheckpoint` flattens lineage per round exactly like d6's
+    * propagation loop. 5 iterations = 5 graph-sized shuffles, no
+    * driver-side state beyond the loop counter; a billion-edge graph
+    * runs the same plan wider. Dangling nodes cannot exist (edges are
+    * symmetric, so every node has out-degree ≥ 1). */
+  def q53Pagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baskets = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey")
+      .groupBy($"l_orderkey")
+      .agg(array_sort(array_distinct(collect_list($"l_partkey"))).as("ps"))
+    val prs = baskets
+      .select(explode(flatten(transform($"ps", (x, i) =>
+        transform(slice($"ps", i + 2, size($"ps")),
+          y => struct(x.as("pa"), y.as("pb")))))).as("pr"))
+      .groupBy($"pr.pa".as("pa"), $"pr.pb".as("pb"))
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2)
+    val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
+      .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
+      .cache()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).cache()
+    var ranks = deg.select($"src".as("node"), lit(Scale).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to Iters) {
+      val contrib = edges.join(deg, "src")
+        .join(ranks, $"src" === $"node")
+        .select($"dst", expr("rank div deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("c"))
+      ranks = ranks.join(contrib, $"node" === $"dst", "left")
+        .select($"node",
+          (lit(Scale * 15 / 100) +
+            expr("(85 * coalesce(c, 0L)) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist(); deg.unpersist()
+    ranks
+      .select($"node".as("l_partkey"), $"rank".as("pr_rank"))
+      .orderBy($"pr_rank".desc, $"l_partkey")
+      .limit(50)
+  }
+}

@@ -101,6 +101,30 @@ class Round5OpsSpec extends GraftSpecBase {
     cur.unpersist()
   }
 
+  test("q53: pagerank mass is conserved under damping and the floor holds") {
+    import graft.operators.Graph
+    val pr = Graph.q53Pagerank(spark, sf).cache()
+    assert(pr.count() > 0)
+    // every node keeps the damping floor 0.15 (integer floor can only
+    // lose micro-units below the ideal, never go under 150000)
+    assert(pr.filter($"pr_rank" < 150000L).count() == 0)
+    // total mass ≤ N·Scale: the symmetric graph redistributes rank,
+    // integer floors only ever shave it (top-50 is a subset, so bound
+    // the max instead of the sum)
+    assert(pr.agg(max($"pr_rank")).as[Long].head() <= 50L * Graph.Scale)
+    // centrality signal: the top-ranked part has at least median degree
+    val top = pr.orderBy($"pr_rank".desc, $"l_partkey").head().getAs[Long]("l_partkey")
+    val baskets = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val coDeg = baskets.as("a").join(baskets.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" =!= $"b.l_partkey")
+      .groupBy($"a.l_partkey").count()
+    val topDeg = coDeg.filter($"l_partkey" === top).as[(Long, Long)].head()._2
+    val medDeg = coDeg.stat.approxQuantile("count", Array(0.5), 0.0).head
+    assert(topDeg >= medDeg, s"top node degree $topDeg below median $medDeg")
+    pr.unpersist()
+  }
+
   test("i5: XML round-trip preserves every nation row and the declared schema") {
     val back = Ingest.i5XmlIngest(spark, sf)
     assert(back.schema == Ingest.NationCsvSchema)
