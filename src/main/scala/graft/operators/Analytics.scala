@@ -344,7 +344,13 @@ object Analytics {
     * arithmetic (positive operands), so it matches both engines'
     * ntile bit-for-bit. */
   private[graft] def tileOf(rank: org.apache.spark.sql.Column,
-      total: org.apache.spark.sql.Column, k: Long) = {
+      total: org.apache.spark.sql.Column, k: Long) =
+    tileOfDyn(rank, total, lit(k))
+
+  /** Column-k generalization (the PropertySpec exercises arbitrary k;
+    * operators pass a literal). */
+  private[graft] def tileOfDyn(rank: org.apache.spark.sql.Column,
+      total: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) = {
     val size = floor(total / k).cast("long")
     val rem = total % k
     val big = (size + lit(1L)) * rem

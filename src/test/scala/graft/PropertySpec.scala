@@ -117,4 +117,33 @@ class PropertySpec extends GraftSpecBase {
       .select($"rowid", $"payload").collect().map(_.toSeq).toSet
     assert(salted == plain)
   }
+
+  test("tileOf equals window ntile for random sizes and bucket counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(4242)
+    // 30 random (N, k) shapes in one pass, including N < k and N = k
+    val shapes = Seq.fill(28)((1 + rnd.nextInt(500), 1 + rnd.nextInt(9))) ++
+      Seq((3, 7), (8, 8))
+    val rows = shapes.zipWithIndex.flatMap { case ((n, k), g) =>
+      (1 to n).map(r => (g.toLong, r.toLong, n.toLong, k.toLong))
+    }.toDF("grp", "rank", "total", "k")
+    val mismatch = rows
+      .withColumn("want", ntile(4).over(
+        Window.partitionBy($"grp").orderBy($"rank")))
+      // tileOf is k-parameterized per row; compare on the k=4 groups
+      .filter($"k" === 4)
+      .withColumn("got", operators.Analytics.tileOf($"rank", $"total", 4))
+      .filter($"got" =!= $"want")
+    assert(mismatch.count() == 0)
+    // and for every k: bucket sizes differ by ≤ 1, larger buckets first
+    val sizes = rows
+      .withColumn("got", operators.Analytics.tileOfDyn($"rank", $"total", $"k"))
+      .groupBy($"grp", $"k", $"got").count()
+      .groupBy($"grp", $"k")
+      .agg(max($"count").as("mx"), min($"count").as("mn"),
+        count(lit(1)).as("nbuckets"), max($"got").as("maxb"))
+    assert(sizes.filter($"mx" - $"mn" > 1).count() == 0)
+    assert(sizes.filter($"maxb" > $"k").count() == 0)
+  }
 }
