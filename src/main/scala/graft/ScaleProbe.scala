@@ -41,9 +41,43 @@ object ScaleProbe {
         .repartition(GraftSession.defaultCpus)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     }
+    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
+      // fact blow-up for the relational/graph entries: orders/lineitem
+      // replicate with orderkey+custkey offsets (more orders, more
+      // customers), SAME part catalog — so pair density grows with the
+      // corpus, the harder stress for the basket-graph family; events
+      // replicate with user_id+event_id offsets (more users, same span)
+      val copies = spark.range(factor).select($"id".as("copy"))
+      val ord = Tables.orders(spark, base)
+      val (maxOk, maxCk) = ord.agg(max($"o_orderkey"), max($"o_custkey"))
+        .as[(Long, Long)].head()
+      ord.crossJoin(copies)
+        .select(($"o_orderkey" + $"copy" * (maxOk + 1)).as("o_orderkey"),
+          ($"o_custkey" + $"copy" * (maxCk + 1)).as("o_custkey"),
+          $"o_orderstatus", $"o_totalprice", $"o_orderdate", $"o_orderpriority")
+        .repartition(GraftSession.defaultCpus)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      val li = Tables.lineitem(spark, base)
+      li.crossJoin(copies)
+        .select((($"l_orderkey" + $"copy" * (maxOk + 1))).as("l_orderkey") +:
+          li.columns.filter(_ != "l_orderkey").map(c => col(c)): _*)
+        .repartition(GraftSession.defaultCpus)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      val ev = Tables.events(spark, base)
+      val (maxUid, maxEid) = ev.agg(max($"user_id"), max($"event_id"))
+        .as[(Long, Long)].head()
+      ev.crossJoin(copies)
+        .select(($"user_id" + $"copy" * (maxUid + 1)).as("user_id") +:
+          ($"event_id" + $"copy" * (maxEid + 1)).as("event_id") +:
+          ev.columns.filterNot(Set("user_id", "event_id")).map(c => col(c)): _*)
+        .repartition(GraftSession.defaultCpus)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
     val nd = spark.read.parquet(s"$out/documents.parquet").count()
     val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
-    println(s"== corpus: $nd docs, $ne embeddings (x$factor from sf0.1)")
+    val nl = spark.read.parquet(s"$out/lineitem.parquet").count()
+    val nv = spark.read.parquet(s"$out/events.parquet").count()
+    println(s"== corpus: $nd docs, $ne embeddings, $nl lineitems, $nv events (x$factor from sf0.1)")
 
     val all = Seq("d1_exact_dedup", "t5_repetition", "t2_quality_score",
                   "t6_heavy_hitters", "t7_bigram_freq",
@@ -53,7 +87,9 @@ object ScaleProbe {
                   "d8_containment", "t11_zipf", "t10_keywords",
                   "t9_surprisal", "p5_pack_sequences", "s4_pq_ann",
                   "s5_radius_search",
-                  "t12_bigram_surprisal", "p8_canonicalize", "p9_curriculum")
+                  "t12_bigram_surprisal", "p8_canonicalize", "p9_curriculum",
+                  "q49_rfm", "q50_assoc_rules", "q52_outlier_days",
+                  "q53_pagerank")
     // optional arg 2: regex to probe a subset (factor stays arg 1)
     val picked = args.drop(1).headOption
       .map(re => all.filter(_.matches(re))).getOrElse(all)

@@ -27,9 +27,10 @@ object Graph {
   /** Q53: 5-iteration damped PageRank (d = 0.85) over the threshold-2
     * co-purchase graph, in exact integer fixed-point.
     *
-    * Shape at scale: the edge list comes from q43's basket-array pair
-    * expansion (one grouped shuffle, no self-join), thresholded so the
-    * graph holds signal, not noise. Each iteration is ONE shuffle —
+    * Shape at scale: the edge list is the family's memoized
+    * co-purchase pair artifact (order-key self-join, codegen'd — see
+    * Analytics.copurchasePairs), thresholded so the graph holds
+    * signal, not noise. Each iteration is ONE shuffle —
     * contributions `rank div deg` flow along edges and aggregate on
     * the destination key (map-side partials); the rank update joins
     * back on the node key both frames already hash by, and
@@ -40,17 +41,7 @@ object Graph {
     * symmetric, so every node has out-degree ≥ 1). */
   def q53Pagerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val baskets = Tables.lineitem(s, dir)
-      .select($"l_orderkey", $"l_partkey")
-      .groupBy($"l_orderkey")
-      .agg(array_sort(array_distinct(collect_list($"l_partkey"))).as("ps"))
-    val prs = baskets
-      .select(explode(flatten(transform($"ps", (x, i) =>
-        transform(slice($"ps", i + 2, size($"ps")),
-          y => struct(x.as("pa"), y.as("pb")))))).as("pr"))
-      .groupBy($"pr.pa".as("pa"), $"pr.pb".as("pb"))
-      .agg(count(lit(1)).as("n"))
-      .filter($"n" >= 2)
+    val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
     val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
       .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
       .cache()
