@@ -127,6 +127,7 @@ object SparkEntry {
     "p9_curriculum"      -> (Sampling.p9Curriculum _),
     "m8_implicit_recs"   -> (graft.ml.Recommender.m8ImplicitRecs _),
     "q53_pagerank"       -> (Graph.q53Pagerank _),
+    "q54_triangles"      -> (Graph.q54Triangles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1250,6 +1251,28 @@ object SparkEntry {
                 FROM r4 LEFT JOIN it5 USING (node))
          SELECT node AS l_partkey, rank AS pr_rank FROM r5
          ORDER BY pr_rank DESC, l_partkey LIMIT 50""",
+    "q54_triangles" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         d AS (SELECT n, count(*) AS deg FROM
+           (SELECT pa AS n FROM e UNION ALL SELECT pb FROM e) GROUP BY 1),
+         tri AS (
+           SELECT count(*) AS n_triangles
+           FROM e ab JOIN e bc ON ab.pb = bc.pa
+           WHERE EXISTS (SELECT 1 FROM e ac
+                         WHERE ac.pa = ab.pa AND ac.pb = bc.pb)),
+         st AS (SELECT count(*) AS n_nodes,
+                  CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges FROM d),
+         ne AS (SELECT count(*) AS n_edges FROM e)
+         SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges = 0 THEN 0.0
+                ELSE floor(3 * n_triangles / CAST(n_wedges AS DOUBLE) * 10000)
+                  / 10000.0 END AS clustering
+         FROM st, ne, tri""",
     "p9_curriculum" ->
       """WITH base AS (
            SELECT doc_id,

@@ -65,4 +65,40 @@ object Graph {
       .orderBy($"pr_rank".desc, $"l_partkey")
       .limit(50)
   }
+
+  /** Q54: triangle census + global clustering coefficient over the
+    * same threshold-2 co-purchase graph — the graph-health summary
+    * (how clique-ish is co-purchase behavior). All integer counts plus
+    * one floor-quantized ratio, so cross-engine exact.
+    *
+    * Triangles enumerate ONCE via the oriented form: with edges kept
+    * as pa < pb, a triangle a<b<c appears exactly as the wedge
+    * (a,b)+(b,c) closed by (a,c) — two shuffle equi-joins on keys the
+    * edge list already carries, never a cube. The join fan-out is
+    * Σ C(deg⁺,2) (oriented wedge count), the standard bound that keeps
+    * triangle counting tractable on power-law graphs when orientation
+    * is by the TOTAL order (high-degree nodes get low out-degree).
+    * Wedges (open + closed) come from the degree frame: Σ C(deg,2),
+    * a part-cardinality-sized aggregate. */
+  def q54Triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      .select($"pa", $"pb")
+    val deg = e.select($"pa".as("n")).unionAll(e.select($"pb".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val tri = e.as("ab")
+      .join(e.as("bc"), $"ab.pb" === $"bc.pa")
+      .join(e.as("ac"),
+        $"ac.pa" === $"ab.pa" && $"ac.pb" === $"bc.pb", "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum($"deg" * ($"deg" - 1)) / 2).cast("long").as("n_wedges"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    stats.join(broadcast(nEdges)).join(broadcast(tri))
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        when($"n_wedges" === 0L, 0.0)
+          .otherwise(floor(lit(3L) * $"n_triangles" / $"n_wedges" * 10000) / 10000.0)
+          .as("clustering"))
+  }
 }

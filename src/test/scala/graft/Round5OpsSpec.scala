@@ -125,6 +125,23 @@ class Round5OpsSpec extends GraftSpecBase {
     pr.unpersist()
   }
 
+  test("q54: triangle count matches a local brute force; clustering in [0,1]") {
+    import graft.operators.{Analytics, Graph}
+    val row = Graph.q54Triangles(spark, sf).head()
+    val edges = Analytics.copurchasePairs(spark, sf)
+      .filter($"n_orders" >= 2).select($"pa", $"pb")
+      .as[(Long, Long)].collect().toSet
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val triLocal = edges.toSeq.map { case (a, b) =>
+      (nbrs(a) & nbrs(b)).count(c => c > b) // a<b<c counted once
+    }.sum
+    assert(row.getAs[Long]("n_triangles") == triLocal)
+    assert(row.getAs[Long]("n_edges") == edges.size)
+    val cl = row.getAs[Double]("clustering")
+    assert(cl >= 0.0 && cl <= 1.0)
+  }
+
   test("i5: XML round-trip preserves every nation row and the declared schema") {
     val back = Ingest.i5XmlIngest(spark, sf)
     assert(back.schema == Ingest.NationCsvSchema)
