@@ -122,6 +122,7 @@ object SparkEntry {
     "q51_user_growth"    -> (Analytics.q51UserGrowth _),
     "q52_outlier_days"   -> (Analytics.q52OutlierDays _),
     "t12_bigram_surprisal" -> (TextAnalysis.t12BigramSurprisal _),
+    "t13_tfidf_cosine"   -> (TextAnalysis.t13TfidfCosine _),
     "p8_canonicalize"    -> (Dedup.p8Canonicalize _),
     "i5_xml_ingest"      -> (Ingest.i5XmlIngest _),
     "p9_curriculum"      -> (Sampling.p9Curriculum _),
@@ -1169,6 +1170,35 @@ object SparkEntry {
              * 10000) / 10000.0 AS bi_surprisal
          FROM bg JOIN cbg USING (bigram) JOIN ctx USING (w1), vv
          GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    "t13_tfidf_cosine" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         tf AS (
+           SELECT doc_id, token, count(*) AS tf FROM tok
+           WHERE token <> '' GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         w AS (
+           SELECT tf.doc_id, tf.token,
+             CAST(floor(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / df.df)
+               * 1000) AS BIGINT) AS wq
+           FROM tf JOIN df USING (token), nd
+           WHERE df.df * 10 <= nd.n_docs),
+         w2 AS (SELECT * FROM w WHERE wq > 0),
+         norms AS (SELECT doc_id, sum(wq * wq) AS n2 FROM w2 GROUP BY 1),
+         pr AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             sum(a.wq * b.wq) AS dot
+           FROM w2 a JOIN w2 b USING (token)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         sc AS (
+           SELECT doc_a, doc_b,
+             floor(pr.dot / (sqrt(CAST(na.n2 AS DOUBLE)) *
+               sqrt(CAST(nb.n2 AS DOUBLE))) * 10000) / 10000.0 AS cosine
+           FROM pr JOIN norms na ON pr.doc_a = na.doc_id
+                   JOIN norms nb ON pr.doc_b = nb.doc_id)
+         SELECT doc_a, doc_b, cosine FROM sc
+         WHERE cosine >= 0.30 ORDER BY doc_a, doc_b""",
     "p8_canonicalize" ->
       """WITH RECURSIVE sh AS (
            SELECT doc_id, unnest(list_distinct(list_filter(

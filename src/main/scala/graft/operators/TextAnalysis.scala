@@ -412,4 +412,60 @@ object TextAnalysis {
           .as("bi_surprisal"))
       .orderBy($"doc_id")
   }
+
+  /** T13: exact all-pairs TF-IDF cosine similarity — the classic
+    * near-duplicate / related-document join on WEIGHTED term vectors
+    * (d2 is set-overlap Jaccard; this is the cosine companion that
+    * ranks a shared rare term above ten shared common ones).
+    *
+    * Cross-engine determinism: a floating dot product is
+    * addition-order-dependent, so the whole vector space is quantized
+    * to integer MILLI-units first (`floor(tf·ln(N/df)·1000)`, the q53
+    * fixed-point discipline). Dot products and squared norms are then
+    * exact BIGINT sums in any order; the single float op is the final
+    * `dot/sqrt(n2a·n2b)` on exactly-agreed integers (sqrt and divide
+    * are IEEE correctly-rounded), floor-quantized at 1e-4. The one
+    * residual cross-engine risk is `ln` ulp at a milli-unit floor
+    * boundary — the same accepted class as t9/t10.
+    *
+    * Shape at 100 TB: tf/df/norms are grouped counts keyed on columns
+    * the rows carry; pair generation is an inverted-index self-join
+    * whose fan-out is Σ df² over RETAINED tokens. Stopword-band tokens
+    * (df·10 > N) carry near-zero idf AND quadratic fan-out, so they
+    * are dropped — semantically standard and the thing that keeps the
+    * join sub-quadratic on Zipfian vocabularies. For corpora where
+    * even mid-band df² dominates, the scale path is d2's machinery
+    * (duplicate compression + prefix filtering) or d3's LSH; this op
+    * is the exact-answer tier. Milli-unit weights stay < ~2^21 per
+    * term at any plausible tf, so a BIGINT dot overflows only past
+    * ~2^21 shared terms per pair — not a document. */
+  def t13TfidfCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfq, "token").join(broadcast(nDocs))
+      .filter($"df" * 10 <= $"n_docs") // stopword band: ~zero idf, df² fan-out
+      .select($"doc_id", $"token",
+        floor($"tf" * log($"n_docs".cast("double") / $"df") * 1000)
+          .cast("long").as("wq"))
+      .filter($"wq" > 0)
+    val norms = w.groupBy($"doc_id").agg(sum($"wq" * $"wq").as("n2"))
+    val a = w.select($"doc_id".as("doc_a"), $"token", $"wq".as("wa"))
+    val b = w.select($"doc_id".as("doc_b"), $"token", $"wq".as("wb"))
+    a.join(b, "token").filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(sum($"wa" * $"wb").as("dot"))
+      .join(norms.select($"doc_id".as("doc_a"), $"n2".as("n2a")), "doc_a")
+      .join(norms.select($"doc_id".as("doc_b"), $"n2".as("n2b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        // n2a·n2b would overflow Int64; sqrt·sqrt keeps every step an
+        // IEEE correctly-rounded double op (deterministic cross-engine)
+        (floor($"dot" / (sqrt($"n2a".cast("double")) *
+          sqrt($"n2b".cast("double"))) * 10000) / 10000.0).as("cosine"))
+      .filter($"cosine" >= 0.30)
+      .orderBy($"doc_a", $"doc_b")
+  }
 }

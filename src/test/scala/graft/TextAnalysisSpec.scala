@@ -54,6 +54,34 @@ class TextAnalysisSpec extends GraftSpecBase {
     assert(t5.count() == Tables.documents(spark, sf).count())
   }
 
+  test("t13 tfidf cosine matches a local brute-force reimplementation exactly") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val n = docs.length.toLong
+    val tf = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).filter(_.nonEmpty)
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong } }.toMap
+    val dfc = tf.values.flatMap(_.keys).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val w = tf.map { case (id, m) =>
+      id -> m.collect { case (tok, f) if dfc(tok) * 10 <= n =>
+        tok -> math.floor(f * math.log(n.toDouble / dfc(tok)) * 1000).toLong
+      }.filter(_._2 > 0) }
+    val n2 = w.map { case (id, m) => id -> m.values.map(v => v * v).sum }
+    val ids = w.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids; j <- ids if i < j
+      dot = w(i).keysIterator.collect { case t if w(j).contains(t) => w(i)(t) * w(j)(t) }.sum
+      if dot > 0
+      cos = math.floor(dot / (math.sqrt(n2(i).toDouble) * math.sqrt(n2(j).toDouble)) * 10000) / 10000.0
+      if cos >= 0.30
+    } yield (i, j, cos)).toSet
+    val got = operators.TextAnalysis.t13TfidfCosine(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expect, s"got ${got.size} pairs, expected ${expect.size}")
+    assert(expect.nonEmpty) // the corpus's planted near-dups must surface
+  }
+
   test("stratified sample mix is seeded-deterministic and downweights only en") {
     import spark.implicits._
     val a = operators.Sampling.p2SampleMix(spark, sf).collect().map(_.toSeq).toSeq
