@@ -123,6 +123,8 @@ object SparkEntry {
     "q52_outlier_days"   -> (Analytics.q52OutlierDays _),
     "t12_bigram_surprisal" -> (TextAnalysis.t12BigramSurprisal _),
     "t13_tfidf_cosine"   -> (TextAnalysis.t13TfidfCosine _),
+    "q55_seasonal"       -> (Analytics.q55Seasonal _),
+    "q56_transitions"    -> (Analytics.q56Transitions _),
     "p8_canonicalize"    -> (Dedup.p8Canonicalize _),
     "i5_xml_ingest"      -> (Ingest.i5XmlIngest _),
     "p9_curriculum"      -> (Sampling.p9Curriculum _),
@@ -1170,6 +1172,43 @@ object SparkEntry {
              * 10000) / 10000.0 AS bi_surprisal
          FROM bg JOIN cbg USING (bigram) JOIN ctx USING (w1), vv
          GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    "q56_transitions" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events),
+         tr AS (
+           SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ms, event_id) AS dst
+           FROM e),
+         cnt AS (
+           SELECT src, dst, count(*) AS n FROM tr
+           WHERE dst IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT src, sum(n) AS n_src FROM cnt GROUP BY 1)
+         SELECT src, dst, n,
+           floor(n / CAST(n_src AS DOUBLE) * 10000) / 10000.0 AS p
+         FROM cnt JOIN tot USING (src) ORDER BY src, dst""",
+    "q55_seasonal" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS revenue
+           FROM orders GROUP BY 1),
+         tr AS (
+           SELECT day, revenue,
+             count(*) OVER w AS n_win,
+             floor(avg(revenue) OVER w * 10000) / 10000.0 AS trend
+           FROM daily
+           WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         det AS (
+           SELECT day, revenue, trend, revenue - trend AS detr,
+             CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS dow
+           FROM tr WHERE n_win = 7),
+         seas AS (
+           SELECT dow, floor(avg(detr) * 10000) / 10000.0 AS seasonal
+           FROM det GROUP BY 1)
+         SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS day,
+           revenue, trend, seasonal,
+           floor((detr - seasonal) * 10000) / 10000.0 AS residual
+         FROM det JOIN seas USING (dow) ORDER BY day""",
     "t13_tfidf_cosine" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

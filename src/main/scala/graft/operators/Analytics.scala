@@ -516,4 +516,76 @@ object Analytics {
       .select($"user_id", $"day", $"n", $"z")
       .orderBy($"user_id", $"day")
   }
+
+  /** Q56: first-order Markov transition matrix over event types — the
+    * per-user clickstream grammar (what follows what, with maximum-
+    * likelihood transition probabilities). The navigation-model /
+    * next-action-prediction base table.
+    *
+    * Plan shape: ONE lead window partitioned on the user key the
+    * event rows already hash by (per-user cost = that user's events,
+    * embarrassingly parallel), then two grouped counts at the
+    * (src, dst) grain — a frame bounded by |event types|², not data.
+    * The source totals re-derive from the PAIR counts (no second
+    * corpus pass) and broadcast. Total order within a user is
+    * (ms, event_id) — the q46 tiebreak, engine-reproducible under
+    * same-timestamp bursts. p = n/n_src is an exact integer ratio,
+    * floor-quantized. */
+  def q56Transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val tr = Tables.eventsWithMs(s, dir)
+      .select($"user_id", $"ms", $"event_id", $"event_type")
+      .withColumn("dst", lead($"event_type", 1).over(w))
+      .filter($"dst".isNotNull)
+    val cnt = tr.groupBy($"event_type".as("src"), $"dst")
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy($"src").agg(sum($"n").as("n_src"))
+    cnt.join(broadcast(tot), "src")
+      .select($"src", $"dst", $"n",
+        (floor($"n" / $"n_src".cast("double") * 10000) / 10000.0).as("p"))
+      .orderBy($"src", $"dst")
+  }
+
+  /** Q55: classical seasonal decomposition of daily revenue —
+    * trend (centered 7-row moving average), day-of-week seasonal
+    * component (mean detrended value per weekday), residual. The
+    * time-series health view behind anomaly dashboards (q52 flags
+    * point outliers; this separates the structural weekly cycle).
+    *
+    * Plan shape: ONE day-grain pre-aggregation first, so every window
+    * downstream runs over the aggregated frame — the trend window is
+    * a global-order rows-frame over day rows, CALENDAR-bounded (a
+    * century is ~36.5 k rows in one task), never data-bounded; the
+    * q51/q52 justification. Edge days without a full 7-row window are
+    * excluded from the fit (textbook centered-MA behavior).
+    *
+    * Determinism: daily revenue rounds at 2 dp BEFORE any derivation;
+    * trend/seasonal/residual floor-quantize at 1e-4, so each engine
+    * derives from identical IEEE doubles (group-sum order ulp at the
+    * floor boundary is the same accepted class as t9). Weekday is
+    * `datediff(epoch) mod 7` — engine-neutral, no locale. */
+  def q55Seasonal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q4c = (c: org.apache.spark.sql.Column) => floor(c * 10000) / 10000.0
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"))
+    val w = Window.orderBy($"day").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("trend", q4c(avg($"revenue").over(w)))
+      .filter($"n_win" === 7)
+      .withColumn("detr", $"revenue" - $"trend")
+      .withColumn("dow", pmod(datediff($"day", to_date(lit("1970-01-01"))), lit(7)))
+    val seasonal = trended.groupBy($"dow")
+      .agg(q4c(avg($"detr")).as("seasonal"))
+    trended.join(broadcast(seasonal), "dow")
+      // day keys leave as integer epoch-days (q44/q52 convention: the
+      // driver's hash compare needs engine-neutral key types)
+      .select(datediff($"day", to_date(lit("1970-01-01"))).cast("long").as("day"),
+        $"revenue", $"trend", $"seasonal",
+        q4c($"detr" - $"seasonal").as("residual"))
+      .orderBy($"day")
+  }
 }

@@ -149,4 +149,34 @@ class Round5OpsSpec extends GraftSpecBase {
       .select($"n_nationkey", $"n_name", $"n_regionkey")
     assert(back.exceptAll(orig).count() == 0 && orig.exceptAll(back).count() == 0)
   }
+
+  test("q55: decomposition reassembles revenue and weekday residuals center on zero") {
+    val d = Analytics.q55Seasonal(spark, sf).cache()
+    // trend + seasonal + residual recovers revenue up to 3 floor-quantizations
+    val offBudget = d.filter(
+      abs($"revenue" - ($"trend" + $"seasonal" + $"residual")) > 0.0004)
+    assert(offBudget.count() == 0)
+    // the seasonal fit absorbs the weekly cycle: per-weekday residual mean ~ 0
+    val worst = d.groupBy(pmod($"day", lit(7)).as("dow"))
+      .agg(abs(avg($"residual")).as("m"))
+      .agg(max($"m")).as[Double].first()
+    assert(worst < 0.01, s"weekday residual mean $worst")
+    d.unpersist()
+  }
+
+  test("q56: rows form a complete observed matrix and each source row sums to ~1") {
+    val t = Analytics.q56Transitions(spark, sf).cache()
+    val bad = t.filter($"p" < 0.0 || $"p" > 1.0)
+    assert(bad.count() == 0)
+    // per-source probabilities sum to 1 up to one floor-quantization per cell
+    val sums = t.groupBy($"src").agg(sum($"p").as("sp"), count(lit(1)).as("k"))
+      .filter(abs($"sp" - 1.0) > $"k" * 0.0001)
+    assert(sums.count() == 0)
+    // n totals equal transitions = events - distinct users (one lead loss each)
+    val nTrans = t.agg(sum($"n")).as[Long].first()
+    val e = Tables.events(spark, sf)
+    val expect = e.count() - e.select($"user_id").distinct().count()
+    assert(nTrans == expect, s"$nTrans vs $expect")
+    t.unpersist()
+  }
 }
