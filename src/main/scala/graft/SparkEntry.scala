@@ -129,6 +129,7 @@ object SparkEntry {
     "i5_xml_ingest"      -> (Ingest.i5XmlIngest _),
     "p9_curriculum"      -> (Sampling.p9Curriculum _),
     "m8_implicit_recs"   -> (graft.ml.Recommender.m8ImplicitRecs _),
+    "m9_kmeans"          -> (graft.ml.Clustering.m9Kmeans _),
     "q53_pagerank"       -> (Graph.q53Pagerank _),
     "q54_triangles"      -> (Graph.q54Triangles _),
   )

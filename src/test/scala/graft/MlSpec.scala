@@ -234,4 +234,35 @@ class MlSpec extends GraftSpecBase {
     assert(served == top, s"$served vs $top")
     recs.unpersist()
   }
+
+  test("m9 k-means assignments match a local brute-force Lloyd run exactly") {
+    import spark.implicits._
+    import graft.ml.Clustering.{K, Iters}
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", graft.functions.VectorFunctions.toDoubles($"embedding"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (id, v) => (id, v.toArray) }
+    var centers = emb.take(K).map(_._2)
+    def nearest(v: Array[Double]): Int =
+      centers.zipWithIndex.minBy { case (c, i) =>
+        // same rank key as the op: strict < keeps the earliest cid on ties
+        (c.map(x => x * x).sum - 2.0 * c.zip(v).map(p => p._1 * p._2).sum, i)
+      }._2
+    for (_ <- 1 to Iters) {
+      val grouped = emb.groupBy { case (_, v) => nearest(v) }
+      centers = centers.indices.map { cid =>
+        grouped.get(cid) match {
+          case Some(rows) =>
+            val n = rows.length
+            rows.map(_._2).transpose.map(_.sum / n).toArray
+          case None => centers(cid)
+        }
+      }.toArray
+    }
+    val expect = emb.map { case (id, v) => (id, nearest(v)) }.toMap
+    val got = graft.ml.Clustering.m9Kmeans(spark, sf)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(got == expect)
+    assert(got.values.toSet.size > 1) // a real partition, not one blob
+  }
 }
