@@ -413,6 +413,8 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  val CosineThreshold = 0.30
+
   /** T13: exact all-pairs TF-IDF cosine similarity — the classic
     * near-duplicate / related-document join on WEIGHTED term vectors
     * (d2 is set-overlap Jaccard; this is the cosine companion that
@@ -423,49 +425,110 @@ object TextAnalysis {
     * to integer MILLI-units first (`floor(tf·ln(N/df)·1000)`, the q53
     * fixed-point discipline). Dot products and squared norms are then
     * exact BIGINT sums in any order; the single float op is the final
-    * `dot/sqrt(n2a·n2b)` on exactly-agreed integers (sqrt and divide
+    * `dot/(√n2a·√n2b)` on exactly-agreed integers (sqrt and divide
     * are IEEE correctly-rounded), floor-quantized at 1e-4. The one
     * residual cross-engine risk is `ln` ulp at a milli-unit floor
     * boundary — the same accepted class as t9/t10.
     *
-    * Shape at 100 TB: tf/df/norms are grouped counts keyed on columns
-    * the rows carry; pair generation is an inverted-index self-join
-    * whose fan-out is Σ df² over RETAINED tokens. Stopword-band tokens
-    * (df·10 > N) carry near-zero idf AND quadratic fan-out, so they
-    * are dropped — semantically standard and the thing that keeps the
-    * join sub-quadratic on Zipfian vocabularies. For corpora where
-    * even mid-band df² dominates, the scale path is d2's machinery
-    * (duplicate compression + prefix filtering) or d3's LSH; this op
-    * is the exact-answer tier. Milli-unit weights stay < ~2^21 per
-    * term at any plausible tf, so a BIGINT dot overflows only past
-    * ~2^21 shared terms per pair — not a document. */
+    * Shape at 100 TB — the Bayardo WWW'07 All-Pairs discipline, the
+    * cosine analogue of d2's PPJoin (a naive posting self-join over
+    * the sub-stopword band is still Σ df² and measured as a stall at
+    * the 20× probe):
+    *  - stopword-band tokens (df·10 > N) are dropped: ~zero idf and
+    *    quadratic fan-out (semantically standard);
+    *  - the retained vocabulary is dictionary-encoded rarest-first by
+    *    d2's DISTRIBUTED range-partition + monotonic-id trick, so
+    *    ascending tid = ascending (df, token) with no single-task
+    *    funnel at billion-token vocabularies;
+    *  - each doc INDEXES only its rarest-first prefix: walking from
+    *    the frequent end, tokens are left unindexed while the
+    *    accumulated ceiling Σ ŵ(t)·maxw(t) stays below τ (ŵ = unit-
+    *    normalized weight, maxw = the token's corpus-max ŵ). Any pair
+    *    whose sharing lives entirely in one side's unindexed suffix
+    *    has cosine ≤ that mass < τ, so candidates = indexed side ⋈
+    *    FULL side (lower id indexes) — the fan-out collapses from
+    *    Σ df² to Σ idx(t)·df(t), and the frequent tokens that
+    *    dominate df² are exactly the ones the bound refuses to index.
+    *    The per-doc suffix walk is a window on the doc key the rows
+    *    already hash by. τ is backed off by 1e-9 so double rounding
+    *    in the ceiling can never exclude a true pair;
+    *  - verify is the codegen `sorted_dot` two-pointer merge over
+    *    each doc's (tid, milli-weight) parallel arrays — exact
+    *    integer dot, no per-pair allocation, no re-shuffle.
+    * Milli-unit weights stay < ~2^21 per term at any plausible tf, so
+    * a BIGINT dot overflows only past ~2^21 shared terms per pair —
+    * not a document. */
   def t13TfidfCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tf = Tables.documents(s, dir)
-      .select($"doc_id", explode(tokens($"text")).as("token"))
-      .filter($"token" =!= "")
-      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val dfq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
-    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-    val w = tf.join(dfq, "token").join(broadcast(nDocs))
-      .filter($"df" * 10 <= $"n_docs") // stopword band: ~zero idf, df² fan-out
-      .select($"doc_id", $"token",
-        floor($"tf" * log($"n_docs".cast("double") / $"df") * 1000)
-          .cast("long").as("wq"))
-      .filter($"wq" > 0)
-    val norms = w.groupBy($"doc_id").agg(sum($"wq" * $"wq").as("n2"))
-    val a = w.select($"doc_id".as("doc_a"), $"token", $"wq".as("wa"))
-    val b = w.select($"doc_id".as("doc_b"), $"token", $"wq".as("wb"))
-    a.join(b, "token").filter($"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b").agg(sum($"wa" * $"wb").as("dot"))
-      .join(norms.select($"doc_id".as("doc_a"), $"n2".as("n2a")), "doc_a")
-      .join(norms.select($"doc_id".as("doc_b"), $"n2".as("n2b")), "doc_b")
-      .select($"doc_a", $"doc_b",
-        // n2a·n2b would overflow Int64; sqrt·sqrt keeps every step an
-        // IEEE correctly-rounded double op (deterministic cross-engine)
-        (floor($"dot" / (sqrt($"n2a".cast("double")) *
-          sqrt($"n2b".cast("double"))) * 10000) / 10000.0).as("cosine"))
-      .filter($"cosine" >= 0.30)
-      .orderBy($"doc_a", $"doc_b")
+    t13PairTable(s, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Memoized t13 pair table (doc_a, doc_b, cosine ≥ τ). */
+  private[graft] def t13PairTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("t13_pairs", dir) {
+      val tau = CosineThreshold
+      val tf = Tables.documents(s, dir)
+        .select($"doc_id", explode(tokens($"text")).as("token"))
+        .filter($"token" =!= "")
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val kept = dfq.join(broadcast(nDocs))
+        .filter($"df" * 10 <= $"n_docs")
+      val dict = kept
+        .repartitionByRange(s.sessionState.conf.numShufflePartitions,
+          $"df", $"token")
+        .sortWithinPartitions($"df", $"token")
+        .select($"token", $"df", monotonically_increasing_id().as("tid"))
+        .cache()
+      scaffolding += dict
+      val rows = tf.join(dict, "token").join(broadcast(nDocs))
+        .select($"doc_id", $"tid",
+          floor($"tf" * log($"n_docs".cast("double") / $"df") * 1000)
+            .cast("long").as("wq"))
+        .filter($"wq" > 0)
+      val norms = rows.groupBy($"doc_id").agg(sum($"wq" * $"wq").as("n2"))
+        .cache()
+      scaffolding += norms
+      val maxw = rows.join(norms, "doc_id")
+        .select($"tid", ($"wq" / sqrt($"n2".cast("double"))).as("nw"))
+        .groupBy($"tid").agg(max($"nw").as("mw"))
+      // suffix ceiling from the frequent end (descending tid); indexed
+      // while it still reaches τ (minus a rounding guard)
+      val wSuf = Window.partitionBy($"doc_id").orderBy($"tid".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = rows.join(norms, "doc_id").join(maxw, "tid")
+        .withColumn("ceil_mass",
+          sum(($"wq" / sqrt($"n2".cast("double"))) * $"mw").over(wSuf))
+      val docsArr = rows
+        .groupBy($"doc_id")
+        .agg(array_sort(collect_list(struct($"tid", $"wq"))).as("kv"))
+        .select($"doc_id",
+          transform($"kv", x => x.getField("tid")).as("ks"),
+          transform($"kv", x => x.getField("wq")).as("vs"))
+        .cache()
+      scaffolding += docsArr
+      val idx = scored.filter($"ceil_mass" >= tau - 1e-9)
+        .select($"doc_id", $"tid")
+      val full = rows.select($"doc_id", $"tid")
+      val cands = idx.as("x").join(full.as("y"),
+          $"x.tid" === $"y.tid" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+        .distinct()
+      cands
+        .join(docsArr.select($"doc_id".as("doc_a"), $"ks".as("ka"), $"vs".as("va")), "doc_a")
+        .join(docsArr.select($"doc_id".as("doc_b"), $"ks".as("kb"), $"vs".as("vb")), "doc_b")
+        .join(norms.select($"doc_id".as("doc_a"), $"n2".as("n2a")), "doc_a")
+        .join(norms.select($"doc_id".as("doc_b"), $"n2".as("n2b")), "doc_b")
+        .select($"doc_a", $"doc_b",
+          // n2a·n2b would overflow Int64; sqrt·sqrt keeps every step an
+          // IEEE correctly-rounded double op (deterministic cross-engine)
+          (floor(call_function("sorted_dot", $"ka", $"va", $"kb", $"vb") /
+            (sqrt($"n2a".cast("double")) * sqrt($"n2b".cast("double"))) *
+            10000) / 10000.0).as("cosine"))
+        .filter($"cosine" >= tau)
+    } { scaffolding.foreach(_.unpersist()) }
   }
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayDot, DotTopK, MaxRunLength, MinHashAgg, PqAdcTopK, PqEncode, SimHashAgg, SortedIntersectSize, TopKAgg}
+import graft.functions.{ArrayDot, DotTopK, MaxRunLength, MinHashAgg, PqAdcTopK, PqEncode, SimHashAgg, SortedDot, SortedIntersectSize, TopKAgg}
 
 /** Session extensions: registers graft's native Catalyst expressions
   * so they resolve in both the Column DSL (`call_function`) and SQL.
@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedIntersectSize(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_dot"),
+      new ExpressionInfo(classOf[SortedDot].getName, "sorted_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedDot(children(0), children(1), children(2), children(3))))
     ext.injectFunction((
       FunctionIdentifier("dot_topk"),
       new ExpressionInfo(classOf[DotTopK].getName, "dot_topk"),
