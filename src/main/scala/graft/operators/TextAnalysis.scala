@@ -465,70 +465,93 @@ object TextAnalysis {
 
   /** Memoized t13 pair table (doc_a, doc_b, cosine ≥ τ). */
   private[graft] def t13PairTable(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
     graft.Caches.memo("t13_pairs", dir) {
-      val tau = CosineThreshold
-      val tf = Tables.documents(s, dir)
-        .select($"doc_id", explode(tokens($"text")).as("token"))
-        .filter($"token" =!= "")
-        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-      val dfq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
-      val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-      val kept = dfq.join(broadcast(nDocs))
-        .filter($"df" * 10 <= $"n_docs")
-      val dict = kept
-        .repartitionByRange(s.sessionState.conf.numShufflePartitions,
-          $"df", $"token")
-        .sortWithinPartitions($"df", $"token")
-        .select($"token", $"df", monotonically_increasing_id().as("tid"))
-        .cache()
-      scaffolding += dict
-      val rows = tf.join(dict, "token").join(broadcast(nDocs))
-        .select($"doc_id", $"tid",
-          floor($"tf" * log($"n_docs".cast("double") / $"df") * 1000)
-            .cast("long").as("wq"))
-        .filter($"wq" > 0)
-      val norms = rows.groupBy($"doc_id").agg(sum($"wq" * $"wq").as("n2"))
-        .cache()
-      scaffolding += norms
-      val maxw = rows.join(norms, "doc_id")
-        .select($"tid", ($"wq" / sqrt($"n2".cast("double"))).as("nw"))
-        .groupBy($"tid").agg(max($"nw").as("mw"))
-      // suffix ceiling from the frequent end (descending tid); indexed
-      // while it still reaches τ (minus a rounding guard)
-      val wSuf = Window.partitionBy($"doc_id").orderBy($"tid".desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val scored = rows.join(norms, "doc_id").join(maxw, "tid")
-        .withColumn("ceil_mass",
-          sum(($"wq" / sqrt($"n2".cast("double"))) * $"mw").over(wSuf))
-      val docsArr = rows
-        .groupBy($"doc_id")
-        .agg(array_sort(collect_list(struct($"tid", $"wq"))).as("kv"))
-        .select($"doc_id",
-          transform($"kv", x => x.getField("tid")).as("ks"),
-          transform($"kv", x => x.getField("wq")).as("vs"))
-        .cache()
-      scaffolding += docsArr
-      val idx = scored.filter($"ceil_mass" >= tau - 1e-9)
-        .select($"doc_id", $"tid")
-      val full = rows.select($"doc_id", $"tid")
-      val cands = idx.as("x").join(full.as("y"),
-          $"x.tid" === $"y.tid" && $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-        .distinct()
-      cands
-        .join(docsArr.select($"doc_id".as("doc_a"), $"ks".as("ka"), $"vs".as("va")), "doc_a")
-        .join(docsArr.select($"doc_id".as("doc_b"), $"ks".as("kb"), $"vs".as("vb")), "doc_b")
-        .join(norms.select($"doc_id".as("doc_a"), $"n2".as("n2a")), "doc_a")
-        .join(norms.select($"doc_id".as("doc_b"), $"n2".as("n2b")), "doc_b")
-        .select($"doc_a", $"doc_b",
-          // n2a·n2b would overflow Int64; sqrt·sqrt keeps every step an
-          // IEEE correctly-rounded double op (deterministic cross-engine)
-          (floor(call_function("sorted_dot", $"ka", $"va", $"kb", $"vb") /
-            (sqrt($"n2a".cast("double")) * sqrt($"n2b".cast("double"))) *
-            10000) / 10000.0).as("cosine"))
-        .filter($"cosine" >= tau)
+      val (pairs, scaf) = tfidfCosinePairs(Tables.documents(s, dir))
+      scaffolding ++= scaf
+      pairs
     } { scaffolding.foreach(_.unpersist()) }
+  }
+
+  /** The t13 build over an arbitrary (doc_id, text) frame, exposed for
+    * the plan audit. Returns (pairs, scaffolding caches to unpersist
+    * once the result is materialized).
+    *
+    * Measured non-move: d2-style exact-duplicate compression (run the
+    * join over one rep per byte-identical-text group, expand after)
+    * was built and REVERTED — with the prefix filter already bounding
+    * candidate fan-out, the compression's extra text-table shuffles
+    * (fingerprint window, global-df reconstruction, intra/inter
+    * expansion union) measured 2× at sf0.1 (4.7→8.4 s) and breakeven
+    * at the 20× probe (220→250 s, corpus ~1.4× byte-dup). Revisit only
+    * for corpora where exact-dup rate is high AND the verify join
+    * dominates. */
+  private[graft] def tfidfCosinePairs(docs: DataFrame)
+      : (DataFrame, Seq[DataFrame]) = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tau = CosineThreshold
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val tf = docs
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val kept = dfq.join(broadcast(nDocs))
+      .filter($"df" * 10 <= $"n_docs")
+    val dict = kept
+      .repartitionByRange(s.sessionState.conf.numShufflePartitions,
+        $"df", $"token")
+      .sortWithinPartitions($"df", $"token")
+      .select($"token", $"df", monotonically_increasing_id().as("tid"))
+      .cache()
+    scaffolding += dict
+    val rows = tf.join(dict, "token").join(broadcast(nDocs))
+      .select($"doc_id", $"tid",
+        floor($"tf" * log($"n_docs".cast("double") / $"df") * 1000)
+          .cast("long").as("wq"))
+      .filter($"wq" > 0)
+    val norms = rows.groupBy($"doc_id").agg(sum($"wq" * $"wq").as("n2"))
+      .cache()
+    scaffolding += norms
+    val maxw = rows.join(norms, "doc_id")
+      .select($"tid", ($"wq" / sqrt($"n2".cast("double"))).as("nw"))
+      .groupBy($"tid").agg(max($"nw").as("mw"))
+    // suffix ceiling from the frequent end (descending tid); indexed
+    // while it still reaches τ (minus a rounding guard)
+    val wSuf = Window.partitionBy($"doc_id").orderBy($"tid".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = rows.join(norms, "doc_id").join(maxw, "tid")
+      .withColumn("ceil_mass",
+        sum(($"wq" / sqrt($"n2".cast("double"))) * $"mw").over(wSuf))
+    val docsArr = rows
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"tid", $"wq"))).as("kv"))
+      .select($"doc_id",
+        transform($"kv", x => x.getField("tid")).as("ks"),
+        transform($"kv", x => x.getField("wq")).as("vs"))
+      .cache()
+    scaffolding += docsArr
+    val idx = scored.filter($"ceil_mass" >= tau - 1e-9)
+      .select($"doc_id", $"tid")
+    val full = rows.select($"doc_id", $"tid")
+    val cands = idx.as("x").join(full.as("y"),
+        $"x.tid" === $"y.tid" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    val pairs = cands
+      .join(docsArr.select($"doc_id".as("doc_a"), $"ks".as("ka"), $"vs".as("va")), "doc_a")
+      .join(docsArr.select($"doc_id".as("doc_b"), $"ks".as("kb"), $"vs".as("vb")), "doc_b")
+      .join(norms.select($"doc_id".as("doc_a"), $"n2".as("n2a")), "doc_a")
+      .join(norms.select($"doc_id".as("doc_b"), $"n2".as("n2b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        // n2a·n2b would overflow Int64; sqrt·sqrt keeps every step an
+        // IEEE correctly-rounded double op (deterministic cross-engine)
+        (floor(call_function("sorted_dot", $"ka", $"va", $"kb", $"vb") /
+          (sqrt($"n2a".cast("double")) * sqrt($"n2b".cast("double"))) *
+          10000) / 10000.0).as("cosine"))
+      .filter($"cosine" >= tau)
+    (pairs, scaffolding.toSeq)
   }
 }

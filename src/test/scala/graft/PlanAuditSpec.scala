@@ -292,4 +292,26 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("ntile"), p)
   }
+
+  test("t13: prefix-filtered pair build — sorted_dot verify, distributed dict, no data-sized funnel") {
+    val (pairs, scaffolding) = operators.TextAnalysis.tfidfCosinePairs(
+      Tables.documents(spark, sf))
+    try {
+      val p = plan(pairs)
+      assert(p.contains("sorted_dot"), p) // verify is the codegen merge
+      assert(!p.contains("CartesianProduct"), p)
+      // dict ids assigned under range partitioning (d2's distributed
+      // trick); suffix-mass window hashes on the doc key
+      assert(p.contains("rangepartitioning"), p)
+      assert(p.contains("hashpartitioning(doc_id"), p)
+      // the ONLY single-partition exchanges may be the 1-row corpus
+      // count (Input [count#L]); a data-sized funnel here = OOM at scale
+      val lines = p.linesIterator.toVector
+      lines.zipWithIndex.filter(_._1.contains("SinglePartition")).foreach {
+        case (_, i) =>
+          assert(lines(i - 1).matches(".*\\[count#\\d+L\\].*"),
+            s"non-count SinglePartition exchange:\n${lines.slice(i - 3, i + 1).mkString("\n")}")
+      }
+    } finally scaffolding.foreach(_.unpersist())
+  }
 }
