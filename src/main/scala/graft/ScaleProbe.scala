@@ -90,7 +90,7 @@ object ScaleProbe {
                   "t12_bigram_surprisal", "p8_canonicalize", "p9_curriculum",
                   "q49_rfm", "q50_assoc_rules", "q52_outlier_days",
                   "q53_pagerank", "q54_triangles", "t13_tfidf_cosine",
-                  "m9_kmeans", "q56_transitions")
+                  "m9_kmeans", "q56_transitions", "m10_item_cosine")
     // optional arg 2: regex to probe a subset (factor stays arg 1)
     val picked = args.drop(1).headOption
       .map(re => all.filter(_.matches(re))).getOrElse(all)

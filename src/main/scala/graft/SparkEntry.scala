@@ -130,6 +130,7 @@ object SparkEntry {
     "p9_curriculum"      -> (Sampling.p9Curriculum _),
     "m8_implicit_recs"   -> (graft.ml.Recommender.m8ImplicitRecs _),
     "m9_kmeans"          -> (graft.ml.Clustering.m9Kmeans _),
+    "m10_item_cosine"    -> (graft.ml.Recommender.m10ItemCosine _),
     "q53_pagerank"       -> (Graph.q53Pagerank _),
     "q54_triangles"      -> (Graph.q54Triangles _),
   )
@@ -1062,6 +1063,36 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
            md5(string_agg(tk, ' ' ORDER BY p)) AS kept_fp
          FROM keep GROUP BY doc_id ORDER BY doc_id""",
+    "m10_item_cosine" ->
+      """WITH r AS (
+           SELECT o_custkey AS usr, l_partkey AS item,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1, 2),
+         n2 AS (SELECT item, sum(q * q) AS n2 FROM r GROUP BY 1),
+         p AS (
+           SELECT a.item AS ia, b.item AS ib,
+             CAST(sum(a.q * b.q) AS BIGINT) AS dot
+           FROM r a JOIN r b ON a.usr = b.usr AND a.item < b.item
+           GROUP BY 1, 2),
+         both_dir AS (
+           SELECT ia AS item, ib AS nbr, dot FROM p
+           UNION ALL
+           SELECT ib AS item, ia AS nbr, dot FROM p),
+         scored AS (
+           SELECT bd.item, bd.nbr,
+             floor(dot / (sqrt(CAST(na.n2 AS DOUBLE)) *
+               sqrt(CAST(nb.n2 AS DOUBLE))) * 10000) / 10000.0 AS cosine
+           FROM both_dir bd
+           JOIN n2 na ON bd.item = na.item
+           JOIN n2 nb ON bd.nbr = nb.item),
+         ranked AS (
+           SELECT item, nbr, cosine,
+             CAST(row_number() OVER (PARTITION BY item
+               ORDER BY cosine DESC, nbr) AS INTEGER) AS rnk
+           FROM scored)
+         SELECT item, nbr, cosine, rnk FROM ranked
+         WHERE rnk <= 5 ORDER BY item, rnk""",
     "m6_cold_start" ->
       """WITH cold AS (
            SELECT c_custkey FROM customer

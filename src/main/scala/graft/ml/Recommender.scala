@@ -445,4 +445,69 @@ object Recommender {
       .setMetricName("rmse").setLabelCol("rating").setPredictionCol("prediction")
       .evaluate(pred)
   }
+
+  /** M10: memory-based item-item collaborative filtering — each item's
+    * top-5 co-rating COSINE neighbors (Sarwar et al. WWW'01 item-kNN).
+    * m3 serves neighbors from learned ALS factors; this is its
+    * data-direct twin, and because ratings here are integer quantity
+    * sums it is the one recommender surface that hash-checks against
+    * a SQL oracle end to end.
+    *
+    * Exactness: ratings are BIGINT (Σ l_quantity), so per-pair dot and
+    * per-item squared norms are exact integer sums in any order; the
+    * one float op is the final dot/(√n2·√n2) on exactly-agreed
+    * integers, floor-quantized at 1e-4, and the top-5 rank breaks ties
+    * on the QUANTIZED cosine then the neighbor key — deterministic
+    * cross-engine.
+    *
+    * Shape at 100 TB: the rating matrix groups to one row per
+    * (user, item) — both heavy aggregations and the pair join key on
+    * columns the rows already hash by, and ONE exchange of the rating
+    * frame feeds both sides of the self-join (ReuseExchange — the
+    * q50-measured winner over array expansion). Pair fan-out is
+    * Σ_users C(items_u, 2): bounded by per-user catalog breadth, not
+    * corpus size; a power-user history cap is the standard production
+    * knob if that skews (same class as q30's horizon). Per-item
+    * neighbor ranking rides WindowGroupLimit so only 5 rows per item
+    * survive the rank, never a global sort. */
+  def m10ItemCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = intRatings(s, dir)
+    val pairs = r.as("a").join(r.as("b"),
+        $"a.user" === $"b.user" && $"a.item" < $"b.item")
+      .groupBy($"a.item".as("ia"), $"b.item".as("ib"))
+      .agg(sum($"a.q" * $"b.q").as("dot"))
+    val n2 = r.groupBy($"item").agg(sum($"q" * $"q").as("n2"))
+    val both = pairs.select($"ia".as("item"), $"ib".as("nbr"), $"dot")
+      .unionAll(pairs.select($"ib".as("item"), $"ia".as("nbr"), $"dot"))
+    // n2 is one row per ITEM (catalog-sized) — broadcast both lookups
+    // or the doubled pair table pays two extra hash exchanges
+    val scored = both
+      .join(broadcast(n2.select($"item", $"n2".as("n2i"))), "item")
+      .join(broadcast(n2.select($"item".as("nk"), $"n2".as("n2n"))),
+        $"nbr" === $"nk")
+      .select($"item", $"nbr",
+        (floor($"dot" / (sqrt($"n2i".cast("double")) *
+          sqrt($"n2n".cast("double"))) * 10000) / 10000.0).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"item").orderBy($"cosine".desc, $"nbr")
+    scored.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter($"rnk" <= 5)
+      .orderBy($"item", $"rnk")
+  }
+
+  /** Memoized integer rating matrix (user, item, q = Σ l_quantity as
+    * BIGINT): one materialization feeds both sides of m10's self-join
+    * and its norm aggregate — without it the orders⋈lineitem scan-agg
+    * plans twice (no static ReuseExchange across the self-join). */
+  private[graft] def intRatings(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo("m10_ratings", dir) {
+      import s.implicits._
+      Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+        .join(Tables.lineitem(s, dir)
+          .select($"l_orderkey", $"l_partkey", $"l_quantity"),
+          $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_custkey".as("user"), $"l_partkey".as("item"))
+        .agg(sum($"l_quantity".cast("long")).as("q"))
+    }()
 }

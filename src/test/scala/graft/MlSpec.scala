@@ -5,6 +5,25 @@ import org.apache.spark.sql.functions._
 class MlSpec extends GraftSpecBase {
   import graft.ml.{Recommender, Sentiment}
 
+  test("m10 item-item cosine: dense ranks, bounded cosine, symmetric pair scores") {
+    import spark.implicits._
+    val m10 = Recommender.m10ItemCosine(spark, sf).cache()
+    // ranks are 1..n consecutive and cosine never increases within an item
+    val bad = m10
+      .withColumn("expected_rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"item").orderBy($"cosine".desc, $"nbr")))
+      .filter($"rnk" =!= $"expected_rnk" || $"cosine" <= 0.0 || $"cosine" > 1.0001)
+    assert(bad.count() == 0)
+    // the underlying similarity is symmetric: wherever BOTH orientations
+    // survive their top-5 cut, the scores agree exactly
+    val mism = m10.as("x").join(m10.as("y"),
+        $"x.item" === $"y.nbr" && $"x.nbr" === $"y.item" &&
+        $"x.cosine" =!= $"y.cosine")
+    assert(mism.count() == 0)
+    m10.unpersist()
+  }
+
   test("als recommends 5 distinct existing parts per customer") {
     import spark.implicits._
     val recs = Recommender.m1AlsRecommend(spark, sf)

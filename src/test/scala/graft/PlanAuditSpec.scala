@@ -293,6 +293,14 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(!p.contains("ntile"), p)
   }
 
+  test("m10: neighbor rank rides WindowGroupLimit over a memoized rating-matrix self-join") {
+    val p = plan(graft.ml.Recommender.m10ItemCosine(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p) // top-5 pushed into the window
+    assert(!p.contains("CartesianProduct"), p)
+    // both self-join sides read the single memoized rating materialization
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("t13: prefix-filtered pair build — sorted_dot verify, distributed dict, no data-sized funnel") {
     val (pairs, scaffolding) = operators.TextAnalysis.tfidfCosinePairs(
       Tables.documents(spark, sf))
