@@ -72,6 +72,11 @@ object ScaleProbe {
           ev.columns.filterNot(Set("user_id", "event_id")).map(c => col(c)): _*)
         .repartition(GraftSession.defaultCpus)
         .write.mode("overwrite").parquet(s"$out/events.parquet")
+      // dimensions stage VERBATIM (same catalog at any blow-up — the
+      // deliberate densification) so dim-joining entries are probeable
+      for (dim <- Seq("supplier", "customer", "part", "nation", "region"))
+        spark.read.parquet(s"$base/$dim.parquet")
+          .write.mode("overwrite").parquet(s"$out/$dim.parquet")
     }
     val nd = spark.read.parquet(s"$out/documents.parquet").count()
     val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
@@ -90,7 +95,8 @@ object ScaleProbe {
                   "t12_bigram_surprisal", "p8_canonicalize", "p9_curriculum",
                   "q49_rfm", "q50_assoc_rules", "q52_outlier_days",
                   "q53_pagerank", "q54_triangles", "t13_tfidf_cosine",
-                  "m9_kmeans", "q56_transitions", "m10_item_cosine")
+                  "m9_kmeans", "q56_transitions", "m10_item_cosine",
+                  "q57_blame_supplier")
     // optional arg 2: regex to probe a subset (factor stays arg 1)
     val picked = args.drop(1).headOption
       .map(re => all.filter(_.matches(re))).getOrElse(all)

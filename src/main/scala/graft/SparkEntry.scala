@@ -86,6 +86,7 @@ object SparkEntry {
     "q33_vector_stats"   -> (Similarity.q33VectorStats _),
     "q34_upsert"         -> (Relational.q34Upsert _),
     "q35_sql"            -> (Relational.q35Sql _),
+    "q57_blame_supplier" -> (Relational.q57BlameSupplier _),
     "t6_heavy_hitters"   -> (TextAnalysis.t6HeavyHitters _),
     "t7_bigram_freq"     -> (TextAnalysis.t7BigramFreq _),
     "t8_pii_scrub"       -> (TextAnalysis.t8PiiScrub _),
@@ -729,6 +730,22 @@ object SparkEntry {
          FROM base FULL OUTER JOIN delta
            ON base.o_orderkey = delta.o_orderkey
          ORDER BY o_orderkey""",
+    "q57_blame_supplier" ->
+      """WITH late AS (
+           SELECT l_orderkey, l_suppkey
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE date_diff('day', o_orderdate, l_shipdate) > 60),
+         sole AS (
+           SELECT late.l_orderkey, late.l_suppkey FROM late
+           WHERE EXISTS (SELECT 1 FROM lineitem l2
+                         WHERE l2.l_orderkey = late.l_orderkey
+                           AND l2.l_suppkey <> late.l_suppkey)
+             AND NOT EXISTS (SELECT 1 FROM late l3
+                             WHERE l3.l_orderkey = late.l_orderkey
+                               AND l3.l_suppkey <> late.l_suppkey))
+         SELECT s_name, count(*) AS numwait
+         FROM sole JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""",
     "q35_sql" ->
       """SELECT n_name,
            count(*) AS n_orders,

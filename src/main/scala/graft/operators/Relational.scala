@@ -276,4 +276,36 @@ object Relational {
       .select(col(key) +: cols.map(c =>
         coalesce(col("__d_" + c), col(c)).as(c)): _*)
   }
+
+  /** Q57: the "sole-blame supplier" double-correlation — TPC-H Q21's
+    * optimizer shape on this schema (late = shipped > 60 days after
+    * the order date, q41's slow threshold): late line items kept only
+    * when ANOTHER supplier shares the order (EXISTS) and NO other
+    * supplier was ALSO late on it (NOT EXISTS). Declared directly as
+    * one LEFT SEMI against the fact table and one LEFT ANTI against
+    * the late frame — nothing for the decorrelator to discover, and
+    * all three passes hash on the order key the rows already carry.
+    * Counts are per late LINE (Q21's grain); top-20 by blame count is
+    * a TakeOrdered, never a global sort. */
+  def q57BlameSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    val late = li
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .filter(datediff($"l_shipdate", $"o_orderdate") > 60)
+      .select($"l_orderkey", $"l_suppkey")
+    val shared = late.join(
+      li.select($"l_orderkey".as("x_ok"), $"l_suppkey".as("x_sk")),
+      $"l_orderkey" === $"x_ok" && $"l_suppkey" =!= $"x_sk", "left_semi")
+    val sole = shared.join(
+      late.select($"l_orderkey".as("y_ok"), $"l_suppkey".as("y_sk")),
+      $"l_orderkey" === $"y_ok" && $"l_suppkey" =!= $"y_sk", "left_anti")
+    sole.join(Tables.supplier(s, dir).select($"s_suppkey", $"s_name"),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(20)
+  }
 }

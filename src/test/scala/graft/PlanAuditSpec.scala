@@ -301,6 +301,14 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("q57: double correlation plans as semi + anti joins with a TakeOrdered top-20") {
+    val p = plan(operators.Relational.q57BlameSupplier(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t13: prefix-filtered pair build — sorted_dot verify, distributed dict, no data-sized funnel") {
     val (pairs, scaffolding) = operators.TextAnalysis.tfidfCosinePairs(
       Tables.documents(spark, sf))
