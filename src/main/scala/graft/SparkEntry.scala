@@ -126,6 +126,7 @@ object SparkEntry {
     "t13_tfidf_cosine"   -> (TextAnalysis.t13TfidfCosine _),
     "q55_seasonal"       -> (Analytics.q55Seasonal _),
     "q56_transitions"    -> (Analytics.q56Transitions _),
+    "q58_rolling_actives" -> (Analytics.q58RollingActives _),
     "p8_canonicalize"    -> (Dedup.p8Canonicalize _),
     "i5_xml_ingest"      -> (Ingest.i5XmlIngest _),
     "p9_curriculum"      -> (Sampling.p9Curriculum _),
@@ -1221,6 +1222,16 @@ object SparkEntry {
              * 10000) / 10000.0 AS bi_surprisal
          FROM bg JOIN cbg USING (bigram) JOIN ctx USING (w1), vv
          GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    "q58_rolling_actives" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+           FROM events),
+         x AS (
+           SELECT DISTINCT user_id, day + off AS d
+           FROM ud CROSS JOIN (SELECT unnest(range(7)) AS off)),
+         b AS (SELECT max(day) AS hi FROM ud)
+         SELECT d, count(*) AS wau FROM x, b
+         WHERE d <= hi GROUP BY 1 ORDER BY 1""",
     "q56_transitions" ->
       """WITH e AS (
            SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events),

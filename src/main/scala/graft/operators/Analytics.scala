@@ -588,4 +588,31 @@ object Analytics {
         q4c($"detr" - $"seasonal").as("residual"))
       .orderBy($"day")
   }
+
+  /** Q58: rolling 7-day active users per epoch day (the WAU curve) —
+    * EXACT distinct-count over a sliding window, the op a naive
+    * `approx_count_distinct OVER (RANGE 6 PRECEDING)` gets wrong and
+    * an exact window can't express (count(distinct) isn't a window
+    * function). Standard expansion trick: dedupe to (user, active-day)
+    * grain, fan each row out to the 7 windows it contributes to
+    * (`sequence(day, day+6)` — codegen, no join), dedupe to
+    * (user, window-day), count. Every shuffle keys on columns the
+    * rows carry; fan-out is a fixed 7× of the user-day frame, and the
+    * user-day frame is already the distinct-compressed grain — at
+    * 100 TB of raw events the first distinct is the big win and it
+    * map-side combines. Windows past the last observed day are
+    * clipped by a 1-row broadcast bound. */
+  def q58RollingActives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables.eventsWithMs(s, dir)
+      .select($"user_id", expr("ms div 86400000L").as("day"))
+      .distinct()
+    val bounds = ud.agg(max($"day").as("hi"))
+    ud.select($"user_id", explode(sequence($"day", $"day" + 6)).as("d"))
+      .distinct()
+      .join(broadcast(bounds))
+      .filter($"d" <= $"hi")
+      .groupBy($"d").agg(count(lit(1)).as("wau"))
+      .orderBy($"d")
+  }
 }
