@@ -130,6 +130,7 @@ object SparkEntry {
     "p8_canonicalize"    -> (Dedup.p8Canonicalize _),
     "i5_xml_ingest"      -> (Ingest.i5XmlIngest _),
     "p9_curriculum"      -> (Sampling.p9Curriculum _),
+    "p10_near_dedup"     -> (Dedup.p10NearDedup _),
     "m8_implicit_recs"   -> (graft.ml.Recommender.m8ImplicitRecs _),
     "m9_kmeans"          -> (graft.ml.Clustering.m9Kmeans _),
     "m10_item_cosine"    -> (graft.ml.Recommender.m10ItemCosine _),

@@ -387,6 +387,21 @@ object Dedup {
       val edges = pairs.union(pairs.select($"id_b", $"id_a"))
         .toDF("src", "dst").cache()
       scaffolding += edges
+      connectedComponents(s, edges)
+    } { scaffolding.foreach(_.unpersist()) }
+      .orderBy($"doc_id")
+  }
+
+  /** Pointer-jumping connected components over a BIDIRECTIONAL edge
+    * list (src, dst): (doc_id, group_id) with group_id = the
+    * component-minimum id, O(log diameter) rounds, ONE job per round
+    * (the convergence count rides the checkpoint materialization via
+    * `observe`). Shared by d6 (exact d2 pair graph) and p10 (LSH pair
+    * graph); fails loudly past the round bound rather than returning
+    * partially-propagated labels. */
+  private[graft] def connectedComponents(s: SparkSession, edges: DataFrame): DataFrame = {
+    import s.implicits._
+    {
       // the iterative tail runs many small jobs; its shuffle width
       // follows the pair-graph size (the per-stage decision AQE makes
       // for one-shot queries) — a dup graph of thousands of edges on a
@@ -442,10 +457,40 @@ object Dedup {
       // fail LOUDLY rather than return partially-propagated labels — a
       // component deeper than maxIters would otherwise be silently wrong
       require(changed == 0,
-        s"d6 label propagation did not converge in $maxIters rounds " +
+        s"label propagation did not converge in $maxIters rounds " +
           s"($changed labels still changing) — component diameter exceeds the bound")
       labels
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
+  /** P10: near-dedup corpus — keep ONE representative per NEAR-dup
+    * group, the production pipeline stage (FineWeb/Gopher style) the
+    * rest of the dedup family feeds: d3's MinHash-LSH pair graph
+    * (seeded-deterministic, recall-bounded by the banding spec) →
+    * shared pointer-jumping components → drop every doc that is not
+    * its group's minimum id. Unpaired docs survive untouched.
+    *
+    * Rows-only entry (LSH candidate recall is probabilistic, so no SQL
+    * oracle can replay it); the spec checks the keep set IS a
+    * transversal: one kept member per component of the pair graph
+    * (union-find parity at test scale), all singletons kept, and
+    * seeded determinism across invocations. Scale shape: everything
+    * here reuses d3's distinct-signature banding and d6's loop —
+    * no new exchange grain. */
+  def p10NearDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("p10_keep", dir) {
+      val pairs = d3MinhashLsh(s, dir).select($"id_a", $"id_b")
+      val edges = pairs.union(pairs.select($"id_b", $"id_a"))
+        .toDF("src", "dst").cache()
+      scaffolding += edges
+      val labels = connectedComponents(s, edges)
+      Tables.documents(s, dir)
+        .join(labels.filter($"doc_id" =!= $"group_id").select($"doc_id"),
+          Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"lang", $"n_chars")
     } { scaffolding.foreach(_.unpersist()) }
       .orderBy($"doc_id")
   }

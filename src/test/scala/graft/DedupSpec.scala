@@ -15,6 +15,39 @@ class DedupSpec extends GraftSpecBase {
     assert(exactPairs.nonEmpty, "expected planted near-dups at sf0.001")
   }
 
+  test("p10: keep set is a deterministic transversal of the LSH pair graph") {
+    import spark.implicits._
+    val kept = Dedup.p10NearDedup(spark, sf).select($"doc_id").as[Long].collect()
+    assert(kept.toSet.size == kept.length) // no dup rows
+    val keptSet = kept.toSet
+    val all = Tables.documents(spark, sf).select($"doc_id").as[Long].collect().toSet
+    val pairs = Dedup.d3MinhashLsh(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    // local union-find over the pair graph
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comps = pairs.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(find)
+    // exactly one kept member per component, and it is the minimum id
+    comps.foreach { case (_, members) =>
+      val keptHere = members.filter(keptSet.contains)
+      assert(keptHere.toSeq == Seq(members.min),
+        s"component ${members.sorted.take(5).mkString(",")}…: kept ${keptHere.mkString(",")}")
+    }
+    // singletons (docs in no pair) all survive
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert((all -- paired).forall(keptSet.contains))
+    // deterministic across invocations
+    val again = Dedup.p10NearDedup(spark, sf).select($"doc_id").as[Long].collect()
+    assert(again.toSeq == kept.toSeq)
+  }
+
   test("sorted_intersect_size equals size(array_intersect) on sorted distinct arrays") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
