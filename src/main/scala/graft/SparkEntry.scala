@@ -127,6 +127,7 @@ object SparkEntry {
     "q55_seasonal"       -> (Analytics.q55Seasonal _),
     "q56_transitions"    -> (Analytics.q56Transitions _),
     "q58_rolling_actives" -> (Analytics.q58RollingActives _),
+    "q59_concurrency"    -> (Analytics.q59Concurrency _),
     "p8_canonicalize"    -> (Dedup.p8Canonicalize _),
     "i5_xml_ingest"      -> (Ingest.i5XmlIngest _),
     "p9_curriculum"      -> (Sampling.p9Curriculum _),
@@ -1233,6 +1234,38 @@ object SparkEntry {
          b AS (SELECT max(day) AS hi FROM ud)
          SELECT d, count(*) AS wau FROM x, b
          WHERE d <= hi GROUP BY 1 ORDER BY 1""",
+    "q59_concurrency" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+         flagged AS (
+           SELECT user_id, event_id, ms,
+             CASE WHEN lag(ms) OVER w IS NULL
+                    OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         sess AS (
+           SELECT user_id, ms,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged),
+         iv AS (
+           SELECT user_id, session_id, min(ms) AS start_ms, max(ms) AS end_ms
+           FROM sess GROUP BY 1, 2),
+         ep AS (
+           SELECT ms, CAST(sum(st) AS BIGINT) AS n_start,
+             CAST(sum(en) AS BIGINT) AS n_end
+           FROM (
+             SELECT start_ms AS ms, 1 AS st, 0 AS en FROM iv
+             UNION ALL
+             SELECT end_ms AS ms, 0 AS st, 1 AS en FROM iv)
+           GROUP BY 1),
+         swept AS (
+           SELECT ms, n_start, n_end,
+             sum(n_start - n_end) OVER (ORDER BY ms) AS net
+           FROM ep)
+         SELECT ms // 86400000 AS day,
+           CAST(max(net + n_end) AS BIGINT) AS peak_concurrency,
+           CAST(sum(n_start) AS BIGINT) AS n_sessions_started
+         FROM swept GROUP BY 1 ORDER BY 1""",
     "q56_transitions" ->
       """WITH e AS (
            SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events),

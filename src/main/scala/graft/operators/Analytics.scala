@@ -347,6 +347,36 @@ object Analytics {
       .drop("__pid", "__lr", "__off")
   }
 
+  /** Exact global RUNNING SUM of `value` under a total `sort` order —
+    * withGlobalRank's additive sibling (rank = running sum of 1):
+    * range-partition on the sort key, per-partition prefix sums, then
+    * one bounded window over ≤ numShufflePartitions partition TOTALS
+    * broadcast back as exclusive offsets. The global-order primitive
+    * behind sweep-line analytics (q59) that a naive
+    * `Window.orderBy(...)` would funnel through one task. */
+  private[graft] def withGlobalRunningSum(df: DataFrame,
+      value: org.apache.spark.sql.Column, out: String,
+      scaffolding: scala.collection.mutable.ListBuffer[DataFrame],
+      sort: org.apache.spark.sql.Column*): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val n = s.sessionState.conf.numShufflePartitions
+    val local = df.repartitionByRange(n, sort: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrs", sum(value).over(Window.partitionBy($"__pid")
+        .orderBy(sort: _*).rowsBetween(Window.unboundedPreceding, 0)))
+      .cache() // same caveat as withGlobalRank: both branches must see ONE shuffle
+    scaffolding += local
+    val offs = local.groupBy($"__pid").agg(sum(value).as("__c"))
+      .withColumn("__off", coalesce(sum($"__c").over(
+        Window.orderBy($"__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select($"__pid", $"__off")
+    local.join(broadcast(offs), "__pid")
+      .withColumn(out, $"__off" + $"__lrs")
+      .drop("__pid", "__lrs", "__off")
+  }
+
   /** SQL ntile(k) from an exact global rank: bucket sizes differ by at
     * most one with the larger buckets first — `tile(r) =
     * ceil(r/(size+1))` inside the first (N mod k) oversized buckets,
@@ -614,5 +644,48 @@ object Analytics {
       .filter($"d" <= $"hi")
       .groupBy($"d").agg(count(lit(1)).as("wau"))
       .orderBy($"d")
+  }
+
+  /** Q59: peak session concurrency per day — an exact interval
+    * sweep-line over q14's 30-min-gap sessions. Sessions reduce to
+    * per-INSTANT endpoint counts first (`groupBy(ms)` → starts/ends):
+    * that makes the sweep key unique, so the running sum has no tie
+    * groups (ROWS and RANGE window semantics coincide — the property
+    * the DuckDB oracle parity rests on) and the sweep frame shrinks
+    * from 2·sessions rows to distinct endpoint instants. One
+    * DISTRIBUTED global running sum ([[withGlobalRunningSum]] — never
+    * a single-partition `Window.orderBy`) carries concurrency across
+    * day boundaries; the peak AT an instant counts that instant's
+    * starts before its ends (closed intervals: a session starting the
+    * moment another ends overlaps it), i.e. `net + n_end`. Reported
+    * at endpoint grain: each day's max over its own instants — a day
+    * whose concurrency never changes inherits no row, which is the
+    * sweep-line contract. */
+  def q59Concurrency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("q59_concurrency", dir) {
+      val byUser = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      val sessions = Tables.eventsWithMs(s, dir)
+        .select($"user_id", $"event_id", $"ms")
+        .withColumn("prev_ms", lag($"ms", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_ms".isNull || $"ms" - $"prev_ms" > Sessionize.SessionGapMs,
+            1L).otherwise(0L))
+        .withColumn("session_id",
+          sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"session_id")
+        .agg(min($"ms").as("start_ms"), max($"ms").as("end_ms"))
+      val endpoints = sessions
+        .select($"start_ms".as("ms"), lit(1L).as("st"), lit(0L).as("en"))
+        .unionAll(sessions.select($"end_ms".as("ms"), lit(0L).as("st"), lit(1L).as("en")))
+        .groupBy($"ms")
+        .agg(sum($"st").as("n_start"), sum($"en").as("n_end"))
+      withGlobalRunningSum(endpoints, $"n_start" - $"n_end", "net", scaffolding, $"ms")
+        .groupBy(expr("ms div 86400000L").as("day"))
+        .agg(max($"net" + $"n_end").as("peak_concurrency"),
+             sum($"n_start").as("n_sessions_started"))
+        .orderBy($"day")
+    } { scaffolding.foreach(_.unpersist()) }
   }
 }

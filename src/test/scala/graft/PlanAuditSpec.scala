@@ -309,6 +309,23 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q59: sweep runs on a distributed running sum — range-partitioned on ms, funnel is pid-sized") {
+    val p = plan(operators.Analytics.q59Concurrency(spark, sf))
+    // sessionization windows hash on the user key; the sweep order is a
+    // range partitioning on the (pre-grouped, unique) instant key —
+    // never a partitionBy-less Window over the endpoint frame
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(p.contains("rangepartitioning(ms"), p)
+    // the only SinglePartition exchanges feed the per-partition-TOTAL
+    // offsets window: ≤ numShufflePartitions rows carrying (__pid, __c)
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("SinglePartition")).foreach {
+      case (_, i) =>
+        assert(lines(i - 1).contains("__pid"),
+          s"non-bounded SinglePartition exchange:\n${lines.slice(i - 3, i + 1).mkString("\n")}")
+    }
+  }
+
   test("t13: prefix-filtered pair build — sorted_dot verify, distributed dict, no data-sized funnel") {
     val (pairs, scaffolding) = operators.TextAnalysis.tfidfCosinePairs(
       Tables.documents(spark, sf))
