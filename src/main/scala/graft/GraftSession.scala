@@ -34,9 +34,10 @@ object GraftSession {
       // every per-partition group count in this suite (≤ a few
       // thousand) while capping the no-spill exposure.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
-      // events.parquet carries TIMESTAMP(NANOS); Spark has no ns
-      // timestamp type, so read it as epoch-nanos LongType and convert
-      // with exact integer arithmetic (see Tables.eventsWithMs).
+      // If events.parquet carries TIMESTAMP(NANOS) (Spark has no ns
+      // timestamp type), read it as epoch-nanos LongType; a
+      // TIMESTAMP(MICROS) file is unaffected and reads as timestamp.
+      // Tables.eventsWithMs adapts to whichever type arrives.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // bucketed-table writes land here (saveAsTable), not in cwd
       .config("spark.sql.warehouse.dir",

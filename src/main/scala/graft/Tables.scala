@@ -18,13 +18,26 @@ object Tables {
   def lineitem(s: SparkSession, dir: String): DataFrame  = load(s, dir, "lineitem")
   def events(s: SparkSession, dir: String): DataFrame    = load(s, dir, "events")
 
-  /** `events` with the ns-precision `ts` (read as epoch-nanos long —
-    * see GraftSession) reduced to exact epoch milliseconds `ms`.
-    * Integer `div`, never float division: 1.7e18 ns exceeds a double's
-    * exact-integer range. */
-  def eventsWithMs(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "events")
-      .withColumn("ms", org.apache.spark.sql.functions.expr("ts div 1000000L"))
+  /** `events` with `ts` reduced to exact epoch milliseconds `ms`,
+    * adaptive to the physical type the parquet carries:
+    *   - TIMESTAMP(NANOS) read as epoch-nanos LongType (the
+    *     `nanosAsLong` legacy conf in GraftSession): `ts div 1000000`.
+    *   - TIMESTAMP(MICROS) read as TIMESTAMP / TIMESTAMP_NTZ:
+    *     `unix_micros(cast(ts as timestamp)) div 1000` — the NTZ→TZ
+    *     cast is exact under the session's UTC time zone and matches
+    *     the DuckDB oracle's `epoch_ms(ts)` (naive-as-UTC) semantics.
+    * Integer `div` end-to-end, never float division: epoch nanos
+    * (1.7e18) exceed a double's exact-integer range. */
+  def eventsWithMs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.LongType
+    val e = load(s, dir, "events")
+    val ms = e.schema("ts").dataType match {
+      case LongType => expr("ts div 1000000L")
+      case _        => expr("unix_micros(cast(ts as timestamp)) div 1000L")
+    }
+    e.withColumn("ms", ms)
+  }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 

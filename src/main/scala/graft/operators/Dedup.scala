@@ -744,7 +744,15 @@ object Dedup {
       .select($"doc_id", tokens($"text").as("w"))
       .select($"doc_id",
         posexplode(ngramsFromTokens($"w", SpanShingle)).as(Seq("pos", "sh")))
-      .select($"doc_id", $"pos",
+      // loud PosPack bound: a doc with ≥2^20 tokens would collide its
+      // packed (doc_id, pos) keys into the next doc_id and silently
+      // corrupt first-occurrence mins — fail the scan instead. The
+      // branch is codegen'd and position-only; scan cost is nil.
+      .select($"doc_id",
+        when($"pos" < lit(PosPack.toInt), $"pos")
+          .otherwise(raise_error(concat(
+            lit(s"document exceeds PosPack bound of $PosPack tokens: doc_id="),
+            $"doc_id".cast("string")))).as("pos"),
         xxhash64($"sh").as("h1"), xxhash64(lit(1), $"sh").as("h2"))
   }
 

@@ -93,7 +93,11 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
-      (sum($"deg" * ($"deg" - 1)) / 2).cast("long").as("n_wedges"))
+      // integer `div`, not `/`: true division routes the count through
+      // a double and loses exactness past 2^53 (power-law degree
+      // squares at corpus scale) — bigint end-to-end matches the
+      // oracle's integer `// 2`.
+      expr("sum(deg * (deg - 1)) div 2").as("n_wedges"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     stats.join(broadcast(nEdges)).join(broadcast(tri))
       .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
