@@ -293,9 +293,13 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(!p.contains("ntile"), p)
   }
 
-  test("m10: neighbor rank rides WindowGroupLimit over a memoized rating-matrix self-join") {
+  test("m10: neighbor rank is a partial topk_agg over a memoized rating-matrix self-join") {
     val p = plan(graft.ml.Recommender.m10ItemCosine(spark, sf))
-    assert(p.contains("WindowGroupLimit"), p) // top-5 pushed into the window
+    // top-5 is the map-side-partial topk_agg, never a window sort of
+    // the full pair fan-out (and no window at all in the plan)
+    assert(p.contains("topk_agg"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("RunningWindowFunction") && !p.contains("WindowExec"), p)
     assert(!p.contains("CartesianProduct"), p)
     // both self-join sides read the single memoized rating materialization
     assert(p.contains("InMemoryTableScan"), p)
