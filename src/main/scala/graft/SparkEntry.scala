@@ -137,6 +137,11 @@ object SparkEntry {
     "m10_item_cosine"    -> (graft.ml.Recommender.m10ItemCosine _),
     "q53_pagerank"       -> (Graph.q53Pagerank _),
     "q54_triangles"      -> (Graph.q54Triangles _),
+    "m11_dimsum"         -> ((s: SparkSession, d: String) =>
+      graft.ml.Recommender.m11Dimsum(s, d)),
+    "s6_mips"            -> (Similarity.s6Mips _),
+    "z1_zorder"          -> (Layout.z1ZorderStats _),
+    "q60_acf"            -> (Analytics.q60Acf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1456,5 +1461,71 @@ object SparkEntry {
          SELECT doc_id, n_tokens, quality,
            CAST(ntile(4) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS phase
          FROM q ORDER BY doc_id""",
+    "s6_mips" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             floor(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+               * 10000) / 10000.0 AS ip
+           FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id),
+         ranked AS (
+           SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+             ORDER BY ip DESC, neighbor_id) AS INTEGER) AS rnk, neighbor_id, ip
+           FROM scored)
+         SELECT q_id, rnk, neighbor_id, ip FROM ranked WHERE rnk <= 3
+         ORDER BY q_id, rnk""",
+    "z1_zorder" ->
+      """WITH b0 AS (
+           SELECT l_partkey, l_suppkey,
+             l_partkey & 2097151 AS a, l_suppkey & 2097151 AS b
+           FROM lineitem),
+         b1 AS (SELECT l_partkey, l_suppkey,
+           (a | (a << 16)) & 281470681808895 AS a,
+           (b | (b << 16)) & 281470681808895 AS b FROM b0),
+         b2 AS (SELECT l_partkey, l_suppkey,
+           (a | (a << 8)) & 71777214294589695 AS a,
+           (b | (b << 8)) & 71777214294589695 AS b FROM b1),
+         b3 AS (SELECT l_partkey, l_suppkey,
+           (a | (a << 4)) & 1085102592571150095 AS a,
+           (b | (b << 4)) & 1085102592571150095 AS b FROM b2),
+         b4 AS (SELECT l_partkey, l_suppkey,
+           (a | (a << 2)) & 3689348814741910323 AS a,
+           (b | (b << 2)) & 3689348814741910323 AS b FROM b3),
+         b5 AS (SELECT l_partkey, l_suppkey,
+           (a | (a << 1)) & 6148914691236517205 AS a,
+           (b | (b << 1)) & 6148914691236517205 AS b FROM b4)
+         SELECT (a | (b << 1)) >> 12 AS zbucket, count(*) AS n,
+           min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+           min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+         FROM b5 GROUP BY 1 ORDER BY 1""",
+    "q60_acf" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1),
+         m AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS mu FROM daily),
+         d AS (
+           SELECT day, CAST(cents - mu AS DECIMAL(19,0)) AS d
+           FROM daily, m),
+         lagged AS (
+           SELECT d,
+             lead(d, 1) OVER w AS d1, lead(d, 2) OVER w AS d2,
+             lead(d, 3) OVER w AS d3, lead(d, 4) OVER w AS d4,
+             lead(d, 5) OVER w AS d5, lead(d, 6) OVER w AS d6,
+             lead(d, 7) OVER w AS d7
+           FROM d WINDOW w AS (ORDER BY day)),
+         agg AS (
+           SELECT sum(d * d) AS den,
+             sum(d * d1) AS num1, sum(d * d2) AS num2, sum(d * d3) AS num3,
+             sum(d * d4) AS num4, sum(d * d5) AS num5, sum(d * d6) AS num6,
+             sum(d * d7) AS num7
+           FROM lagged)
+         SELECT CAST(u.lag AS INTEGER) AS lag,
+           floor(CAST(u.num AS DOUBLE) / CAST(den AS DOUBLE) * 10000) / 10000.0 AS acf
+         FROM agg, UNNEST([{'lag': 1, 'num': num1}, {'lag': 2, 'num': num2},
+           {'lag': 3, 'num': num3}, {'lag': 4, 'num': num4},
+           {'lag': 5, 'num': num5}, {'lag': 6, 'num': num6},
+           {'lag': 7, 'num': num7}]) AS t(u)
+         ORDER BY lag""",
   )
 }

@@ -506,6 +506,92 @@ object Recommender {
       .orderBy($"item", $"rnk")
   }
 
+  /** M11: DIMSUM-sampled item-item cosine — m10's 100 TB path.
+    * m10's exact pair fan-out is Σ_users C(items_u, 2); on a power-law
+    * catalog the popular-popular pairs dominate that sum while needing
+    * the LEAST evidence for a stable cosine. DIMSUM (Zadeh & Goel,
+    * "Dimension Independent Similarity Computation", JMLR 2013) keeps a
+    * (user, i, j) contribution with probability
+    * p = min(1, γ/(‖i‖·‖j‖)) and weights survivors by 1/p, so
+    * E[Σ q_ui·q_uj/(‖i‖‖j‖p)] is exactly the cosine — unbiased, and
+    * EXACT (p = 1, no sampling) for every pair below the γ norm
+    * product. The sampling filter runs map-side on the joined row,
+    * BEFORE the (i,j) exchange: shuffle volume follows γ (an accuracy
+    * knob), not the pair fan-out — the property that keeps the item
+    * graph buildable when exact m10 becomes output-bound.
+    *
+    * The coin is a seeded xxhash64 of (user, i, j) mapped to [0,1) —
+    * deterministic replay, but not DuckDB-replicable, so the entry is
+    * rows-only; the spec pins unbiasedness analytically (p=1 pairs
+    * equal m10's exact quantized cosine) and recall@5 vs m10. */
+  def m11Dimsum(s: SparkSession, dir: String): DataFrame =
+    m11Dimsum(s, dir, gamma = m11DefaultGamma(s, dir))
+
+  /** Default oversampling parameter: twice the mean squared norm —
+    * p pins to 1 for typical pairs (their evidence is a handful of
+    * co-raters; sampling them is just noise) and falls below 1 only
+    * for the popular-popular head, exactly where co-rating support is
+    * abundant enough for the law of large numbers to carry the
+    * estimate. That head is also where the pair fan-out Σ C(items_u,2)
+    * concentrates on a power-law catalog, so the shuffle still
+    * shrinks where it matters.
+    * γ must track the data's norm scale (a fixed constant goes
+    * degenerate as volume grows: norms grow with ratings, p → 0
+    * everywhere); the norm frame is catalog-sized, so this is one
+    * tiny agg over an already-needed artifact. */
+  private[graft] def m11DefaultGamma(s: SparkSession, dir: String): Double = {
+    import s.implicits._
+    intRatings(s, dir).groupBy($"item")
+      .agg(sum($"q" * $"q").as("n2"))
+      .agg(avg($"n2")).as[Double].head() * 2.0
+  }
+
+  private[graft] def m11Dimsum(s: SparkSession, dir: String,
+      gamma: Double): DataFrame = {
+    import s.implicits._
+    val est = m11Estimates(s, dir, gamma)
+    val both = est.select(explode(array(
+        struct($"ia".as("item"), $"ib".as("nbr"), $"cos_est"),
+        struct($"ib".as("item"), $"ia".as("nbr"), $"cos_est"))).as("e"))
+      .select($"e.item", $"e.nbr", graft.functions.VectorFunctions.q4($"e.cos_est").as("cosine"))
+    both.groupBy($"item")
+      .agg(expr("topk_agg(cosine, nbr, 5)").as("top"))
+      .select($"item", posexplode($"top").as(Seq("pos", "e")))
+      .select($"item", $"e.id".as("nbr"), $"e.score".as("cosine"),
+        ($"pos" + 1).cast("int").as("rnk"))
+      .orderBy($"item", $"rnk")
+  }
+
+  /** The sampled-pair cosine estimates (ia < ib, cos_est) behind m11 —
+    * exposed at this grain so the spec can pin unbiasedness (γ → ∞
+    * must reproduce the exact cosines) and the sampled-pair count's
+    * γ-dependence (the scale claim). */
+  private[graft] def m11Estimates(s: SparkSession, dir: String,
+      gamma: Double): DataFrame = {
+    import s.implicits._
+    val r = intRatings(s, dir)
+    val n2 = r.groupBy($"item").agg(sum($"q" * $"q").as("n2"))
+    // norms are catalog-sized — ride in on a broadcast, so the rating
+    // frame's one exchange (ReuseExchange across the self-join) stays
+    // the only data-sized shuffle before sampling
+    val rr = r.join(broadcast(n2), "item")
+      .select($"user", $"item", $"q",
+        sqrt($"n2".cast("double")).as("nrm"))
+    val joined = rr.as("a").join(rr.as("b"),
+        $"a.user" === $"b.user" && $"a.item" < $"b.item")
+      .select($"a.user".as("user"), $"a.item".as("ia"), $"b.item".as("ib"),
+        ($"a.q" * $"b.q").cast("double").as("prod"),
+        ($"a.nrm" * $"b.nrm").as("nn"))
+    val p = least(lit(1.0), lit(gamma) / $"nn")
+    // deterministic uniform in [0,1): xxhash64 mod a large prime —
+    // replayable across runs and partitionings (keyed on values only)
+    val coin = pmod(xxhash64(lit(42), $"user", $"ia", $"ib"),
+      lit(1000000007L)).cast("double") / 1000000007.0
+    joined.filter(coin < p)
+      .select($"ia", $"ib", ($"prod" / ($"nn" * p)).as("contrib"))
+      .groupBy($"ia", $"ib").agg(sum($"contrib").as("cos_est"))
+  }
+
   /** Memoized integer rating matrix (user, item, q = Σ l_quantity as
     * BIGINT): one materialization feeds both sides of m10's self-join
     * and its norm aggregate — without it the orders⋈lineitem scan-agg

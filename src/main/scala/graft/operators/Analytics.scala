@@ -692,4 +692,47 @@ object Analytics {
         .orderBy($"day")
     } { scaffolding.foreach(_.unpersist()) }
   }
+
+  /** Q60: autocorrelation of the daily-revenue series at lags 1–7 —
+    * the seasonality detector behind q55 (a weekly cycle shows as a
+    * local maximum at lag 7).
+    *
+    * Exactness contract, stronger than the usual round-the-floats:
+    * the series is built in integer CENTS (`floor(o_totalprice*100)`
+    * per row is one IEEE multiply + floor, identical in any engine;
+    * the daily sum is then bigint, order-independent), the mean is the
+    * integer-div quantized mean (a defined statistic, not an FP
+    * approximation), and the lag products accumulate in DECIMAL(38,0)
+    * (Σ d² ~ 1e20 overflows bigint). The only float op is the final
+    * num/den division of exactly-agreed integers, floor-quantized —
+    * bit-identical cross-engine with no summation-order exposure.
+    *
+    * Shape at 100 TB: everything after the first groupBy is
+    * calendar-sized (one row per day), so the lead window's single
+    * partition holds years-of-days rows — the q48/q55 aggregated-frame
+    * convention, bounded by time, not data. */
+  def q60Acf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+    // integer `div`, not `/` — true division would route the mean
+    // through a double (the q54 lesson)
+    val mu = daily.agg(expr("sum(cents) div count(1)").as("mu"))
+    val d = daily.join(broadcast(mu))
+      .select($"day", ($"cents" - $"mu").cast("decimal(19,0)").as("d"))
+    val byDay = Window.orderBy($"day")
+    val lagged = d.select($"day" +: $"d" +: (1 to 7).map(k =>
+      lead($"d", k).over(byDay).as(s"d$k")): _*)
+    val den = sum($"d" * $"d")
+    lagged
+      .agg(den.as("den"),
+        (1 to 7).map(k => sum($"d" * col(s"d$k")).as(s"num$k")): _*)
+      .select(explode(array((1 to 7).map(k =>
+        struct(lit(k).cast("int").as("lag"),
+          (floor(col(s"num$k").cast("double") / $"den".cast("double")
+            * 10000) / 10000.0).as("acf"))): _*)).as("e"))
+      .select($"e.lag", $"e.acf")
+      .orderBy($"lag")
+  }
 }

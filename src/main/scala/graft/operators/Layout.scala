@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-layout operators: multi-dimensional clustering for scan
+  * pruning.
+  *
+  * At 100 TB the cheapest query is the one that never reads the file:
+  * parquet row-group / file min-max stats prune a scan only when the
+  * layout puts correlated values together. A linear sort gives perfect
+  * pruning on ONE column and none on the others; a Z-order (Morton)
+  * interleave gives useful bounding boxes on ALL interleaved columns
+  * at once — the standard lakehouse layout for multi-dimensional
+  * filters (bit-interleaving goes back to Morton 1966; every modern
+  * table format exposes it as OPTIMIZE ... ZORDER BY).
+  *
+  * The z-key is pure integer bit arithmetic (shift/mask spread +
+  * interleave), fully codegen'd, engine-reproducible, and cheap enough
+  * to compute at write time on every row. `zorderKey` is the reusable
+  * column function; `z1ZorderStats` is the suite entry that
+  * hash-checks the interleave against the oracle's identical bit
+  * arithmetic and reports per-bucket bounding boxes — the direct
+  * evidence of locality (each coarse z-bucket covers a tight box in
+  * (part, supp) space, which is exactly what min-max pruning needs).
+  */
+object Layout {
+
+  /** Insert one zero bit between each of the low 21 bits of `c`
+    * (values must be < 2^21): the classic 5-step shift-mask spread.
+    * Long arithmetic end to end — `shiftleft` on an int column would
+    * wrap at 32 bits. */
+  private[graft] def spread21(c: Column): Column = {
+    val x0 = c.cast("long").bitwiseAND(lit(0x1FFFFFL))
+    val x1 = (x0.bitwiseOR(shiftleft(x0, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    val x2 = (x1.bitwiseOR(shiftleft(x1, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    val x3 = (x2.bitwiseOR(shiftleft(x2, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    val x4 = (x3.bitwiseOR(shiftleft(x3, 2))).bitwiseAND(lit(0x3333333333333333L))
+    (x4.bitwiseOR(shiftleft(x4, 1))).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** 2-D Morton key: bits of `a` at even positions, `b` at odd. Total
+    * order on the key is the Z-curve through (a, b) space. Bounds:
+    * both inputs < 2^21 (key < 2^42) — catalog-key-scale limits. */
+  def zorderKey(a: Column, b: Column): Column =
+    spread21(a).bitwiseOR(shiftleft(spread21(b), 1))
+
+  /** Z1: z-order layout audit over lineitem keyed on
+    * (l_partkey, l_suppkey) — per coarse z-bucket (key >> 12): row
+    * count and the bucket's bounding box in both dimensions. Buckets
+    * are 4096-cell Z-tiles, so each bounding box is provably ≤ a
+    * 64×64-aligned region of (part, supp) space — tight boxes on BOTH
+    * columns simultaneously, which a linear sort cannot give. The
+    * whole computation is one scan + one hash aggregation on the
+    * bucket key; output is bucket-count-sized. */
+  def z1ZorderStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey",
+        zorderKey($"l_partkey", $"l_suppkey").as("zkey"))
+      .groupBy(shiftright($"zkey", 12).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min($"l_partkey").as("min_part"), max($"l_partkey").as("max_part"),
+        min($"l_suppkey").as("min_supp"), max($"l_suppkey").as("max_supp"))
+      .orderBy($"zbucket")
+  }
+}

@@ -43,6 +43,51 @@ object Similarity {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** S6: exact max-inner-product top-k (MIPS) — the recommender
+    * serving primitive: rank candidates by RAW dot product (user·item
+    * preference score), not by angle. Distinct from s1 because MIPS is
+    * not a metric search: the dot is unbounded and norm-biased, so
+    * cosine indexes don't serve it directly. The classic scale path is
+    * the norm-augmentation reduction (Bachrach et al. RecSys'14):
+    * lift every candidate to [x; √(M²−‖x‖²)] with M = max ‖x‖ and
+    * queries to [q; 0] — inner-product order then EQUALS cosine order
+    * in the lifted space, and the s2 IVF machinery serves it
+    * unchanged. The suite entry hash-checks the exact path; the
+    * reduction's order-equivalence is spec-pinned.
+    *
+    * Shape at 100 TB: queries broadcast (serving batches are small
+    * next to the corpus); candidates stream through one codegen'd
+    * dot + `topk_agg`, whose map-side partial ships ≤ k rows per
+    * (partition, query) — the same agg-not-window shape as m10. */
+  def s6Mips(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", toDoubles($"embedding").as("v"))
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val scored = emb.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        q4(dot($"qv", $"v")).as("ip"))
+    scored.groupBy($"q_id")
+      .agg(expr("topk_agg(ip, neighbor_id, 3)").as("top"))
+      .select($"q_id", posexplode($"top").as(Seq("pos", "e")))
+      .select($"q_id", ($"pos" + 1).cast("int").as("rnk"),
+        $"e.id".as("neighbor_id"), $"e.score".as("ip"))
+      .orderBy($"q_id", $"rnk")
+  }
+
+  /** The norm-augmentation lift for the spec: candidates →
+    * [x; √(M²−‖x‖²)], queries → [q; 0]. ‖lifted‖ = M for every
+    * candidate, so cosine order against a lifted query is dot order. */
+  private[graft] def s6Lifted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = withNorm(Tables.embeddings(s, dir))
+    val m = emb.agg(max($"nrm")).as[Double].head()
+    emb.select($"vec_id",
+      concat($"v", array(sqrt(greatest(lit(m * m) - $"nrm" * $"nrm", lit(0.0)))))
+        .as("v"))
+  }
+
   /** D5: exact embedding near-dup pairs, cosine ≥ 0.5 — same result
     * set as the naive all-pairs join (the oracle checks it), but the
     * candidate join is a shuffle equi-join on a cluster-pair key, never

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Round-6 operators: DIMSUM sampling (m11), MIPS + the norm-
+  * augmentation reduction (s6), Z-order layout (z1), ACF (q60). */
+class Round6OpsSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  // ---------------- m11 DIMSUM ----------------
+
+  test("m11: with gamma beyond every norm product the estimator is the exact cosine") {
+    // p = min(1, gamma/nn) pins to 1 for every pair -> no sampling, no
+    // reweighting: the estimate must equal the exact cosine up to the
+    // double-sum vs integer-dot formulation gap (~1e-12 relative)
+    val est = ml.Recommender.m11Estimates(spark, sf, gamma = 1e15)
+    val r = ml.Recommender.intRatings(spark, sf)
+    val n2 = r.groupBy($"item").agg(sum($"q" * $"q").as("n2"))
+    val exact = r.as("a").join(r.as("b"),
+        $"a.user" === $"b.user" && $"a.item" < $"b.item")
+      .groupBy($"a.item".as("ia"), $"b.item".as("ib"))
+      .agg(sum($"a.q" * $"b.q").as("dot"))
+      .join(broadcast(n2.select($"item".as("ia"), $"n2".as("n2a"))), "ia")
+      .join(broadcast(n2.select($"item".as("ib"), $"n2".as("n2b"))), "ib")
+      .select($"ia", $"ib", ($"dot" /
+        (sqrt($"n2a".cast("double")) * sqrt($"n2b".cast("double")))).as("cos"))
+    val joinedCmp = est.join(exact, Seq("ia", "ib"), "full")
+    assert(joinedCmp.filter($"cos_est".isNull || $"cos".isNull).count() == 0,
+      "gamma -> infinity must keep every exact pair")
+    val maxErr = joinedCmp.agg(max(abs($"cos_est" - $"cos"))).as[Double].head()
+    assert(maxErr < 1e-9, s"unbiased no-sampling estimate drifted: $maxErr")
+  }
+
+  test("m11: sampled-pair count shrinks monotonically with gamma — the shuffle-volume knob") {
+    val nFull = ml.Recommender.m11Estimates(spark, sf, gamma = 1e15).count()
+    val nMid = ml.Recommender.m11Estimates(spark, sf, gamma = 200.0).count()
+    val nLow = ml.Recommender.m11Estimates(spark, sf, gamma = 20.0).count()
+    assert(nLow < nMid && nMid < nFull,
+      s"expected strictly shrinking pair sets, got $nFull >= $nMid >= $nLow")
+  }
+
+  test("m11: default-entry output has dense ranks and positive estimates; mild sampling recalls the exact top-5 well") {
+    val m11 = ml.Recommender.m11Dimsum(spark, sf).cache()
+    val badRank = m11.withColumn("expected", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"item").orderBy($"cosine".desc, $"nbr")))
+      .filter($"rnk" =!= $"expected" || $"rnk" > 5 || $"cosine" <= 0.0)
+    assert(badRank.count() == 0)
+    val exactTop = ml.Recommender.m10ItemCosine(spark, sf)
+      .select($"item", $"nbr").as[(Long, Long)].collect().toSet
+    val approxTop = m11.select($"item", $"nbr").as[(Long, Long)].collect().toSet
+    val recall = (exactTop & approxTop).size.toDouble / exactTop.size
+    assert(recall >= 0.7, s"recall@5 vs exact m10: $recall")
+    m11.unpersist()
+  }
+
+  // ---------------- s6 MIPS ----------------
+
+  test("s6: lifted-space cosine order equals raw dot order (the MIPS->NN reduction)") {
+    // the lift [x; sqrt(M^2-|x|^2)] gives every candidate norm M, so
+    // cosine against [q; 0] is dot(q, x)/(M*|q|) — rank-preserving
+    val lifted = operators.Similarity.s6Lifted(spark, sf).cache()
+    val norms = lifted.select(norm($"v").as("n")).agg(
+      max($"n").as("mx"), min($"n").as("mn")).head()
+    assert(norms.getDouble(0) - norms.getDouble(1) < 1e-6,
+      "lift must equalize candidate norms")
+    val queries = operators.Similarity.s6Lifted(spark, sf)
+      .filter($"vec_id" < 5)
+      // zero the augmentation coordinate: [q; 0]
+      .select($"vec_id".as("q_id"),
+        concat(slice($"v", 1, 64), array(lit(0.0))).as("qv"))
+    val viaCosine = lifted.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        q4(dot($"qv", $"v") / (norm($"qv") * norm($"v"))).as("c"))
+      .groupBy($"q_id").agg(expr("topk_agg(c, neighbor_id, 3)").as("top"))
+      .select($"q_id", expr("transform(top, e -> e.id)").as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaDot = operators.Similarity.s6Mips(spark, sf)
+      .groupBy($"q_id").agg(collect_list(struct($"rnk", $"neighbor_id")).as("xs"))
+      .select($"q_id", expr("transform(array_sort(xs), e -> e.neighbor_id)").as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaCosine.keySet == viaDot.keySet)
+    // quantized scores can tie where raw doubles differ — compare the
+    // id SETS per query (both sides use the same id tie-break)
+    viaDot.foreach { case (q, ids) =>
+      assert(viaCosine(q).toSet == ids.toSet,
+        s"query $q: lifted-cosine ${viaCosine(q)} vs dot $ids")
+    }
+    lifted.unpersist()
+  }
+
+  // ---------------- z1 Z-order ----------------
+
+  test("z1: morton key round-trips and its buckets are 64x64-aligned boxes") {
+    // round-trip a grid sample through the column function
+    val sample = spark.range(1000).select(
+      (rand(7) * 2097151).cast("long").as("a"),
+      (rand(11) * 2097151).cast("long").as("b"))
+    val keyed = sample.select($"a", $"b",
+      operators.Layout.zorderKey($"a", $"b").as("z"))
+      .as[(Long, Long, Long)].collect()
+    def compact(z: Long): Long = {
+      var x = z & 0x5555555555555555L
+      x = (x | (x >> 1)) & 0x3333333333333333L
+      x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x >> 4)) & 0x00FF00FF00FF00FFL
+      x = (x | (x >> 8)) & 0x0000FFFF0000FFFFL
+      (x | (x >> 16)) & 0x00000000FFFFFFFFL
+    }
+    keyed.foreach { case (a, b, z) =>
+      assert(compact(z) == a && compact(z >> 1) == b, s"roundtrip($a,$b)=$z")
+    }
+    // every z1 bucket (zkey >> 12 = a 4096-cell z-tile) must bound a
+    // 64-aligned 64x64 box in (part, supp) space
+    val bad = operators.Layout.z1ZorderStats(spark, sf)
+      .filter($"max_part" - $"min_part" > 63 || $"max_supp" - $"min_supp" > 63 ||
+        expr("min_part div 64") =!= expr("max_part div 64") ||
+        expr("min_supp div 64") =!= expr("max_supp div 64"))
+    assert(bad.count() == 0)
+  }
+
+  test("z1: z-order layout prunes 2-D box scans that a linear sort cannot") {
+    // synthetic square grid; "files" = contiguous 1024-row chunks of
+    // the sorted order (what maxRecordsPerFile materializes); pruning
+    // = chunks whose (min,max) box intersects the predicate box
+    val grid = spark.range(65536).select(
+      expr("id div 256").as("a"), ($"id" % 256).as("b"))
+    def chunkBoxes(sorted: org.apache.spark.sql.DataFrame) = sorted
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"k", $"a", $"b")))
+      .groupBy((($"rn" - 1) / 1024).cast("long").as("chunk"))
+      .agg(min($"a").as("la"), max($"a").as("ha"),
+        min($"b").as("lb"), max($"b").as("hb"))
+    val zChunks = chunkBoxes(grid.withColumn("k",
+      operators.Layout.zorderKey($"a", $"b")))
+    val linChunks = chunkBoxes(grid.withColumn("k", $"a"))
+    // box predicate on b alone: b in [0, 31] — an eighth of the domain
+    def admitted(ch: org.apache.spark.sql.DataFrame): Long =
+      ch.filter($"lb" <= 31 && $"hb" >= 0).count()
+    val (zAdm, linAdm) = (admitted(zChunks), admitted(linChunks))
+    val total = zChunks.count()
+    assert(linAdm == total, s"a-sorted layout should admit every chunk, $linAdm/$total")
+    assert(zAdm * 2 <= total, s"z-layout should prune >= half the chunks, admitted $zAdm/$total")
+  }
+
+  // ---------------- q60 ACF ----------------
+
+  test("q60: acf matches a local recomputation and stays in [-1, 1]") {
+    val acf = operators.Analytics.q60Acf(spark, sf)
+      .as[(Int, Double)].collect().toMap
+    assert(acf.keySet == (1 to 7).toSet)
+    assert(acf.values.forall(v => v >= -1.0 && v <= 1.0))
+    // local recomputation from the raw table, same integer-cents and
+    // quantized-mean definition
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+      .orderBy($"day").select($"cents").as[Long].collect()
+    val mu = daily.sum / daily.length
+    val d = daily.map(x => (x - mu).toDouble)
+    val den = d.map(x => x * x).sum
+    (1 to 7).foreach { k =>
+      val num = (0 until d.length - k).map(t => d(t) * d(t + k)).sum
+      val expected = math.floor(num / den * 10000) / 10000.0
+      assert(math.abs(acf(k) - expected) <= 1e-4, s"lag $k: ${acf(k)} vs $expected")
+    }
+  }
+}
