@@ -97,7 +97,9 @@ object ScaleProbe {
                   "q53_pagerank", "q54_triangles", "t13_tfidf_cosine",
                   "m9_kmeans", "q56_transitions", "m10_item_cosine",
                   "q57_blame_supplier", "q58_rolling_actives", "p10_near_dedup",
-                  "q59_concurrency")
+                  "q59_concurrency",
+                  "m11_dimsum", "s6_mips", "z1_zorder", "q60_acf",
+                  "s7_knn_join")
     // optional arg 2: regex to probe a subset (factor stays arg 1)
     val picked = args.drop(1).headOption
       .map(re => all.filter(_.matches(re))).getOrElse(all)

@@ -140,6 +140,7 @@ object SparkEntry {
     "m11_dimsum"         -> ((s: SparkSession, d: String) =>
       graft.ml.Recommender.m11Dimsum(s, d)),
     "s6_mips"            -> (Similarity.s6Mips _),
+    "s7_knn_join"        -> (Similarity.s7KnnJoin _),
     "z1_zorder"          -> (Layout.z1ZorderStats _),
     "q60_acf"            -> (Analytics.q60Acf _),
   )
@@ -1473,6 +1474,21 @@ object SparkEntry {
              ORDER BY ip DESC, neighbor_id) AS INTEGER) AS rnk, neighbor_id, ip
            FROM scored)
          SELECT q_id, rnk, neighbor_id, ip FROM ranked WHERE rnk <= 3
+         ORDER BY q_id, rnk""",
+    "s7_knn_join" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             floor(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               * 10000) / 10000.0 AS cos
+           FROM embeddings q JOIN embeddings c ON q.vec_id < 500 AND c.vec_id != q.vec_id),
+         ranked AS (
+           SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk, neighbor_id, cos
+           FROM scored)
+         SELECT q_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
          ORDER BY q_id, rnk""",
     "z1_zorder" ->
       """WITH b0 AS (

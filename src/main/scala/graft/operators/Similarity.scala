@@ -76,6 +76,32 @@ object Similarity {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** S7: exact kNN JOIN — a 500-query batch each getting its top-3
+    * cosine neighbors over the whole corpus (the batch operator behind
+    * "find neighbors for every row"; s1 is its 5-query lookup case).
+    * The O(n·m) dot products are unavoidable for the exact result, but
+    * the SHUFFLE never sees them: the query block broadcasts, each
+    * partition scores its candidate slice, and `topk_agg`'s map-side
+    * partial ships only k rows per (partition, query) — m·k rows cross
+    * the wire, not n·m. At 100 TB the same plan serves with the s2 IVF
+    * probe replacing the full scan (the approximate twin); this entry
+    * is the exact reference the recall specs measure against. */
+  def s7KnnJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = withNorm(Tables.embeddings(s, dir))
+    val queries = emb.filter($"vec_id" < 500)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    emb.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        q4(dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
+      .groupBy($"q_id")
+      .agg(expr("topk_agg(cos, neighbor_id, 3)").as("top"))
+      .select($"q_id", posexplode($"top").as(Seq("pos", "e")))
+      .select($"q_id", ($"pos" + 1).cast("int").as("rnk"),
+        $"e.id".as("neighbor_id"), $"e.score".as("cos"))
+      .orderBy($"q_id", $"rnk")
+  }
+
   /** The norm-augmentation lift for the spec: candidates →
     * [x; √(M²−‖x‖²)], queries → [q; 0]. ‖lifted‖ = M for every
     * candidate, so cosine order against a lifted query is dot order. */

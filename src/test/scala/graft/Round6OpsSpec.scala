@@ -90,6 +90,27 @@ class Round6OpsSpec extends GraftSpecBase {
     lifted.unpersist()
   }
 
+  // ---------------- s7 kNN join ----------------
+
+  test("s7: the batch kNN join agrees with s1's window formulation on the shared queries") {
+    val s1 = operators.Similarity.s1KnnBrute(spark, sf)
+      .select($"q_id", $"rnk", $"neighbor_id", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val s7 = operators.Similarity.s7KnnJoin(spark, sf)
+      .filter($"q_id" < 5)
+      .select($"q_id", $"rnk", $"neighbor_id", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(s7 == s1, "topk_agg batch path must reproduce the window lookup path")
+  }
+
+  test("s7: plan is broadcast + partial topk_agg — no window, no pair-sized shuffle") {
+    val p = operators.Similarity.s7KnnJoin(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(p.contains("topk_agg"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
   // ---------------- z1 Z-order ----------------
 
   test("z1: morton key round-trips and its buckets are 64x64-aligned boxes") {
