@@ -169,6 +169,51 @@ object Advanced {
       .orderBy($"funnel_stage")
   }
 
+  /** Q61: time-bounded ordered funnel (the windowFunnel shape): per
+    * user, the deepest view → click → purchase chain whose EVERY step
+    * falls within six hours of the anchoring view — q29's session
+    * funnel counts prefix order inside a gap-defined session; this one
+    * is anchored wall-clock attribution (any view can open a window,
+    * the chain must close inside it).
+    *
+    * Exact, collect-free ladder: each level is a user-keyed equi-join
+    * with the range condition as a post-join filter — views⋈clicks
+    * builds the (user, v_ms, c_ms) chain frame, purchases semi-join
+    * against it, and user sets dedupe level by level. Fan-out is
+    * per-user views×clicks — bounded by single-user activity (the
+    * q30/q43 class; a per-user history cap is the production knob),
+    * never corpus-sized, and every exchange keys on user_id. Level
+    * totals partition the distinct-user set. */
+  def q61WindowFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = 21600000L
+    val e = Tables.eventsWithMs(s, dir)
+      .select($"user_id", $"ms", $"event_type")
+    val views = e.filter($"event_type" === "view")
+      .select($"user_id", $"ms".as("v_ms"))
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ms".as("c_ms"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ms".as("p_ms"))
+    val vc = views.join(clicks, Seq("user_id"))
+      .filter($"c_ms" > $"v_ms" && $"c_ms" <= $"v_ms" + w)
+    val l1 = views.select($"user_id").distinct()
+    val l2 = vc.select($"user_id").distinct()
+    val l3 = vc.join(purchases, Seq("user_id"))
+      .filter($"p_ms" > $"c_ms" && $"p_ms" <= $"v_ms" + w)
+      .select($"user_id").distinct()
+    val level = e.select($"user_id").distinct()
+      .join(l1.withColumn("l1", lit(1)), Seq("user_id"), "left")
+      .join(l2.withColumn("l2", lit(1)), Seq("user_id"), "left")
+      .join(l3.withColumn("l3", lit(1)), Seq("user_id"), "left")
+      .select($"user_id",
+        (coalesce($"l1", lit(0)) + coalesce($"l2", lit(0)) +
+         coalesce($"l3", lit(0))).as("funnel_level"))
+    level.groupBy($"funnel_level")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"funnel_level")
+  }
+
   /** Q31: string aggregation — the LISTAGG/STRING_AGG shape: per
     * region, the alphabetized nation list as one delimited string.
     * `array_sort(collect_list(...))` keeps it deterministic (a bare

@@ -165,6 +165,30 @@ class Round6OpsSpec extends GraftSpecBase {
     assert(zAdm * 2 <= total, s"z-layout should prune >= half the chunks, admitted $zAdm/$total")
   }
 
+  // ---------------- q61 window funnel ----------------
+
+  test("q61: levels partition the user set and match a local brute-force chain search") {
+    val out = operators.Advanced.q61WindowFunnel(spark, sf)
+      .as[(Int, Long)].collect().toMap
+    val w = 21600000L
+    val events = Tables.eventsWithMs(spark, sf)
+      .select($"user_id", $"ms", $"event_type")
+      .as[(Long, Long, String)].collect()
+    val byUser = events.groupBy(_._1)
+    val localLevels = byUser.map { case (_, es) =>
+      val v = es.filter(_._3 == "view").map(_._2)
+      val c = es.filter(_._3 == "click").map(_._2)
+      val p = es.filter(_._3 == "purchase").map(_._2)
+      val chains2 = for (vm <- v; cm <- c if cm > vm && cm <= vm + w) yield (vm, cm)
+      val l3 = chains2.exists { case (vm, cm) =>
+        p.exists(pm => pm > cm && pm <= vm + w) }
+      if (l3) 3 else if (chains2.nonEmpty) 2 else if (v.nonEmpty) 1 else 0
+    }
+    val expected = localLevels.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(out == expected, s"$out vs $expected")
+    assert(out.values.sum == byUser.size)
+  }
+
   // ---------------- q60 ACF ----------------
 
   test("q60: acf matches a local recomputation and stays in [-1, 1]") {
