@@ -737,8 +737,15 @@ object Dedup {
 
   /** (doc_id, pos, h1, h2) for every `SpanShingle`-gram occurrence —
     * the shared front end of the d7/p7 span family (hash-pair keyed
-    * the moment it exists; strings never reach an exchange). */
-  private def positionalShingles(s: SparkSession, dir: String): DataFrame = {
+    * the moment it exists; strings never reach an exchange). Memoized:
+    * the tokenize→posexplode→hash scan otherwise re-runs for the
+    * repeat-count build, the d7 probe side, AND p7_keep_first's probe
+    * side — three passes over the corpus' heaviest derived frame; the
+    * cached form is 4 fixed-width columns (32 B/row). */
+  private def positionalShingles(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo("d7_pos_shingles", dir)(positionalShinglesUncached(s, dir))()
+
+  private def positionalShinglesUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select($"doc_id", tokens($"text").as("w"))
