@@ -144,6 +144,7 @@ object SparkEntry {
     "z1_zorder"          -> (Layout.z1ZorderStats _),
     "q60_acf"            -> (Analytics.q60Acf _),
     "q61_window_funnel"  -> (Advanced.q61WindowFunnel _),
+    "q62_link_predict"   -> (Graph.q62LinkPredict _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1443,6 +1444,29 @@ object SparkEntry {
                 ELSE floor(3 * n_triangles / CAST(n_wedges AS DOUBLE) * 10000)
                   / 10000.0 END AS clustering
          FROM st, ne, tri""",
+    "q62_link_predict" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         sym AS (SELECT pa AS w, pb AS n FROM e
+                 UNION ALL SELECT pb AS w, pa AS n FROM e),
+         cm AS (
+           SELECT x.n AS a, y.n AS b, count(*) AS common
+           FROM sym x JOIN sym y ON x.w = y.w AND x.n < y.n
+           GROUP BY 1, 2),
+         d AS (SELECT n, count(*) AS deg FROM sym GROUP BY 1),
+         nonedge AS (
+           SELECT cm.a, cm.b, cm.common FROM cm
+           WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = cm.a AND e.pb = cm.b))
+         SELECT a, b, common,
+           floor(common * 10000 / (da.deg + db.deg - common)) / 10000.0 AS jaccard
+         FROM nonedge
+         JOIN d da ON da.n = a
+         JOIN d db ON db.n = b
+         ORDER BY jaccard DESC, a, b LIMIT 50""",
     "p9_curriculum" ->
       """WITH base AS (
            SELECT doc_id,

@@ -80,6 +80,44 @@ object Graph {
     * is by the TOTAL order (high-degree nodes get low out-degree).
     * Wedges (open + closed) come from the degree frame: Σ C(deg,2),
     * a part-cardinality-sized aggregate. */
+  /** Q62: neighbor-Jaccard link prediction over the threshold-2
+    * co-purchase graph — the top 50 part pairs that are NOT yet edges
+    * but share the most similar neighborhoods (Liben-Nowell & Kleinberg
+    * 2003's strongest simple predictor): J(a,b) =
+    * |N(a)∩N(b)| / |N(a)∪N(b)|, all integer counts, one floor-
+    * quantized ratio, rank tie-broken on the pair key — cross-engine
+    * exact.
+    *
+    * Shape at scale: common-neighbor counts enumerate as wedges — one
+    * self-join of the symmetric adjacency on the CENTER key (the
+    * q50/m10 one-exchange-two-sides shape), fan-out Σ C(deg, 2), the
+    * same bound q54 already carries for the wedge census; the count
+    * then aggregates on the (a, b) pair key those rows carry. Degrees
+    * ride in on a catalog-sized broadcast, existing edges anti-join
+    * out on the pair key, and the final rank is a TakeOrdered top-50,
+    * never a global sort. */
+  def q62LinkPredict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      .select($"pa", $"pb")
+    val sym = e.unionAll(e.select($"pb".as("pa"), $"pa".as("pb")))
+      .select($"pa".as("w"), $"pb".as("n"))
+    val common = sym.as("x").join(sym.as("y"),
+        $"x.w" === $"y.w" && $"x.n" < $"y.n")
+      .groupBy($"x.n".as("a"), $"y.n".as("b"))
+      .agg(count(lit(1)).as("common"))
+    val deg = sym.groupBy($"n").agg(count(lit(1)).as("deg"))
+    common
+      .join(e.select($"pa".as("a"), $"pb".as("b")), Seq("a", "b"), "left_anti")
+      .join(broadcast(deg.select($"n".as("a"), $"deg".as("da"))), "a")
+      .join(broadcast(deg.select($"n".as("b"), $"deg".as("db"))), "b")
+      .select($"a", $"b", $"common",
+        (floor($"common" * 10000 / ($"da" + $"db" - $"common")) / 10000.0)
+          .as("jaccard"))
+      .orderBy($"jaccard".desc, $"a", $"b")
+      .limit(50)
+  }
+
   def q54Triangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)

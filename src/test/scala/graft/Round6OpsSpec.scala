@@ -189,6 +189,31 @@ class Round6OpsSpec extends GraftSpecBase {
     assert(out.values.sum == byUser.size)
   }
 
+  // ---------------- q62 link prediction ----------------
+
+  test("q62: predictions are non-edges with consistent jaccard bounds") {
+    val e = operators.Analytics.copurchasePairs(spark, sf)
+      .filter($"n_orders" >= 2)
+      .select($"pa", $"pb").as[(Long, Long)].collect().toSet
+    val preds = operators.Graph.q62LinkPredict(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(preds.nonEmpty && preds.length <= 50)
+    // neighbor sets from the same symmetric edge list
+    val nbrs = (e.toSeq ++ e.toSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    preds.foreach { case (a, b, common, j) =>
+      assert(a < b && !e.contains((a, b)), s"($a,$b) must be a canonical non-edge")
+      val inter = (nbrs(a) & nbrs(b)).size
+      val union = (nbrs(a) | nbrs(b)).size
+      assert(common == inter, s"($a,$b): common $common vs local $inter")
+      assert(math.abs(j - math.floor(common.toDouble * 10000 / union) / 10000.0) < 1e-12)
+      assert(j > 0.0 && j <= 1.0)
+    }
+    // ranking is jaccard desc with (a, b) tie-break
+    val sorted = preds.sortBy { case (a, b, _, j) => (-j, a, b) }.toSeq
+    assert(preds.toSeq == sorted)
+  }
+
   // ---------------- q60 ACF ----------------
 
   test("q60: acf matches a local recomputation and stays in [-1, 1]") {
