@@ -305,6 +305,45 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("m11: one rating exchange feeds both self-join sides; sampling filter precedes the pair aggregation") {
+    val p = plan(graft.ml.Recommender.m11Dimsum(spark, sf))
+    // both self-join sides read the single memoized rating
+    // materialization (at test sf, AQE broadcasts the tiny side, so
+    // the shared exchange shows as the cached scan, not ReusedExchange)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-item top-5 is the partial topk_agg, never a window
+    assert(p.contains("topk_agg") && !p.contains("WindowExec"), p)
+    // the coin filter evaluates on the JOINED row (xxhash64 of user+pair)
+    // before any (ia, ib) exchange — the pair agg only sees survivors
+    assert(p.contains("xxhash64"), p)
+  }
+
+  test("q61: funnel ladder is all user-keyed equi-joins — no cartesian, no window") {
+    val p = plan(operators.Advanced.q61WindowFunnel(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("WindowExec"), p)
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("q62: wedge self-join reuses one adjacency exchange and ends in TakeOrdered") {
+    val p = plan(operators.Graph.q62LinkPredict(spark, sf))
+    assert(p.contains("ReusedExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // degree lookups broadcast; existing edges leave via anti join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("z1: layout stats are one scan + one bucket aggregation, joinless") {
+    val p = plan(operators.Layout.z1ZorderStats(spark, sf))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count") || p.contains("partial_min"), p)
+    // ONE data shuffle (the bucket agg) + the output-sized final sort
+    assert("hashpartitioning".r.findAllIn(p).size >= 1, p)
+  }
+
   test("q57: double correlation plans as semi + anti joins with a TakeOrdered top-20") {
     val p = plan(operators.Relational.q57BlameSupplier(spark, sf))
     assert(p.contains("LeftSemi"), p)
