@@ -145,6 +145,7 @@ object SparkEntry {
     "q60_acf"            -> (Analytics.q60Acf _),
     "q61_window_funnel"  -> (Advanced.q61WindowFunnel _),
     "q62_link_predict"   -> (Graph.q62LinkPredict _),
+    "p11_repeat_epochs"  -> (Sampling.p11RepeatEpochs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1444,6 +1445,18 @@ object SparkEntry {
                 ELSE floor(3 * n_triangles / CAST(n_wedges AS DOUBLE) * 10000)
                   / 10000.0 END AS clustering
          FROM st, ne, tri""",
+    "p11_repeat_epochs" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 500 ELSE 1000 END AS w
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang,
+             (w // 1000) + (CASE WHEN (doc_id * 7919) % 1000 < w % 1000 THEN 1 ELSE 0 END) AS n_copies
+           FROM w)
+         SELECT doc_id, lang, CAST(UNNEST(range(n_copies)) AS BIGINT) AS epoch
+         FROM c WHERE n_copies > 0
+         ORDER BY doc_id, epoch""",
     "q62_link_predict" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          e AS (

@@ -98,4 +98,54 @@ object Sampling {
         .orderBy($"doc_id")
     } { scaffolding.foreach(_.unpersist()) }
   }
+
+  /** Per-language epoch targets for `p11RepeatEpochs`, in exact
+    * thousandths (en is upweighted 2.5 epochs, zh downweighted 0.5 —
+    * the LLaMA-recipe shape where high-quality domains repeat and
+    * noisy ones subsample). Integer thousandths keep every copy-count
+    * decision in exact arithmetic. */
+  val EpochTargetsThousandths: Map[String, Long] =
+    Map("en" -> 2500L, "zh" -> 500L).withDefaultValue(1000L)
+
+  /** P11: fractional-EPOCH repetition materializer — the data-recipe
+    * stage p2/p6 don't cover: a weight > 1 means the domain REPEATS
+    * (2.5 epochs of `en` = every doc twice + half the docs a third
+    * time), < 1 means it subsamples. Each doc emits
+    * floor(w) + [residue(doc_id) < frac(w)] copies, tagged with an
+    * epoch ordinal so downstream packing can interleave epochs.
+    *
+    * The fractional coin is SYSTEMATIC — `(doc_id·7919) mod 1000`
+    * against the weight's thousandths — not an RNG: deterministic,
+    * exactly SQL-replicable, and because 7919 is a unit mod 1000 the
+    * residue stays uniform even when the id space is a contiguous
+    * prefix (a bare `doc_id mod 1000` puts every id of a 500-doc
+    * corpus below 500 — measured failure). It is exactly
+    * SQL-replicable (this entry is oracle-checked, unlike p2's
+    * `sampleBy`); once the id space covers full residue cycles the
+    * achieved rate is within 1/1000 of target by construction, and a
+    * finite prefix sees ordinary √n selection noise. If ids correlate
+    * with content (sharded crawls), swap the residue for a seeded
+    * hash — same plan, rows-only check (the p2 trade).
+    *
+    * Shape at scale: one scan; the copy count is a per-row integer
+    * expression and the emission is `explode(sequence(...))` — fan-out
+    * exactly Σw per row, no shuffle at all before the output sort. */
+  def p11RepeatEpochs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val langs = EpochTargetsThousandths
+    val wCol = coalesce(
+      element_at(
+        map(Seq("en", "zh").flatMap(l =>
+          Seq(lit(l), lit(langs(l)))): _*), $"lang"),
+      lit(1000L))
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", wCol.as("w"))
+      .withColumn("n_copies",
+        expr("w div 1000") +
+          when(pmod($"doc_id" * 7919L, lit(1000L)) < $"w" % 1000L, 1L).otherwise(0L))
+      .filter($"n_copies" > 0)
+      .select($"doc_id", $"lang",
+        explode(sequence(lit(0L), $"n_copies" - 1)).as("epoch"))
+      .orderBy($"doc_id", $"epoch")
+  }
 }

@@ -189,6 +189,35 @@ class Round6OpsSpec extends GraftSpecBase {
     assert(out.values.sum == byUser.size)
   }
 
+  // ---------------- p11 epoch repetition ----------------
+
+  test("p11: copy counts follow the per-language epoch recipe exactly") {
+    val out = operators.Sampling.p11RepeatEpochs(spark, sf)
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n"), max($"epoch").as("maxe"), min($"epoch").as("mine"))
+      .as[(Long, String, Long, Long, Long)].collect()
+    out.foreach { case (id, lang, n, maxe, mine) =>
+      val w = operators.Sampling.EpochTargetsThousandths(lang)
+      val expected = w / 1000 + (if (id * 7919 % 1000 < w % 1000) 1 else 0)
+      assert(n == expected, s"doc $id ($lang): $n copies, expected $expected")
+      assert(mine == 0 && maxe == n - 1, "epoch ordinals must be dense from 0")
+    }
+    // achieved rate per language ~ target thousandths (systematic coin)
+    val docs = Tables.documents(spark, sf).groupBy($"lang")
+      .agg(count(lit(1)).as("nd")).as[(String, Long)].collect().toMap
+    val emitted = out.groupBy(_._2).map { case (l, xs) => l -> xs.map(_._3).sum }
+    emitted.foreach { case (lang, tot) =>
+      val target = operators.Sampling.EpochTargetsThousandths(lang).toDouble / 1000
+      val achieved = tot.toDouble / docs(lang)
+      // the decorrelated residue behaves like a fixed Bernoulli
+      // draw per doc: allow 3 sigma of binomial noise + the 1/1000
+      // systematic grain (exact once ids cover full residue cycles)
+      val tol = 0.001 + 3 * math.sqrt(0.25 / docs(lang))
+      assert(math.abs(achieved - target) <= tol,
+        s"$lang achieved $achieved vs target $target (tol $tol)")
+    }
+  }
+
   // ---------------- q62 link prediction ----------------
 
   test("q62: predictions are non-edges with consistent jaccard bounds") {
