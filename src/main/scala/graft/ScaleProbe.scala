@@ -99,7 +99,8 @@ object ScaleProbe {
                   "q57_blame_supplier", "q58_rolling_actives", "p10_near_dedup",
                   "q59_concurrency",
                   "m11_dimsum", "s6_mips", "z1_zorder", "q60_acf",
-                  "s7_knn_join", "q61_window_funnel", "q62_link_predict")
+                  "s7_knn_join", "q61_window_funnel", "q62_link_predict",
+                  "p11_repeat_epochs")
     // optional arg 2: regex to probe a subset (factor stays arg 1)
     val picked = args.drop(1).headOption
       .map(re => all.filter(_.matches(re))).getOrElse(all)

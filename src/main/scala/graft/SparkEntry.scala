@@ -146,6 +146,7 @@ object SparkEntry {
     "q61_window_funnel"  -> (Advanced.q61WindowFunnel _),
     "q62_link_predict"   -> (Graph.q62LinkPredict _),
     "p11_repeat_epochs"  -> (Sampling.p11RepeatEpochs _),
+    "i6_binary_ingest"   -> (Ingest.i6BinaryIngest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1445,6 +1446,10 @@ object SparkEntry {
                 ELSE floor(3 * n_triangles / CAST(n_wedges AS DOUBLE) * 10000)
                   / 10000.0 END AS clustering
          FROM st, ne, tri""",
+    "i6_binary_ingest" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         md5(text) AS digest
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
     "p11_repeat_epochs" ->
       """WITH w AS (
            SELECT doc_id, lang,

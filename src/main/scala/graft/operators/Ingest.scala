@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions.{input_file_name, md5, regexp_extract}
 import graft.Tables
 import graft.sources.Sources
 
@@ -121,5 +122,41 @@ object Ingest {
     s.read.option("rowTag", "row").schema(NationCsvSchema).xml(path)
       .select($"n_nationkey", $"n_name", $"n_regionkey")
       .orderBy($"n_nationkey")
+  }
+
+  /** I6: whole-FILE binary ingest — the `binaryFile` source, the edge
+    * a multimodal lake starts from: every file becomes one row of
+    * (path, length, content bytes), no parsing, no schema guessing.
+    * 100 documents stage as real `.txt` files (written by a
+    * distributed `foreachPartition`, the shape of files landing from
+    * an external producer), are read back as bytes, and the oracle —
+    * running on the ORIGINAL documents table — hash-proves the
+    * filesystem round trip byte-exact (doc id from the file name,
+    * UTF-8 length, md5 of the content). At scale the unit of
+    * parallelism is the file; `pathGlobFilter`/`recursiveFileLookup`
+    * are the production knobs, and decode stays downstream (mm2's
+    * boundary). */
+  def i6BinaryIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = stage("docs_bin", dir) { tmp =>
+      new java.io.File(tmp).mkdirs()
+      Tables.documents(s, dir).filter($"doc_id" < 100)
+        .select($"doc_id", $"text")
+        .repartition(4)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, s"${r.getLong(0)}.txt"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+        }
+    }
+    s.read.format("binaryFile").load(path)
+      .select(
+        regexp_extract(input_file_name(), "(\\d+)\\.txt$", 1)
+          .cast("long").as("doc_id"),
+        $"length".cast("int").as("n_bytes"),
+        md5($"content").as("digest"))
+      .orderBy($"doc_id")
   }
 }
