@@ -46,6 +46,29 @@ object Layout {
   def zorderKey(a: Column, b: Column): Column =
     spread21(a).bitwiseOR(shiftleft(spread21(b), 1))
 
+  /** Small-file COMPACTION — the other lakehouse maintenance primitive
+    * next to z-ordering: a streaming ingest leaves thousands of tiny
+    * files (one per micro-batch per partition), and at 100 TB the
+    * scan's task-scheduling overhead and the namenode's file count
+    * both bill per FILE, not per byte. Rewrite the directory into
+    * ⌈rows / targetRecordsPerFile⌉ near-equal files: one count job
+    * sizes the repartition (even files beat `coalesce`, which merges
+    * unevenly and can't split), `maxRecordsPerFile` caps stragglers.
+    * Content is preserved row-for-row — the spec compares full
+    * multisets. An `orderBy(zorderKey(...))` composed before this
+    * write is exactly OPTIMIZE ... ZORDER. */
+  def compact(s: SparkSession, src: String, dst: String,
+      targetRecordsPerFile: Long): Long = {
+    val df = s.read.parquet(src)
+    val n = df.count()
+    val parts = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    df.repartition(parts)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .parquet(dst)
+    parts
+  }
+
   /** Z1: z-order layout audit over lineitem keyed on
     * (l_partkey, l_suppkey) — per coarse z-bucket (key >> 12): row
     * count and the bucket's bounding box in both dimensions. Buckets

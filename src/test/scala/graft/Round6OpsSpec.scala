@@ -243,6 +243,42 @@ class Round6OpsSpec extends GraftSpecBase {
     assert(preds.toSeq == sorted)
   }
 
+  // ---------------- compaction ----------------
+
+  test("compact: a fragmented table rewrites into the target file count with identical content") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val src = s"$base/src"; val dst = s"$base/dst"
+    // simulate a micro-batch-fragmented ingest: 64 tiny files
+    Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      .repartition(64).write.parquet(src)
+    def dataFiles(d: String) = new java.io.File(d).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+    assert(dataFiles(src).size == 64)
+    val n = spark.read.parquet(src).count()
+    val target = 2000L
+    operators.Layout.compact(spark, src, dst, target)
+    val out = dataFiles(dst)
+    assert(out.size == ((n + target - 1) / target).toInt,
+      s"${out.size} files for $n rows at $target/file")
+    // content preserved as a multiset
+    // (orderkey, linenumber) is not unique in the synthetic data —
+    // order by ALL columns for a deterministic multiset comparison
+    val a = spark.read.parquet(src)
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
+      .collect().toSeq
+    val b = spark.read.parquet(dst)
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity")
+      .collect().toSeq
+    assert(a == b)
+    // near-even files: no file under half the target (the coalesce
+    // failure mode this operator exists to avoid)
+    out.foreach { f =>
+      val rows = spark.read.parquet(f.toString).count()
+      assert(rows <= target && rows >= target / 2, s"${f.getName}: $rows rows")
+    }
+  }
+
   // ---------------- q60 ACF ----------------
 
   test("q60: acf matches a local recomputation and stays in [-1, 1]") {
