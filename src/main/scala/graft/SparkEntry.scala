@@ -147,6 +147,7 @@ object SparkEntry {
     "q62_link_predict"   -> (Graph.q62LinkPredict _),
     "p11_repeat_epochs"  -> (Sampling.p11RepeatEpochs _),
     "i6_binary_ingest"   -> (Ingest.i6BinaryIngest _),
+    "d9_bloom_decontaminate" -> (Dedup.d9BloomDecontaminate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -791,6 +792,25 @@ object SparkEntry {
            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_fp
          FROM documents ORDER BY doc_id""",
     "p3_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(
+             list_transform(string_split(text, ' '), (x, i) ->
+               CASE WHEN i + 7 <= len(string_split(text, ' '))
+                    THEN x || ' ' || string_split(text, ' ')[i+1]
+                           || ' ' || string_split(text, ' ')[i+2]
+                           || ' ' || string_split(text, ' ')[i+3]
+                           || ' ' || string_split(text, ' ')[i+4]
+                           || ' ' || string_split(text, ' ')[i+5]
+                           || ' ' || string_split(text, ' ')[i+6]
+                           || ' ' || string_split(text, ' ')[i+7] END),
+             g -> g IS NOT NULL))) AS sh8
+           FROM documents),
+         bench AS (SELECT DISTINCT sh8 FROM sh WHERE doc_id % 7 = 0)
+         SELECT s.doc_id, count(*) AS n_hits
+         FROM sh s JOIN bench b ON s.sh8 = b.sh8
+         WHERE s.doc_id % 7 <> 0
+         GROUP BY 1 ORDER BY 1""",
+    "d9_bloom_decontaminate" ->
       """WITH sh AS (
            SELECT doc_id, unnest(list_distinct(list_filter(
              list_transform(string_split(text, ' '), (x, i) ->

@@ -359,6 +359,41 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** D9: p3's decontamination behind a BLOOM-FILTER prefilter — the
+    * 100 TB first pass. p3's inverted-index equi-join is exact but
+    * ships every corpus shingle into the join shuffle; at lake scale
+    * the overwhelming majority of shingles match nothing, and the
+    * standard move (Spark's own runtime row-level filtering does
+    * exactly this) is a compact bloom filter of the benchmark side
+    * broadcast into the corpus SCAN, so non-matching shingles die
+    * before the exchange. Bloom filters have NO false negatives, so
+    * the exact join on the survivors returns p3's result bit-for-bit
+    * — same oracle SQL, different (scan-side-filtered) plan; false
+    * positives only cost a little extra join input. Built with
+    * `bloom_filter_agg` / `might_contain` over xxhash64 of the
+    * shingle: the filter is one binary blob (~1 MB at 1% fpp for 1M
+    * items), a broadcast artifact like a dimension table. */
+  def d9BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id", explode(shinglesFromTokens($"w", 8)).as("sh8"))
+    val bench = sh.filter($"doc_id" % DecontamMod === 0).select($"sh8").distinct()
+    // might_contain requires a CONSTANT (or scalar-subquery) filter, so
+    // the blob lands as a literal — a bounded broadcast artifact like a
+    // centroid matrix: ~100 KB regardless of corpus size, built by one
+    // distributed aggregation over the (distinct-compressed) benchmark
+    val bf: Array[Byte] = bench.agg(
+        expr("bloom_filter_agg(xxhash64(sh8), 100000L, 800000L)").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    sh.filter($"doc_id" % DecontamMod =!= 0)
+      .filter(call_function("might_contain", lit(bf), xxhash64($"sh8")))
+      .join(bench, "sh8")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy($"doc_id")
+  }
+
   /** D6: near-dup GROUPS — connected components over the d2 pair
     * graph, labeling every paired doc with the minimum doc_id
     * reachable from it (the canonical survivor of its dup cluster).

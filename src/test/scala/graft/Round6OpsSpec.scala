@@ -243,6 +243,29 @@ class Round6OpsSpec extends GraftSpecBase {
     assert(preds.toSeq == sorted)
   }
 
+  // ---------------- d9 bloom decontamination ----------------
+
+  test("d9: bloom-prefiltered decontamination equals p3 exactly (no false negatives)") {
+    val p3 = operators.Dedup.p3Decontaminate(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    val d9 = operators.Dedup.d9BloomDecontaminate(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    assert(d9 == p3, "the bloom prefilter must not change the exact result")
+  }
+
+  test("d9: the scan-side might_contain filter sits below the exact join in the plan") {
+    val p = operators.Dedup.d9BloomDecontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the blob rides as a constant literal into the scan-side Filter
+    // (might_contain's required form), so survivors are pruned BEFORE
+    // any exchange of the corpus shingles
+    assert(p.contains("might_contain"), p)
+    val filterAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("Join")
+    assert(joinAt >= 0 && filterAt > joinAt,
+      "filter must be in the join's subtree (printed below it): " + p)
+  }
+
   // ---------------- compaction ----------------
 
   test("compact: a fragmented table rewrites into the target file count with identical content") {
