@@ -379,12 +379,19 @@ object Dedup {
       .select($"doc_id", tokens($"text").as("w"))
       .select($"doc_id", explode(shinglesFromTokens($"w", 8)).as("sh8"))
     val bench = sh.filter($"doc_id" % DecontamMod === 0).select($"sh8").distinct()
+      .cache()
+    // capacity must TRACK the benchmark (an undersized filter's fpp
+    // explodes and it prunes nothing — measured at the 20× probe with
+    // a fixed 100k: slower than no filter); 10 bits/item ≈ 1% fpp.
+    // The count is one job over the distinct-compressed side, and the
+    // cache makes it shared with the blob build + the exact join.
+    val nBench = bench.count()
     // might_contain requires a CONSTANT (or scalar-subquery) filter, so
     // the blob lands as a literal — a bounded broadcast artifact like a
-    // centroid matrix: ~100 KB regardless of corpus size, built by one
-    // distributed aggregation over the (distinct-compressed) benchmark
+    // centroid matrix (10 bits/item), built by one distributed
+    // aggregation over the (distinct-compressed) benchmark
     val bf: Array[Byte] = bench.agg(
-        expr("bloom_filter_agg(xxhash64(sh8), 100000L, 800000L)").as("bf"))
+        expr(s"bloom_filter_agg(xxhash64(sh8), ${nBench}L, ${nBench * 10}L)").as("bf"))
       .head().getAs[Array[Byte]]("bf")
     sh.filter($"doc_id" % DecontamMod =!= 0)
       .filter(call_function("might_contain", lit(bf), xxhash64($"sh8")))
