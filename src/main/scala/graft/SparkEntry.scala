@@ -148,6 +148,7 @@ object SparkEntry {
     "p11_repeat_epochs"  -> (Sampling.p11RepeatEpochs _),
     "i6_binary_ingest"   -> (Ingest.i6BinaryIngest _),
     "d9_bloom_decontaminate" -> (Dedup.d9BloomDecontaminate _),
+    "q63_holt_forecast"  -> (Analytics.q63HoltForecast _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1482,6 +1483,27 @@ object SparkEntry {
          SELECT doc_id, lang, CAST(UNNEST(range(n_copies)) AS BIGINT) AS epoch
          FROM c WHERE n_copies > 0
          ORDER BY doc_id, epoch""",
+    "q63_holt_forecast" ->
+      """WITH RECURSIVE idx AS (
+           SELECT CAST(d - DATE '1970-01-01' AS BIGINT) AS day, y,
+                  CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+           FROM (SELECT CAST(o_orderdate AS DATE) AS d,
+                   sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+                 FROM orders GROUP BY 1)),
+         r(i, l, b, day, y, fc) AS (
+           SELECT 2,
+             (SELECT y FROM idx WHERE i = 1) * 1000,
+             ((SELECT y FROM idx WHERE i = 2) - (SELECT y FROM idx WHERE i = 1)) * 1000,
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+           UNION ALL
+           SELECT idx.i,
+             (200 * idx.y * 1000 + 800 * (r.l + r.b)) // 1000,
+             (100 * ((200 * idx.y * 1000 + 800 * (r.l + r.b)) // 1000 - r.l)
+               + 900 * r.b) // 1000,
+             idx.day, idx.y, (r.l + r.b) // 1000
+           FROM r JOIN idx ON idx.i = r.i + 1)
+         SELECT day, y AS y_cents, fc AS fc_cents FROM r WHERE i >= 3
+         ORDER BY day""",
     "q62_link_predict" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          e AS (

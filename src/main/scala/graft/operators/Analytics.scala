@@ -711,6 +711,58 @@ object Analytics {
     * calendar-sized (one row per day), so the lead window's single
     * partition holds years-of-days rows — the q48/q55 aggregated-frame
     * convention, bounded by time, not data. */
+  /** Q63: Holt linear-trend smoothing over the daily-revenue series
+    * with one-step-ahead forecasts — exact INTEGER fixed point (the
+    * q53 PageRank discipline applied to forecasting: float smoothing
+    * is addition-order-dependent; milli-cent fixed point with explicit
+    * floor division is bit-identical on any engine). α = 0.2,
+    * β = 0.1 as integer thousandths; level/trend carry in milli-cents
+    * (y·1000 ≈ 1e12, ×800 stays far inside bigint).
+    *
+    * Quantization is TRUNCATING integer division on both engines —
+    * Spark's `div` and DuckDB's `//` both truncate toward zero
+    * (verified on negatives: -7//1000 = 0 in DuckDB), so the NEGATIVE
+    * trend numerators quantize identically with the plain operators;
+    * a floor-division formulation (pmod-based) diverged by one
+    * milli-cent at the first negative numerator — measured, then
+    * matched.
+    *
+    * Shape at scale: the heavy work is the daily aggregate; the
+    * recursion is inherently sequential, so it folds over ONE
+    * calendar-sized array (the q29 `aggregate` shape, q48/q55
+    * aggregated-frame convention) — thousands of entries for years of
+    * data, regardless of corpus size. The oracle replays the same
+    * recursion as a recursive CTE. */
+  def q63HoltForecast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("y"))
+      .select(datediff($"d", to_date(lit("1970-01-01"))).cast("long").as("day"), $"y")
+    val series = daily
+      .agg(array_sort(collect_list(struct($"day", $"y"))).as("s"))
+    def fdiv(x: String) = s"($x) div 1000L"
+    val newL = fdiv("200L * e.y * 1000L + 800L * (acc.l + acc.b)")
+    val newB = fdiv(s"100L * (($newL) - acc.l) + 900L * acc.b")
+    val folded = series.select(expr(s"""
+      aggregate(
+        slice(s, 3, greatest(size(s) - 2, 0)),
+        named_struct(
+          'l', s[0].y * 1000L,
+          'b', (s[1].y - s[0].y) * 1000L,
+          'out', cast(array() as array<struct<day:bigint,y_cents:bigint,fc_cents:bigint>>)),
+        (acc, e) -> named_struct(
+          'l', $newL,
+          'b', $newB,
+          'out', concat(acc.out, array(named_struct(
+            'day', e.day, 'y_cents', e.y,
+            'fc_cents', ${fdiv("acc.l + acc.b")})))),
+        acc -> acc.out)""").as("out"))
+    folded.select(explode($"out").as("e"))
+      .select($"e.day", $"e.y_cents", $"e.fc_cents")
+      .orderBy($"day")
+  }
+
   def q60Acf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val daily = Tables.orders(s, dir)

@@ -218,6 +218,31 @@ class Round6OpsSpec extends GraftSpecBase {
     }
   }
 
+  // ---------------- q63 Holt forecast ----------------
+
+  test("q63: the fixed-point recursion matches a local integer replay exactly") {
+    val out = operators.Analytics.q63HoltForecast(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val ys = Tables.orders(spark, sf)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("y"))
+      .orderBy($"d")
+      .select(datediff($"d", to_date(lit("1970-01-01"))).cast("long"), $"y")
+      .as[(Long, Long)].collect()
+    // Scala / truncates toward zero — the same div semantics both
+    // engines use (floor division diverged; see the q63 scaladoc)
+    var l = ys(0)._2 * 1000L
+    var b = (ys(1)._2 - ys(0)._2) * 1000L
+    val expected = ys.drop(2).map { case (day, y) =>
+      val fc = (l + b) / 1000L
+      val l2 = (200L * y * 1000L + 800L * (l + b)) / 1000L
+      b = (100L * (l2 - l) + 900L * b) / 1000L
+      l = l2
+      (day, y, fc)
+    }
+    assert(out.toSeq == expected.toSeq)
+  }
+
   // ---------------- q62 link prediction ----------------
 
   test("q62: predictions are non-edges with consistent jaccard bounds") {
