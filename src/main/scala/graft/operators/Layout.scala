@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Data-layout operators: multi-dimensional clustering for scan
-  * pruning.
+  * pruning, plus small-file compaction — the two lakehouse
+  * maintenance primitives (OPTIMIZE and OPTIMIZE…ZORDER).
   *
   * At 100 TB the cheapest query is the one that never reads the file:
   * parquet row-group / file min-max stats prune a scan only when the

@@ -4,7 +4,10 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
 /** Round-6 operators: DIMSUM sampling (m11), MIPS + the norm-
-  * augmentation reduction (s6), Z-order layout (z1), ACF (q60). */
+  * augmentation reduction (s6), batch kNN join (s7), Z-order layout +
+  * compaction (z1/compact), ACF (q60), windowed funnel (q61), link
+  * prediction (q62), fixed-point Holt forecast (q63), epoch
+  * repetition (p11), bloom-prefiltered decontamination (d9). */
 class Round6OpsSpec extends GraftSpecBase {
   import spark.implicits._
 
