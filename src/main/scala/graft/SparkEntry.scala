@@ -149,6 +149,7 @@ object SparkEntry {
     "i6_binary_ingest"   -> (Ingest.i6BinaryIngest _),
     "d9_bloom_decontaminate" -> (Dedup.d9BloomDecontaminate _),
     "q63_holt_forecast"  -> (Analytics.q63HoltForecast _),
+    "q64_cusum"          -> (Analytics.q64Cusum _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1483,6 +1484,21 @@ object SparkEntry {
          SELECT doc_id, lang, CAST(UNNEST(range(n_copies)) AS BIGINT) AS epoch
          FROM c WHERE n_copies > 0
          ORDER BY doc_id, epoch""",
+    "q64_cusum" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1),
+         m AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS mu FROM daily),
+         c AS (
+           SELECT CAST(d - DATE '1970-01-01' AS BIGINT) AS day, cents,
+             sum(cents - mu) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_cusum
+           FROM daily, m)
+         SELECT day, CAST(cents AS BIGINT) AS cents,
+           CAST(s_cusum AS BIGINT) AS s_cusum,
+           CAST(abs(s_cusum) AS BIGINT) AS abs_s
+         FROM c ORDER BY abs_s DESC, day LIMIT 10""",
     "q63_holt_forecast" ->
       """WITH RECURSIVE idx AS (
            SELECT CAST(d - DATE '1970-01-01' AS BIGINT) AS day, y,

@@ -763,6 +763,35 @@ object Analytics {
       .orderBy($"day")
   }
 
+  /** Q64: CUSUM changepoint scan over the daily-revenue series — the
+    * classic mean-shift detector (Page 1954): S_t = Σ_{i≤t}(x_i − μ̂),
+    * and the day maximizing |S_t| is the changepoint estimate. Exact
+    * integer end-to-end: cents series (q60's construction), integer-div
+    * quantized mean, bigint prefix sums (|S| ≤ n·max|x−μ| ≈ 2e15 —
+    * far inside bigint) — cross-engine bit-identical, no CUSUM
+    * "reset/threshold" float tuning. Reports the top-10 |S_t| days
+    * (the argmax first), tie-broken on the day key.
+    *
+    * Shape at scale: daily aggregate (two-phase), then everything is
+    * calendar-sized; the prefix window rides the aggregated frame
+    * (q48/q55 convention) and the top-10 is a TakeOrdered. */
+  def q64Cusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("cents"))
+    val mu = daily.agg(expr("sum(cents) div count(1)").as("mu"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(mu))
+      .select(datediff($"d", to_date(lit("1970-01-01"))).cast("long").as("day"),
+        $"cents", ($"cents" - $"mu").as("dev"))
+      .withColumn("s_cusum", sum($"dev").over(w))
+      .select($"day", $"cents", $"s_cusum", abs($"s_cusum").as("abs_s"))
+      .orderBy($"abs_s".desc, $"day")
+      .limit(10)
+  }
+
   def q60Acf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val daily = Tables.orders(s, dir)

@@ -246,6 +246,24 @@ class Round6OpsSpec extends GraftSpecBase {
     assert(out.toSeq == expected.toSeq)
   }
 
+  // ---------------- q64 CUSUM ----------------
+
+  test("q64: cusum prefix sums match a local integer replay and rank by |S|") {
+    val out = operators.Analytics.q64Cusum(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val ys = Tables.orders(spark, sf)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("y"))
+      .orderBy($"d")
+      .select(datediff($"d", to_date(lit("1970-01-01"))).cast("long"), $"y")
+      .as[(Long, Long)].collect()
+    val mu = ys.map(_._2).sum / ys.length
+    var acc = 0L
+    val all = ys.map { case (day, y) => acc += y - mu; (day, y, acc, math.abs(acc)) }
+    val expected = all.sortBy(r => (-r._4, r._1)).take(10).toSeq
+    assert(out.toSeq == expected)
+  }
+
   // ---------------- q62 link prediction ----------------
 
   test("q62: predictions are non-edges with consistent jaccard bounds") {
