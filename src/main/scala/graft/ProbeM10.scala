@@ -3,7 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Throwaway m10 formulation head-to-head probe (sf0.1). */
+/** m10 rank-stage formulation shoot-out (sf0.1) — the measurement
+  * behind replacing the row_number window with partial `topk_agg`
+  * (SURVEY §6.12): same scored-pair prefix, window vs topk_agg timed
+  * alternately under host-steal noise, min-of-3 arbitrates. Kept as
+  * the probe harness for future rank-stage changes. */
 object ProbeM10 {
   def scored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
