@@ -100,7 +100,7 @@ object ScaleProbe {
                   "q59_concurrency",
                   "m11_dimsum", "s6_mips", "z1_zorder", "q60_acf",
                   "s7_knn_join", "q61_window_funnel", "q62_link_predict",
-                  "p11_repeat_epochs", "p3_decontaminate", "d9_bloom_decontaminate", "q63_holt_forecast", "q64_cusum")
+                  "p11_repeat_epochs", "p3_decontaminate", "d9_bloom_decontaminate", "q63_holt_forecast", "q64_cusum", "q65_ab_test")
     // optional arg 2: regex to probe a subset (factor stays arg 1)
     val picked = args.drop(1).headOption
       .map(re => all.filter(_.matches(re))).getOrElse(all)

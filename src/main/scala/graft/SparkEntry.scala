@@ -150,6 +150,7 @@ object SparkEntry {
     "d9_bloom_decontaminate" -> (Dedup.d9BloomDecontaminate _),
     "q63_holt_forecast"  -> (Analytics.q63HoltForecast _),
     "q64_cusum"          -> (Analytics.q64Cusum _),
+    "q65_ab_test"        -> (Analytics.q65AbTest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1484,6 +1485,35 @@ object SparkEntry {
          SELECT doc_id, lang, CAST(UNNEST(range(n_copies)) AS BIGINT) AS epoch
          FROM c WHERE n_copies > 0
          ORDER BY doc_id, epoch""",
+    "q65_ab_test" ->
+      """WITH pu AS (
+           SELECT user_id,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+                  THEN 1 ELSE 0 END AS converted
+           FROM events GROUP BY 1),
+         arms AS (
+           SELECT user_id % 2 AS arm, count(*) AS n_users,
+             sum(converted) AS n_conv
+           FROM pu GROUP BY 1),
+         w AS (
+           SELECT a.n_users AS n_a, CAST(a.n_conv AS BIGINT) AS conv_a,
+                  b.n_users AS n_b, CAST(b.n_conv AS BIGINT) AS conv_b
+           FROM (SELECT * FROM arms WHERE arm = 0) a,
+                (SELECT * FROM arms WHERE arm = 1) b)
+         SELECT n_a, conv_a,
+           floor(CAST(conv_a AS DOUBLE) / n_a * 10000) / 10000.0 AS rate_a,
+           n_b, conv_b,
+           floor(CAST(conv_b AS DOUBLE) / n_b * 10000) / 10000.0 AS rate_b,
+           floor((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+             * 10000) / 10000.0 AS abs_lift,
+           floor((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+             / (CAST(conv_a AS DOUBLE) / n_a) * 10000) / 10000.0 AS rel_lift,
+           CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0.0
+                ELSE floor((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (1.0 / n_a + 1.0 / n_b)) * 10000) / 10000.0 END AS z_stat
+         FROM w""",
     "q64_cusum" ->
       """WITH daily AS (
            SELECT CAST(o_orderdate AS DATE) AS d,

@@ -763,6 +763,51 @@ object Analytics {
       .orderBy($"day")
   }
 
+  /** Q65: A/B-test readout — the experimentation-analytics surface:
+    * users split into two arms by id parity (the deterministic stand-in
+    * for an assignment log; swap in the real assignment column and
+    * nothing else changes), per-arm purchase conversion, absolute and
+    * relative lift, and the pooled two-proportion z-statistic.
+    *
+    * Exactness: arm populations and conversions are exact integer
+    * counts; every ratio (rates, lift, z) is derived from those exact
+    * integers with the same IEEE operations in both engines, then
+    * floor-quantized — the q37/q41 discipline. One events scan → one
+    * distinct-user-grain aggregate → a 2-row frame; everything after
+    * is constant-sized. */
+  def q65AbTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // "converted" = a HEAVY purchaser (>= 15 purchase events): every
+    // synthetic user purchases at least once, so raw conversion
+    // saturates at 1.0 and the pooled z denominator degenerates —
+    // the threshold restores a real split at every SF
+    val perUser = Tables.events(s, dir)
+      .select($"user_id", ($"event_type" === "purchase").cast("long").as("p"))
+      .groupBy($"user_id")
+      .agg((sum($"p") >= 15L).cast("long").as("converted"))
+      .select(pmod($"user_id", lit(2L)).as("arm"), $"converted")
+    val arms = perUser.groupBy($"arm")
+      .agg(count(lit(1)).as("n_users"), sum($"converted").as("n_conv"))
+    val q4c = (c: org.apache.spark.sql.Column) => floor(c * 10000) / 10000.0
+    val wide = arms.filter($"arm" === 0)
+      .select($"n_users".as("n_a"), $"n_conv".as("conv_a"))
+      .crossJoin(arms.filter($"arm" === 1)
+        .select($"n_users".as("n_b"), $"n_conv".as("conv_b")))
+    val pa = $"conv_a".cast("double") / $"n_a"
+    val pb = $"conv_b".cast("double") / $"n_b"
+    val pool = ($"conv_a" + $"conv_b").cast("double") / ($"n_a" + $"n_b")
+    wide.select($"n_a", $"conv_a", q4c(pa).as("rate_a"),
+      $"n_b", $"conv_b", q4c(pb).as("rate_b"),
+      q4c(pb - pa).as("abs_lift"),
+      q4c((pb - pa) / pa).as("rel_lift"),
+      // degenerate pooled rate (0 or 1) has zero variance — report 0
+      // rather than raising ANSI division-by-zero
+      when(pool === 0.0 || pool === 1.0, 0.0)
+        .otherwise(q4c((pb - pa) /
+          sqrt(pool * (lit(1.0) - pool) *
+            (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")))).as("z_stat"))
+  }
+
   /** Q64: CUSUM changepoint scan over the daily-revenue series — the
     * classic mean-shift detector (Page 1954): S_t = Σ_{i≤t}(x_i − μ̂),
     * and the day maximizing |S_t| is the changepoint estimate. Exact

@@ -246,6 +246,29 @@ class Round6OpsSpec extends GraftSpecBase {
     assert(out.toSeq == expected.toSeq)
   }
 
+  // ---------------- q65 A/B test ----------------
+
+  test("q65: arm counts partition the users and the readout matches a local replay") {
+    val r = operators.Analytics.q65AbTest(spark, sf).collect().head
+    val perUser = Tables.events(spark, sf)
+      .select($"user_id", ($"event_type" === "purchase").cast("long").as("p"))
+      .groupBy($"user_id").agg(sum($"p").as("np"))
+      .as[(Long, Long)].collect()
+    val (a, b) = perUser.partition(_._1 % 2 == 0)
+    assert(r.getAs[Long]("n_a") == a.length && r.getAs[Long]("n_b") == b.length)
+    val (ca, cb) = (a.count(_._2 >= 15).toLong, b.count(_._2 >= 15).toLong)
+    assert(r.getAs[Long]("conv_a") == ca && r.getAs[Long]("conv_b") == cb)
+    def q4d(x: Double) = math.floor(x * 10000) / 10000.0
+    val (pa, pb) = (ca.toDouble / a.length, cb.toDouble / b.length)
+    assert(r.getAs[Double]("rate_a") == q4d(pa))
+    assert(r.getAs[Double]("rate_b") == q4d(pb))
+    assert(r.getAs[Double]("abs_lift") == q4d(pb - pa))
+    val pool = (ca + cb).toDouble / (a.length + b.length)
+    val z = (pb - pa) / math.sqrt(pool * (1 - pool) *
+      (1.0 / a.length + 1.0 / b.length))
+    assert(r.getAs[Double]("z_stat") == q4d(z))
+  }
+
   // ---------------- q64 CUSUM ----------------
 
   test("q64: cusum prefix sums match a local integer replay and rank by |S|") {
