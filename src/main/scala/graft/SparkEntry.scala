@@ -1506,8 +1506,9 @@ object SparkEntry {
            floor(CAST(conv_b AS DOUBLE) / n_b * 10000) / 10000.0 AS rate_b,
            floor((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
              * 10000) / 10000.0 AS abs_lift,
-           floor((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
-             / (CAST(conv_a AS DOUBLE) / n_a) * 10000) / 10000.0 AS rel_lift,
+           CASE WHEN conv_a = 0 THEN 0.0
+                ELSE floor((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+             / (CAST(conv_a AS DOUBLE) / n_a) * 10000) / 10000.0 END AS rel_lift,
            CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0.0
                 ELSE floor((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
              / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))

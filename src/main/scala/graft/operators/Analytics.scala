@@ -799,7 +799,12 @@ object Analytics {
     wide.select($"n_a", $"conv_a", q4c(pa).as("rate_a"),
       $"n_b", $"conv_b", q4c(pb).as("rate_b"),
       q4c(pb - pa).as("abs_lift"),
-      q4c((pb - pa) / pa).as("rel_lift"),
+      // zero-conversion arm A: relative lift is undefined — report 0
+      // (the z_stat degenerate-pool convention; unguarded, Spark's
+      // LongType floor maps the Inf/NaN to 0/Long.MaxValue while
+      // DuckDB's floor keeps it — a cross-engine oracle divergence)
+      when($"conv_a" === 0L, 0.0)
+        .otherwise(q4c((pb - pa) / pa)).as("rel_lift"),
       // degenerate pooled rate (0 or 1) has zero variance — report 0
       // rather than raising ANSI division-by-zero
       when(pool === 0.0 || pool === 1.0, 0.0)

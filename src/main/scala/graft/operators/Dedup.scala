@@ -374,12 +374,25 @@ object Dedup {
     * shingle: the filter is one binary blob (~1 MB at 1% fpp for 1M
     * items), a broadcast artifact like a dimension table. */
   def d9BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // memoized like the other dedup artifacts, with the bench-side
+    // cache routed through the cleanup hook (it used to leak: repeated
+    // bench sweeps accumulated cached partitions Caches.clear never saw)
+    graft.Caches.memo("d9_decontaminate", dir)(d9Build(s, dir, scaffolding))(
+      scaffolding.foreach(_.unpersist()))
+  }
+
+  /** The uncached d9 plan (the spec audits the filter-below-join shape
+    * here — the memoized public entry serves an InMemoryRelation). */
+  private[graft] def d9Build(s: SparkSession, dir: String,
+      scaffolding: scala.collection.mutable.ListBuffer[DataFrame]): DataFrame = {
     import s.implicits._
     val sh = Tables.documents(s, dir)
       .select($"doc_id", tokens($"text").as("w"))
       .select($"doc_id", explode(shinglesFromTokens($"w", 8)).as("sh8"))
     val bench = sh.filter($"doc_id" % DecontamMod === 0).select($"sh8").distinct()
       .cache()
+    scaffolding += bench
     // capacity must TRACK the benchmark (an undersized filter's fpp
     // explodes and it prunes nothing — measured at the 20× probe with
     // a fixed 100k: slower than no filter); 10 bits/item ≈ 1% fpp.

@@ -92,9 +92,29 @@ object AnomalyStream {
       .toDF("event_type", "n", "s", "q", "last_batch")
   }
 
+  /** Stats versions live at `statsDir/v-<batchId>`; a version counts
+    * only once its `_SUCCESS` marker exists. Promotion is therefore a
+    * single atomic fact (the marker file appearing) instead of the
+    * earlier two-rename dance, which had a crash window between
+    * "stage old aside" and "promote tmp" that left NO stats dir at
+    * all — on restart the last_batch idempotence guard vanished and
+    * the batch re-scored against empty priors. */
+  private def statsVersions(dir: String): Seq[(Long, java.io.File)] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.getName.startsWith("v-") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(f => (f.getName.stripPrefix("v-").toLong, f))
+      .sortBy(_._1)
+
+  /** The highest COMPLETE stats version (the live priors table). */
+  def currentStats(spark: SparkSession, dir: String): DataFrame =
+    statsVersions(dir).lastOption match {
+      case Some((_, f)) => spark.read.parquet(f.toString)
+      case None         => emptyStats(spark)
+    }
+
   private def readStats(spark: SparkSession, dir: String): DataFrame =
-    if (new java.io.File(dir).exists()) spark.read.parquet(dir)
-    else emptyStats(spark)
+    currentStats(spark, dir)
 
   /** Drain available events, alerting into `alertDir/batch-<id>` and
     * folding stats at `statsDir`. Rerun to pick up more (AvailableNow,
@@ -114,19 +134,18 @@ object AnomalyStream {
           // bytes; new IDs only ever extend the directory set
           alerts.coalesce(1).write.mode("overwrite")
             .parquet(s"$alertDir/batch-$batchId")
-          val tmp = statsDir + s".tmp-$batchId"
+          // versioned promotion: overwrite-write v-<batchId> (replay
+          // rewrites identical bytes — idempotent), whose _SUCCESS
+          // marker IS the atomic promotion; then prune superseded
+          // versions (a crash mid-prune is harmless — readers always
+          // pick the highest complete version)
           folded.withColumn("last_batch", lit(batchId))
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val dir = new java.io.File(statsDir)
-          val old = new java.io.File(statsDir + s".old-$batchId")
-          if (dir.exists() && !dir.renameTo(old))
-            throw new java.io.IOException(s"cannot stage $statsDir aside")
-          if (!new java.io.File(tmp).renameTo(dir))
-            throw new java.io.IOException(s"cannot promote $tmp")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$statsDir/v-$batchId")
           def rm(f: java.io.File): Unit = {
             Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
           }
-          rm(old)
+          statsVersions(statsDir).filter(_._1 < batchId).foreach(v => rm(v._2))
         }
         stats.unpersist()
         ()

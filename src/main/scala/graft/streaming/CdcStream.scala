@@ -36,6 +36,21 @@ object CdcStream {
     changes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // crash-window recovery: a crash between "stage aside" and
+        // "promote" leaves no baseDir but a complete .old-<id> sibling;
+        // restore the newest one so the replayed batch re-merges from
+        // the same base (idempotent — identical merged output)
+        val dirF = new java.io.File(baseDir)
+        if (!dirF.exists()) {
+          val pfx = dirF.getName + ".old-"
+          Option(dirF.getParentFile.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith(pfx))
+            .sortBy(_.getName.stripPrefix(pfx).toLong)
+            .lastOption.foreach { o =>
+              if (!o.renameTo(dirF))
+                throw new java.io.IOException(s"cannot restore $o")
+            }
+        }
         val base = spark.read.parquet(baseDir)
         // batch rows may repeat a key only across batches, not within
         // one (upstream CDC compaction's job); the merge itself is the

@@ -51,14 +51,23 @@ class AnomalyStreamSpec extends GraftSpecBase {
       .as[(String, Long, Long)].collect().toSet
     assert(alerts == Set(("err", 8 * H, 60L)), s"got $alerts")
     // steady types never alert; stats carry every type
-    val stats = spark.read.parquet(statsDir)
+    val stats = AnomalyStream.currentStats(spark, statsDir)
     assert(stats.select($"event_type").as[String].collect().toSet ==
       Set("web", "api", "err"))
     // restart with nothing new: no duplicate alerts, stats unchanged
     val statsBefore = stats.orderBy($"event_type").collect().toSeq
     runOnce()
     assert(AnomalyStream.alerts(spark, alertDir).count() == 1)
-    assert(spark.read.parquet(statsDir).orderBy($"event_type")
+    assert(AnomalyStream.currentStats(spark, statsDir).orderBy($"event_type")
+      .collect().toSeq == statsBefore)
+    // versioned promotion: exactly one complete version remains after
+    // pruning, and a dangling incomplete version is never read
+    val vs = Option(new java.io.File(statsDir).listFiles()).get
+      .filter(_.getName.startsWith("v-"))
+    assert(vs.length == 1, s"expected one pruned version, got ${vs.toSeq}")
+    val fake = new java.io.File(statsDir, "v-999999")
+    assert(fake.mkdirs()) // no _SUCCESS: incomplete, must be ignored
+    assert(AnomalyStream.currentStats(spark, statsDir).orderBy($"event_type")
       .collect().toSeq == statsBefore)
   }
 

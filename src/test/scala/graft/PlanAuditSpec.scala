@@ -299,7 +299,7 @@ class PlanAuditSpec extends GraftSpecBase {
     // the full pair fan-out (and no window at all in the plan)
     assert(p.contains("topk_agg"), p)
     assert(p.contains("ObjectHashAggregate"), p)
-    assert(!p.contains("RunningWindowFunction") && !p.contains("WindowExec"), p)
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window ("), p)
     assert(!p.contains("CartesianProduct"), p)
     // both self-join sides read the single memoized rating materialization
     assert(p.contains("InMemoryTableScan"), p)
@@ -313,7 +313,7 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(p.contains("InMemoryTableScan"), p)
     assert(!p.contains("CartesianProduct"), p)
     // the per-item top-5 is the partial topk_agg, never a window
-    assert(p.contains("topk_agg") && !p.contains("WindowExec"), p)
+    assert(p.contains("topk_agg") && !p.contains("Window ("), p)
     // the coin filter evaluates on the JOINED row (xxhash64 of user+pair)
     // before any (ia, ib) exchange — the pair agg only sees survivors
     assert(p.contains("xxhash64"), p)
@@ -322,7 +322,7 @@ class PlanAuditSpec extends GraftSpecBase {
   test("q61: funnel ladder is all user-keyed equi-joins — no cartesian, no window") {
     val p = plan(operators.Advanced.q61WindowFunnel(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains("WindowExec"), p)
+    assert(!p.contains("Window ("), p)
     assert(p.contains("hashpartitioning(user_id"), p)
   }
 
