@@ -145,6 +145,7 @@ object SparkEntry {
     "q60_acf"            -> (Analytics.q60Acf _),
     "q61_window_funnel"  -> (Advanced.q61WindowFunnel _),
     "q62_link_predict"   -> (Graph.q62LinkPredict _),
+    "q62_link_lsh"       -> (Graph.q62LinkLsh _),
     "p11_repeat_epochs"  -> (Sampling.p11RepeatEpochs _),
     "i6_binary_ingest"   -> (Ingest.i6BinaryIngest _),
     "d9_bloom_decontaminate" -> (Dedup.d9BloomDecontaminate _),

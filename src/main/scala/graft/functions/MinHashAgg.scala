@@ -11,12 +11,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Input: one reduced shingle hash per row (`x < 2^31`). Buffer: the
   * running minimum of each of the 64 fixed permutations
-  * `(a_i·x + b_i) mod M` (M = 2^61−1; a_i < 2^30 so the product stays
-  * below 2^62 — no overflow). Result: the 64-long signature array —
-  * bit-identical to composing 64 separate `min(pmod(...))` aggregate
-  * columns, but ONE buffer update per row instead of 64 aggregate
-  * columns each re-evaluating its permutation expression, and a
-  * 512-byte buffer that partial-aggregates map-side.
+  * `(a_i·x + b_i) mod p` over the field p = 2^31−1 (x, a_i, b_i < p,
+  * so the product stays below 2^62 — no Long overflow). Result: the
+  * 64-long signature array — bit-identical to composing 64 separate
+  * `min(pmod(...))` aggregate columns, but ONE buffer update per row
+  * instead of 64 aggregate columns each re-evaluating its permutation
+  * expression, and a 512-byte buffer that partial-aggregates map-side.
+  *
+  * The modulus must be SMALLER than the product range or the family
+  * degenerates: the first build used M = 2^61−1 with a_i < 2^30 and
+  * x < 2^31, so a_i·x + b_i < 2^61 never wrapped — every "permutation"
+  * was order-preserving, argmin h_i = argmin x for all 64 slots, and
+  * the whole signature collapsed to a function of min(x): estimated
+  * Jaccard read 0.0 or 1.0 and nothing between (found by the q62-LSH
+  * recall spec; p = 2^31−1 wraps on essentially every product).
   *
   * Registered as `minhash_agg` by GraftExtensions.
   */
@@ -80,13 +88,15 @@ case class MinHashAgg(
 
 object MinHashAgg {
   val NumHashes = 64
-  val MersennePrime: Long = (1L << 61) - 1
+  val MersennePrime: Long = (1L << 31) - 1
 
-  /** Fixed seeded permutation coefficients, shared with the composed
-    * 64-column reference formulation so the two are bit-comparable. */
+  /** Fixed seeded permutation coefficients in [1, p−1] / [0, p−1],
+    * shared with the composed 64-column reference formulation so the
+    * two are bit-comparable. */
   val Perms: Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(NumHashes)((rnd.nextInt(1 << 30).toLong + 1, rnd.nextInt(1 << 30).toLong))
+    Seq.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
+      rnd.nextInt(Int.MaxValue).toLong))
   }
   private val PermA: Array[Long] = Perms.map(_._1).toArray
   private val PermB: Array[Long] = Perms.map(_._2).toArray

@@ -181,9 +181,13 @@ object Advanced {
     * builds the (user, v_ms, c_ms) chain frame, purchases semi-join
     * against it, and user sets dedupe level by level. Fan-out is
     * per-user views×clicks — bounded by single-user activity (the
-    * q30/q43 class; a per-user history cap is the production knob),
-    * never corpus-sized, and every exchange keys on user_id. Level
-    * totals partition the distinct-user set. */
+    * q30/q43 class), never corpus-sized, and every exchange keys on
+    * user_id. A bot user with 10⁵ views and 10⁵ clicks would fan out
+    * 10¹⁰ rows inside one join group, which is why the production
+    * path is `q61FunnelFold` below: the same answer as a LINEAR
+    * per-user state-machine fold (SkewProbe drives it through the
+    * 30%-one-user regime). This ladder stays as the oracle-shaped
+    * formulation; both entries hash-check against the same SQL. */
   def q61WindowFunnel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = 21600000L

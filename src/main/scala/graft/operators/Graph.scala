@@ -118,6 +118,85 @@ object Graph {
       .limit(50)
   }
 
+  /** Q62-LSH: the production-scale candidate path for neighbor-Jaccard
+    * link prediction — q62's exact wedge enumeration recounts every
+    * candidate pair once PER COMMON NEIGHBOR (fan-out Σ C(deg,2), the
+    * measured 20× ceiling: 132–253 s), which on a densifying graph is
+    * the one exact-path asymptote a real user hits. This is the d3
+    * machinery applied to neighbor SETS: MinHash signatures of each
+    * node's adjacency list, LSH band join over DISTINCT signatures
+    * (duplicate compression — a hub's thousand degree-1 spokes share
+    * one signature), then an EXACT Jaccard verify on the survivors via
+    * one `sorted_intersect_size` two-pointer merge per candidate pair
+    * — each pair pays |N(a)|+|N(b)| exactly once, never once per
+    * wedge. Banding is 32 bands × 2 rows (NumHashes = 64): collision
+    * probability 1−(1−J²)³² ≈ 0.9999 at J = 0.5, 0.95 at J = 0.3 —
+    * sized to the measured top-50 regime (J ≥ 0.5 on this corpus at
+    * every SF). Seeded-hash signatures are deterministic but not
+    * SQL-replicable → rows-only; the spec pins recall ≥ 0.7 against
+    * the exact top-50 (the exact entry stays as the oracle baseline).
+    *
+    * Same output surface as q62 (a, b, common, jaccard — common and
+    * jaccard EXACT on every reported pair, same tie-break), so a
+    * candidate-complete run is bit-identical to the exact path. */
+  def q62LinkLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("q62_lsh_top", dir) {
+      val bandsN = 32
+      val rpb = Dedup.NumHashes / bandsN
+      val e = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+        .select($"pa", $"pb")
+      val sym = e.unionAll(e.select($"pb".as("pa"), $"pa".as("pb")))
+        .select($"pa".as("v"), $"pb".as("nb"))
+      // per-node neighbor-set signature + sorted adjacency array; both
+      // artifacts are node-count-sized and feed several joins below
+      val sigs = sym
+        .select($"v", pmod(xxhash64($"nb"), lit(2147483647L)).as("x"))
+        .groupBy($"v")
+        .agg(call_function("minhash_agg", $"x").as("sig"))
+        .cache()
+      scaffolding += sigs
+      val adj = sym.groupBy($"v")
+        .agg(array_sort(collect_list($"nb")).as("nbrs"))
+        .cache()
+      scaffolding += adj
+      val distinctSigs = sigs.select($"sig").distinct()
+      val bands = distinctSigs.select($"sig",
+        explode(array((0 until bandsN).map { j =>
+          struct(lit(j).as("band"),
+            xxhash64(lit(j), slice($"sig", j * rpb + 1, rpb)).as("bh"))
+        }: _*)).as("b"))
+        .select($"sig", $"b.band", $"b.bh")
+      val sigPairs = bands.as("x").join(bands.as("y"),
+          $"x.band" === $"y.band" && $"x.bh" === $"y.bh" && $"x.sig" < $"y.sig")
+        .select($"x.sig".as("sa"), $"y.sig".as("sb"))
+        .dropDuplicates("sa", "sb")
+      val inter = sigPairs
+        .join(sigs.select($"v".as("va"), $"sig".as("sa")), "sa")
+        .join(sigs.select($"v".as("vb"), $"sig".as("sb")), "sb")
+        .select(least($"va", $"vb").as("a"), greatest($"va", $"vb").as("b"))
+      val intra = sigs.as("x").join(sigs.as("y"),
+          $"x.sig" === $"y.sig" && $"x.v" < $"y.v")
+        .select($"x.v".as("a"), $"y.v".as("b"))
+      val cands = inter.unionAll(intra).dropDuplicates("a", "b")
+        .join(e.select($"pa".as("a"), $"pb".as("b")), Seq("a", "b"), "left_anti")
+      cands
+        .join(adj.select($"v".as("a"), $"nbrs".as("na")), "a")
+        .join(adj.select($"v".as("b"), $"nbrs".as("nbb")), "b")
+        .select($"a", $"b",
+          call_function("sorted_intersect_size", $"na", $"nbb")
+            .cast("long").as("common"),
+          (size($"na") + size($"nbb")).cast("long").as("degsum"))
+        .filter($"common" > 0L)
+        .select($"a", $"b", $"common",
+          (floor($"common" * 10000 / ($"degsum" - $"common")) / 10000.0)
+            .as("jaccard"))
+        .orderBy($"jaccard".desc, $"a", $"b")
+        .limit(50)
+    } { scaffolding.foreach(_.unpersist()) }
+  }
+
   def q54Triangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
