@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   *  - q17 range join: per-user tolerance-cell bucketing — the hot
   *    user's cells each hold few events (times are spread), so the
   *    equi-join on (user, cell) stays balanced.
+  *  - q61_funnel_fold: the funnel state machine scans the hot user's
+  *    ~2.4M events LINEARLY off the shuffle sort (O(frontier) state).
+  *    The q61 join ladder is deliberately NOT probed here: its
+  *    per-user views×clicks product would be ~6·10¹¹ rows inside one
+  *    join group on this corpus — the documented reason the fold
+  *    exists.
   *
   * `runMain graft.SkewProbe [nEvents]` (default 8M).
   */
@@ -55,7 +61,8 @@ object SkewProbe {
     println(s"== skew corpus: $total events, hot user holds $hot (${hot * 100 / total}%)")
 
     for (q <- Seq("q14_sessionize", "q22_moving_avg", "q30_ewma", "q17_range_join",
-                  "q44_gap_fill", "q46_attribution", "q42_cohort_retention")) {
+                  "q44_gap_fill", "q46_attribution", "q42_cohort_retention",
+                  "q61_funnel_fold")) {
       val df = SparkEntry.queries(q)(spark, out)
       val t0 = System.nanoTime()
       // noop sink: full evaluation (count() would prune the windows

@@ -144,6 +144,7 @@ object SparkEntry {
     "z1_zorder"          -> (Layout.z1ZorderStats _),
     "q60_acf"            -> (Analytics.q60Acf _),
     "q61_window_funnel"  -> (Advanced.q61WindowFunnel _),
+    "q61_funnel_fold"    -> (Advanced.q61FunnelFold _),
     "q62_link_predict"   -> (Graph.q62LinkPredict _),
     "q62_link_lsh"       -> (Graph.q62LinkLsh _),
     "p11_repeat_epochs"  -> (Sampling.p11RepeatEpochs _),
@@ -1609,6 +1610,34 @@ object SparkEntry {
          SELECT q_id, rnk, neighbor_id, ip FROM ranked WHERE rnk <= 3
          ORDER BY q_id, rnk""",
     "q61_window_funnel" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+         v AS (SELECT user_id, ms AS v_ms FROM e WHERE event_type = 'view'),
+         c AS (SELECT user_id, ms AS c_ms FROM e WHERE event_type = 'click'),
+         p AS (SELECT user_id, ms AS p_ms FROM e WHERE event_type = 'purchase'),
+         vc AS (
+           SELECT v.user_id, v_ms, c_ms FROM v JOIN c USING (user_id)
+           WHERE c_ms > v_ms AND c_ms <= v_ms + 21600000),
+         l1 AS (SELECT DISTINCT user_id FROM v),
+         l2 AS (SELECT DISTINCT user_id FROM vc),
+         l3 AS (
+           SELECT DISTINCT vc.user_id FROM vc JOIN p USING (user_id)
+           WHERE p_ms > c_ms AND p_ms <= v_ms + 21600000),
+         lv AS (
+           SELECT u.user_id,
+             (CASE WHEN l1.user_id IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN l2.user_id IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN l3.user_id IS NULL THEN 0 ELSE 1 END) AS funnel_level
+           FROM (SELECT DISTINCT user_id FROM e) u
+           LEFT JOIN l1 USING (user_id)
+           LEFT JOIN l2 USING (user_id)
+           LEFT JOIN l3 USING (user_id))
+         SELECT funnel_level, count(*) AS n_users FROM lv
+         GROUP BY 1 ORDER BY 1""",
+    // the state-machine fold computes the IDENTICAL deepest-level
+    // partition, so it shares the join ladder's SQL verbatim — one
+    // oracle, two physical strategies (the point of the pair)
+    "q61_funnel_fold" ->
       """WITH e AS (
            SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
          v AS (SELECT user_id, ms AS v_ms FROM e WHERE event_type = 'view'),

@@ -218,6 +218,38 @@ object Advanced {
       .orderBy($"funnel_level")
   }
 
+  /** Q61-FOLD: the same windowed funnel as a per-user LINEAR state
+    * machine — the production path for the hot-key regime where q61's
+    * join ladder would materialize a views×clicks product inside one
+    * join group. `flatMapSortedGroups` hands each user's events in
+    * (ms, views-last, event_id) order straight off the shuffle sort
+    * (no per-user buffer), and the fold carries O(frontier) state:
+    * latest view anchor + the Pareto frontier of open (view, click)
+    * chains — see graft.streaming.FunnelLogic for the dominance
+    * argument. A 30%-one-user stream costs that user's event count,
+    * not its views×clicks square (SkewProbe pins it). Deterministic
+    * and exact: hash-checks against the SAME oracle SQL as q61, and
+    * the streaming twin (FunnelStream.funnelUpgrades) folds the
+    * identical step function per micro-batch. */
+  def q61FunnelFold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.FunnelLogic
+    Tables.eventsWithMs(s, dir)
+      .select($"user_id", $"ms", $"event_type", $"event_id")
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(
+        $"ms", when($"event_type" === "view", 1).otherwise(0), $"event_id") {
+        (user: Long, it: Iterator[(Long, Long, String, Long)]) =>
+          Iterator.single(
+            (user, FunnelLogic.foldLevel(it.map(r => (r._3, r._2)))))
+      }
+      .toDF("user_id", "funnel_level")
+      .groupBy($"funnel_level")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"funnel_level")
+  }
+
   /** Q31: string aggregation — the LISTAGG/STRING_AGG shape: per
     * region, the alphabetized nation list as one delimited string.
     * `array_sort(collect_list(...))` keeps it deterministic (a bare

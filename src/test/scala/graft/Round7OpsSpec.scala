@@ -1,6 +1,10 @@
 package graft
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import graft.streaming.{EventStreams, FunnelStream}
+import graft.streaming.EventStreams.Event
+import graft.streaming.FunnelStream.FunnelUpgrade
 
 /** Round-7 operators: the q62 approximate candidate path (LSH over
   * adjacency lists) and its recall contract against the exact wedge
@@ -51,5 +55,60 @@ class Round7OpsSpec extends GraftSpecBase {
       .select($"a", $"b").as[(Long, Long)].collect().toSet
     assert(exact.subsetOf(approx),
       s"missing J=1.0 pairs: ${(exact -- approx).take(5)}")
+  }
+
+  // ---------------- q61 fold + streaming funnel twin ----------------
+
+  test("q61_fold: the state-machine fold equals the join ladder exactly") {
+    val ladder = operators.Advanced.q61WindowFunnel(spark, sf)
+      .as[(Int, Long)].collect().toSeq
+    val fold = operators.Advanced.q61FunnelFold(spark, sf)
+      .as[(Int, Long)].collect().toSeq
+    assert(fold == ladder, s"fold $fold vs ladder $ladder")
+  }
+
+  test("streaming funnel twin matches the batch fold, one upgrade per (user, level)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.eventsWithMs(spark, sf)
+      .select($"user_id", $"event_id", $"ms", $"event_type", $"value")
+      .as[Event].collect().toSeq.sortBy(e => (e.ms, e.event_id))
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[Event]
+    val q = FunnelStream.funnelUpgrades(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_upgrades")
+      .outputMode("append").start()
+    try {
+      // batch-monotone chunks (events pre-sorted by ms)
+      events.grouped(math.max(1, events.size / 4 + 1)).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val ups = spark.table("funnel_upgrades").as[FunnelUpgrade].collect()
+      // at-most-once per (user, level): state persisting across batches
+      // must never re-emit a level already reached
+      assert(ups.map(u => (u.user_id, u.funnel_level)).distinct.length == ups.length)
+      // deepest level per user + level-0 remainder == batch q61
+      val deepest = ups.groupBy(_.user_id).view.mapValues(_.map(_.funnel_level).max)
+      val allUsers = events.map(_.user_id).distinct
+      val got = allUsers.map(u => deepest.getOrElse(u, 0))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = operators.Advanced.q61WindowFunnel(spark, sf)
+        .as[(Int, Long)].collect().toMap
+      assert(got == want, s"stream $got vs batch $want")
+      // upgrades are monotone per user: level k emitted before k+1
+      ups.groupBy(_.user_id).values.foreach { us =>
+        val byMs = us.sortBy(u => (u.ms, u.funnel_level)).map(_.funnel_level).toSeq
+        assert(byMs == byMs.sorted, s"non-monotone upgrades: ${us.toSeq}")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 }
