@@ -42,43 +42,75 @@ object Bench {
       try { exec(fn(spark, sfDir)) } catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // two sweeps: the first pays every one-time artifact cost (JIT /
-    // codegen compilation, model fits, index builds — costs a real
-    // deployment pays once per dataset, not per query); the second
-    // measures steady-state compute under warm JIT and amortized
-    // models/indexes. The RESULT memo is cleared between sweeps so
-    // sweep 2 genuinely re-runs each operator's joins/aggregations —
-    // min across sweeps is best-of-N over real work, never a read of
-    // sweep 1's cached output. Both sweep totals are disclosed.
+    // one cold sweep + N warm sweeps (default 3, SPARK_GRAFT_WARM_SWEEPS
+    // to override). The cold sweep pays every one-time artifact cost
+    // (JIT / codegen compilation, model fits, index builds — costs a
+    // real deployment pays once per dataset, not per query); the warm
+    // sweeps measure steady-state compute under warm JIT and amortized
+    // models/indexes. The RESULT memo is cleared between sweeps so each
+    // genuinely re-runs every operator's joins/aggregations — no sweep
+    // ever reads a prior sweep's cached output.
+    //
+    // VARIANCE BANDS: this host shows bursty EXTERNAL contention
+    // (2–5× single-shot swings at load 10+ with no local consumer), so
+    // a single best-of-2 cannot distinguish a regression from a burst.
+    // Per entry the bands report min / MEDIAN / spread (max−min) over
+    // the warm sweeps: the median of 3 absorbs one burst entirely, and
+    // a wide spread marks the entry's number as load-noise rather than
+    // plan cost. Regression triage reads the MEDIAN, not the min.
+    val nWarm = math.max(1,
+      sys.env.get("SPARK_GRAFT_WARM_SWEEPS").map(_.toInt).getOrElse(3))
     val cold = sweep()
-    Caches.clear()
-    val warm = sweep().toMap
-    val results = cold.map { case (k, v) => k -> math.min(v, warm(k)) }
+    val warms = (1 to nWarm).map { _ => Caches.clear(); sweep().toMap }
+    def samples(k: String): Seq[Double] = warms.map(_(k)).sorted
+    def median(xs: Seq[Double]): Double =
+      if (xs.size % 2 == 1) xs(xs.size / 2)
+      else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0
+    // headline stays best-of-all (cold included), back-comparable with
+    // every prior round's "min of two sweeps"
+    val results = cold.map { case (k, v) => k -> (v +: samples(k)).min }
+    val medians = cold.map { case (k, _) => k -> median(samples(k)) }
+    val spreads = cold.map { case (k, _) =>
+      k -> (samples(k).max - samples(k).min) }
     def jmap(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results)
     val total = results.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
-    val warmTotal = warm.values.sum
+    val medianTotal = medians.map(_._2).sum
+    val warmTotals = warms.map(_.values.sum)
     // queries_cold discloses each query's first-sweep time (one-time
-    // model fits / index builds / JIT included) next to the best-of-2
+    // model fits / index builds / JIT included) next to the best-of-N
     // headline, so no per-query cost is hidden by the methodology
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""iterations":2,"cold_total":$coldTotal,"warm_total":$warmTotal,""" +
+      s""""iterations":${nWarm + 1},"cold_total":$coldTotal,""" +
+      s""""median_total":$medianTotal,""" +
+      s""""warm_totals":${warmTotals.mkString("[", ",", "]")},""" +
+      s""""queries_median":${jmap(medians)},""" +
+      s""""queries_spread":${jmap(spreads)},""" +
       s""""queries_cold":${jmap(cold)},"sf":"$sfDir"}"""
     // The driver records only a ~2000-char stdout TAIL, and the full
-    // per-query line (90 entries × 2 maps) overflows it — four rounds
+    // per-query line (131 entries × 4 maps) overflows it — four rounds
     // of BENCH_r{N}.json "parsed": null. So emit a COMPACT summary
-    // line (total + the top-12 most expensive queries, values rounded)
-    // BOTH before and after the full line: the trailing copy is what
-    // survives tail truncation; the leading copy serves a head-reader.
-    // The complete record still reaches BENCH.json below.
+    // line (totals + the top-12 most expensive queries by MEDIAN, with
+    // their min/median/spread triple) BOTH before and after the full
+    // line: the trailing copy is what survives tail truncation; the
+    // leading copy serves a head-reader. The complete record still
+    // reaches BENCH.json below.
     def r4(v: Double) = math.round(v * 10000) / 10000.0
-    val top = results.sortBy(-_._2).take(12).map { case (k, v) => k -> r4(v) }
+    val medMap = medians.toMap
+    val sprMap = spreads.toMap
+    val resMap = results.toMap
+    val top = medians.sortBy(-_._2).take(12).map(_._1)
+    val topBands = top.map { k =>
+      s"\"" + k + s"\":[${r4(resMap(k))},${r4(medMap(k))},${r4(sprMap(k))}]"
+    }.mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
-      s""""queries":${jmap(top)},"iterations":2,"cold_total":${r4(coldTotal)},""" +
-      s""""warm_total":${r4(warmTotal)},"n_queries":${results.size},""" +
-      s""""queries_note":"top12 of ${results.size} by time; full map in BENCH.json",""" +
+      s""""median_total":${r4(medianTotal)},""" +
+      s""""queries":$topBands,"iterations":${nWarm + 1},""" +
+      s""""cold_total":${r4(coldTotal)},""" +
+      s""""n_queries":${results.size},""" +
+      s""""queries_note":"top12 of ${results.size} by median; [min,median,spread] over $nWarm warm sweeps; full maps in BENCH.json",""" +
       s""""sf":"$sfDir"}"""
     // print the result lines (they must never be lost to a file-write
     // failure), then also drop a copy in a well-known file. The run is
