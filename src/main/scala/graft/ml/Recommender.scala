@@ -569,19 +569,7 @@ object Recommender {
   private[graft] def m11Estimates(s: SparkSession, dir: String,
       gamma: Double): DataFrame = {
     import s.implicits._
-    val r = intRatings(s, dir)
-    val n2 = r.groupBy($"item").agg(sum($"q" * $"q").as("n2"))
-    // norms are catalog-sized — ride in on a broadcast, so the rating
-    // frame's one exchange (ReuseExchange across the self-join) stays
-    // the only data-sized shuffle before sampling
-    val rr = r.join(broadcast(n2), "item")
-      .select($"user", $"item", $"q",
-        sqrt($"n2".cast("double")).as("nrm"))
-    val joined = rr.as("a").join(rr.as("b"),
-        $"a.user" === $"b.user" && $"a.item" < $"b.item")
-      .select($"a.user".as("user"), $"a.item".as("ia"), $"b.item".as("ib"),
-        ($"a.q" * $"b.q").cast("double").as("prod"),
-        ($"a.nrm" * $"b.nrm").as("nn"))
+    val joined = m11Contribs(s, dir)
     val p = least(lit(1.0), lit(gamma) / $"nn")
     // deterministic uniform in [0,1): xxhash64 mod a large prime —
     // replayable across runs and partitionings (keyed on values only)
@@ -591,6 +579,100 @@ object Recommender {
       .select($"ia", $"ib", ($"prod" / ($"nn" * p)).as("contrib"))
       .groupBy($"ia", $"ib").agg(sum($"contrib").as("cos_est"))
   }
+
+  /** The pre-sampling (user, ia, ib, prod, nn) contribution frame
+    * shared by the estimator and the γ budget solver. Lazy — nothing
+    * here executes the pair fan-out until a consumer (with its
+    * map-side sampling filter) does. */
+  private[graft] def m11Contribs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = intRatings(s, dir)
+    val n2 = r.groupBy($"item").agg(sum($"q" * $"q").as("n2"))
+    // norms are catalog-sized — ride in on a broadcast, so the rating
+    // frame's one exchange (ReuseExchange across the self-join) stays
+    // the only data-sized shuffle before sampling
+    val rr = r.join(broadcast(n2), "item")
+      .select($"user", $"item", $"q",
+        sqrt($"n2".cast("double")).as("nrm"))
+    rr.as("a").join(rr.as("b"),
+        $"a.user" === $"b.user" && $"a.item" < $"b.item")
+      .select($"a.user".as("user"), $"a.item".as("ia"), $"b.item".as("ib"),
+        ($"a.q" * $"b.q").cast("double").as("prod"),
+        ($"a.nrm" * $"b.nrm").as("nn"))
+  }
+
+  /** γ from a SHUFFLE BUDGET — the 100 TB knob the mean-n² default
+    * doesn't give: pick the largest γ whose expected post-sampling
+    * contribution count stays within `budgetContribs` (largest =
+    * most accuracy the budget affords; every pair below the γ norm
+    * product stays exact).
+    *
+    * E[survivors](γ) = Σ min(1, γ/nn) over the contribution stream —
+    * monotone in γ, but summing it exactly would execute the very
+    * fan-out the budget bounds. Instead: a seeded 1-in-16 USER sample
+    * (pairs are user-local, so sampling users subsamples contributions
+    * unbiasedly at 1/16) feeds one aggregation that evaluates E(γ) at
+    * a fixed 33-point geometric grid spanning the sampled nn range;
+    * the solver then interpolates between the two bracketing grid
+    * points (E is linear in γ between points where no nn crosses).
+    * Cost: the sample's fan-out (1/16 of a user-square sum) + one
+    * 33-column agg — bounded, deterministic (hash-seeded sample), and
+    * independent of the budget asked for.
+    *
+    * At 100 TB this is the operational interface: "spend at most B
+    * shuffle rows on the item graph" — γ then self-tunes to the
+    * catalog's norm distribution instead of hand-tuned constants. */
+  private[graft] def m11GammaForBudget(s: SparkSession, dir: String,
+      budgetContribs: Long): Double = {
+    import s.implicits._
+    // adaptive sampling grain: keep ≥ ~500 expected users in the
+    // sample (per-user pair counts are C(m,2)-heavy-tailed, and a
+    // handful of users cannot estimate E — measured at 150 users:
+    // a fixed 1/16 sample landed 3.7× off budget); small corpora run
+    // exact (mod 1), big ones cap at 1/16 of the user square
+    val nUsers = intRatings(s, dir).select($"user").distinct().count()
+    val SampleMod = math.max(1L, math.min(16L, nUsers / 500L))
+    val sample = m11Contribs(s, dir)
+      .filter(pmod(xxhash64(lit(7), $"user"), lit(SampleMod)) === 0L)
+      .select($"nn").cache()
+    try {
+      val (nnMin, nnMax, nSamp, invSum) = sample
+        .agg(min($"nn"), max($"nn"), count(lit(1)), sum(lit(1.0) / $"nn"))
+        .as[(Double, Double, Long, Double)].head()
+      if (nSamp == 0L) return 1.0 // degenerate corpus: no pairs at all
+      val lo = math.max(nnMin, 1e-12)
+      val hi = math.max(nnMax, lo * (1 + 1e-9))
+      // below nn_min every pair is sampled (p = γ/nn < 1 uniformly), so
+      // E(γ) = γ·Σ(1/nn) exactly — solve that regime in closed form
+      // instead of pinning γ to the smallest norm product (the first
+      // build did, and a budget of total/8 landed 3.7× over)
+      val sEst = invSum * SampleMod
+      val target0 = budgetContribs.toDouble
+      if (target0 <= lo * sEst) return target0 / sEst
+      val K = 33
+      val grid = (0 until K).map(i =>
+        lo * math.pow(hi / lo, i.toDouble / (K - 1)))
+      // one pass: E_hat(γ_k) on the sample for every grid point
+      val sums = grid.map(g =>
+        sum(least(lit(1.0), lit(g) / $"nn")).as(s"e$g"))
+      val row = sample.agg(sums.head, sums.tail: _*).head()
+      val e = (0 until K).map(i => row.getDouble(i) * SampleMod)
+      // (E extrapolates by the sampling mod: user sampling subsamples
+      // the contribution stream unbiasedly — pairs are user-local)
+      val target = budgetContribs.toDouble
+      if (e.head > target) return grid.head // budget below even γ=nnMin
+      if (e.last <= target) return grid.last // budget covers exact m10
+      val k = e.indexWhere(_ > target) // bracket: e(k-1) <= target < e(k)
+      // E is piecewise-linear in γ: interpolate inside the bracket
+      val (g0, g1, e0, e1) = (grid(k - 1), grid(k), e(k - 1), e(k))
+      g0 + (g1 - g0) * ((target - e0) / math.max(e1 - e0, 1e-12))
+    } finally { sample.unpersist(); () }
+  }
+
+  /** m11 under a contribution budget instead of an explicit γ. */
+  def m11DimsumBudget(s: SparkSession, dir: String,
+      budgetContribs: Long): DataFrame =
+    m11Dimsum(s, dir, m11GammaForBudget(s, dir, budgetContribs))
 
   /** Memoized integer rating matrix (user, item, q = Σ l_quantity as
     * BIGINT): one materialization feeds both sides of m10's self-join

@@ -57,6 +57,58 @@ class Round7OpsSpec extends GraftSpecBase {
       s"missing J=1.0 pairs: ${(exact -- approx).take(5)}")
   }
 
+  // ---------------- m11 gamma from a shuffle budget ----------------
+
+  private def m11Achieved(gamma: Double): Long = {
+    val joined = ml.Recommender.m11Contribs(spark, sf)
+    val p = least(lit(1.0), lit(gamma) / $"nn")
+    val coin = pmod(xxhash64(lit(42), $"user", $"ia", $"ib"),
+      lit(1000000007L)).cast("double") / 1000000007.0
+    joined.filter(coin < p).count()
+  }
+
+  test("m11 budget: solved gamma is monotone in budget and lands the shuffle inside the band") {
+    val total = ml.Recommender.m11Contribs(spark, sf).count()
+    val budgets = Seq(total / 8, total / 4, total / 2)
+    val gammas = budgets.map(b =>
+      ml.Recommender.m11GammaForBudget(spark, sf, b))
+    assert(gammas == gammas.sorted,
+      s"gamma must grow with budget: ${budgets.zip(gammas)}")
+    // achieved post-sampling contribution count vs the asked budget:
+    // at this corpus size the solver runs exact (adaptive mod 1), so
+    // the band only absorbs coin noise + grid interpolation
+    budgets.zip(gammas).foreach { case (b, g) =>
+      val got = m11Achieved(g)
+      assert(got >= b * 7 / 10 && got <= b * 14 / 10,
+        s"budget $b -> gamma $g -> achieved $got (outside [0.7x, 1.4x])")
+    }
+  }
+
+  test("m11 budget: recall/volume trade across three gammas — volume buys recall") {
+    val exactTop = ml.Recommender.m10ItemCosine(spark, sf)
+      .select($"item", $"nbr").as[(Long, Long)].collect().toSet
+    def recallAt(gamma: Double): (Long, Double) = {
+      val approx = ml.Recommender.m11Dimsum(spark, sf, gamma)
+        .select($"item", $"nbr").as[(Long, Long)].collect().toSet
+      (m11Achieved(gamma), (exactTop & approx).size.toDouble / exactTop.size)
+    }
+    // gammas off the nn distribution itself (the default keeps every
+    // pair at this tiny SF — mean-n² sits above most norm products):
+    // starved (10th pct), moderate (median), exhaustive
+    val Seq(gLo, gMid) = ml.Recommender.m11Contribs(spark, sf)
+      .agg(expr("approx_percentile(nn, array(0.1, 0.5), 1000)"))
+      .as[Seq[Double]].head().toSeq
+    val curve = Seq(gLo, gMid, 1e15).map(recallAt)
+    // volumes strictly increase with gamma
+    assert(curve.map(_._1) == curve.map(_._1).sorted &&
+      curve.map(_._1).distinct.size == 3, s"volumes not increasing: $curve")
+    // gamma -> infinity samples nothing away: exact recall 1.0, and
+    // recall is non-decreasing along the curve — volume buys recall
+    assert(curve.last._2 == 1.0, s"exhaustive recall != 1: $curve")
+    assert(curve.head._2 <= curve(1)._2 && curve(1)._2 <= curve.last._2,
+      s"recall not improving along the curve: $curve")
+  }
+
   // ---------------- q61 fold + streaming funnel twin ----------------
 
   test("q61_fold: the state-machine fold equals the join ladder exactly") {
