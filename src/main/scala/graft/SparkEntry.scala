@@ -132,6 +132,7 @@ object SparkEntry {
     "i5_xml_ingest"      -> (Ingest.i5XmlIngest _),
     "p9_curriculum"      -> (Sampling.p9Curriculum _),
     "p10_near_dedup"     -> (Dedup.p10NearDedup _),
+    "p10_exact_dedup"    -> (Dedup.p10ExactDedup _),
     "m8_implicit_recs"   -> (graft.ml.Recommender.m8ImplicitRecs _),
     "m9_kmeans"          -> (graft.ml.Clustering.m9Kmeans _),
     "m10_item_cosine"    -> (graft.ml.Recommender.m10ItemCosine _),
@@ -619,6 +620,41 @@ object SparkEntry {
            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id)
          SELECT doc_id, min(r) AS group_id FROM reach
          GROUP BY 1 ORDER BY 1""",
+    // d6's exact component labels + the p10 keep rule — hash-checks the
+    // transversal logic end to end (p10 itself stays rows-only: its
+    // pair set is d3's seeded LSH banding)
+    "p10_exact_dedup" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(
+             list_transform(string_split(text, ' '), (x, i) ->
+               CASE WHEN i + 2 <= len(string_split(text, ' '))
+                    THEN x || ' ' || string_split(text, ' ')[i+1]
+                           || ' ' || string_split(text, ' ')[i+2] END),
+             s -> s IS NOT NULL))) AS shingle
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_both
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         prs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON id_a = sa.doc_id
+           JOIN sizes sb ON id_b = sb.doc_id
+           WHERE CAST(n_both AS DOUBLE) / (sa.n_sh + sb.n_sh - n_both) >= 0.5),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM prs
+           UNION ALL SELECT id_b, id_a FROM prs),
+         reach(doc_id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+         labels AS (
+           SELECT doc_id, min(r) AS group_id FROM reach GROUP BY 1),
+         drops AS (SELECT doc_id FROM labels WHERE doc_id <> group_id)
+         SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+         ORDER BY d.doc_id""",
     "t5_repetition" ->
       """WITH toks AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -550,6 +550,25 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** P10-EXACT: the SAME keep-one-representative stage driven by the
+    * d2 EXACT pair graph instead of d3's LSH pairs — p10's transversal
+    * logic (components → min-id representative → anti-join the drops)
+    * is deterministic GIVEN a pair set, and with the exact pairs the
+    * whole stage is SQL-replicable: the DuckDB oracle replays d2's
+    * shingle Jaccard + a recursive-CTE closure + the keep rule, so the
+    * keep-set logic itself gets hash-checked end to end (d3's seeded
+    * banding keeps p10 itself rows-only). Reuses d6's memoized labels
+    * — no new exchange; same output surface as p10. */
+  def p10ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = d6DupGroups(s, dir)
+    Tables.documents(s, dir)
+      .join(labels.filter($"doc_id" =!= $"group_id").select($"doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   // ---- MinHash -------------------------------------------------------
 
   val NumHashes: Int = graft.functions.MinHashAgg.NumHashes
