@@ -154,6 +154,12 @@ object SparkEntry {
     "q63_holt_forecast"  -> (Analytics.q63HoltForecast _),
     "q64_cusum"          -> (Analytics.q64Cusum _),
     "q65_ab_test"        -> (Analytics.q65AbTest _),
+    "q66_kcore"          -> ((s: SparkSession, d: String) => Graph.q66Kcore(s, d)),
+    "q67_clustering_coef" -> (Graph.q67ClusteringCoef _),
+    "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
+    "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
+    "t15_heavy_sketch"   -> (TextAnalysis.t15HeavySketch _),
+    "z2_zonemap_prune"   -> ((s: SparkSession, d: String) => Layout.z2ZonemapPrune(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1766,5 +1772,102 @@ object SparkEntry {
            {'lag': 5, 'num': num5}, {'lag': 6, 'num': num6},
            {'lag': 7, 'num': num7}]) AS t(u)
          ORDER BY lag""",
+    // unrolled fixed-round peel (DuckDB's recursive CTE can't shrink
+    // its working set in place) — generated, k=3 over KcoreRounds
+    "q66_kcore" -> operators.Graph.kcoreOracleSql(),
+    "q67_clustering_coef" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         t AS (
+           SELECT ab.pa AS a, ab.pb AS b, bc.pb AS c
+           FROM e ab JOIN e bc ON ab.pb = bc.pa
+           WHERE EXISTS (SELECT 1 FROM e ac
+                         WHERE ac.pa = ab.pa AND ac.pb = bc.pb)),
+         tn AS (SELECT n, count(*) AS n_tri FROM
+           (SELECT a AS n FROM t UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t) GROUP BY 1),
+         d AS (SELECT n, count(*) AS deg FROM
+           (SELECT pa AS n FROM e UNION ALL SELECT pb FROM e) GROUP BY 1)
+         SELECT d.n AS l_partkey, d.deg AS deg,
+           CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_tri,
+           CASE WHEN d.deg < 2 THEN 0.0
+                ELSE floor(COALESCE(tn.n_tri, 0) * 2 * 10000
+                  / CAST(d.deg * (d.deg - 1) AS DOUBLE)) / 10000.0 END AS lcc
+         FROM d LEFT JOIN tn ON tn.n = d.n
+         ORDER BY l_partkey""",
+    "q68_spend_deciles" ->
+      """WITH sp AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         rk AS (
+           SELECT o_custkey, cents,
+             CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS r,
+             CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS decile
+           FROM sp),
+         tot AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS t,
+             CAST(sum(CAST(r AS HUGEINT) * cents) AS HUGEINT) AS s
+           FROM rk),
+         dec AS (
+           SELECT decile, count(*) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS cents
+           FROM rk GROUP BY 1),
+         cum AS (
+           SELECT decile, n_customers, cents,
+             sum(cents) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+           FROM dec)
+         SELECT decile, n_customers, cents,
+           CAST((CAST(cents AS HUGEINT) * 10000) // t AS BIGINT) / 10000.0 AS share,
+           CAST((CAST(cum_cents AS HUGEINT) * 10000) // t AS BIGINT) / 10000.0 AS cum_share,
+           CAST(((2 * s - (n + 1) * t) * 10000) // (n * t) AS BIGINT) / 10000.0 AS gini
+         FROM cum, tot ORDER BY decile""",
+    "p12_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE (doc_id * 7919) %
+           (CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 5 ELSE 10 END) = 0
+         ORDER BY doc_id""",
+    "z2_zonemap_prune" ->
+      """WITH b0 AS (
+           SELECT l_partkey, l_suppkey,
+             l_partkey & 2097151 AS a, l_suppkey & 2097151 AS b
+           FROM lineitem),
+         b1 AS (SELECT l_partkey, l_suppkey,
+           (a | (a << 16)) & 281470681808895 AS a,
+           (b | (b << 16)) & 281470681808895 AS b FROM b0),
+         b2 AS (SELECT l_partkey, l_suppkey,
+           (a | (a << 8)) & 71777214294589695 AS a,
+           (b | (b << 8)) & 71777214294589695 AS b FROM b1),
+         b3 AS (SELECT l_partkey, l_suppkey,
+           (a | (a << 4)) & 1085102592571150095 AS a,
+           (b | (b << 4)) & 1085102592571150095 AS b FROM b2),
+         b4 AS (SELECT l_partkey, l_suppkey,
+           (a | (a << 2)) & 3689348814741910323 AS a,
+           (b | (b << 2)) & 3689348814741910323 AS b FROM b3),
+         b5 AS (SELECT l_partkey, l_suppkey,
+           (a | (a << 1)) & 6148914691236517205 AS a,
+           (b | (b << 1)) & 6148914691236517205 AS b FROM b4),
+         zm AS (
+           SELECT (a | (b << 1)) >> 12 AS zbucket, count(*) AS n,
+             min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+             min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+           FROM b5 GROUP BY 1),
+         tot AS (SELECT count(*) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_rows FROM zm),
+         cand AS (SELECT count(*) AS n_candidate_buckets,
+           CAST(COALESCE(sum(n), 0) AS BIGINT) AS candidate_rows FROM zm
+           WHERE max_part >= 1000 AND min_part <= 1500
+             AND max_supp >= 50 AND min_supp <= 120),
+         ex AS (SELECT count(*) AS exact_rows FROM lineitem
+           WHERE l_partkey BETWEEN 1000 AND 1500
+             AND l_suppkey BETWEEN 50 AND 120)
+         SELECT n_buckets, n_rows, n_candidate_buckets, candidate_rows,
+           exact_rows
+         FROM tot, cand, ex""",
   )
 }

@@ -866,4 +866,52 @@ object Analytics {
       .select($"e.lag", $"e.acf")
       .orderBy($"lag")
   }
+
+  /** Q68: revenue concentration — the Lorenz-curve decile table plus
+    * an exact Gini coefficient over per-customer lifetime spend (the
+    * "what share of revenue do the top customers hold" readout every
+    * commercial analytics stack serves). Deciles ascend by spend
+    * (decile 1 = lightest spenders), so `cum_share` IS the Lorenz
+    * curve sampled at tenths; Gini comes from the rank-weighted form
+    * G = (2·Σ r·xᵣ − (n+1)·Σx) / (n·Σx) with x ascending — one exact
+    * integer expression, no area approximation.
+    *
+    * Exactness: spend is integer cents; the global rank is the
+    * DISTRIBUTED `withGlobalRank` (never a single-partition window —
+    * the q49 pattern, OOM-proof at a billion customers); decile
+    * boundaries are `tileOf` (bit-exact SQL ntile); and every ratio is
+    * a decimal(38,0) integer floor-division — Σ r·x reaches ~10²⁵ at
+    * 100 TB scale, past a double's exact range and past bigint, so the
+    * rank-weighted sum runs in decimal end-to-end (DuckDB mirrors it
+    * in hugeint). Aggregation is one partial-aggregated groupBy over
+    * orders, one rank exchange, one 10-row artifact. */
+  def q68SpendConcentration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("q68_gini", dir) {
+      val spend = Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(sum(expr("cast(floor(o_totalprice * 100) as bigint)")).as("cents"))
+      val ranked = withGlobalRank(spend, "r", scaffolding, $"cents", $"o_custkey")
+      val tot = ranked.agg(
+        count(lit(1)).as("__n"),
+        sum($"cents").cast("decimal(38,0)").as("__t"),
+        sum($"r".cast("decimal(38,0)") * $"cents").as("__s"))
+      val byDec = ranked.join(broadcast(tot))
+        .groupBy(tileOf($"r", $"__n", 10).as("decile"))
+        .agg(count(lit(1)).as("n_customers"), sum($"cents").as("cents"))
+      // 10-row artifact: the cumulative window is bounded, not data-sized
+      byDec.join(broadcast(tot))
+        .withColumn("cum_cents", sum($"cents").over(
+          Window.orderBy($"decile").rowsBetween(Window.unboundedPreceding, 0)))
+        .select($"decile", $"n_customers", $"cents",
+          (expr("(cast(cents as decimal(38,0)) * 10000) div __t") / 10000.0)
+            .as("share"),
+          (expr("(cast(cum_cents as decimal(38,0)) * 10000) div __t") / 10000.0)
+            .as("cum_share"),
+          (expr("((2 * __s - (__n + 1) * __t) * 10000) div " +
+            "(cast(__n as decimal(38,0)) * __t)") / 10000.0).as("gini"))
+        .orderBy($"decile")
+    } { scaffolding.foreach(_.unpersist()) }
+  }
 }

@@ -222,4 +222,116 @@ object Graph {
           .otherwise(floor(lit(3L) * $"n_triangles" / $"n_wedges" * 10000) / 10000.0)
           .as("clustering"))
   }
+
+  /** Peel rounds for q66 — fixed (not until-convergence) so the
+    * operator is a pure function of the input and the DuckDB oracle
+    * can replay it exactly; the spec separately proves the corpus
+    * converges within this budget (round 8 == round 9). */
+  val KcoreRounds = 8
+
+  /** Q66: k-core decomposition (k = 3) of the threshold-2 co-purchase
+    * graph by synchronous peeling — the standard dense-subgraph
+    * extractor (Seidman 1983): repeatedly delete nodes of degree < k
+    * until every survivor has ≥ k in-core neighbors. Output is the
+    * surviving nodes with their in-core degree.
+    *
+    * Shape at scale: each round is ONE degree aggregation (map-side
+    * partials on the node key) plus two semi-joins that both hash on
+    * keys the edge list already carries — no fan-out anywhere, every
+    * intermediate is ≤ the edge list, and the edge list only SHRINKS.
+    * `localCheckpoint` flattens lineage per round exactly like d6's
+    * pointer-jumping loop, so a billion-edge graph runs the same
+    * constant-round plan wider. Synchronous peeling converges in
+    * O(graph depth) rounds; the fixed `KcoreRounds` budget keeps the
+    * operator engine-replayable (the oracle unrolls the same rounds),
+    * and the spec pins convergence-within-budget on the corpus. */
+  def q66Kcore(s: SparkSession, dir: String, k: Int = 3,
+      rounds: Int = KcoreRounds): DataFrame = {
+    import s.implicits._
+    var e = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      .select($"pa", $"pb").localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val core = e.select($"pa".as("n")).unionAll(e.select($"pb".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k).select($"n")
+      e = e.join(core.select($"n".as("pa")), Seq("pa"), "left_semi")
+        .join(core.select($"n".as("pb")), Seq("pb"), "left_semi")
+        .select($"pa", $"pb")
+        .localCheckpoint(true)
+    }
+    e.select($"pa".as("n")).unionAll(e.select($"pb".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg_core"))
+      .select($"n".as("l_partkey"), $"deg_core")
+      .orderBy($"l_partkey")
+  }
+
+  /** Q67: per-node local clustering coefficient over the threshold-2
+    * co-purchase graph — lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the
+    * node-level refinement of q54's global census (Watts & Strogatz
+    * 1998). All integer counts plus one floor-quantized ratio, so
+    * cross-engine exact.
+    *
+    * Shape at scale: triangles enumerate ONCE in oriented form (q54's
+    * Σ C(deg⁺,2) wedge bound — never a cube), then each triangle
+    * credits its three corners via one `explode(array(a,b,c))` — a
+    * 3× narrow fan-out that aggregates immediately on the node key
+    * with map-side partials. Degrees are the same node-keyed
+    * aggregate; the final join hashes on the node key both frames
+    * already carry. Output is node-cardinality-sized. */
+  def q67ClusteringCoef(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      .select($"pa", $"pb")
+    val deg = e.select($"pa".as("n")).unionAll(e.select($"pb".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val tri = e.as("ab")
+      .join(e.as("bc"), $"ab.pb" === $"bc.pa")
+      .join(e.as("ac"),
+        $"ac.pa" === $"ab.pa" && $"ac.pb" === $"bc.pb", "left_semi")
+      .select($"ab.pa".as("a"), $"ab.pb".as("b"), $"bc.pb".as("c"))
+    val triPerNode = tri
+      .select(explode(array($"a", $"b", $"c")).as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("n_tri"))
+    deg.join(triPerNode, Seq("n"), "left")
+      .select($"n".as("l_partkey"), $"deg",
+        coalesce($"n_tri", lit(0L)).as("n_tri"),
+        when($"deg" < 2, 0.0)
+          .otherwise(floor(coalesce($"n_tri", lit(0L)) * 2 * 10000 /
+            ($"deg" * ($"deg" - 1))) / 10000.0)
+          .as("lcc"))
+      .orderBy($"l_partkey")
+  }
+
+  /** The unrolled k-core oracle: `rounds` peel rounds as chained CTEs
+    * (e0 → d0 → e1 → …), the exact SQL replay of q66Kcore — DuckDB's
+    * recursive CTE can't express iterate-with-replacement over a
+    * shrinking working set, but a fixed round budget unrolls. The
+    * CTEs are `AS MATERIALIZED`: each eᵢ references eᵢ₋₁ five times
+    * (the FROM plus two doubly-nested IN subqueries), so DuckDB's
+    * default CTE INLINING re-expands the whole chain ~5^rounds times
+    * — the first run died on "Too many open files" from thousands of
+    * inlined lineitem scans. Materialization makes the oracle run the
+    * same O(rounds) passes the Spark loop does. */
+  private[graft] def kcoreOracleSql(k: Int = 3,
+      rounds: Int = KcoreRounds): String = {
+    val base = """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e0 AS MATERIALIZED (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2)"""
+    val steps = (1 to rounds).map { i =>
+      s""",
+         d${i - 1} AS MATERIALIZED (SELECT n FROM
+           (SELECT pa AS n FROM e${i - 1} UNION ALL SELECT pb FROM e${i - 1})
+           GROUP BY 1 HAVING count(*) >= $k),
+         e$i AS MATERIALIZED (SELECT pa, pb FROM e${i - 1}
+           WHERE pa IN (SELECT n FROM d${i - 1})
+             AND pb IN (SELECT n FROM d${i - 1}))"""
+    }.mkString
+    base + steps + s"""
+         SELECT n AS l_partkey, count(*) AS deg_core FROM
+           (SELECT pa AS n FROM e$rounds UNION ALL SELECT pb FROM e$rounds)
+         GROUP BY 1 ORDER BY l_partkey"""
+  }
 }

@@ -140,4 +140,43 @@ object Layout {
         min($"l_suppkey").as("min_supp"), max($"l_suppkey").as("max_supp"))
       .orderBy($"zbucket")
   }
+
+  /** The z2 predicate box — a rectangular filter on BOTH interleaved
+    * dimensions, the workload z-ordering exists for. */
+  val Z2PartLo = 1000L; val Z2PartHi = 1500L
+  val Z2SuppLo = 50L;   val Z2SuppHi = 120L
+
+  /** Z2: zone-map pruning accounting — the skip-scan arithmetic a
+    * lakehouse reader runs BEFORE touching data, made explicit as a
+    * query. Treat z1's per-bucket bounding boxes as the file-level
+    * min-max stats a parquet footer carries; for the fixed predicate
+    * box, report how many buckets (files) survive the min-max overlap
+    * test and the row-count upper bound they admit, next to the exact
+    * match count from the data. The gap `candidate_rows − exact_rows`
+    * is the false-positive cost of the layout, and
+    * `n_buckets − n_candidate_buckets` is I/O that never happens — at
+    * 100 TB the ratio IS the query's cost model. All counts and bounds
+    * are exact integers (full SQL oracle); the spec additionally
+    * proves soundness (scanning only candidate buckets loses no
+    * matching row) and that pruning is real on this layout.
+    *
+    * Shape at scale: the zone map is bucket-cardinality-sized (a
+    * bounded artifact), so the overlap test and both aggregates are
+    * metadata-scale; only `exact_rows` touches data, with the
+    * conjunctive predicate pushed to the scan. */
+  def z2ZonemapPrune(s: SparkSession, dir: String,
+      pLo: Long = Z2PartLo, pHi: Long = Z2PartHi,
+      sLo: Long = Z2SuppLo, sHi: Long = Z2SuppHi): DataFrame = {
+    import s.implicits._
+    val zm = z1ZorderStats(s, dir)
+    val tot = zm.agg(count(lit(1)).as("n_buckets"), sum($"n").as("n_rows"))
+    val cand = zm.filter($"max_part" >= pLo && $"min_part" <= pHi &&
+        $"max_supp" >= sLo && $"min_supp" <= sHi)
+      .agg(count(lit(1)).as("n_candidate_buckets"),
+        coalesce(sum($"n"), lit(0L)).as("candidate_rows"))
+    val exact = Tables.lineitem(s, dir)
+      .filter($"l_partkey".between(pLo, pHi) && $"l_suppkey".between(sLo, sHi))
+      .agg(count(lit(1)).as("exact_rows"))
+    tot.join(broadcast(cand)).join(broadcast(exact))
+  }
 }

@@ -148,4 +148,35 @@ object Sampling {
         explode(sequence(lit(0L), $"n_copies" - 1)).as("epoch"))
       .orderBy($"doc_id", $"epoch")
   }
+
+  /** Per-stratum systematic-sampling modulus for `p12`: keep 1-in-k
+    * per language (en 1/20, zh 1/5, rest 1/10) — the rebalancing mix
+    * p2 draws with RNG, expressed deterministically. */
+  private[graft] def p12Modulus(lang: org.apache.spark.sql.Column) =
+    when(lang === "en", 20L).when(lang === "zh", 5L).otherwise(10L)
+
+  /** P12: DETERMINISTIC stratified systematic sample — p2's
+    * rebalancing mix with the RNG replaced by modular selection on the
+    * key space: keep a document iff (doc_id·7919) mod k_lang = 0.
+    * 7919 is coprime to every modulus, so doc_id ↦ doc_id·7919 mod k
+    * is a bijection on residues — any k consecutive ids contain
+    * EXACTLY one selected row (true systematic sampling, exact rate
+    * 1/k on contiguous id ranges), yet selection decorrelates from
+    * plain id blocks (p11's coin, same construction). Unlike p2 this
+    * is a pure function of the data → full SQL oracle, reproducible
+    * across engines, reruns, and retries — what a training pipeline
+    * actually wants from a mix stage (resumable shards, auditable
+    * membership).
+    *
+    * Shape at scale: a scan-local integer predicate — NO shuffle, no
+    * per-stratum window (a rank-based systematic sample would funnel
+    * each stratum through one task; the modular form needs no order at
+    * all). The product doc_id·7919 stays exact past 10¹⁴ ids. */
+  def p12StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(pmod($"doc_id" * 7919L, p12Modulus($"lang")) === 0L)
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
 }

@@ -136,6 +136,40 @@ object TextAnalysis {
       .stat.countMinSketch("token", eps, confidence, 42)
   }
 
+  /** Capacity of the t15 Misra–Gries summary: error ≤ N/257 ≈ 0.39%
+    * of total occurrences — an order under t6's 3.3% report line. */
+  val MgCapacity = 256
+
+  /** T15: heavy hitters from a BOUNDED summary — t6's top tokens
+    * served by the mergeable Misra–Gries aggregate instead of the
+    * exact token-keyed frequency table. One pass, and the only thing
+    * that moves through the exchange is the fixed ≤ 256-entry buffer
+    * per partition (partial-aggregated map-side like any sum) — at
+    * 100 TB the exact t6 shuffle carries every distinct token; this
+    * carries kilobytes. Estimates are deterministic-given-merge-order
+    * but merge order is shuffle-scheduling-dependent → rows-only; the
+    * spec pins the two-sided MG bound (est ≤ true ≤ est + N/(cap+1))
+    * against t6's exact counts and guaranteed presence of every token
+    * above the error line. */
+  def t15HeavySketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select(explode(tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+    tok
+      .agg(call_function("misra_gries_agg", $"token", lit(MgCapacity)).as("sk"),
+        count(lit(1)).as("total"))
+      .select(explode($"sk").as("e"), $"total")
+      // t6's integer report line: tokens the summary credits with
+      // ≥ 3.3% of all occurrences. est ≤ true ⇒ NO false positives
+      // against t6's exact threshold; a t6 token can only be missed
+      // if its true count sits within N/257 of the 3.3% line (the MG
+      // margin) — the spec pins both directions
+      .filter($"e.est" * 1000 >= $"total" * 33)
+      .select($"e.token".as("token"), $"e.est".as("est"))
+      .orderBy($"token")
+  }
+
   // PII patterns — deliberately the regex subset that compiles to the
   // same automaton under Java regex (Spark) and RE2 (DuckDB), so the
   // op and its oracle agree match-for-match.

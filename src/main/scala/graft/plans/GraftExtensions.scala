@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayDot, DotTopK, MaxRunLength, MinHashAgg, PqAdcTopK, PqEncode, SimHashAgg, SortedDot, SortedIntersectSize, TopKAgg}
+import graft.functions.{ArrayDot, DotTopK, MaxRunLength, MinHashAgg, MisraGriesAgg, PqAdcTopK, PqEncode, SimHashAgg, SortedDot, SortedIntersectSize, TopKAgg}
 
 /** Session extensions: registers graft's native Catalyst expressions
   * so they resolve in both the Column DSL (`call_function`) and SQL.
@@ -47,6 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKAgg(children(0), children(1), children(2)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries_agg"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MisraGriesAgg(children(0), children(1)).toAggregateExpression()))
     ext.injectFunction((
       FunctionIdentifier("minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),

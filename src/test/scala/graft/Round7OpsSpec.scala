@@ -163,4 +163,153 @@ class Round7OpsSpec extends GraftSpecBase {
       }
     }
   }
+
+  // ---------------- q66 k-core ----------------
+
+  test("q66: the peel budget converges and survivors carry exact in-core degrees >= k") {
+    val r8 = operators.Graph.q66Kcore(spark, sf).as[(Long, Long)].collect().toSeq
+    val r9 = operators.Graph.q66Kcore(spark, sf,
+      rounds = operators.Graph.KcoreRounds + 1).as[(Long, Long)].collect().toSeq
+    assert(r8.nonEmpty)
+    assert(r8 == r9, "corpus must converge within the fixed round budget")
+    assert(r8.forall(_._2 >= 3L))
+    // survivors induce a subgraph whose locally recomputed degrees
+    // match the reported in-core degrees exactly
+    val e = operators.Analytics.copurchasePairs(spark, sf)
+      .filter($"n_orders" >= 2).select($"pa", $"pb").as[(Long, Long)].collect()
+    val core = r8.map(_._1).toSet
+    val deg = e.filter(p => core(p._1) && core(p._2))
+      .flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    r8.foreach { case (n, d) =>
+      assert(deg.getOrElse(n, 0L) == d, s"node $n: reported $d vs induced ${deg.get(n)}")
+    }
+  }
+
+  // ---------------- q67 local clustering coefficient ----------------
+
+  test("q67: corner credits tie out with q54's triangle census; lcc within [0, 1]") {
+    val lcc = operators.Graph.q67ClusteringCoef(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(lcc.nonEmpty)
+    assert(lcc.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    // each triangle credits exactly its three corners
+    val census = operators.Graph.q54Triangles(spark, sf)
+      .select($"n_triangles").as[Long].head()
+    assert(lcc.map(_._3).sum == 3L * census,
+      s"sum n_tri ${lcc.map(_._3).sum} vs 3×$census")
+    // a node's triangles never exceed its wedge count
+    lcc.foreach { case (n, deg, tri, _) =>
+      assert(tri <= deg * (deg - 1) / 2, s"node $n: $tri triangles > C($deg,2)")
+    }
+  }
+
+  // ---------------- q68 Lorenz deciles + Gini ----------------
+
+  test("q68: Lorenz curve is monotone and ties out; gini matches a local exact recompute") {
+    val rows = operators.Analytics.q68SpendConcentration(spark, sf)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(rows.map(_._1) == (1L to 10L))
+    // Lorenz: cum_share nondecreasing, convex-ish tail, ends at 1.0
+    val cum = rows.map(_._5)
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+    assert(cum.last == 1.0)
+    assert(rows.map(_._4).zip(rows.map(_._4).tail).forall { case (a, b) => a <= b },
+      "ascending deciles must have nondecreasing share")
+    // exact local recompute of Gini from per-customer cents
+    val cents = Tables.orders(spark, sf)
+      .groupBy($"o_custkey")
+      .agg(sum(expr("cast(floor(o_totalprice * 100) as bigint)")).as("c"))
+      .select($"o_custkey", $"c").as[(Long, Long)].collect()
+      .sortBy(p => (p._2, p._1)).map(_._2)
+    assert(rows.map(_._2).sum == cents.length)
+    val n = BigInt(cents.length)
+    val t = cents.map(BigInt(_)).sum
+    val s2 = cents.zipWithIndex.map { case (c, i) => BigInt(i + 1) * c }.sum
+    val giniQ = ((2 * s2 - (n + 1) * t) * 10000 / (n * t)).toLong / 10000.0
+    assert(rows.forall(_._6 == giniQ), s"gini ${rows.head._6} vs local $giniQ")
+  }
+
+  // ---------------- p12 deterministic stratified sample ----------------
+
+  test("p12: selection equals the local modular rule; rerun-identical") {
+    val got = operators.Sampling.p12StratifiedSample(spark, sf)
+      .as[(Long, String)].collect().toSeq
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSeq
+    def k(lang: String): Long =
+      if (lang == "en") 20L else if (lang == "zh") 5L else 10L
+    val want = docs.filter { case (id, l) => (id * 7919L) % k(l) == 0L }
+      .sortBy(_._1)
+    assert(got == want)
+    // deterministic across reruns (the property RNG sampling can't give)
+    val again = operators.Sampling.p12StratifiedSample(spark, sf)
+      .as[(Long, String)].collect().toSeq
+    assert(again == got)
+    // systematic rate: 7919 coprime to k ⇒ any k consecutive ids hold
+    // exactly one selected id, so per-stratum counts track N_h/k up to
+    // the strata's id-gap slack
+    val byLang = docs.groupBy(_._2).view.mapValues(_.size).toMap
+    val gotByLang = got.groupBy(_._2).view.mapValues(_.size).toMap
+    byLang.foreach { case (l, nh) =>
+      val rate = gotByLang.getOrElse(l, 0).toDouble * k(l) / nh
+      assert(rate > 0.5 && rate < 1.5, s"stratum $l rate off: $rate")
+    }
+  }
+
+  // ---------------- t15 Misra-Gries heavy hitters ----------------
+
+  test("t15: MG bound holds in both directions against exact counts; report line is sound") {
+    import graft.functions.TextFunctions.tokens
+    val exact = Tables.documents(spark, sf)
+      .select(explode(tokens($"text")).as("token")).filter($"token" =!= "")
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val total = exact.values.sum
+    val margin = total / (operators.TextAnalysis.MgCapacity + 1L)
+    val sketch = operators.TextAnalysis.t15HeavySketch(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(sketch.nonEmpty)
+    sketch.foreach { case (tok, est) =>
+      val t = exact.getOrElse(tok, 0L)
+      assert(est <= t, s"$tok: est $est exceeds true $t (MG must underestimate)")
+      assert(est >= t - margin, s"$tok: est $est below true $t - margin $margin")
+    }
+    // no false positives vs t6's exact 3.3% line (est <= true)
+    val t6 = operators.TextAnalysis.t6HeavyHitters(spark, sf)
+      .select($"token").as[String].collect().toSet
+    assert(sketch.map(_._1).toSet.subsetOf(t6))
+    // guaranteed presence: anything an MG margin ABOVE the line reports
+    exact.foreach { case (tok, n) =>
+      if (n * 1000 >= total * 33 + margin * 1000)
+        assert(sketch.exists(_._1 == tok), s"$tok at $n/$total must be reported")
+    }
+  }
+
+  // ---------------- z2 zone-map pruning ----------------
+
+  test("z2: pruning is sound (every matching row sits in a candidate bucket) and real") {
+    // box sized to sf0.001's key range (the entry's default box targets
+    // the larger catalogs; same code path)
+    val (pLo, pHi, sLo, sHi) = (10L, 40L, 1L, 6L)
+    val row = operators.Layout.z2ZonemapPrune(spark, sf, pLo, pHi, sLo, sHi)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val (nBuckets, nRows, nCand, candRows, exactRows) = row
+    assert(exactRows > 0L, "spec box must be non-degenerate")
+    assert(candRows >= exactRows && nCand <= nBuckets && candRows <= nRows)
+    // soundness: the bucket of every matching row passes the overlap test
+    val matched = Tables.lineitem(spark, sf)
+      .filter($"l_partkey".between(pLo, pHi) && $"l_suppkey".between(sLo, sHi))
+      .select(shiftright(operators.Layout.zorderKey($"l_partkey", $"l_suppkey"), 12)
+        .as("zb")).distinct().as[Long].collect().toSet
+    val candBuckets = operators.Layout.z1ZorderStats(spark, sf)
+      .filter($"max_part" >= pLo && $"min_part" <= pHi &&
+        $"max_supp" >= sLo && $"min_supp" <= sHi)
+      .select($"zbucket").as[Long].collect().toSet
+    assert(matched.subsetOf(candBuckets),
+      s"zone map lost buckets: ${(matched -- candBuckets).take(5)}")
+    // pruning is real on the z-ordered layout: the candidate set reads
+    // strictly less than the table
+    assert(candRows < nRows, s"no pruning: $candRows of $nRows")
+  }
 }
