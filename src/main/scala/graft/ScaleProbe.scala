@@ -100,7 +100,11 @@ object ScaleProbe {
                   "q59_concurrency",
                   "m11_dimsum", "s6_mips", "z1_zorder", "q60_acf",
                   "s7_knn_join", "q61_window_funnel", "q62_link_predict",
-                  "p11_repeat_epochs", "p3_decontaminate", "d9_bloom_decontaminate", "q63_holt_forecast", "q64_cusum", "q65_ab_test")
+                  "p11_repeat_epochs", "p3_decontaminate", "d9_bloom_decontaminate", "q63_holt_forecast", "q64_cusum", "q65_ab_test",
+                  "q62_link_lsh", "q61_funnel_fold", "p10_exact_dedup",
+                  "q66_kcore", "q67_clustering_coef", "q68_spend_deciles",
+                  "p12_stratified_sample", "t15_heavy_sketch",
+                  "z2_zonemap_prune", "q69_holt_winters")
     // optional arg 2: regex to probe a subset (factor stays arg 1)
     val picked = args.drop(1).headOption
       .map(re => all.filter(_.matches(re))).getOrElse(all)

@@ -160,6 +160,7 @@ object SparkEntry {
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "t15_heavy_sketch"   -> (TextAnalysis.t15HeavySketch _),
     "z2_zonemap_prune"   -> ((s: SparkSession, d: String) => Layout.z2ZonemapPrune(s, d)),
+    "q69_holt_winters"   -> (Analytics.q69HoltWinters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1827,6 +1828,34 @@ object SparkEntry {
            CAST((CAST(cum_cents AS HUGEINT) * 10000) // t AS BIGINT) / 10000.0 AS cum_share,
            CAST(((2 * s - (n + 1) * t) * 10000) // (n * t) AS BIGINT) / 10000.0 AS gini
          FROM cum, tot ORDER BY decile""",
+    "q69_holt_winters" ->
+      """WITH RECURSIVE idx AS (
+           SELECT CAST(d - DATE '1970-01-01' AS BIGINT) AS day, y,
+                  CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+           FROM (SELECT CAST(o_orderdate AS DATE) AS d,
+                   sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+                 FROM orders GROUP BY 1)),
+         c AS (SELECT
+           (SELECT sum(y) FROM idx WHERE i BETWEEN 1 AND 7) // 7 AS m1,
+           (SELECT sum(y) FROM idx WHERE i BETWEEN 8 AND 14) // 7 AS m2),
+         r(i, l, b, seas, day, y, fc) AS (
+           SELECT CAST(7 AS BIGINT), m1 * 1000, ((m2 - m1) * 1000) // 7,
+             (SELECT list((y - m1) * 1000 ORDER BY i) FROM idx WHERE i <= 7),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+           FROM c
+           UNION ALL
+           SELECT idx.i,
+             (300 * (idx.y * 1000 - r.seas[1]) + 700 * (r.l + r.b)) // 1000,
+             (100 * (((300 * (idx.y * 1000 - r.seas[1])
+               + 700 * (r.l + r.b)) // 1000) - r.l) + 900 * r.b) // 1000,
+             r.seas[2:7] || [(200 * (idx.y * 1000
+               - ((300 * (idx.y * 1000 - r.seas[1])
+                   + 700 * (r.l + r.b)) // 1000))
+               + 800 * r.seas[1]) // 1000],
+             idx.day, idx.y, (r.l + r.b + r.seas[1]) // 1000
+           FROM r JOIN idx ON idx.i = r.i + 1)
+         SELECT day, y AS y_cents, fc AS fc_cents FROM r WHERE i >= 8
+         ORDER BY day""",
     "p12_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE (doc_id * 7919) %

@@ -867,6 +867,60 @@ object Analytics {
       .orderBy($"lag")
   }
 
+  /** Q69: Holt–Winters ADDITIVE SEASONAL forecasting over daily
+    * revenue — q63's level+trend recursion extended with a weekly
+    * (m = 7) seasonal state, in the same exact INTEGER fixed point
+    * (milli-cent state, α/β/γ = 0.3/0.1/0.2 as integer thousandths,
+    * truncating `div` on both engines — the q63-verified semantics):
+    *   ŷ_t = l + b + s_head;  l' = (300(y_t·10³ − s_head) + 700(l+b)) div 10³
+    *   b' = (100(l'−l) + 900b) div 10³;  s' queue = tail ++ [(200(y_t·10³ − l') + 800·s_head) div 10³]
+    * The seasonal state is a 7-slot QUEUE rotated per step (head =
+    * s_{t−m}), initialized classically from the first two weeks
+    * (l₀ = week-1 mean, b₀ = (week-2 mean − week-1 mean)/7,
+    * s_i = y_i − week-1 mean). Bit-identical cross-engine: the oracle
+    * replays the recursion as a recursive CTE carrying the seasonal
+    * LIST column.
+    *
+    * Shape at scale: identical to q63 — the one heavy step is the
+    * daily aggregation (map-side partials); the recursion folds over
+    * ONE calendar-sized array (time-bounded, not data-bounded). */
+  def q69HoltWinters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("y"))
+      .select(datediff($"d", to_date(lit("1970-01-01"))).cast("long").as("day"), $"y")
+    val series = daily
+      .agg(array_sort(collect_list(struct($"day", $"y"))).as("s"))
+      .select($"s",
+        expr("aggregate(slice(s, 1, 7), 0L, (a, e) -> a + e.y) div 7L").as("m1"),
+        expr("aggregate(slice(s, 8, 7), 0L, (a, e) -> a + e.y) div 7L").as("m2"))
+    def fdiv(x: String) = s"($x) div 1000L"
+    val sm = "element_at(acc.seas, 1)"
+    val newL = fdiv(s"300L * (e.y * 1000L - $sm) + 700L * (acc.l + acc.b)")
+    val newB = fdiv(s"100L * (($newL) - acc.l) + 900L * acc.b")
+    val newS = fdiv(s"200L * (e.y * 1000L - ($newL)) + 800L * $sm")
+    val folded = series.select(expr(s"""
+      aggregate(
+        slice(s, 8, greatest(size(s) - 7, 0)),
+        named_struct(
+          'l', m1 * 1000L,
+          'b', ((m2 - m1) * 1000L) div 7L,
+          'seas', transform(slice(s, 1, 7), e -> (e.y - m1) * 1000L),
+          'out', cast(array() as array<struct<day:bigint,y_cents:bigint,fc_cents:bigint>>)),
+        (acc, e) -> named_struct(
+          'l', $newL,
+          'b', $newB,
+          'seas', concat(slice(acc.seas, 2, 6), array($newS)),
+          'out', concat(acc.out, array(named_struct(
+            'day', e.day, 'y_cents', e.y,
+            'fc_cents', ${fdiv(s"acc.l + acc.b + $sm")})))),
+        acc -> acc.out)""").as("out"))
+    folded.select(explode($"out").as("e"))
+      .select($"e.day", $"e.y_cents", $"e.fc_cents")
+      .orderBy($"day")
+  }
+
   /** Q68: revenue concentration — the Lorenz-curve decile table plus
     * an exact Gini coefficient over per-customer lifetime spend (the
     * "what share of revenue do the top customers hold" readout every

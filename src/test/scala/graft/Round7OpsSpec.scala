@@ -286,6 +286,37 @@ class Round7OpsSpec extends GraftSpecBase {
     }
   }
 
+  // ---------------- q69 Holt-Winters seasonal ----------------
+
+  test("q69: the seasonal fixed-point recursion matches a local integer replay exactly") {
+    val out = operators.Analytics.q69HoltWinters(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val ys = Tables.orders(spark, sf)
+      .groupBy(to_date($"o_orderdate").as("d"))
+      .agg(sum(floor($"o_totalprice" * 100).cast("long")).as("y"))
+      .orderBy($"d")
+      .select(datediff($"d", to_date(lit("1970-01-01"))).cast("long"), $"y")
+      .as[(Long, Long)].collect()
+    assert(ys.length >= 15, "corpus must span two weeks for the init")
+    // Scala / truncates toward zero — the div semantics both engines
+    // use (see q63)
+    val m1 = ys.take(7).map(_._2).sum / 7L
+    val m2 = ys.slice(7, 14).map(_._2).sum / 7L
+    var l = m1 * 1000L
+    var b = (m2 - m1) * 1000L / 7L
+    var seas = ys.take(7).map(p => (p._2 - m1) * 1000L).toVector
+    val expected = ys.drop(7).map { case (day, y) =>
+      val sm = seas.head
+      val fc = (l + b + sm) / 1000L
+      val l2 = (300L * (y * 1000L - sm) + 700L * (l + b)) / 1000L
+      val b2 = (100L * (l2 - l) + 900L * b) / 1000L
+      val s2 = (200L * (y * 1000L - l2) + 800L * sm) / 1000L
+      seas = seas.tail :+ s2; l = l2; b = b2
+      (day, y, fc)
+    }
+    assert(out.toSeq == expected.toSeq)
+  }
+
   // ---------------- z2 zone-map pruning ----------------
 
   test("z2: pruning is sound (every matching row sits in a candidate bucket) and real") {
