@@ -344,6 +344,32 @@ class PlanAuditSpec extends GraftSpecBase {
     assert("hashpartitioning".r.findAllIn(p).size >= 1, p)
   }
 
+  test("q67: one oriented wedge join, corner credits via explode — no cartesian, no window") {
+    val p = plan(operators.Graph.q67ClusteringCoef(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // triangle closure is a semi join; corner fan-out is a Generate
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Window ("), p)
+  }
+
+  test("q68: gini rank is range-partitioned with broadcast offsets — never a global ntile window") {
+    val p = plan(operators.Analytics.q68SpendConcentration(spark, sf))
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("ntile"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t15: the sketch aggregate partial-aggregates map-side (ObjectHashAggregate)") {
+    val p = plan(operators.TextAnalysis.t15HeavySketch(spark, sf))
+    assert(p.contains("misra_gries_agg"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    // partial mode before the exchange: the buffer, not the tokens,
+    // crosses the wire
+    assert(p.contains("partial_misra_gries_agg"), p)
+  }
+
   test("q57: double correlation plans as semi + anti joins with a TakeOrdered top-20") {
     val p = plan(operators.Relational.q57BlameSupplier(spark, sf))
     assert(p.contains("LeftSemi"), p)
