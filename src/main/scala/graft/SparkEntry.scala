@@ -161,6 +161,7 @@ object SparkEntry {
     "t15_heavy_sketch"   -> (TextAnalysis.t15HeavySketch _),
     "z2_zonemap_prune"   -> ((s: SparkSession, d: String) => Layout.z2ZonemapPrune(s, d)),
     "q69_holt_winters"   -> (Analytics.q69HoltWinters _),
+    "q70_triangle_sample" -> ((s: SparkSession, d: String) => Graph.q70TriangleSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

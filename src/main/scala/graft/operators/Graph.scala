@@ -223,6 +223,40 @@ object Graph {
           .as("clustering"))
   }
 
+  /** Q70: DOULION-style sampled triangle estimate (Tsourakakis et al.,
+    * KDD'09) — the scale twin for the wedge-bound family (q54/q67):
+    * keep each edge with probability p via a DETERMINISTIC seeded
+    * xxhash coin (engine-rerunnable, like m11's sampling coin), count
+    * triangles on the thinned graph with q54's oriented enumeration,
+    * scale by 1/p³ (each triangle survives with p³ — the unbiased
+    * DOULION estimator). The wedge fan-out Σ C(deg⁺,2) — the measured
+    * exact-path ceiling — shrinks by p² BEFORE the join runs, because
+    * both wedge edges must survive the scan-side coin: at p = 0.5 the
+    * join does a quarter of the work, at p = 0.2 a twenty-fifth.
+    * Estimate in exact integer arithmetic (n·1000³ div p₁₀₀₀³ in
+    * decimal — no float in the estimator); seeded-coin output →
+    * rows-only, spec pins p = 1 ≡ q54 exactly and the p² wedge-cost
+    * contraction. */
+  def q70TriangleSample(s: SparkSession, dir: String,
+      p1000: Long = 500L): DataFrame = {
+    import s.implicits._
+    val e = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      .select($"pa", $"pb")
+      .filter(pmod(xxhash64(lit(7L), $"pa", $"pb"), lit(1000L)) < p1000)
+    val tri = e.as("ab")
+      .join(e.as("bc"), $"ab.pb" === $"bc.pa")
+      .join(e.as("ac"),
+        $"ac.pa" === $"ab.pa" && $"ac.pb" === $"bc.pb", "left_semi")
+      .agg(count(lit(1)).as("n_tri_sampled"))
+    val ne = e.agg(count(lit(1)).as("n_edges_sampled"))
+    tri.join(broadcast(ne))
+      .select(
+        (lit(p1000) / 1000.0).as("p"),
+        $"n_edges_sampled", $"n_tri_sampled",
+        expr(s"(cast(n_tri_sampled as decimal(38,0)) * 1000000000L) div " +
+          s"${p1000 * p1000 * p1000}L").as("est_triangles"))
+  }
+
   /** Peel rounds for q66 — fixed (not until-convergence) so the
     * operator is a pure function of the input and the DuckDB oracle
     * can replay it exactly; the spec separately proves the corpus

@@ -86,9 +86,36 @@ object Layout {
     * `orderBy(zorderKey(...))` composed before this write is exactly
     * OPTIMIZE ... ZORDER. */
   def compact(s: SparkSession, src: String, dst: String,
+      targetRecordsPerFile: Long): Long =
+    compactFrame(s.read.parquet(src), dst, targetRecordsPerFile)
+
+  /** OPTIMIZE … ZORDER BY (a, b): one maintenance rewrite composing
+    * the two primitives — a global z-key sort feeding the exact
+    * balanced compaction. Because the compaction cuts a SORTED
+    * sequence into contiguous rank buckets, the output files carry
+    * non-overlapping z-key ranges: every file is a tight Z-interval,
+    * which is exactly what makes footer min-max stats prune on BOTH
+    * interleaved dimensions at once (z2's accounting, now physical).
+    * Returns the output file count. */
+  def optimizeZorder(s: SparkSession, src: String, dst: String,
+      targetRecordsPerFile: Long, a: String, b: String): Long =
+    compactFrame(
+      s.read.parquet(src).orderBy(zorderKey(col(a), col(b)), col(a), col(b)),
+      dst, targetRecordsPerFile)
+
+  /** Frame-input compaction core. The input RDD is persisted for the
+    * duration: the size pass and the data pass MUST observe the same
+    * physical partitioning, and any exchange above (a z-order sort's
+    * RangePartitioner re-SAMPLES per job, seeded by the rdd id) would
+    * hand pass 2 different partition offsets than pass 1 computed —
+    * the q49/withGlobalRank both-branches-one-shuffle lesson applied
+    * at the RDD layer. A plain parquet read is stable without the
+    * persist; the persist makes the contract hold for ANY input. */
+  def compactFrame(df: org.apache.spark.sql.DataFrame, dst: String,
       targetRecordsPerFile: Long): Long = {
-    val df = s.read.parquet(src)
-    val rdd = df.rdd
+    val s = df.sparkSession
+    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // pass 1: per-partition sizes -> exclusive offsets (bounded artifact)
     val sizes = rdd.mapPartitionsWithIndex { (pid, it) =>
       var c = 0L; while (it.hasNext) { it.next(); c += 1 }; Iterator((pid, c))
@@ -119,6 +146,7 @@ object Layout {
     s.createDataFrame(bucketed, df.schema)
       .write.mode("overwrite").parquet(dst)
     parts
+    } finally rdd.unpersist(false)
   }
 
   /** Z1: z-order layout audit over lineitem keyed on

@@ -286,6 +286,74 @@ class Round7OpsSpec extends GraftSpecBase {
     }
   }
 
+  // ---------------- OPTIMIZE ... ZORDER composition ----------------
+
+  test("optimizeZorder: exact file count, content identity, non-overlapping z-ranges, real file pruning") {
+    val src = java.nio.file.Files.createTempDirectory("zopt-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("zopt-dst").toString
+    val base = Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_suppkey", $"l_orderkey")
+    base.repartition(16).write.mode("overwrite").parquet(src)
+    val n = base.count()
+    val parts = operators.Layout.optimizeZorder(spark, src, dst,
+      (n + 3) / 4, "l_partkey", "l_suppkey")
+    assert(parts == 4)
+    val out = spark.read.parquet(dst)
+    val files = new java.io.File(dst).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, files.map(_.getName).toSeq.toString)
+    // full-multiset content identity across the rewrite
+    assert(out.count() == n)
+    assert(out.exceptAll(base).isEmpty && base.exceptAll(out).isEmpty)
+    // a sorted sequence cut into contiguous rank buckets -> per-file
+    // z-key intervals are non-overlapping (boundary equality allowed)
+    val zf = out.select(input_file_name().as("f"),
+        operators.Layout.zorderKey($"l_partkey", $"l_suppkey").as("z"))
+      .groupBy($"f").agg(min($"z").as("lo"), max($"z").as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    zf.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._2, s"$a overlaps $b")
+      case _ =>
+    }
+    // footer-stat pruning on the z2 box: the fragmented source admits
+    // every file; the z-ordered rewrite admits strictly fewer than all
+    def candFiles(dir: String): Long =
+      spark.read.parquet(dir)
+        .select(input_file_name().as("f"), $"l_partkey", $"l_suppkey")
+        .groupBy($"f").agg(
+          min($"l_partkey").as("p0"), max($"l_partkey").as("p1"),
+          min($"l_suppkey").as("s0"), max($"l_suppkey").as("s1"))
+        .filter($"p1" >= 10 && $"p0" <= 40 && $"s1" >= 1 && $"s0" <= 6)
+        .count()
+    assert(candFiles(src) == 16, "fragmented layout should admit every file")
+    assert(candFiles(dst) < 4, s"z-ordered layout must prune: ${candFiles(dst)}")
+  }
+
+  // ---------------- q70 sampled triangle census ----------------
+
+  test("q70: p = 1 reproduces q54's exact census; thinning contracts the edge set") {
+    val full = operators.Graph.q70TriangleSample(spark, sf, p1000 = 1000L)
+      .select($"n_tri_sampled", $"est_triangles".cast("long"))
+      .as[(Long, Long)].head()
+    val exact = operators.Graph.q54Triangles(spark, sf)
+      .select($"n_edges", $"n_triangles").as[(Long, Long)].head()
+    assert(full._1 == exact._2, s"p=1 sampled ${full._1} vs exact ${exact._2}")
+    assert(full._2 == exact._2, s"p=1 estimate must be exact: ${full._2}")
+    val half = operators.Graph.q70TriangleSample(spark, sf, p1000 = 500L)
+      .select($"n_edges_sampled", $"n_tri_sampled", $"est_triangles".cast("long"))
+      .as[(Long, Long, Long)].head()
+    // the coin keeps ~half the edges (deterministic, so a wide band
+    // only absorbs hash clumping on a small graph)
+    assert(half._1 > exact._1 / 4 && half._1 < exact._1 * 3 / 4,
+      s"thinned edges ${half._1} of ${exact._1} outside (1/4, 3/4)")
+    // deterministic coin -> rerun-identical
+    val again = operators.Graph.q70TriangleSample(spark, sf, p1000 = 500L)
+      .select($"n_tri_sampled").as[Long].head()
+    assert(again == half._2)
+    // estimator arithmetic: est = sampled * 8 exactly at p = 0.5
+    assert(half._3 == half._2 * 8L)
+  }
+
   // ---------------- q69 Holt-Winters seasonal ----------------
 
   test("q69: the seasonal fixed-point recursion matches a local integer replay exactly") {
