@@ -575,6 +575,60 @@ object Dedup {
   val NumBands = 16 // 4 rows per band
   private val MersennePrime = graft.functions.MinHashAgg.MersennePrime
 
+  /** LSH banding SOLVER — replaces hand-tuned (bands, rows): among
+    * the power-of-two row widths dividing the signature, return the
+    * config whose S-curve (a) catches pairs at the TARGET similarity
+    * with probability ≥ `pMin` and, among those, (b) collides
+    * BACKGROUND-similarity pairs least — candidate volume is
+    * collisions at j_bg times the (quadratic) non-similar pair count,
+    * so (b) is the shuffle-volume objective and (a) the recall
+    * constraint, the same budget-vs-quality split as m11's γ solver.
+    * P(collide | J) = 1 − (1 − J^r)^b, the standard banding S-curve
+    * (Leskovec–Rajaraman–Ullman ch. 3). If no config meets pMin
+    * (tiny signatures + high thresholds), fall back to the most
+    * sensitive one. Pure closed-form arithmetic — no data pass. */
+  def lshConfig(nHashes: Int, jTarget: Double, pMin: Double,
+      jBg: Double): (Int, Int) = {
+    def pCollide(b: Int, r: Int, j: Double): Double =
+      1.0 - math.pow(1.0 - math.pow(j, r), b)
+    val configs = Iterator.iterate(1)(_ * 2).takeWhile(_ <= nHashes)
+      .map(r => (nHashes / r, r)).toSeq
+    val feasible = configs.filter { case (b, r) => pCollide(b, r, jTarget) >= pMin }
+    if (feasible.isEmpty) configs.maxBy { case (b, r) => pCollide(b, r, jTarget) }
+    else feasible.minBy { case (b, r) => pCollide(b, r, jBg) }
+  }
+
+  /** Estimate the corpus's BACKGROUND Jaccard — the typical
+    * similarity of a NON-duplicate pair, the j_bg input to
+    * `lshConfig` — from a deterministic sample of distinct MinHash
+    * signatures: slot-agreement fraction is an unbiased J estimator,
+    * and a `hash`-ordered limit makes the sample (hence the solved
+    * config) rerun-stable. Bounded work: `sample`² driver pairs over
+    * collected 64-slot rows. */
+  def estimateBackgroundJaccard(sigs: org.apache.spark.sql.DataFrame,
+      sample: Int = 128): Double = {
+    import org.apache.spark.sql.functions.{col, hash}
+    val rows = sigs.select(col("sig")).distinct()
+      .orderBy(hash(col("sig"))).limit(sample)
+      .collect().map(_.getSeq[Long](0).toArray)
+    if (rows.length < 2) return 0.0
+    var agree = 0L; var slots = 0L
+    var i = 0
+    while (i < rows.length) {
+      var j = i + 1
+      while (j < rows.length) {
+        var k = 0
+        while (k < rows(i).length) {
+          if (rows(i)(k) == rows(j)(k)) agree += 1
+          slots += 1; k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    agree.toDouble / slots
+  }
+
   /** 64-slot MinHash signature per doc (array column `sig`), via the
     * single-pass `minhash_agg` custom aggregate: one 512-byte buffer
     * update per shingle instead of 64 separate min() aggregate columns

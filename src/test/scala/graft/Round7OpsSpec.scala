@@ -57,6 +57,25 @@ class Round7OpsSpec extends GraftSpecBase {
       s"missing J=1.0 pairs: ${(exact -- approx).take(5)}")
   }
 
+  test("lsh solver: meets the recall floor, minimizes background collisions, tracks the threshold") {
+    def p(b: Int, r: Int, j: Double) = 1.0 - math.pow(1.0 - math.pow(j, r), b)
+    // reproduces the hand-tuned q62 config at its regime
+    val (b1, r1) = operators.Dedup.lshConfig(64, 0.5, 0.95, 0.1)
+    assert((b1, r1) == (32, 2), s"got ($b1, $r1)")
+    assert(p(b1, r1, 0.5) >= 0.95)
+    // a higher target similarity solves to a more selective row width
+    val (_, rHi) = operators.Dedup.lshConfig(64, 0.9, 0.95, 0.1)
+    assert(rHi > r1, s"rows $rHi should exceed $r1 at J* = 0.9")
+    // infeasible (tiny signature, impossible floor) falls back to the
+    // most sensitive config
+    assert(operators.Dedup.lshConfig(4, 0.05, 0.99, 0.01) == (4, 1))
+    // background estimator: slot agreement is the J estimate
+    val half = Seq(Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 9L, 8L)).toDF("sig")
+    assert(operators.Dedup.estimateBackgroundJaccard(half) == 0.5)
+    val disj = Seq(Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L)).toDF("sig")
+    assert(operators.Dedup.estimateBackgroundJaccard(disj) == 0.0)
+  }
+
   // ---------------- m11 gamma from a shuffle budget ----------------
 
   private def m11Achieved(gamma: Double): Long = {
