@@ -162,6 +162,7 @@ object SparkEntry {
     "z2_zonemap_prune"   -> ((s: SparkSession, d: String) => Layout.z2ZonemapPrune(s, d)),
     "q69_holt_winters"   -> (Analytics.q69HoltWinters _),
     "q70_triangle_sample" -> ((s: SparkSession, d: String) => Graph.q70TriangleSample(s, d)),
+    "q71_lcc_sample"     -> ((s: SparkSession, d: String) => Graph.q71LccSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -263,6 +263,46 @@ object Graph {
           s"${p1000 * p1000 * p1000}L").as("est_triangles"))
   }
 
+  /** Q71: per-node SAMPLED clustering coefficient — q67's lcc served
+    * from q70's thinned graph: triangles count on edges surviving the
+    * deterministic coin (wedge fan-out contracts p² scan-side — the
+    * exact path's 100× bound), each node's count scales by 1/p³
+    * (unbiased per node, exact integer div), while DEGREES stay exact
+    * (the node-keyed aggregate is linear — no reason to sample it).
+    * Per-node variance is the honest caveat: a node with few
+    * triangles gets a noisy estimate (relative error ~1/√(p³·tri)),
+    * so the consumer reads high-triangle nodes — the spec pins the
+    * exact identities instead of a variance band: p = 1 ≡ q67
+    * bit-for-bit, Σ per-node estimates = 3 × q70's census estimate at
+    * the same p, rerun-identical. */
+  def q71LccSample(s: SparkSession, dir: String,
+      p1000: Long = 500L): DataFrame = {
+    import s.implicits._
+    val full = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      .select($"pa", $"pb")
+    val deg = full.select($"pa".as("n")).unionAll(full.select($"pb".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    val e = full.filter(pmod(xxhash64(lit(7L), $"pa", $"pb"), lit(1000L)) < p1000)
+    val tri = e.as("ab")
+      .join(e.as("bc"), $"ab.pb" === $"bc.pa")
+      .join(e.as("ac"),
+        $"ac.pa" === $"ab.pa" && $"ac.pb" === $"bc.pb", "left_semi")
+      .select($"ab.pa".as("a"), $"ab.pb".as("b"), $"bc.pb".as("c"))
+    val triPerNode = tri
+      .select(explode(array($"a", $"b", $"c")).as("n"))
+      .groupBy($"n").agg(count(lit(1)).as("t"))
+    deg.join(triPerNode, Seq("n"), "left")
+      .select($"n", $"deg",
+        expr(s"(cast(coalesce(t, 0L) as decimal(38,0)) * 1000000000L) div " +
+          s"${p1000 * p1000 * p1000}L").as("tri_est"))
+      .select($"n".as("l_partkey"), $"deg", $"tri_est",
+        when($"deg" < 2, 0.0)
+          .otherwise(floor($"tri_est" * 2 * 10000 /
+            ($"deg" * ($"deg" - 1))) / 10000.0)
+          .as("lcc_est"))
+      .orderBy($"l_partkey")
+  }
+
   /** Peel rounds for q66 — fixed (not until-convergence) so the
     * operator is a pure function of the input and the DuckDB oracle
     * can replay it exactly; the spec separately proves the corpus

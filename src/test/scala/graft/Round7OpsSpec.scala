@@ -373,6 +373,25 @@ class Round7OpsSpec extends GraftSpecBase {
     assert(half._3 == half._2 * 8L)
   }
 
+  test("q71: p = 1 equals q67 bit-for-bit; per-node estimates tie out with q70's census") {
+    val full = operators.Graph.q71LccSample(spark, sf, p1000 = 1000L)
+      .select($"l_partkey", $"deg", $"tri_est".cast("long"), $"lcc_est")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val exact = operators.Graph.q67ClusteringCoef(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(full == exact, "p = 1 must reproduce the exact lcc table")
+    val half = operators.Graph.q71LccSample(spark, sf, p1000 = 500L)
+      .select($"tri_est".cast("long")).as[Long].collect()
+    val census = operators.Graph.q70TriangleSample(spark, sf, p1000 = 500L)
+      .select($"est_triangles".cast("long")).as[Long].head()
+    // every triangle credits exactly three corners, sampled or not —
+    // the scale factor (x8 at p = 1/2) is exact integer both places
+    assert(half.sum == 3L * census, s"${half.sum} vs 3 x $census")
+    val again = operators.Graph.q71LccSample(spark, sf, p1000 = 500L)
+      .select($"tri_est".cast("long")).as[Long].collect()
+    assert(again.toSeq == half.toSeq)
+  }
+
   // ---------------- q69 Holt-Winters seasonal ----------------
 
   test("q69: the seasonal fixed-point recursion matches a local integer replay exactly") {
