@@ -163,6 +163,7 @@ object SparkEntry {
     "q69_holt_winters"   -> (Analytics.q69HoltWinters _),
     "q70_triangle_sample" -> ((s: SparkSession, d: String) => Graph.q70TriangleSample(s, d)),
     "q71_lcc_sample"     -> ((s: SparkSession, d: String) => Graph.q71LccSample(s, d)),
+    "q72_hll_rollup"     -> (Analytics.q72HllRollup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

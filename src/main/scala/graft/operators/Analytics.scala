@@ -867,6 +867,38 @@ object Analytics {
       .orderBy($"lag")
   }
 
+  /** Q72: mergeable-sketch distinct rollup — the INCREMENTAL-VIEW
+    * pattern behind every "daily uniques → weekly/monthly uniques"
+    * dashboard at 100 TB: build one Datasketches HLL sketch of
+    * user_id per day (a fixed-size binary, stored with the day's
+    * partition), then answer the weekly distinct from
+    * `hll_union_agg` over SEVEN sketches — no raw-data repass, ever.
+    * The day that already shipped never gets rescanned; late data
+    * unions in. Register-max merging makes the sketch ORDER- and
+    * PARTITIONING-insensitive (deterministic), and merging per-day
+    * sketches is identical to sketching the union — the spec pins
+    * that identity plus the estimate's error vs exact.
+    *
+    * Output: per week, the day count, the sketch estimate, and the
+    * exact distinct (computed here only to EXHIBIT the error — the
+    * production path stores sketches, not users). Estimates are
+    * engine-specific (Datasketches) → rows-only. */
+  def q72HllRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.eventsWithMs(s, dir)
+      .select(expr("ms div 86400000L").as("day"), $"user_id")
+    val daily = ev.groupBy($"day")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val weeklyEst = daily.groupBy(expr("day div 7L").as("week"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est_uniques"))
+    val weeklyExact = ev.groupBy(expr("day div 7L").as("week"))
+      .agg(countDistinct($"user_id").as("exact_uniques"))
+    weeklyEst.join(weeklyExact, "week")
+      .select($"week", $"n_days", $"est_uniques", $"exact_uniques")
+      .orderBy($"week")
+  }
+
   /** Q69: Holt–Winters ADDITIVE SEASONAL forecasting over daily
     * revenue — q63's level+trend recursion extended with a weekly
     * (m = 7) seasonal state, in the same exact INTEGER fixed point

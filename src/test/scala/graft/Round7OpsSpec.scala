@@ -392,6 +392,27 @@ class Round7OpsSpec extends GraftSpecBase {
     assert(again.toSeq == half.toSeq)
   }
 
+  test("q72: merged daily sketches equal the direct weekly sketch; error within the lgK=14 band") {
+    val rows = operators.Analytics.q72HllRollup(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (wk, nDays, est, exact) =>
+      assert(nDays >= 1 && nDays <= 7)
+      val err = math.abs(est - exact).toDouble / exact
+      assert(err < 0.03, s"week $wk: est $est vs exact $exact (err $err)")
+    }
+    // register-max merge identity: union of per-day sketches == the
+    // sketch built directly over the whole week's raw data
+    val ev = Tables.eventsWithMs(spark, sf)
+      .select(expr("ms div 86400000L").as("day"), $"user_id")
+    val direct = ev.groupBy(expr("day div 7L").as("week"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("d"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (wk, _, est, _) =>
+      assert(direct(wk) == est, s"week $wk: merged $est vs direct ${direct(wk)}")
+    }
+  }
+
   // ---------------- q69 Holt-Winters seasonal ----------------
 
   test("q69: the seasonal fixed-point recursion matches a local integer replay exactly") {
