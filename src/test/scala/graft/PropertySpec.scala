@@ -146,4 +146,59 @@ class PropertySpec extends GraftSpecBase {
     assert(sizes.filter($"mx" - $"mn" > 1).count() == 0)
     assert(sizes.filter($"maxb" > $"k").count() == 0)
   }
+
+  test("misra_gries_agg keeps the two-sided bound under partitioned merge on random skewed streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777)
+    val cap = 8
+    val rows = (0 until 20).flatMap { g =>
+      Seq.fill(500 + rnd.nextInt(1500)) {
+        // geometric skew: small token ids dominate
+        val t = math.min((math.log(1.0 - rnd.nextDouble()) / math.log(0.7)).toInt, 30)
+        (g.toLong, s"tok$t")
+      }
+    }
+    // repartition(8) forces real partial-buffer merges at the exchange
+    val got = rows.toDF("g", "tok").repartition(8)
+      .groupBy($"g")
+      .agg(call_function("misra_gries_agg", $"tok", lit(cap)).as("sk"))
+      .select($"g", explode($"sk").as("e"))
+      .select($"g", $"e.token", $"e.est")
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).map { case (g, v) => g -> v.map(x => x._2 -> x._3).toMap }
+    rows.groupBy(_._1).foreach { case (g, v) =>
+      val exact = v.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+      val margin = v.size.toLong / (cap + 1)
+      got(g).foreach { case (t, est) =>
+        val tr = exact.getOrElse(t, 0L)
+        assert(est <= tr, s"group $g: $t overestimated $est > $tr")
+        assert(est >= tr - margin, s"group $g: $t est $est < $tr - $margin")
+      }
+      exact.foreach { case (t, tr) =>
+        if (tr > margin)
+          assert(got(g).contains(t), s"group $g: $t with $tr > margin $margin missing")
+      }
+    }
+  }
+
+  test("lshConfig: 200 random regimes — valid divisor config, floor met when feasible, minimal background collision") {
+    val rnd = new scala.util.Random(31337)
+    def p(b: Int, r: Int, j: Double) = 1.0 - math.pow(1.0 - math.pow(j, r), b)
+    for (_ <- 0 until 200) {
+      val n = Seq(16, 32, 64, 128)(rnd.nextInt(4))
+      val j = 0.05 + rnd.nextDouble() * 0.9
+      val pMin = 0.5 + rnd.nextDouble() * 0.49
+      val jbg = rnd.nextDouble() * j
+      val (b, r) = operators.Dedup.lshConfig(n, j, pMin, jbg)
+      assert(r > 0 && n % r == 0 && b == n / r, s"invalid config ($b, $r) for n=$n")
+      val widths = Iterator.iterate(1)(_ * 2).takeWhile(_ <= n).toSeq
+      if (widths.exists(rr => p(n / rr, rr, j) >= pMin)) {
+        assert(p(b, r, j) >= pMin, s"floor missed: ($b,$r) at J*=$j pMin=$pMin")
+        widths.filter(rr => p(n / rr, rr, j) >= pMin).foreach { rr =>
+          assert(p(b, r, jbg) <= p(n / rr, rr, jbg) + 1e-12,
+            s"($b,$r) collides more at j_bg=$jbg than (${n / rr},$rr)")
+        }
+      }
+    }
+  }
 }
