@@ -164,6 +164,7 @@ object SparkEntry {
     "q70_triangle_sample" -> ((s: SparkSession, d: String) => Graph.q70TriangleSample(s, d)),
     "q71_lcc_sample"     -> ((s: SparkSession, d: String) => Graph.q71LccSample(s, d)),
     "q72_hll_rollup"     -> (Analytics.q72HllRollup _),
+    "m12_ndcg"           -> (graft.ml.Recommender.m12Ndcg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

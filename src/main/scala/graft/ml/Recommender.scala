@@ -245,6 +245,35 @@ object Recommender {
       .orderBy($"c_custkey", $"rnk")
   }
 
+  /** M12: NDCG@5 of the served slate — the RANKING-quality metric m7's
+    * set-based hit rate can't express: position-discounted gain
+    * (rel/log₂(pos+1)) against observed purchase quantities as graded
+    * relevance, normalized per user by the ideal ordering's DCG.
+    * The ideal top-5 uses the same map-side-partial `topk_agg` as
+    * serving (never a window over every (user, item)); both joins hash
+    * on keys the frames already carry; output is one row. Model-fit
+    * dependent → rows-only; the spec replays the whole metric locally
+    * from the served slate and the rating matrix. */
+  def m12Ndcg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = m1AlsRecommend(s, dir).select($"c_custkey", $"rnk", $"p_partkey")
+    val rel = ratings(s, dir).select($"user".as("c_custkey"),
+      $"item".as("p_partkey"), $"rating".cast("double").as("rel"))
+    val dcg = recs.join(rel, Seq("c_custkey", "p_partkey"), "left")
+      .select($"c_custkey",
+        (coalesce($"rel", lit(0.0)) / log2($"rnk" + 1)).as("g"))
+      .groupBy($"c_custkey").agg(sum($"g").as("dcg"))
+    val ideal = rel.groupBy($"c_custkey")
+      .agg(call_function("topk_agg", $"rel", $"p_partkey", lit(5)).as("top"))
+      .select($"c_custkey", posexplode($"top").as(Seq("pos", "e")))
+      .select($"c_custkey", ($"e.score" / log2($"pos" + 2)).as("g"))
+      .groupBy($"c_custkey").agg(sum($"g").as("idcg"))
+    dcg.join(ideal, "c_custkey")
+      .select(when($"idcg" > 0, $"dcg" / $"idcg").otherwise(0.0).as("ndcg"))
+      .agg(count(lit(1)).as("n_users"),
+        (floor(avg($"ndcg") * 10000) / 10000.0).as("mean_ndcg"))
+  }
+
   /** M7: corpus-level recommendation-quality metrics — the eval
     * dashboard a recommender ships with: per-slate hit rate against
     * actual purchase history (m1 recommends from the full catalog, so

@@ -199,4 +199,8 @@ object Sentiment {
 
   private def vector_to_array(c: org.apache.spark.sql.Column) =
     org.apache.spark.ml.functions.vector_to_array(c)
+
+  /** Shared with the streaming scoring twin (SentimentStream). */
+  private[graft] def vectorToArray(c: org.apache.spark.sql.Column) =
+    vector_to_array(c)
 }

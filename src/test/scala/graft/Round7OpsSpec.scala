@@ -183,6 +183,59 @@ class Round7OpsSpec extends GraftSpecBase {
     }
   }
 
+  test("streaming sentiment scoring matches the batch pipeline bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val model = ml.Sentiment.fit(spark, sf)
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.SentimentStream
+      .scoreStream(model, stream.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sent_scores")
+      .outputMode("append").start()
+    try {
+      docs.grouped(docs.size / 3 + 1).foreach { c =>
+        stream.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("sent_scores")
+        .select($"doc_id", $"p_positive").as[(Long, Double)].collect().toMap
+      val want = graft.streaming.SentimentStream
+        .scoreStream(model, Tables.documents(spark, sf).select($"doc_id", $"text"))
+        .select($"doc_id", $"p_positive").as[(Long, Double)].collect().toMap
+      assert(got.size == docs.size)
+      assert(got == want, "stream scores must equal batch scores")
+    } finally q.stop()
+  }
+
+  test("m12: ndcg matches a local replay from the served slate and the rating matrix") {
+    val row = ml.Recommender.m12Ndcg(spark, sf)
+      .as[(Long, Double)].head()
+    val recs = ml.Recommender.m1AlsRecommend(spark, sf)
+      .select($"c_custkey", $"rnk", $"p_partkey")
+      .as[(Long, Int, Long)].collect()
+    val rel = ml.Recommender.ratings(spark, sf)
+      .select($"user", $"item", $"rating".cast("double"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (u, i, r) => (u, i) -> r }.toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val byUser = recs.groupBy(_._1)
+    val ndcgs = byUser.map { case (u, rs) =>
+      val dcg = rs.map { case (_, rnk, item) =>
+        rel.getOrElse((u, item), 0.0) / log2(rnk + 1.0) }.sum
+      // .toSeq BEFORE collect: collecting (r, ii) pairs out of a Map
+      // would re-map BY RATING and collapse equal-rated items
+      val ideal = rel.toSeq.collect { case ((uu, ii), r) if uu == u => (r, ii) }
+        .sortBy { case (r, ii) => (-r, ii) }.take(5)
+        .zipWithIndex.map { case ((r, _), p) => r / log2(p + 2.0) }.sum
+      if (ideal > 0) dcg / ideal else 0.0
+    }
+    assert(row._1 == byUser.size.toLong)
+    val want = math.floor(ndcgs.sum / ndcgs.size * 10000) / 10000.0
+    assert(math.abs(row._2 - want) <= 1e-4 + 1e-12,
+      s"mean ndcg ${row._2} vs local $want")
+    assert(row._2 > 0.0 && row._2 <= 1.0)
+  }
+
   // ---------------- q66 k-core ----------------
 
   test("q66: the peel budget converges and survivors carry exact in-core degrees >= k") {
