@@ -466,6 +466,26 @@ class Round7OpsSpec extends GraftSpecBase {
     }
   }
 
+  test("q72 storage claim: sketches survive a parquet round-trip and union identically") {
+    // the incremental-view pattern q72 documents: per-day sketches are
+    // STORED (binary column in the day's partition), and later rollups
+    // read sketches, not raw data — prove the persisted path estimates
+    // exactly what the in-memory path does
+    val dir = java.nio.file.Files.createTempDirectory("hll-store").toString
+    val ev = Tables.eventsWithMs(spark, sf)
+      .select(expr("ms div 86400000L").as("day"), $"user_id")
+    ev.groupBy($"day")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val fromDisk = spark.read.parquet(dir)
+      .groupBy(expr("day div 7L").as("week"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est"))
+      .as[(Long, Long)].collect().toMap
+    val live = operators.Analytics.q72HllRollup(spark, sf)
+      .select($"week", $"est_uniques").as[(Long, Long)].collect().toMap
+    assert(fromDisk == live, s"persisted-sketch rollup diverged: $fromDisk vs $live")
+  }
+
   // ---------------- q69 Holt-Winters seasonal ----------------
 
   test("q69: the seasonal fixed-point recursion matches a local integer replay exactly") {
