@@ -165,6 +165,7 @@ object SparkEntry {
     "q71_lcc_sample"     -> ((s: SparkSession, d: String) => Graph.q71LccSample(s, d)),
     "q72_hll_rollup"     -> (Analytics.q72HllRollup _),
     "m12_ndcg"           -> (graft.ml.Recommender.m12Ndcg _),
+    "q73_part_families"  -> (Graph.q73PartFamilies _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1780,6 +1781,26 @@ object SparkEntry {
     // unrolled fixed-round peel (DuckDB's recursive CTE can't shrink
     // its working set in place) — generated, k=3 over KcoreRounds
     "q66_kcore" -> operators.Graph.kcoreOracleSql(),
+    "q73_part_families" ->
+      """WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         edges AS (SELECT pa AS src, pb AS dst FROM e
+                   UNION ALL SELECT pb, pa FROM e),
+         reach(n, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e2.src, reach.r FROM edges e2 JOIN reach ON e2.dst = reach.n),
+         lab AS (SELECT n AS l_partkey, min(r) AS family_id
+                 FROM reach GROUP BY 1),
+         sz AS (SELECT family_id, count(*) AS family_size
+                FROM lab GROUP BY 1)
+         SELECT l.l_partkey, l.family_id, s.family_size
+         FROM lab l JOIN sz s USING (family_id)
+         ORDER BY l_partkey""",
     "q67_clustering_coef" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          e AS (

@@ -303,6 +303,35 @@ object Graph {
       .orderBy($"l_partkey")
   }
 
+  /** Q73: co-purchase product FAMILIES — connected components over the
+    * threshold-2 co-purchase graph (the merchandising cut: parts that
+    * chain together through shared baskets form one assortment
+    * family), labeled with the component-minimum part key plus the
+    * family size. Reuses d6's pointer-jumping components
+    * (O(log diameter) rounds, one job per round, loop shuffle width
+    * sized to the graph); the size join hashes on the label both
+    * frames carry. Oracle = the same recursive-CTE closure d6 uses,
+    * over the basket pair graph. */
+  def q73PartFamilies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("q73_families", dir) {
+      val e = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+        .select($"pa", $"pb")
+      val edges = e.select($"pa".as("src"), $"pb".as("dst"))
+        .unionAll(e.select($"pb".as("src"), $"pa".as("dst")))
+        .cache()
+      scaffolding += edges
+      val labels = Dedup.connectedComponents(s, edges)
+        .select($"doc_id".as("l_partkey"), $"group_id".as("family_id"))
+      val sizes = labels.groupBy($"family_id")
+        .agg(count(lit(1)).as("family_size"))
+      labels.join(sizes, "family_id")
+        .select($"l_partkey", $"family_id", $"family_size")
+    } { scaffolding.foreach(_.unpersist()) }
+      .orderBy($"l_partkey")
+  }
+
   /** Peel rounds for q66 — fixed (not until-convergence) so the
     * operator is a pure function of the input and the DuckDB oracle
     * can replay it exactly; the spec separately proves the corpus

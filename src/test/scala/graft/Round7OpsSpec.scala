@@ -236,6 +236,23 @@ class Round7OpsSpec extends GraftSpecBase {
     assert(row._2 > 0.0 && row._2 <= 1.0)
   }
 
+  test("q73: family labels are edge-consistent and equal each component's minimum id") {
+    val lab = operators.Graph.q73PartFamilies(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(lab.nonEmpty)
+    val fam = lab.map(r => r._1 -> r._2).toMap
+    val e = operators.Analytics.copurchasePairs(spark, sf)
+      .filter($"n_orders" >= 2).select($"pa", $"pb").as[(Long, Long)].collect()
+    e.foreach { case (a, b) =>
+      assert(fam(a) == fam(b), s"edge ($a,$b) crosses families ${fam(a)}/${fam(b)}")
+    }
+    // the label IS the component minimum, and sizes tie out
+    lab.groupBy(_._2).foreach { case (fid, members) =>
+      assert(members.map(_._1).min == fid)
+      assert(members.forall(_._3 == members.length.toLong))
+    }
+  }
+
   // ---------------- q66 k-core ----------------
 
   test("q66: the peel budget converges and survivors carry exact in-core degrees >= k") {
