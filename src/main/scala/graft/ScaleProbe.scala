@@ -106,7 +106,8 @@ object ScaleProbe {
                   "p12_stratified_sample", "t15_heavy_sketch",
                   "z2_zonemap_prune", "q69_holt_winters",
                   "q70_triangle_sample", "q71_lcc_sample",
-                  "q72_hll_rollup", "m12_ndcg", "q73_part_families")
+                  "q72_hll_rollup", "m12_ndcg", "q73_part_families",
+                  "q74_profile")
     // optional arg 2: regex to probe a subset (factor stays arg 1)
     val picked = args.drop(1).headOption
       .map(re => all.filter(_.matches(re))).getOrElse(all)

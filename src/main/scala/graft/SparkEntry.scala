@@ -166,6 +166,7 @@ object SparkEntry {
     "q72_hll_rollup"     -> (Analytics.q72HllRollup _),
     "m12_ndcg"           -> (graft.ml.Recommender.m12Ndcg _),
     "q73_part_families"  -> (Graph.q73PartFamilies _),
+    "q74_profile"        -> (Analytics.q74Profile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1881,6 +1882,43 @@ object SparkEntry {
            FROM r JOIN idx ON idx.i = r.i + 1)
          SELECT day, y AS y_cents, fc AS fc_cents FROM r WHERE i >= 8
          ORDER BY day""",
+    "q74_profile" ->
+      """WITH c AS (
+           SELECT 'o_orderkey' AS col_name,
+             count(*) - count(o_orderkey) AS n_nulls,
+             count(DISTINCT o_orderkey) AS n_distinct,
+             CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+             CAST(max(o_orderkey) AS VARCHAR) AS max_v
+           FROM orders
+           UNION ALL
+           SELECT 'o_custkey', count(*) - count(o_custkey),
+             count(DISTINCT o_custkey),
+             CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+             count(DISTINCT o_orderstatus),
+             min(o_orderstatus), max(o_orderstatus)
+           FROM orders
+           UNION ALL
+           SELECT 'o_totalprice', count(*) - count(o_totalprice),
+             count(DISTINCT CAST(floor(o_totalprice * 100) AS BIGINT)),
+             CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS VARCHAR),
+             CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderdate', count(*) - count(o_orderdate),
+             count(DISTINCT CAST(o_orderdate AS DATE)),
+             CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR),
+             CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+             count(DISTINCT o_orderpriority),
+             min(o_orderpriority), max(o_orderpriority)
+           FROM orders)
+         SELECT col_name, n_nulls, n_distinct, min_v, max_v
+         FROM c ORDER BY col_name""",
     "p12_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
          WHERE (doc_id * 7919) %

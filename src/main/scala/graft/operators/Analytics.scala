@@ -867,6 +867,49 @@ object Analytics {
       .orderBy($"lag")
   }
 
+  /** Q74: table PROFILING — the ANALYZE-style one-pass stats read
+    * (null count, exact distinct count, canonical min/max per column)
+    * every catalog/CBO and data-quality gate runs before trusting a
+    * table. One wide aggregation over one scan; the long-form output
+    * is a column-count-sized explode of the single stats row. Values
+    * canonicalize to STRINGS deterministically per type (bigints
+    * verbatim, dates as yyyy-MM-dd, money as integer cents) so the
+    * DuckDB oracle matches byte-for-byte — no float formatting
+    * exposure. Exact distinct counts here (oracle-able; they cost one
+    * expand); at 100 TB swap `approx_count_distinct`/q72's HLL
+    * sketches per column — same plan shape, sketch-sized state. */
+  def q74Profile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    // (name, canonical NATIVE expression) per profiled column —
+    // min/max aggregate in the native order (a string cast before the
+    // aggregate would rank '99' above '149'); stringification happens
+    // on the aggregated scalars only
+    val cols: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "o_orderkey" -> $"o_orderkey",
+      "o_custkey" -> $"o_custkey",
+      "o_orderstatus" -> $"o_orderstatus",
+      "o_totalprice" -> floor($"o_totalprice" * 100).cast("long"),
+      "o_orderdate" -> to_date($"o_orderdate"),
+      "o_orderpriority" -> $"o_orderpriority")
+    val aggs = cols.flatMap { case (n, c) => Seq(
+      (count(lit(1)) - count(c)).as(s"__nn_$n"),
+      countDistinct(c).as(s"__nd_$n"),
+      min(c).cast("string").as(s"__mn_$n"),
+      max(c).cast("string").as(s"__mx_$n")) }
+    val row = o.agg(aggs.head, aggs.tail: _*)
+    row.select(explode(array(cols.map { case (n, _) =>
+        struct(lit(n).as("col_name"),
+          col(s"__nn_$n").as("n_nulls"),
+          col(s"__nd_$n").as("n_distinct"),
+          col(s"__mn_$n").as("min_v"),
+          col(s"__mx_$n").as("max_v"))
+      }: _*)).as("e"))
+      .select($"e.col_name", $"e.n_nulls", $"e.n_distinct",
+        $"e.min_v", $"e.max_v")
+      .orderBy($"col_name")
+  }
+
   /** Q72: mergeable-sketch distinct rollup — the INCREMENTAL-VIEW
     * pattern behind every "daily uniques → weekly/monthly uniques"
     * dashboard at 100 TB: build one Datasketches HLL sketch of

@@ -236,6 +236,25 @@ class Round7OpsSpec extends GraftSpecBase {
     assert(row._2 > 0.0 && row._2 <= 1.0)
   }
 
+  test("q74: profile is one joinless pass and matches a local replay") {
+    val rows = operators.Analytics.q74Profile(spark, sf)
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.size == 6)
+    val o = Tables.orders(spark, sf)
+      .select($"o_orderkey", floor($"o_totalprice" * 100).cast("long").as("cents"))
+      .as[(Long, Long)].collect()
+    val ok = rows("o_orderkey")
+    assert(ok._2 == 0L && ok._3 == o.map(_._1).distinct.length.toLong)
+    assert(ok._4 == o.map(_._1).min.toString && ok._5 == o.map(_._1).max.toString)
+    val tp = rows("o_totalprice")
+    assert(tp._4 == o.map(_._2).min.toString && tp._5 == o.map(_._2).max.toString)
+    // plan: one scan, no joins (the stats row is a single aggregation)
+    val p = operators.Analytics.q74Profile(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q73: family labels are edge-consistent and equal each component's minimum id") {
     val lab = operators.Graph.q73PartFamilies(spark, sf)
       .as[(Long, Long, Long)].collect()
