@@ -167,6 +167,7 @@ object SparkEntry {
     "m12_ndcg"           -> (graft.ml.Recommender.m12Ndcg _),
     "q73_part_families"  -> (Graph.q73PartFamilies _),
     "q74_profile"        -> (Analytics.q74Profile _),
+    "q75_profile_sketch" -> (Analytics.q75ProfileSketch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

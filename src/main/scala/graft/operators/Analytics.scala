@@ -878,7 +878,28 @@ object Analytics {
     * exposure. Exact distinct counts here (oracle-able; they cost one
     * expand); at 100 TB swap `approx_count_distinct`/q72's HLL
     * sketches per column — same plan shape, sketch-sized state. */
-  def q74Profile(s: SparkSession, dir: String): DataFrame = {
+  def q74Profile(s: SparkSession, dir: String): DataFrame =
+    profileOf(s, dir, c => countDistinct(c))
+
+  /** Q75: q74's 100 TB twin — the same profile with `n_distinct`
+    * served from a per-column Datasketches HLL sketch (q72's
+    * machinery) instead of exact `count(DISTINCT …)`. The exact form
+    * plans a 6-way Expand of the fact table (the measured 10.2 s at
+    * the 20× probe); the sketch form is one pass with fixed
+    * per-column state, and the sketches can persist beside the
+    * table's partitions for incremental re-profiling (the q72
+    * pattern). Estimates engine-specific → rows-only; the spec pins
+    * nulls/min/max identical to q74 and every estimate inside the
+    * lgK = 14 error band of the exact count. */
+  def q75ProfileSketch(s: SparkSession, dir: String): DataFrame =
+    // sketch input is the canonical STRING form (injective, so the
+    // cardinality is the column's own) — HLL accepts int/long/string/
+    // binary but not DATE
+    profileOf(s, dir, c => hll_sketch_estimate(hll_sketch_agg(c.cast("string"), 14)))
+
+  private def profileOf(s: SparkSession, dir: String,
+      distinctAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, dir)
     // (name, canonical NATIVE expression) per profiled column —
@@ -894,7 +915,7 @@ object Analytics {
       "o_orderpriority" -> $"o_orderpriority")
     val aggs = cols.flatMap { case (n, c) => Seq(
       (count(lit(1)) - count(c)).as(s"__nn_$n"),
-      countDistinct(c).as(s"__nd_$n"),
+      distinctAgg(c).cast("long").as(s"__nd_$n"),
       min(c).cast("string").as(s"__mn_$n"),
       max(c).cast("string").as(s"__mx_$n")) }
     val row = o.agg(aggs.head, aggs.tail: _*)

@@ -255,6 +255,20 @@ class Round7OpsSpec extends GraftSpecBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("q75: sketch profile matches q74 on nulls/min/max; estimates inside the lgK band") {
+    val exact = operators.Analytics.q74Profile(spark, sf)
+      .as[(String, Long, Long, String, String)].collect().map(r => r._1 -> r).toMap
+    val sk = operators.Analytics.q75ProfileSketch(spark, sf)
+      .as[(String, Long, Long, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(sk.keySet == exact.keySet)
+    sk.foreach { case (n, (_, nn, nd, mn, mx)) =>
+      val e = exact(n)
+      assert(nn == e._2 && mn == e._4 && mx == e._5, s"$n non-distinct stats diverged")
+      val err = math.abs(nd - e._3).toDouble / math.max(e._3, 1L)
+      assert(err < 0.03, s"$n: sketch $nd vs exact ${e._3} (err $err)")
+    }
+  }
+
   test("q73: family labels are edge-consistent and equal each component's minimum id") {
     val lab = operators.Graph.q73PartFamilies(spark, sf)
       .as[(Long, Long, Long)].collect()
