@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Bench regression triage: compare the current BENCH.json per-entry
+MEDIANS (the bursty-host-resistant clock) against a previous round's
+bench artifact, flag entries whose median regressed past a factor.
+
+Usage: python3 tools/bench_compare.py [prev.json] [cur.json] [factor]
+  prev defaults to the newest BENCH_r*.json; cur to BENCH.json;
+  factor to 1.5.
+
+Prior-round artifacts carry either the driver wrapper shape
+({"parsed": {...}}) or the raw bench JSON; per-entry values are either
+scalars (min-of-N, older rounds) or [min, median, spread] bands.
+Medians compare against medians when both sides have them; otherwise
+the comparison degrades to min-vs-min and says so.
+"""
+import glob
+import json
+import re
+import sys
+
+
+def load(path):
+    d = json.load(open(path))
+    if "parsed" in d and d["parsed"]:
+        d = d["parsed"]
+    mins = d.get("queries", {})
+    meds = d.get("queries_median", {})
+    # band-shaped queries ([min, median, spread]) also carry medians
+    if mins and isinstance(next(iter(mins.values())), list):
+        meds = {k: v[1] for k, v in mins.items()}
+        mins = {k: v[0] for k, v in mins.items()}
+    return mins, meds
+
+
+def main():
+    args = sys.argv[1:]
+    rounds = [p for p in glob.glob("BENCH_r*.json")
+              if re.search(r"_r(\d+)\.json$", p)]
+    prev_path = args[0] if len(args) > 0 else sorted(
+        rounds, key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)))[-1]
+    cur_path = args[1] if len(args) > 1 else "BENCH.json"
+    factor = float(args[2]) if len(args) > 2 else 1.5
+    pmin, pmed = load(prev_path)
+    cmin, cmed = load(cur_path)
+    clock = "median" if pmed and cmed else "min"
+    prev = pmed if clock == "median" else pmin
+    cur = cmed if clock == "median" else cmin
+    common = sorted(set(prev) & set(cur))
+    flagged = [(k, prev[k], cur[k]) for k in common
+               if cur[k] > prev[k] * factor and cur[k] > 0.5]
+    print(f"== {clock}-clock compare {prev_path} -> {cur_path}: "
+          f"{len(common)} common entries, "
+          f"{len(set(cur) - set(prev))} new, flag factor {factor}")
+    if not flagged:
+        print("== no regressions")
+    for k, p, c in sorted(flagged, key=lambda r: -(r[2] / r[1])):
+        print(f"REGRESSED {k}: {p:.2f}s -> {c:.2f}s ({c / p:.1f}x)")
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
