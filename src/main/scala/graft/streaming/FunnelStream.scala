@@ -139,4 +139,5 @@ object FunnelStream {
       .transformWithState(new FunnelProcessor,
         TimeMode.None(), OutputMode.Append(), Encoders.product[FunnelUpgrade])
   }
+
 }
