@@ -50,6 +50,9 @@ object SparkEntry {
     // the index path exact, so the same brute-force SQL oracles it
     "s2_ann_full"        -> ((s: SparkSession, d: String) =>
       Similarity.s2AnnIvf(s, d, Similarity.IvfClusters)),
+    // bound-pruned probing is EXACT (triangle inequality on the
+    // sphere), so brute force oracles it too
+    "s8_adaptive_ann"    -> (Similarity.s8AdaptiveAnn _),
     "m1_als_recommend"   -> (graft.ml.Recommender.m1AlsRecommend _),
     "m2_sentiment"       -> (graft.ml.Sentiment.m2Sentiment _),
     "m3_similar_items"   -> (graft.ml.Recommender.m3SimilarItems _),
@@ -156,6 +159,9 @@ object SparkEntry {
     "q65_ab_test"        -> (Analytics.q65AbTest _),
     "q66_kcore"          -> ((s: SparkSession, d: String) => Graph.q66Kcore(s, d)),
     "q67_clustering_coef" -> (Graph.q67ClusteringCoef _),
+    "q76_core_numbers"   -> ((s: SparkSession, d: String) => Graph.q76CoreNumbers(s, d)),
+    "q77_ppr"            -> (Graph.q77Ppr _),
+    "q78_seed_reach"     -> ((s: SparkSession, d: String) => Graph.q78SeedReach(s, d)),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "t15_heavy_sketch"   -> (TextAnalysis.t15HeavySketch _),
@@ -450,6 +456,21 @@ object SparkEntry {
             * sqrt(list_sum(list_transform(x.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))) >= 0.25
          ORDER BY 1, 2""",
     "s1_knn_brute" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             floor(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               * 10000) / 10000.0 AS cos
+           FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id),
+         ranked AS (
+           SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk, neighbor_id, cos
+           FROM scored)
+         SELECT q_id, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
+         ORDER BY q_id, rnk""",
+    "s8_adaptive_ann" ->
       """WITH scored AS (
            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
              floor(list_sum(list_transform(list_zip(q.embedding, c.embedding),
@@ -1783,6 +1804,9 @@ object SparkEntry {
     // unrolled fixed-round peel (DuckDB's recursive CTE can't shrink
     // its working set in place) — generated, k=3 over KcoreRounds
     "q66_kcore" -> operators.Graph.kcoreOracleSql(),
+    "q76_core_numbers" -> operators.Graph.coreNumbersOracleSql(),
+    "q77_ppr" -> operators.Graph.pprOracleSql(),
+    "q78_seed_reach" -> operators.Graph.seedReachOracleSql(),
     "q73_part_families" ->
       """WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          e AS (

@@ -411,6 +411,289 @@ object Graph {
       .orderBy($"l_partkey")
   }
 
+  /** k-budget for q76 — one past the worst measured degeneracy across
+    * the SFs (sf0.001: K_max = 15 — its 200-part catalog makes the
+    * co-purchase graph DENSE; sf0.01: 3; sf0.1: 2), so the level-16
+    * peel provably empties the graph and the output is the TRUE
+    * un-clamped core-number table; the spec pins the slack (output
+    * invariant under kMax + 1). */
+  val CoreKMax = 17
+
+  /** Per-level round budget for q76 — q66's 8 is measured far too
+    * short here: the graph-emptying cascade at sf0.001's level 16
+    * needs 20 synchronous rounds (each peeled node drops a chain of
+    * others below k, one hop per round). 21 covers it; the spec pins
+    * the slack by asserting the output is invariant under
+    * rounds + 1. */
+  val CoreRounds = 21
+
+  /** Q76: the FULL core-number table — each node's DEGENERACY ORDER
+    * (the maximum k for which it survives the k-core), the q66
+    * generalization that turns one dense-subgraph cut into the whole
+    * nestedness profile (Seidman 1983; Matula & Beck 1983). Output is
+    * (l_partkey, core_number) for every node of the threshold-2
+    * co-purchase graph.
+    *
+    * Shape at scale: k-cores NEST ((k+1)-core ⊆ k-core), so the peel
+    * is INCREMENTAL — level k+1 starts from level k's survivor edges,
+    * never from the full graph; total work is one q66-shaped pass over
+    * a monotonically shrinking edge set per level. Each round is one
+    * node-keyed degree aggregate (map-side partials) plus two
+    * semi-joins, `localCheckpoint` flattens lineage per round, and the
+    * count() the convergence check rides on is the same tiny job the
+    * d6 loop runs. Early exit is RESULT-IDENTICAL to the fixed unroll:
+    * a round that removes no edge changes no degree, so every further
+    * round at that level is the identity — which is also why the
+    * fixed-budget DuckDB oracle (kMax × rounds unrolled MATERIALIZED
+    * CTEs) replays the exact same answer. Core number = max k whose
+    * final survivor set still carries the node. */
+  def q76CoreNumbers(s: SparkSession, dir: String, kMax: Int = CoreKMax,
+      rounds: Int = CoreRounds): DataFrame =
+    if (kMax == CoreKMax && rounds == CoreRounds)
+      graft.Caches.memo("q76_core", dir)(q76Compute(s, dir, kMax, rounds))()
+    else q76Compute(s, dir, kMax, rounds)
+
+  private def q76Compute(s: SparkSession, dir: String, kMax: Int,
+      rounds: Int): DataFrame = {
+    import s.implicits._
+    var e = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      .select($"pa", $"pb").localCheckpoint(true)
+    var cnt = e.count()
+    var levels = List.empty[DataFrame]
+    for (k <- 1 to kMax) {
+      var converged = false
+      var r = 0
+      while (r < rounds && cnt > 0 && !converged) {
+        val core = e.select($"pa".as("n")).unionAll(e.select($"pb".as("n")))
+          .groupBy($"n").agg(count(lit(1)).as("deg"))
+          .filter($"deg" >= k).select($"n")
+        val e2 = e.join(core.select($"n".as("pa")), Seq("pa"), "left_semi")
+          .join(core.select($"n".as("pb")), Seq("pb"), "left_semi")
+          .select($"pa", $"pb").localCheckpoint(true)
+        val c2 = e2.count()
+        converged = c2 == cnt
+        e = e2; cnt = c2; r += 1
+      }
+      levels = e.select($"pa".as("n")).unionAll(e.select($"pb".as("n")))
+        .distinct().withColumn("k", lit(k)) :: levels
+    }
+    levels.reduce(_ unionAll _)
+      .groupBy($"n").agg(max($"k").cast("int").as("core_number"))
+      .select($"n".as("l_partkey"), $"core_number")
+      .orderBy($"l_partkey")
+  }
+
+  /** The q76 oracle: the q66 MATERIALIZED-CTE discipline chained over
+    * every k-level — e_k_0 is the previous level's final survivor set
+    * (k-cores nest, exactly like the Spark loop), each level unrolls
+    * `rounds` peel steps, and the final select takes max(k) over the
+    * per-level survivor membership. The degree filter is INLINED into
+    * each peel CTE (one CTE per round, not two): the 17 × 21 unroll
+    * would otherwise blow DuckDB's max_expression_depth of 1000
+    * (measured — the binder counts chained CTEs), and the driver
+    * can't raise engine settings. Every CTE materialized so DuckDB
+    * runs the same O(kMax · rounds) passes the Spark loop bounds;
+    * measured ~6 s at each SF. */
+  private[graft] def coreNumbersOracleSql(kMax: Int = CoreKMax,
+      rounds: Int = CoreRounds): String = {
+    val base = """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e_1_0 AS MATERIALIZED (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2)"""
+    val steps = (1 to kMax).flatMap { k =>
+      val lvl = (1 to rounds).map { r =>
+        s""",
+         e_${k}_$r AS MATERIALIZED (
+           SELECT pa, pb FROM e_${k}_${r - 1}
+           WHERE pa IN (SELECT n FROM
+               (SELECT pa AS n FROM e_${k}_${r - 1} UNION ALL SELECT pb FROM e_${k}_${r - 1})
+               GROUP BY 1 HAVING count(*) >= $k)
+             AND pb IN (SELECT n FROM
+               (SELECT pa AS n FROM e_${k}_${r - 1} UNION ALL SELECT pb FROM e_${k}_${r - 1})
+               GROUP BY 1 HAVING count(*) >= $k))"""
+      }
+      val chain = if (k < kMax)
+        s""",
+         e_${k + 1}_0 AS MATERIALIZED (SELECT pa, pb FROM e_${k}_$rounds)"""
+      else ""
+      lvl :+ chain
+    }.mkString
+    val membership = (1 to kMax).map { k =>
+      s"""SELECT n, $k AS k FROM
+           (SELECT pa AS n FROM e_${k}_$rounds UNION ALL SELECT pb FROM e_${k}_$rounds)
+           GROUP BY 1"""
+    }.mkString("\n           UNION ALL ")
+    base + steps + s"""
+         SELECT n AS l_partkey, CAST(max(k) AS INTEGER) AS core_number FROM (
+           $membership
+         ) GROUP BY 1 ORDER BY l_partkey"""
+  }
+
+  /** Deterministic seed for the ego-centric operators (q77/q78): the
+    * highest-degree node of the threshold-2 graph, min-key tie-break —
+    * the "anchor product" a merchandiser would actually ask about, and
+    * a pure function of the input both engines agree on. */
+  private[graft] def egoSeed(s: SparkSession, dir: String): Long = {
+    import s.implicits._
+    val e = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      .select($"pa", $"pb")
+    e.select($"pa".as("n")).unionAll(e.select($"pb".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+      .orderBy($"deg".desc, $"n").select($"n").as[Long].head()
+  }
+
+  /** Q77: PERSONALIZED PageRank from the top-degree seed part — the
+    * "related to THIS product" ranking (topic-sensitive PageRank,
+    * Haveliwala WWW'02): random walk with 0.15 restart mass pinned to
+    * the seed instead of spread uniformly, 5 iterations, exact integer
+    * fixed-point exactly like q53 (float PPR is addition-order-
+    * dependent and cross-engine unverifiable). Nodes the walk hasn't
+    * reached stay at rank 0 and are filtered; output is the top-50
+    * rank-desc with node tie-break.
+    *
+    * Shape at scale: identical to q53 — one shuffle per iteration
+    * (contributions aggregate on dst with map-side partials, the
+    * update joins on the node key both frames hash by), the seed is a
+    * driver-side scalar (K-bounded like centroids), and the final
+    * rank is a TakeOrdered top-50. The restart term is a per-row
+    * `when`, not a join. */
+  def q77Ppr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+    val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
+      .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
+      .cache()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).cache()
+    val seed = egoSeed(s, dir)
+    var ranks = deg.select($"src".as("node"),
+      when($"src" === seed, lit(Scale)).otherwise(lit(0L)).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to Iters) {
+      val contrib = edges.join(deg, "src")
+        .join(ranks, $"src" === $"node")
+        .select($"dst", expr("rank div deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("c"))
+      ranks = ranks.join(contrib, $"node" === $"dst", "left")
+        .select($"node",
+          (when($"node" === seed, lit(Scale * 15 / 100)).otherwise(lit(0L)) +
+            expr("(85 * coalesce(c, 0L)) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist(); deg.unpersist()
+    ranks.filter($"rank" > 0L)
+      .select($"node".as("l_partkey"), $"rank".as("ppr_rank"))
+      .orderBy($"ppr_rank".desc, $"l_partkey")
+      .limit(50)
+  }
+
+  /** Radius for q78 — a bounded-radius reach query BY DESIGN (the
+    * "within N hops of this product" merchandising cut), not a
+    * full-graph shortest path: the radius is part of the semantics and
+    * the oracle replays the same radius. */
+  val ReachRadius = 4
+
+  /** Q78: BFS hop distances within `ReachRadius` of the top-degree
+    * seed part — the ego-network reach table (which products are 1, 2,
+    * 3, 4 basket-hops away). Output (l_partkey, hops), seed included
+    * at 0.
+    *
+    * Shape at scale: FRONTIER-based expansion — each round joins only
+    * the newly-reached nodes against the edge list (never the whole
+    * reached set), anti-joins out already-settled nodes, and
+    * `localCheckpoint` flattens lineage per round. Each edge is
+    * traversed at most once per endpoint's frontier round, so total
+    * work is O(edges in the R-ball), not O(R · edges); the joins all
+    * hash on the node key. BFS layers are set-valued (no tie-break
+    * nondeterminism — hops is MIN over paths, and the frontier union
+    * dedups on the node key). */
+  def q78SeedReach(s: SparkSession, dir: String,
+      radius: Int = ReachRadius): DataFrame = {
+    import s.implicits._
+    val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+    val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
+      .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
+      .cache()
+    val seed = egoSeed(s, dir)
+    var dist = Seq((seed, 0)).toDF("node", "hops").localCheckpoint(true)
+    var frontier = dist
+    for (h <- 1 to radius) {
+      val nxt = frontier.join(edges, $"node" === $"src")
+        .select($"dst".as("node")).distinct()
+        .join(dist.select($"node"), Seq("node"), "left_anti")
+        .select($"node", lit(h).as("hops"))
+        .localCheckpoint(true)
+      dist = dist.unionAll(nxt).localCheckpoint(true)
+      frontier = nxt
+    }
+    edges.unpersist()
+    dist.select($"node".as("l_partkey"), $"hops")
+      .orderBy($"l_partkey")
+  }
+
+  /** Q77 oracle: q53's unrolled-iteration CTE discipline with the
+    * restart mass pinned to the seed scalar subquery (max-degree,
+    * min-key — deterministic in both engines). */
+  private[graft] def pprOracleSql(iters: Int = Iters): String = {
+    val base = """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         prs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT pa AS src, pb AS dst FROM prs
+               UNION ALL SELECT pb, pa FROM prs),
+         d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         sd AS (SELECT src AS seed FROM d ORDER BY deg DESC, src LIMIT 1),
+         r0 AS (SELECT src AS node,
+                  CAST(CASE WHEN src = (SELECT seed FROM sd)
+                       THEN 1000000 ELSE 0 END AS BIGINT) AS rank
+                FROM d)"""
+    val its = (1 to iters).map { i =>
+      s""",
+         it$i AS (SELECT e.dst AS node, sum(r${i - 1}.rank // d.deg) AS c
+                 FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN d ON e.src = d.src
+                 GROUP BY 1),
+         r$i AS (SELECT r${i - 1}.node,
+                  CAST(CASE WHEN r${i - 1}.node = (SELECT seed FROM sd)
+                       THEN 150000 ELSE 0 END
+                    + (85 * COALESCE(it$i.c, 0)) // 100 AS BIGINT) AS rank
+                FROM r${i - 1} LEFT JOIN it$i USING (node))"""
+    }.mkString
+    base + its + s"""
+         SELECT node AS l_partkey, rank AS ppr_rank FROM r$iters
+         WHERE rank > 0
+         ORDER BY ppr_rank DESC, l_partkey LIMIT 50"""
+  }
+
+  /** Q78 oracle: the BFS layers unrolled — f_h = neighbors of f_{h-1}
+    * not yet settled, d accumulates (node, hops). */
+  private[graft] def seedReachOracleSql(radius: Int = ReachRadius): String = {
+    val base = """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         prs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT pa AS src, pb AS dst FROM prs
+               UNION ALL SELECT pb, pa FROM prs),
+         d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         f0 AS (SELECT src AS node, 0 AS hops FROM d
+                ORDER BY deg DESC, src LIMIT 1),
+         d0 AS (SELECT node, hops FROM f0)"""
+    val steps = (1 to radius).map { h =>
+      s""",
+         f$h AS (SELECT DISTINCT e.dst AS node, $h AS hops
+                FROM e JOIN f${h - 1} ON e.src = f${h - 1}.node
+                WHERE e.dst NOT IN (SELECT node FROM d${h - 1})),
+         d$h AS (SELECT node, hops FROM d${h - 1}
+                 UNION ALL SELECT node, hops FROM f$h)"""
+    }.mkString
+    base + steps + s"""
+         SELECT node AS l_partkey, hops FROM d$radius ORDER BY l_partkey"""
+  }
+
   /** The unrolled k-core oracle: `rounds` peel rounds as chained CTEs
     * (e0 → d0 → e1 → …), the exact SQL replay of q66Kcore — DuckDB's
     * recursive CTE can't express iterate-with-replacement over a

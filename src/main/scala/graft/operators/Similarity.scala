@@ -342,6 +342,118 @@ object Similarity {
     centers
   }
 
+  // ---- Adaptive probes: bound-pruned EXACT search --------------------
+
+  // cluster angular radii, a K-bounded artifact like the centroids
+  private val radiiReg =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+
+  private[graft] def clusterRadii(s: SparkSession, dir: String): Array[Double] =
+    radiiReg.getOrElseUpdate(dir, {
+      val (assigned, centers) = ivfIndex(s, dir)
+      clusterRadiiOf(assigned, centers)
+    })
+
+  /** Angular radius per cluster — max angle(member, centroid), the
+    * index-build-time artifact the adaptive bound reads. One node-keyed
+    * aggregate; the result is K doubles (K-bounded, like centroids). */
+  private[graft] def clusterRadiiOf(assigned: DataFrame,
+      centers: Array[Array[Double]]): Array[Double] = {
+    import assigned.sparkSession.implicits._
+    val centerLit = array(centers.map(c => array(c.map(lit): _*)): _*)
+    val rows = assigned
+      .select($"cluster", acos(least(greatest(
+        cosine($"v", element_at(centerLit, $"cluster" + 1)),
+        lit(-1.0)), lit(1.0))).as("ang"))
+      .groupBy($"cluster").agg(max($"ang").as("radius"))
+      .as[(Int, Double)].collect()
+    val out = Array.fill(centers.length)(0.0)
+    rows.foreach { case (c, r) => out(c) = r }
+    out
+  }
+
+  /** The s8 search kernel, exposed with explicit index artifacts so the
+    * spec can drive it on a constructed well-separated corpus (where
+    * the bound MUST prune) as well as the real one. Returns (result,
+    * probed (q_id, cluster) set — the scan-fraction evidence). */
+  private[graft] def s8Search(assigned: DataFrame,
+      centers: Array[Array[Double]], radii: Array[Double],
+      nQueries: Int): (DataFrame, DataFrame) = {
+    import assigned.sparkSession.implicits._
+    val nK = centers.length
+    val centerLit = array(centers.map(c => array(c.map(lit): _*)): _*)
+    val radiusLit = array(radii.map(lit): _*)
+    val queries = assigned.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .withColumn("ang", transform(centerLit, c =>
+        acos(least(greatest(cosine($"qv", c), lit(-1.0)), lit(1.0)))))
+      .withColumn("probe1", element_at(
+        topIndicesDesc(transform(centerLit, c => cosine($"qv", c)), 1), 1))
+    val scored1 = assigned
+      .join(broadcast(queries.select($"q_id", $"qv", $"probe1")),
+        $"cluster" === $"probe1" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        q4(cosine($"qv", $"v")).as("cos"))
+    val kth = scored1.groupBy($"q_id")
+      .agg(expr("topk_agg(cos, neighbor_id, 3)").as("top"))
+      .select($"q_id",
+        when(size($"top") >= 3, element_at($"top", 3).getField("score"))
+          .otherwise(lit(-2.0)).as("kth"))
+    // a query whose first cluster holds no other vector has no kth row
+    val probes2 = queries.join(kth, Seq("q_id"), "left")
+      .withColumn("kth", coalesce($"kth", lit(-2.0)))
+      .select($"q_id", $"qv",
+        explode(filter(sequence(lit(0), lit(nK - 1)), c =>
+          c =!= $"probe1" &&
+            cos(greatest(element_at($"ang", c + 1) -
+              element_at(radiusLit, c + 1), lit(0.0))) + lit(1e-7) >= $"kth"))
+          .as("probe"))
+    val scored2 = assigned.join(broadcast(probes2),
+        $"cluster" === $"probe" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        q4(cosine($"qv", $"v")).as("cos"))
+    val res = scored1.unionAll(scored2)
+      .groupBy($"q_id")
+      .agg(expr("topk_agg(cos, neighbor_id, 3)").as("top"))
+      .select($"q_id", posexplode($"top").as(Seq("pos", "e")))
+      .select($"q_id", ($"pos" + 1).cast("int").as("rnk"),
+        $"e.id".as("neighbor_id"), $"e.score".as("cos"))
+      .orderBy($"q_id", $"rnk")
+    val probed = queries.select($"q_id", $"probe1".cast("int").as("cluster"))
+      .unionAll(probes2.select($"q_id", $"probe".cast("int").as("cluster")))
+    (res, probed)
+  }
+
+  /** S8: adaptive-probe EXACT top-k — the per-query serving knob the
+    * measured IVF recall/probes curve motivates (AnnProbe), with the
+    * guesswork removed: instead of a FIXED probe count trading recall
+    * blind, each query probes its nearest cluster, reads its running
+    * k-th best score, and then scans ONLY clusters whose best-case
+    * member could still displace it. The bound is the ball-tree /
+    * FAISS triangle inequality on the sphere: every member of cluster
+    * c lies within the index-time angular radius θ_c of its centroid,
+    * so sim(q, x) ≤ cos(max(0, angle(q, c) − θ_c)) for all x ∈ c — a
+    * cluster whose bound is below the current k-th quantized score
+    * provably contains no result row, and skipping it is EXACT, not
+    * approximate (pruning by floor-quantization step: a candidate
+    * below the quantized k-th strictly loses every tie-break).
+    * Result: s1's brute-force answer, hash-checked by the same oracle,
+    * at a per-query scan cost that adapts to how separated the query's
+    * neighborhood is. On THIS corpus the mechanism is honest about the
+    * physics: isotropic synthetic vectors give clusters ~90° radii, so
+    * the bound rarely prunes (the spec validates the MECHANISM on a
+    * constructed separated corpus where pruning must engage, and
+    * equality always).
+    *
+    * Shape at 100 TB: phase 1 is an IVF probe (partition-pruned scan
+    * of one cluster), the k-th scores are a queries-sized artifact,
+    * and phase 2 is the same cluster-keyed pruned join as s2 — two
+    * rounds, both partition-pruned, no new shuffle shape. */
+  def s8AdaptiveAnn(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, centers) = ivfIndex(s, dir)
+    s8Search(assigned, centers, clusterRadii(s, dir), 5)._1
+  }
+
   // ---- Product quantization (IVF-PQ) ---------------------------------
 
   val PqM = 8          // subspaces: a 64-d vector → 8 codes

@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.functions.timestamp_millis
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.streaming.EventStreams.Event
 
 /** The q61 windowed funnel as a per-user STATE MACHINE — one linear
@@ -138,6 +139,91 @@ object FunnelStream {
     events.groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor,
         TimeMode.None(), OutputMode.Append(), Encoders.product[FunnelUpgrade])
+  }
+
+  /** The unbounded-safe variant: identical funnel logic plus a SLIDING
+    * EVENT-TIME eviction timer per user — a user idle for `idleMs` of
+    * event time (once the watermark passes) has their state cleared,
+    * so the state store is bounded by the ACTIVE population, not the
+    * all-time one (the §8 blocker for the TimeMode.None twin).
+    *
+    * Why event-time timers and not TTL or wall-clock: on this Spark
+    * build BOTH processing-time mechanisms hang the first microbatch's
+    * state-store commit — `getValueState(..., TTLConfig(d))` AND plain
+    * `registerTimer` under `TimeMode.ProcessingTime()` leave every
+    * task spinning inside `RocksDB.createSnapshot` (measured; jstack'd;
+    * changelog checkpointing does not help). `TimeMode.EventTime()`
+    * timers commit and fire correctly — and are the better semantics
+    * anyway: "idle" is defined by the STREAM's clock, so a replayed or
+    * lagging stream evicts identically (deterministic, spec-provable
+    * without sleeps).
+    *
+    * Mechanics: each batch deletes the user's previous timer and
+    * registers one at maxEventMs + idleMs (one live timer per user);
+    * `handleExpiredTimer` clears the state when the watermark passes
+    * it. Semantics trade: an evicted user who returns re-enters at
+    * level 0, so at-most-once-per-(user, level) weakens to
+    * at-most-once-per-retention-window — the documented contract of
+    * every TTL'd funnel. */
+  class EvictingFunnelProcessor(idleMs: Long)
+      extends StatefulProcessor[Long, Event, FunnelUpgrade] {
+    @transient private var state: ValueState[FunnelLogic.FState] = _
+    @transient private var timerAt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[FunnelLogic.FState](
+        "funnel", Encoders.product[FunnelLogic.FState], TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long](
+        "timerAt", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, it: Iterator[Event],
+        timers: TimerValues): Iterator[FunnelUpgrade] = {
+      var st = if (state.exists()) state.get() else FunnelLogic.empty
+      val out = scala.collection.mutable.ListBuffer.empty[FunnelUpgrade]
+      var maxMs = Long.MinValue
+      it.toArray
+        .sortBy(e => (e.ms, FunnelLogic.typeOrder(e.event_type), e.event_id))
+        .foreach { e =>
+          val (st2, up) = FunnelLogic.step(st, e.event_type, e.ms)
+          st = st2
+          maxMs = math.max(maxMs, e.ms)
+          if (up > 0) out += FunnelUpgrade(user, up, e.ms)
+        }
+      state.update(st)
+      // slide the eviction timer: delete-then-register keeps exactly
+      // one live timer per user (a stale timer would evict an ACTIVE
+      // user when the watermark reached it)
+      if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+      val at = maxMs + idleMs
+      getHandle.registerTimer(at)
+      timerAt.update(at)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[FunnelUpgrade] = {
+      state.clear()
+      timerAt.clear()
+      Iterator.empty
+    }
+  }
+
+  /** `funnelUpgrades` with per-user state eviction after `idleMs` of
+    * event-time inactivity. `watermarkDelay` is the out-of-orderness
+    * allowance on the event-time column (the usual watermark trade:
+    * larger tolerates later data, smaller evicts sooner). */
+  def funnelUpgradesEvicting(events: Dataset[Event], idleMs: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[FunnelUpgrade] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("eventTime", timestamp_millis($"ms"))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new EvictingFunnelProcessor(idleMs),
+        TimeMode.EventTime(), OutputMode.Append(),
+        Encoders.product[FunnelUpgrade])
   }
 
 }

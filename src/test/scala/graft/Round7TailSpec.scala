@@ -1,0 +1,283 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.FunnelStream
+import graft.streaming.EventStreams.Event
+import graft.streaming.FunnelStream.FunnelUpgrade
+
+/** Round-7 tail operators: the full core-number table (q76), the
+  * bound-pruned exact adaptive probe search (s8), and the evicting
+  * streaming funnel (processing-time timers, the TTLConfig-hang
+  * workaround). */
+class Round7TailSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  // ---------------- q76 full core-number table ----------------
+
+  /** Exact core numbers by sequential min-degree peeling (Matula-Beck)
+    * — no round budget, no k budget; the ground truth the budgeted
+    * distributed peel must land on. */
+  private def localCoreNumbers(edges: Seq[(Long, Long)]): Map[Long, Int] = {
+    val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, collection.mutable.Set.empty) += a
+    }
+    val deg = collection.mutable.Map(adj.toSeq.map { case (v, ns) => v -> ns.size }: _*)
+    val core = collection.mutable.Map.empty[Long, Int]
+    val alive = collection.mutable.Set(adj.keys.toSeq: _*)
+    var level = 0
+    while (alive.nonEmpty) {
+      val ready = alive.filter(v => deg(v) <= level)
+      if (ready.isEmpty) level += 1
+      else {
+        val stack = collection.mutable.Stack(ready.toSeq: _*)
+        while (stack.nonEmpty) {
+          val v = stack.pop()
+          if (alive.contains(v) && deg(v) <= level) {
+            core(v) = level; alive -= v
+            adj(v).foreach { u =>
+              if (alive.contains(u)) {
+                deg(u) -= 1
+                if (deg(u) <= level) stack.push(u)
+              }
+            }
+          }
+        }
+      }
+    }
+    core.toMap
+  }
+
+  test("q76: budgeted distributed peel equals exact un-budgeted core numbers") {
+    val edges = operators.Analytics.copurchasePairs(spark, sf)
+      .filter($"n_orders" >= 2)
+      .select($"pa", $"pb").as[(Long, Long)].collect().toSeq
+    val want = localCoreNumbers(edges)
+    val got = operators.Graph.q76CoreNumbers(spark, sf)
+      .as[(Long, Int)].collect().toMap
+    assert(got == want,
+      s"distributed ${got.size} rows vs exact ${want.size}; " +
+        s"diff sample: ${(got.toSet diff want.toSet).take(3)}")
+    // the corpus really exercises the deep end of the budget
+    assert(want.values.max >= 5, s"degenerate corpus: K_max ${want.values.max}")
+  }
+
+  test("q76: output invariant under budget + 1 (genuine convergence slack)") {
+    val base = operators.Graph.q76CoreNumbers(spark, sf)
+      .as[(Long, Int)].collect().toSet
+    val wider = operators.Graph.q76CoreNumbers(spark, sf,
+      operators.Graph.CoreKMax + 1, operators.Graph.CoreRounds + 1)
+      .as[(Long, Int)].collect().toSet
+    assert(base == wider, "raising either budget changed the output")
+  }
+
+  test("q76: nodes with core_number >= 3 are exactly the q66 3-core") {
+    val coreNodes = operators.Graph.q76CoreNumbers(spark, sf)
+      .filter($"core_number" >= 3).select($"l_partkey")
+      .as[Long].collect().toSet
+    val q66Nodes = operators.Graph.q66Kcore(spark, sf)
+      .select($"l_partkey").as[Long].collect().toSet
+    assert(coreNodes == q66Nodes)
+  }
+
+  // ---------------- q77 / q78 ego-centric graph ----------------
+
+  private def symEdges(): (Seq[(Long, Long)], Long) = {
+    val e = operators.Analytics.copurchasePairs(spark, sf)
+      .filter($"n_orders" >= 2)
+      .select($"pa", $"pb").as[(Long, Long)].collect().toSeq
+    val sym = e ++ e.map(p => (p._2, p._1))
+    val deg = sym.groupBy(_._1).view.mapValues(_.size).toMap
+    val seed = deg.toSeq.sortBy { case (n, d) => (-d, n) }.head._1
+    (sym, seed)
+  }
+
+  test("q77: distributed integer PPR equals a local fixed-point replay") {
+    val (sym, seed) = symEdges()
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var rank = deg.keys.map(n => n -> (if (n == seed) 1000000L else 0L)).toMap
+    for (_ <- 1 to operators.Graph.Iters) {
+      val contrib = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      adj.foreach { case (src, dsts) =>
+        val c = rank(src) / deg(src)
+        dsts.foreach(d => contrib(d) += c)
+      }
+      rank = rank.keys.map { n =>
+        n -> ((if (n == seed) 150000L else 0L) + 85L * contrib(n) / 100L)
+      }.toMap
+    }
+    val want = rank.toSeq.filter(_._2 > 0L)
+      .sortBy { case (n, r) => (-r, n) }.take(50)
+    val got = operators.Graph.q77Ppr(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want, s"got ${got.take(3)} vs ${want.take(3)}")
+    // the restart mass keeps the seed at the top of its own ranking
+    assert(got.head._1 == seed)
+  }
+
+  test("q78: frontier BFS equals a local BFS and respects the radius") {
+    val (sym, seed) = symEdges()
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val dist = collection.mutable.Map(seed -> 0)
+    var frontier = Set(seed)
+    for (h <- 1 to operators.Graph.ReachRadius) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = h)
+    }
+    val got = operators.Graph.q78SeedReach(spark, sf)
+      .as[(Long, Int)].collect().toSeq
+    assert(got == dist.toSeq.sortBy(_._1), s"got ${got.size} vs ${dist.size}")
+    assert(got.forall(_._2 <= operators.Graph.ReachRadius))
+    assert(got.find(_._1 == seed).map(_._2).contains(0))
+    // the radius genuinely cuts: some node sits at the boundary
+    assert(got.exists(_._2 == operators.Graph.ReachRadius) ||
+      got.size == adj.size, "radius neither reached nor graph exhausted")
+  }
+
+  // ---------------- s8 adaptive-probe exact search ----------------
+
+  test("s8: bound-pruned adaptive probing equals brute force on the real corpus") {
+    val brute = operators.Similarity.s1KnnBrute(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val adaptive = operators.Similarity.s8AdaptiveAnn(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(adaptive == brute,
+      s"adaptive differs from brute: ${adaptive.diff(brute).take(3)}")
+  }
+
+  test("s8: on a separated corpus the bound PRUNES and the answer stays exact") {
+    // three well-separated direction clusters in 8-d: members are a
+    // basis vector plus deterministic small jitter; cross-cluster
+    // cosine ~0.1, in-cluster ~0.99 -- the regime where the triangle
+    // bound must kill the other clusters after one probe
+    val d = 8
+    val centers = Array(0, 1, 2).map { c =>
+      Array.tabulate(d)(i => if (i == c) 1.0 else 0.0)
+    }
+    val vecs = (0L until 60L).map { id =>
+      val c = (id % 3).toInt
+      val v = Array.tabulate(d) { i =>
+        val jitter = 0.03 * math.sin(1.0 + id * 7.0 + i * 13.0)
+        (if (i == c) 1.0 else 0.0) + jitter
+      }
+      (id, v, c)
+    }
+    val assigned = vecs.toDF("vec_id", "v", "cluster")
+    val radii = operators.Similarity.clusterRadiiOf(assigned, centers)
+    assert(radii.forall(r => r > 0.0 && r < 0.3), radii.toSeq.toString)
+    val (resDf, probedDf) = operators.Similarity.s8Search(
+      assigned, centers, radii, 5)
+    val res = resDf.as[(Long, Int, Long, Double)].collect().toSeq
+    // local brute force with the operator's own quantize + tie-break
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (0L until 5L).flatMap { q =>
+      val qv = vecs(q.toInt)._2
+      vecs.filter(_._1 != q)
+        .map { case (id, v, _) => (id, math.floor(cos(qv, v) * 10000) / 10000.0) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(3).zipWithIndex
+        .map { case ((id, c), i) => (q, i + 1, id, c) }
+    }
+    assert(res == want, s"adaptive ${res.take(4)} vs local ${want.take(4)}")
+    // pruning engaged: every query resolved inside its own cluster
+    val probed = probedDf.as[(Long, Int)].collect().toSeq
+    assert(probed.size < 5 * centers.length,
+      s"no pruning: ${probed.size} probes of ${5 * centers.length} possible")
+    assert(probed.size >= 5)
+  }
+
+  // ---------------- evicting streaming funnel ----------------
+
+  test("evicting funnel: huge idle window behaves exactly like the non-evicting twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.eventsWithMs(spark, sf)
+      .select($"user_id", $"event_id", $"ms", $"event_type", $"value")
+      .as[Event].collect().toSeq.sortBy(e => (e.ms, e.event_id)).take(1500)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[Event]
+    // idle window far past the corpus's event-time span: no timer can
+    // expire, so the output must equal the TimeMode.None twin's
+    val q = FunnelStream.funnelUpgradesEvicting(stream.toDS(), Long.MaxValue / 4)
+      .writeStream.format("memory").queryName("funnel_evict_eq")
+      .outputMode("append").start()
+    try {
+      events.grouped(events.size / 3 + 1).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("funnel_evict_eq").as[FunnelUpgrade].collect()
+        .map(u => (u.user_id, u.funnel_level, u.ms)).toSet
+      // reference: the batch fold over the same slice
+      val want = events.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        var st = graft.streaming.FunnelLogic.empty
+        es.sortBy(e => (e.ms, graft.streaming.FunnelLogic.typeOrder(e.event_type), e.event_id))
+          .flatMap { e =>
+            val (st2, up) = graft.streaming.FunnelLogic.step(st, e.event_type, e.ms)
+            st = st2
+            if (up > 0) Some((u, up, e.ms)) else None
+          }
+      }.toSet
+      assert(got == want, s"evicting twin diverged: ${(got diff want).take(3)}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("evicting funnel: an idle user's state is cleared and they re-enter at level 0") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[Event]
+    // event-time eviction after 5 s idle, zero watermark delay: the
+    // whole scenario is deterministic in the STREAM's clock, no sleeps
+    val q = FunnelStream.funnelUpgradesEvicting(stream.toDS(), 5000L, "0 seconds")
+      .writeStream.format("memory").queryName("funnel_evict_ttl")
+      .outputMode("append").start()
+    try {
+      // user 1 enters the funnel; their eviction timer lands at 6000
+      stream.addData(Event(1L, 1L, 1000L, "view", 0.0))
+      q.processAllAvailable()
+      // watermark advances to 100000 (past 6000) once this batch lands
+      stream.addData(Event(2L, 2L, 100000L, "view", 0.0))
+      q.processAllAvailable()
+      // this batch runs with watermark 100000: user 1's timer fires,
+      // state cleared (user 3's row only exists to trigger the batch)
+      stream.addData(Event(3L, 3L, 150000L, "view", 0.0))
+      q.processAllAvailable()
+      // user 1 returns: fresh state => level 1 re-emitted
+      stream.addData(Event(1L, 4L, 200000L, "view", 0.0))
+      q.processAllAvailable()
+      val ups = spark.table("funnel_evict_ttl").as[FunnelUpgrade].collect().toSeq
+      val u1Level1 = ups.filter(u => u.user_id == 1L && u.funnel_level == 1)
+      // evicted between the two views => level 1 emitted BOTH times
+      // (the non-evicting twin's at-most-once spec proves it would
+      // have emitted once)
+      assert(u1Level1.map(_.ms).sorted == Seq(1000L, 200000L),
+        s"expected re-entry at level 0 after eviction, got $ups")
+      // user 2 was never idle past their own timer when batches ran
+      // with a high-enough watermark only AFTER their activity -- they
+      // must not double-emit
+      assert(ups.count(u => u.user_id == 2L && u.funnel_level == 1) == 1)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
