@@ -107,7 +107,9 @@ object ScaleProbe {
                   "z2_zonemap_prune", "q69_holt_winters",
                   "q70_triangle_sample", "q71_lcc_sample",
                   "q72_hll_rollup", "m12_ndcg", "q73_part_families",
-                  "q74_profile", "q75_profile_sketch")
+                  "q74_profile", "q75_profile_sketch",
+                  "q76_core_numbers", "q77_ppr", "q78_seed_reach", "q79_core_hindex",
+                  "s8_adaptive_ann")
     // optional arg 2: regex to probe a subset (factor stays arg 1)
     val picked = args.drop(1).headOption
       .map(re => all.filter(_.matches(re))).getOrElse(all)

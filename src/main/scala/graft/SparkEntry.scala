@@ -161,6 +161,7 @@ object SparkEntry {
     "q67_clustering_coef" -> (Graph.q67ClusteringCoef _),
     "q76_core_numbers"   -> ((s: SparkSession, d: String) => Graph.q76CoreNumbers(s, d)),
     "q77_ppr"            -> (Graph.q77Ppr _),
+    "q79_core_hindex"    -> ((s: SparkSession, d: String) => Graph.q79CoreHindex(s, d)),
     "q78_seed_reach"     -> ((s: SparkSession, d: String) => Graph.q78SeedReach(s, d)),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
@@ -1806,6 +1807,7 @@ object SparkEntry {
     "q66_kcore" -> operators.Graph.kcoreOracleSql(),
     "q76_core_numbers" -> operators.Graph.coreNumbersOracleSql(),
     "q77_ppr" -> operators.Graph.pprOracleSql(),
+    "q79_core_hindex" -> operators.Graph.coreHindexOracleSql(),
     "q78_seed_reach" -> operators.Graph.seedReachOracleSql(),
     "q73_part_families" ->
       """WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -531,6 +531,105 @@ object Graph {
          ) GROUP BY 1 ORDER BY l_partkey"""
   }
 
+  /** Rounds budget for q79 — convergence is STRUCTURE-dependent, not
+    * just size-dependent (measured: 21 rounds at sf0.001, 10 at
+    * sf0.01, 5 at sf0.1 — but 38 on the dense 20× probe graph, where
+    * a near-clique community grinds its estimates down one collective
+    * decrement at a time; the first 24-round budget left 16k nodes
+    * one above truth there). 48 is 1.26× the worst measured; the
+    * early exit keeps the real cost at actual convergence, and the
+    * monotone iteration makes ANY budget a sound pointwise UPPER
+    * bound on every core number (estimates only decrease toward the
+    * fixed point). Spec pins the slack (invariant under rounds + 1,
+    * and == q76). */
+  val HIndexRounds = 48
+
+  /** Q79: the full core-number table by H-INDEX ITERATION (Montresor,
+    * De Pellegrini & Miorandi, "Distributed k-core decomposition",
+    * IEEE TPDS 2013; Lü et al. 2016) — q76's 100 TB twin. Start every
+    * node at its degree; each round replace c(v) with
+    * min(c(v), H({c(u) : u ∼ v})), the h-index of its neighbors'
+    * estimates; the fixed point IS the core number table (spec: equals
+    * q76 exactly). Why this is the scale shape and the peel is not:
+    * q76 scans k = 1..kMax SEQUENTIALLY, each level its own cascade
+    * (~170 driver-synchronized rounds on the dense 20× probe graph,
+    * 85.8 s measured) and any fixed kMax CLAMPS when the graph's
+    * degeneracy outgrows it; the h-index iteration computes EVERY
+    * node's core number in ONE loop with no k budget at all — the
+    * measured 21/10/5 rounds at sf0.001/0.01/0.1 (denser ⟹ fewer),
+    * each round one edge-keyed join + one node-keyed aggregate.
+    *
+    * Per-round H: sort each node's gathered neighbor estimates desc
+    * and count prefix positions with value ≥ rank — a codegen'd array
+    * op over a degree-sized list (a 10⁶-degree hub's list is the
+    * documented caveat; the histogram/conditional-count alternative
+    * trades one more exchange for O(1) rows, same fixed point).
+    * Early exit is result-identical to the fixed unroll: estimates
+    * only DECREASE, so an unchanged Σc means an unchanged table and
+    * every further round is the identity — which is also why the
+    * fixed-round DuckDB oracle (one CTE per round, list_filter with a
+    * 1-based index lambda vs Spark's 0-based) replays it exactly. */
+  def q79CoreHindex(s: SparkSession, dir: String,
+      rounds: Int = HIndexRounds): DataFrame = {
+    import s.implicits._
+    val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+    val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
+      .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
+      .cache()
+    var c = edges.groupBy($"src").agg(count(lit(1)).as("c"))
+      .select($"src".as("node"), $"c")
+      .localCheckpoint(true)
+    var tot = c.agg(sum($"c")).as[Long].head()
+    var converged = false
+    var r = 0
+    while (r < rounds && !converged) {
+      val h = edges.join(c.select($"node".as("dst"), $"c".as("cn")), "dst")
+        .groupBy($"src")
+        .agg(sort_array(collect_list($"cn"), asc = false).as("cs"))
+        .select($"src",
+          size(filter($"cs", (x, i) => x >= i + 1)).cast("long").as("h"))
+      c = c.join(h, $"node" === $"src")
+        .select($"node", least($"c", $"h").as("c"))
+        .localCheckpoint(true)
+      val t2 = c.agg(sum($"c")).as[Long].head()
+      converged = t2 == tot
+      tot = t2; r += 1
+    }
+    edges.unpersist()
+    c.select($"node".as("l_partkey"), $"c".cast("int").as("core_number"))
+      .orderBy($"l_partkey")
+  }
+
+  /** Q79 oracle: the h-index iteration unrolled, one MATERIALIZED CTE
+    * per round (~28 CTEs total vs q76's 374 — the algorithm change
+    * shrinks the oracle too). DuckDB's `(x, i) ->` list lambda is
+    * 1-based where Spark's `filter` index is 0-based; both count the
+    * prefix of the desc-sorted neighbor estimates with value ≥ rank. */
+  private[graft] def coreHindexOracleSql(rounds: Int = HIndexRounds): String = {
+    val base = """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         prs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT pa AS src, pb AS dst FROM prs
+               UNION ALL SELECT pb, pa FROM prs),
+         c0 AS MATERIALIZED (SELECT src AS node, count(*) AS c FROM e GROUP BY 1)"""
+    val steps = (1 to rounds).map { i =>
+      s""",
+         c$i AS MATERIALIZED (
+           SELECT c.node, LEAST(c.c, h.h) AS c
+           FROM c${i - 1} c JOIN (
+             SELECT e.src AS node,
+               len(list_filter(list_sort(list(p.c), 'DESC'), (x, i) -> x >= i)) AS h
+             FROM e JOIN c${i - 1} p ON e.dst = p.node
+             GROUP BY e.src) h USING (node))"""
+    }.mkString
+    base + steps + s"""
+         SELECT node AS l_partkey, CAST(c AS INTEGER) AS core_number
+         FROM c$rounds ORDER BY l_partkey"""
+  }
+
   /** Deterministic seed for the ego-centric operators (q77/q78): the
     * highest-degree node of the threshold-2 graph, min-key tie-break —
     * the "anchor product" a merchandiser would actually ask about, and

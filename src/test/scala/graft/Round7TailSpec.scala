@@ -82,6 +82,24 @@ class Round7TailSpec extends GraftSpecBase {
     assert(coreNodes == q66Nodes)
   }
 
+  test("q79: h-index iteration reaches the same fixed point as the peel (== q76)") {
+    val peel = operators.Graph.q76CoreNumbers(spark, sf)
+      .as[(Long, Int)].collect().toSet
+    val hind = operators.Graph.q79CoreHindex(spark, sf)
+      .as[(Long, Int)].collect().toSet
+    assert(hind == peel,
+      s"algorithms disagree: ${(hind diff peel).take(3)} vs ${(peel diff hind).take(3)}")
+  }
+
+  test("q79: output invariant under rounds + 1 (convergence slack)") {
+    val base = operators.Graph.q79CoreHindex(spark, sf)
+      .as[(Long, Int)].collect().toSet
+    val wider = operators.Graph.q79CoreHindex(spark, sf,
+      operators.Graph.HIndexRounds + 1)
+      .as[(Long, Int)].collect().toSet
+    assert(base == wider)
+  }
+
   // ---------------- q77 / q78 ego-centric graph ----------------
 
   private def symEdges(): (Seq[(Long, Long)], Long) = {
@@ -192,6 +210,70 @@ class Round7TailSpec extends GraftSpecBase {
     assert(probed.size < 5 * centers.length,
       s"no pruning: ${probed.size} probes of ${5 * centers.length} possible")
     assert(probed.size >= 5)
+  }
+
+  // ---------------- streaming trending tokens (MG twin) ----------------
+
+  private def mgBoundsHold(drains: Int): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    val ranges = 4
+    val cap = 64
+    val toks = Tables.documents(spark, sf).limit(300)
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .filter($"t" =!= "").as[String].collect().toSeq
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[String]
+    val name = s"trending_$drains"
+    val q = graft.streaming.TrendingStream
+      .trendingTokens(stream.toDS(), ranges, cap)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      toks.grouped(toks.size / drains + 1).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val rows = spark.table(name)
+        .as[graft.streaming.TrendingStream.TrendRow].collect().toSeq
+      // consumer contract: latest ver per range is the answer
+      val latest = rows.groupBy(_.range).view.mapValues { rs =>
+        val v = rs.map(_.ver).max; rs.filter(_.ver == v)
+      }.toMap
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val rangeOf = (t: String) => math.floorMod(t.hashCode, ranges)
+      val nPerRange = toks.groupBy(rangeOf).view.mapValues(_.size.toLong).toMap
+      latest.foreach { case (r, rs) =>
+        assert(rs.size <= cap, s"range $r summary over capacity: ${rs.size}")
+        assert(rs.head.n == nPerRange(r), s"range $r n ${rs.head.n} vs ${nPerRange(r)}")
+        val margin = nPerRange(r) / (cap + 1L)
+        rs.foreach { row =>
+          val truth = exact(row.token)
+          assert(row.est <= truth && truth <= row.est + margin,
+            s"MG bound broken for ${row.token}: est ${row.est}, true $truth, margin $margin")
+        }
+        // guaranteed presence above the error line
+        val present = rs.map(_.token).toSet
+        exact.filter { case (t, c) => rangeOf(t) == r && c > margin }
+          .foreach { case (t, c) =>
+            assert(present.contains(t), s"token $t (true $c > margin $margin) missing from range $r")
+          }
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("trending stream: MG bounds + presence hold after a single drain") {
+    mgBoundsHold(1)
+  }
+
+  test("trending stream: MG bounds + presence hold under chunked arrival") {
+    mgBoundsHold(5)
   }
 
   // ---------------- evicting streaming funnel ----------------
