@@ -53,6 +53,7 @@ object SparkEntry {
     // bound-pruned probing is EXACT (triangle inequality on the
     // sphere), so brute force oracles it too
     "s8_adaptive_ann"    -> (Similarity.s8AdaptiveAnn _),
+    "s9_knn_graph"       -> ((s: SparkSession, d: String) => Similarity.s9KnnGraph(s, d)),
     "m1_als_recommend"   -> (graft.ml.Recommender.m1AlsRecommend _),
     "m2_sentiment"       -> (graft.ml.Sentiment.m2Sentiment _),
     "m3_similar_items"   -> (graft.ml.Recommender.m3SimilarItems _),
@@ -162,6 +163,7 @@ object SparkEntry {
     "q76_core_numbers"   -> ((s: SparkSession, d: String) => Graph.q76CoreNumbers(s, d)),
     "q77_ppr"            -> (Graph.q77Ppr _),
     "q79_core_hindex"    -> ((s: SparkSession, d: String) => Graph.q79CoreHindex(s, d)),
+    "q80_weighted_pagerank" -> (Graph.q80WeightedPagerank _),
     "q78_seed_reach"     -> ((s: SparkSession, d: String) => Graph.q78SeedReach(s, d)),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
@@ -1808,6 +1810,7 @@ object SparkEntry {
     "q76_core_numbers" -> operators.Graph.coreNumbersOracleSql(),
     "q77_ppr" -> operators.Graph.pprOracleSql(),
     "q79_core_hindex" -> operators.Graph.coreHindexOracleSql(),
+    "q80_weighted_pagerank" -> operators.Graph.weightedPagerankOracleSql(),
     "q78_seed_reach" -> operators.Graph.seedReachOracleSql(),
     "q73_part_families" ->
       """WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

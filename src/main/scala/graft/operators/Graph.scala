@@ -630,6 +630,68 @@ object Graph {
          FROM c$rounds ORDER BY l_partkey"""
   }
 
+  /** Q80: WEIGHTED damped PageRank — q53 with the edge weights the
+    * co-purchase graph already carries (n_orders: how many baskets
+    * joined the pair), so rank flows in proportion to tie strength
+    * instead of treating a 100-basket pairing like a 2-basket one.
+    * Exact integer fixed-point end-to-end: each edge ships
+    * (rank · w) div W_src (per-edge floor — deterministic,
+    * oracle-replayable), W_src = Σ weights the same node-keyed
+    * aggregate as q53's degree. Same shape at scale: one shuffle per
+    * iteration, weights ride the edge rows they already live on. */
+  def q80WeightedPagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+    val edges = prs.select($"pa".as("src"), $"pb".as("dst"), $"n_orders".as("w"))
+      .unionAll(prs.select($"pb".as("src"), $"pa".as("dst"), $"n_orders".as("w")))
+      .cache()
+    val wdeg = edges.groupBy($"src").agg(sum($"w").as("wd")).cache()
+    var ranks = wdeg.select($"src".as("node"), lit(Scale).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to Iters) {
+      val contrib = edges.join(wdeg, "src")
+        .join(ranks, $"src" === $"node")
+        .select($"dst", expr("(rank * w) div wd").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("c"))
+      ranks = ranks.join(contrib, $"node" === $"dst", "left")
+        .select($"node",
+          (lit(Scale * 15 / 100) +
+            expr("(85 * coalesce(c, 0L)) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist(); wdeg.unpersist()
+    ranks
+      .select($"node".as("l_partkey"), $"rank".as("wpr_rank"))
+      .orderBy($"wpr_rank".desc, $"l_partkey")
+      .limit(50)
+  }
+
+  /** Q80 oracle: q53's unrolled iterations with weighted flows. */
+  private[graft] def weightedPagerankOracleSql(iters: Int = Iters): String = {
+    val base = """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         prs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT pa AS src, pb AS dst, w FROM prs
+               UNION ALL SELECT pb, pa, w FROM prs),
+         d AS (SELECT src, sum(w) AS wd FROM e GROUP BY 1),
+         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM d)"""
+    val its = (1 to iters).map { i =>
+      s""",
+         it$i AS (SELECT e.dst AS node, sum((r${i - 1}.rank * e.w) // d.wd) AS c
+                 FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN d ON e.src = d.src
+                 GROUP BY 1),
+         r$i AS (SELECT r${i - 1}.node,
+                  CAST(150000 + (85 * COALESCE(it$i.c, 0)) // 100 AS BIGINT) AS rank
+                FROM r${i - 1} LEFT JOIN it$i USING (node))"""
+    }.mkString
+    base + its + s"""
+         SELECT node AS l_partkey, rank AS wpr_rank FROM r$iters
+         ORDER BY wpr_rank DESC, l_partkey LIMIT 50"""
+  }
+
   /** Deterministic seed for the ego-centric operators (q77/q78): the
     * highest-degree node of the threshold-2 graph, min-key tie-break —
     * the "anchor product" a merchandiser would actually ask about, and

@@ -454,6 +454,51 @@ object Similarity {
     s8Search(assigned, centers, clusterRadii(s, dir), 5)._1
   }
 
+  /** S9: the corpus-wide kNN GRAPH — every vector's top-3 cosine
+    * neighbors, served through the IVF index (the "build the neighbor
+    * graph for the whole corpus" operator a training-data pipeline
+    * runs before graph-based dedup, diversity sampling, or label
+    * propagation). s7 answers a 500-query batch exactly at O(n·m)
+    * dots; at corpus-as-queries scale that is O(n²) and the IVF cut
+    * is the standard answer: each vector scores only its `probes`
+    * nearest clusters' inverted lists — n²·probes/K dot products, a
+    * K/probes-fold cut that deepens with K at constant recall-per-list
+    * density.
+    *
+    * Shape at 100 TB: queries do NOT broadcast here (they are the
+    * corpus); both sides hash-partition on the cluster id — the probe
+    * explode (n × probes rows, each carrying its query vector once)
+    * exchanges on `probe`, the index side already lives
+    * cluster-partitioned (s3's layout), so the join co-locates without
+    * moving the index. `topk_agg`'s map-side partial ships ≤ k rows
+    * per (partition, query): output-sized wire after the one
+    * co-located join. Seeded KMeans assignment is deterministic but
+    * not SQL-replicable → rows-only; the spec pins probes==K ≡ s7's
+    * exact answer on the shared query slice and measures recall at
+    * the default probes. */
+  def s9KnnGraph(s: SparkSession, dir: String): DataFrame =
+    s9KnnGraph(s, dir, IvfProbes)
+
+  def s9KnnGraph(s: SparkSession, dir: String, probes: Int): DataFrame = {
+    import s.implicits._
+    val (assigned, centers) = ivfIndex(s, dir)
+    val centerLit = array(centers.map(c => array(c.map(lit): _*)): _*)
+    val queries = assigned
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .withColumn("cdist", transform(centerLit, c => q4(cosine($"qv", c))))
+      .withColumn("probe", explode(topIndicesDesc($"cdist", probes)))
+      .select($"q_id", $"qv", $"probe")
+    assigned.join(queries, $"cluster" === $"probe" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        q4(cosine($"qv", $"v")).as("cos"))
+      .groupBy($"q_id")
+      .agg(expr("topk_agg(cos, neighbor_id, 3)").as("top"))
+      .select($"q_id", posexplode($"top").as(Seq("pos", "e")))
+      .select($"q_id", ($"pos" + 1).cast("int").as("rnk"),
+        $"e.id".as("neighbor_id"), $"e.score".as("cos"))
+      .orderBy($"q_id", $"rnk")
+  }
+
   // ---- Product quantization (IVF-PQ) ---------------------------------
 
   val PqM = 8          // subspaces: a 64-d vector → 8 codes

@@ -136,6 +136,32 @@ class Round7TailSpec extends GraftSpecBase {
     assert(got.head._1 == seed)
   }
 
+  test("q80: weighted PageRank equals a local integer replay and weights matter") {
+    val ew = operators.Analytics.copurchasePairs(spark, sf)
+      .filter($"n_orders" >= 2)
+      .select($"pa", $"pb", $"n_orders").as[(Long, Long, Long)].collect().toSeq
+    val adj = (ew.map { case (a, b, w) => (a, (b, w)) } ++
+      ew.map { case (a, b, w) => (b, (a, w)) })
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val wd = adj.view.mapValues(_.map(_._2).sum).toMap
+    var rank = adj.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to operators.Graph.Iters) {
+      val contrib = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      adj.foreach { case (src, ns) =>
+        ns.foreach { case (d, w) => contrib(d) += rank(src) * w / wd(src) }
+      }
+      rank = rank.keys.map(n => n -> (150000L + 85L * contrib(n) / 100L)).toMap
+    }
+    val want = rank.toSeq.sortBy { case (n, r) => (-r, n) }.take(50)
+    val got = operators.Graph.q80WeightedPagerank(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want, s"got ${got.take(3)} vs ${want.take(3)}")
+    // tie strength genuinely reweights the flow vs the unweighted walk
+    val unweighted = operators.Graph.q53Pagerank(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(got != unweighted)
+  }
+
   test("q78: frontier BFS equals a local BFS and respects the radius") {
     val (sym, seed) = symEdges()
     val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -210,6 +236,33 @@ class Round7TailSpec extends GraftSpecBase {
     assert(probed.size < 5 * centers.length,
       s"no pruning: ${probed.size} probes of ${5 * centers.length} possible")
     assert(probed.size >= 5)
+  }
+
+  test("s9: probes==K degenerates to s7's exact answer on the shared slice; default probes recall measured") {
+    val exact = operators.Similarity.s7KnnJoin(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val full = operators.Similarity
+      .s9KnnGraph(spark, sf, operators.Similarity.IvfClusters)
+      .filter($"q_id" < 500)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(full == exact,
+      s"all-cluster s9 != s7 exact: ${full.diff(exact).take(3)}")
+    // every corpus vector got neighbors
+    val n = Tables.embeddings(spark, sf).count()
+    val ids = operators.Similarity.s9KnnGraph(spark, sf)
+      .select($"q_id").distinct().count()
+    assert(ids == n, s"$ids of $n vectors have graph rows")
+    // default-probe recall vs exact on the slice (isotropic corpus:
+    // probes/K of the score mass — assert it lands above the random
+    // floor and report it honestly rather than pinning corpus luck)
+    val approx = operators.Similarity.s9KnnGraph(spark, sf)
+      .filter($"q_id" < 500)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exact.map(r => (r._1, r._3)).toSet).size.toDouble /
+      exact.size
+    assert(recall >= operators.Similarity.IvfProbes.toDouble /
+      operators.Similarity.IvfClusters / 2,
+      s"recall $recall below half the probed-mass floor")
   }
 
   // ---------------- streaming trending tokens (MG twin) ----------------
