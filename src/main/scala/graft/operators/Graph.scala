@@ -692,6 +692,89 @@ object Graph {
          ORDER BY wpr_rank DESC, l_partkey LIMIT 50"""
   }
 
+  /** Rounds for q81 — a FIXED-round synchronous schedule is the
+    * semantic, not a convergence budget: synchronous LPA provably
+    * 2-cycles on bipartite-ish structure (measured here: sf0.01/sf0.1
+    * are NOT stable under +1 round), which is exactly why Raghavan et
+    * al. recommend the async schedule — but async is update-order-
+    * dependent and cross-engine unverifiable, so the bounded
+    * synchronous form is the deterministic cut every engine can agree
+    * on (6 rounds ≈ the label-mixing horizon of a diameter-≤4 graph). */
+  val LpaRounds = 6
+
+  /** Q81: label-propagation COMMUNITIES (Raghavan, Albert & Kumara
+    * 2007) over the threshold-2 co-purchase graph — the merchandising
+    * clustering between d6/q73's pure connectivity (components) and
+    * q66/q76's density cores: each node adopts its neighborhood's
+    * most frequent label, seeded with own id; ties break to the MIN
+    * label so every round is a pure function of the input.
+    *
+    * Shape at scale: one round = one edge-keyed join (votes ride the
+    * edge rows) + a (node, label)-keyed count + an AGGREGATE-ONLY
+    * argmax — max(struct(cnt, −lbl)) picks highest-count-then-lowest-
+    * label without any window sort (the q23 agg-not-window
+    * discipline); `localCheckpoint` per round like every loop in the
+    * module. Label skew is bounded by node degree (votes per node =
+    * degree), the same bound the degree aggregate already carries. */
+  def q81LabelProp(s: SparkSession, dir: String,
+      rounds: Int = LpaRounds): DataFrame = {
+    import s.implicits._
+    val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+    val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
+      .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
+      .cache()
+    var lbls = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(lbls.select($"node".as("dst"), $"lbl"), "dst")
+        .groupBy($"src", $"lbl").agg(count(lit(1)).as("cnt"))
+      lbls = votes.groupBy($"src")
+        .agg(max(struct($"cnt", (-$"lbl").as("nl"))).as("m"))
+        .select($"src".as("node"), (-$"m.nl").as("lbl"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist()
+    val sizes = lbls.groupBy($"lbl").agg(count(lit(1)).as("community_size"))
+    lbls.join(sizes, "lbl")
+      .select($"node".as("l_partkey"), $"lbl".as("community"),
+        $"community_size")
+      .orderBy($"l_partkey")
+  }
+
+  /** Q81 oracle: the synchronous rounds unrolled, argmax as a
+    * deterministic row_number window (count desc, label asc). */
+  private[graft] def labelPropOracleSql(rounds: Int = LpaRounds): String = {
+    val base = """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         prs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT pa AS src, pb AS dst FROM prs
+               UNION ALL SELECT pb, pa FROM prs),
+         l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e)"""
+    val steps = (1 to rounds).map { i =>
+      s""",
+         v$i AS MATERIALIZED (
+           SELECT e.src AS node, p.lbl, count(*) AS cnt
+           FROM e JOIN l${i - 1} p ON e.dst = p.node
+           GROUP BY 1, 2),
+         l$i AS MATERIALIZED (
+           SELECT node, lbl FROM (
+             SELECT node, lbl,
+               row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+             FROM v$i) WHERE rn = 1)"""
+    }.mkString
+    base + steps + s"""
+         SELECT l.node AS l_partkey, l.lbl AS community, c.community_size
+         FROM l$rounds l JOIN (
+           SELECT lbl, count(*) AS community_size FROM l$rounds GROUP BY 1) c
+           USING (lbl)
+         ORDER BY l_partkey"""
+  }
+
   /** Deterministic seed for the ego-centric operators (q77/q78): the
     * highest-degree node of the threshold-2 graph, min-key tie-break —
     * the "anchor product" a merchandiser would actually ask about, and

@@ -162,6 +162,30 @@ class Round7TailSpec extends GraftSpecBase {
     assert(got != unweighted)
   }
 
+  test("q81: synchronous LPA equals a local replay; communities refine components") {
+    val (sym, _) = symEdges()
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to operators.Graph.LpaRounds) {
+      lbl = adj.map { case (v, ns) =>
+        val cnt = ns.groupBy(lbl).view.mapValues(_.size).toMap
+        v -> cnt.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    val sizes = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = lbl.toSeq.map { case (v, l) => (v, l, sizes(l)) }.sortBy(_._1)
+    val got = operators.Graph.q81LabelProp(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want, s"got ${got.take(3)} vs ${want.take(3)}")
+    // a community never spans two connected components
+    val comp = operators.Graph.q73PartFamilies(spark, sf)
+      .select($"l_partkey", $"family_id").as[(Long, Long)].collect().toMap
+    got.groupBy(_._2).values.foreach { members =>
+      assert(members.map(m => comp(m._1)).distinct.size == 1,
+        "community crosses a connected component")
+    }
+  }
+
   test("q78: frontier BFS equals a local BFS and respects the radius") {
     val (sym, seed) = symEdges()
     val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -180,6 +204,17 @@ class Round7TailSpec extends GraftSpecBase {
     // the radius genuinely cuts: some node sits at the boundary
     assert(got.exists(_._2 == operators.Graph.ReachRadius) ||
       got.size == adj.size, "radius neither reached nor graph exhausted")
+  }
+
+  test("s9 plan audit: cluster-keyed equi-join, no nested-loop or cartesian") {
+    // the loop operators (q76/q77/q79/q80/q81) checkpoint per round, so
+    // their FINAL frame's plan is a cache scan — auditing it would be
+    // vacuous; s9 is the one new end-to-end multi-join plan
+    val df = operators.Similarity.s9KnnGraph(spark, sf)
+    df.collect() // force the AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
   // ---------------- s8 adaptive-probe exact search ----------------
