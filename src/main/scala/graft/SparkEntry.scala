@@ -165,6 +165,7 @@ object SparkEntry {
     "q79_core_hindex"    -> ((s: SparkSession, d: String) => Graph.q79CoreHindex(s, d)),
     "q80_weighted_pagerank" -> (Graph.q80WeightedPagerank _),
     "q81_label_prop"     -> ((s: SparkSession, d: String) => Graph.q81LabelProp(s, d)),
+    "q82_harmonic"       -> ((s: SparkSession, d: String) => Graph.q82Harmonic(s, d)),
     "q78_seed_reach"     -> ((s: SparkSession, d: String) => Graph.q78SeedReach(s, d)),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
@@ -1813,6 +1814,7 @@ object SparkEntry {
     "q79_core_hindex" -> operators.Graph.coreHindexOracleSql(),
     "q80_weighted_pagerank" -> operators.Graph.weightedPagerankOracleSql(),
     "q81_label_prop" -> operators.Graph.labelPropOracleSql(),
+    "q82_harmonic" -> operators.Graph.harmonicOracleSql(),
     "q78_seed_reach" -> operators.Graph.seedReachOracleSql(),
     "q73_part_families" ->
       """WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

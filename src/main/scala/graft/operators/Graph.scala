@@ -876,6 +876,98 @@ object Graph {
       .orderBy($"l_partkey")
   }
 
+  /** Seed count for q82 — 8 pivots is the classic sampled-centrality
+    * trade (Eppstein & Wang 2004: error ~ O(1/√S) per node); the
+    * top-degree deterministic pivot set doubles as the hub view a
+    * merchandiser reads first. */
+  val HarmonicSeeds = 8
+
+  /** Q82: HARMONIC centrality estimated from `HarmonicSeeds` pivots
+    * (Boldi & Vigna 2014's harmonic variant of closeness — robust to
+    * disconnection, which this graph has plenty of at sf0.1) — for
+    * every node, Σ over pivots within `ReachRadius` hops of
+    * Scale div d(pivot, v), in exact integer fixed-point, plus the
+    * count of pivots reaching it. Pivots = the top-S-degree nodes
+    * (min-key tie-break), deterministic in both engines.
+    *
+    * Shape at scale: ONE multi-source BFS loop serves all pivots —
+    * frontier rows carry their pivot id, expansion joins the edge
+    * list on the node key exactly like q78, the settled set anti-joins
+    * on the (pivot, node) pair key, and total fan-out per round is
+    * ≤ S × the single-source bound. Radius-bounded by design (the
+    * q78 contract): contributions beyond R hops are ≤ Scale/R and
+    * truncation is part of the estimator every engine replays. */
+  def q82Harmonic(s: SparkSession, dir: String,
+      nSeeds: Int = HarmonicSeeds, radius: Int = ReachRadius): DataFrame = {
+    import s.implicits._
+    val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+    val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
+      .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
+      .cache()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val seeds = deg.orderBy($"deg".desc, $"src").limit(nSeeds)
+      .select($"src".as("seed"))
+    var dist = seeds.select($"seed", $"seed".as("node"), lit(0).as("hops"))
+      .localCheckpoint(true)
+    var frontier = dist
+    for (h <- 1 to radius) {
+      val nxt = frontier.join(edges, $"node" === $"src")
+        .select($"seed", $"dst".as("node")).distinct()
+        .join(dist.select($"seed", $"node"), Seq("seed", "node"), "left_anti")
+        .select($"seed", $"node", lit(h).as("hops"))
+        .localCheckpoint(true)
+      dist = dist.unionAll(nxt).localCheckpoint(true)
+      frontier = nxt
+    }
+    edges.unpersist()
+    val contrib = dist.filter($"hops" > 0)
+      .groupBy($"node")
+      .agg(count(lit(1)).cast("long").as("n_seeds"),
+        sum(expr(s"$Scale div hops")).as("harmonic_1e6"))
+    deg.select($"src".as("node"))
+      .join(contrib, Seq("node"), "left")
+      .select($"node".as("l_partkey"),
+        coalesce($"n_seeds", lit(0L)).as("n_seeds"),
+        coalesce($"harmonic_1e6", lit(0L)).as("harmonic_1e6"))
+      .orderBy($"l_partkey")
+  }
+
+  /** Q82 oracle: the multi-source BFS unrolled — layer CTEs carry the
+    * (seed, node) pair key, settlement is a per-pair NOT EXISTS. */
+  private[graft] def harmonicOracleSql(nSeeds: Int = HarmonicSeeds,
+      radius: Int = ReachRadius): String = {
+    val base = s"""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         prs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT pa AS src, pb AS dst FROM prs
+               UNION ALL SELECT pb, pa FROM prs),
+         dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         f0 AS (SELECT src AS seed, src AS node, 0 AS hops FROM dg
+                ORDER BY deg DESC, src LIMIT $nSeeds),
+         d0 AS (SELECT seed, node, hops FROM f0)"""
+    val steps = (1 to radius).map { h =>
+      s""",
+         f$h AS MATERIALIZED (SELECT DISTINCT f.seed, e.dst AS node, $h AS hops
+                FROM e JOIN f${h - 1} f ON e.src = f.node
+                WHERE NOT EXISTS (SELECT 1 FROM d${h - 1} d
+                  WHERE d.seed = f.seed AND d.node = e.dst)),
+         d$h AS MATERIALIZED (SELECT seed, node, hops FROM d${h - 1}
+                 UNION ALL SELECT seed, node, hops FROM f$h)"""
+    }.mkString
+    base + steps + s"""
+         SELECT dg.src AS l_partkey,
+           CAST(COALESCE(c.n_seeds, 0) AS BIGINT) AS n_seeds,
+           CAST(COALESCE(c.harmonic_1e6, 0) AS BIGINT) AS harmonic_1e6
+         FROM dg LEFT JOIN (
+           SELECT node, CAST(count(*) AS BIGINT) AS n_seeds,
+             CAST(sum($Scale // hops) AS BIGINT) AS harmonic_1e6
+           FROM d$radius WHERE hops > 0 GROUP BY 1) c ON dg.src = c.node
+         ORDER BY l_partkey"""
+  }
+
   /** Q77 oracle: q53's unrolled-iteration CTE discipline with the
     * restart mass pinned to the seed scalar subquery (max-degree,
     * min-key — deterministic in both engines). */

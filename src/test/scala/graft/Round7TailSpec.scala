@@ -186,6 +186,39 @@ class Round7TailSpec extends GraftSpecBase {
     }
   }
 
+  test("q82: pivot-sampled harmonic centrality equals a local multi-BFS replay") {
+    val (sym, _) = symEdges()
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size).toMap
+    val seeds = deg.toSeq.sortBy { case (n, d) => (-d, n) }
+      .take(operators.Graph.HarmonicSeeds).map(_._1)
+    val acc = collection.mutable.Map.empty[Long, (Long, Long)]
+      .withDefaultValue((0L, 0L))
+    seeds.foreach { sd =>
+      val dist = collection.mutable.Map(sd -> 0)
+      var fr = Set(sd)
+      for (h <- 1 to operators.Graph.ReachRadius) {
+        fr = fr.flatMap(adj.getOrElse(_, Set.empty)).filterNot(dist.contains)
+        fr.foreach(n => dist(n) = h)
+      }
+      dist.foreach { case (v, h) =>
+        if (h > 0) {
+          val (n, c) = acc(v); acc(v) = (n + 1, c + 1000000L / h)
+        }
+      }
+    }
+    val want = deg.keys.toSeq.sorted.map { v =>
+      val (n, c) = acc(v); (v, n, c)
+    }
+    val got = operators.Graph.q82Harmonic(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want, s"got ${got.take(3)} vs ${want.take(3)}")
+    // the pivots themselves are reachable from each other on this
+    // corpus: the top-degree seed collects the max contribution
+    assert(got.exists(_._2 == operators.Graph.HarmonicSeeds - 1) ||
+      got.forall(_._2 < operators.Graph.HarmonicSeeds - 1))
+  }
+
   test("q78: frontier BFS equals a local BFS and respects the radius") {
     val (sym, seed) = symEdges()
     val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
