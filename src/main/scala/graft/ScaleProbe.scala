@@ -110,7 +110,8 @@ object ScaleProbe {
                   "q74_profile", "q75_profile_sketch",
                   "q76_core_numbers", "q77_ppr", "q78_seed_reach", "q79_core_hindex",
                   "s8_adaptive_ann", "s9_knn_graph",
-                  "q80_weighted_pagerank", "q81_label_prop", "q82_harmonic")
+                  "q80_weighted_pagerank", "q81_label_prop", "q82_harmonic",
+                  "q83_top_paths")
     // optional arg 2: regex to probe a subset (factor stays arg 1)
     val picked = args.drop(1).headOption
       .map(re => all.filter(_.matches(re))).getOrElse(all)

@@ -166,6 +166,7 @@ object SparkEntry {
     "q80_weighted_pagerank" -> (Graph.q80WeightedPagerank _),
     "q81_label_prop"     -> ((s: SparkSession, d: String) => Graph.q81LabelProp(s, d)),
     "q82_harmonic"       -> ((s: SparkSession, d: String) => Graph.q82Harmonic(s, d)),
+    "q83_top_paths"      -> (Sessionize.q83TopPaths _),
     "q78_seed_reach"     -> ((s: SparkSession, d: String) => Graph.q78SeedReach(s, d)),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
@@ -1815,6 +1816,30 @@ object SparkEntry {
     "q80_weighted_pagerank" -> operators.Graph.weightedPagerankOracleSql(),
     "q81_label_prop" -> operators.Graph.labelPropOracleSql(),
     "q82_harmonic" -> operators.Graph.harmonicOracleSql(),
+    "q83_top_paths" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+         flagged AS (
+           SELECT user_id, event_id, ms, event_type,
+             CASE WHEN lag(ms) OVER w IS NULL
+                    OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         sess AS (
+           SELECT user_id, event_id, ms, event_type,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged),
+         cut AS (
+           SELECT user_id, session_id, ms, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+               ORDER BY ms, event_id) AS rn
+           FROM sess),
+         paths AS (
+           SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ms, event_id) AS path
+           FROM cut WHERE rn <= 5 GROUP BY 1, 2)
+         SELECT path, count(*) AS n_sessions FROM paths
+         GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 25""",
     "q78_seed_reach" -> operators.Graph.seedReachOracleSql(),
     "q73_part_families" ->
       """WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

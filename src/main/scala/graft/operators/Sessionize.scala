@@ -43,6 +43,51 @@ object Sessionize {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** Q83: TOP USER JOURNEYS — the most common ordered event-type
+    * paths (first 5 events of each q14 session, joined with '>'), the
+    * "how do users actually move through the product" table every
+    * product-analytics stack serves. Same gap sessionization as q14,
+    * then the path string builds from a per-session sorted collect
+    * (sort key (ms, event_id) is unique per event, so the array_sort
+    * is total and engine-reproducible), counts aggregate on the path
+    * key, top-25 by (count desc, path asc) — a TakeOrdered, never a
+    * global sort.
+    *
+    * Shape at scale: the rn ≤ 5 cut happens inside the per-user
+    * window BEFORE the collect, so a bot session contributes 5 rows
+    * to the path build no matter its length; the path aggregate is
+    * map-side partial on a low-cardinality key (distinct journey
+    * strings), and everything upstream rides q14's one user-keyed
+    * shuffle. */
+  def q83TopPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q83AllPaths(s, dir)
+      .orderBy($"n_sessions".desc, $"path")
+      .limit(25)
+  }
+
+  /** The full path-frequency table (q83 before its top-25 cut) — the
+    * spec checks Σ n_sessions == q14's session count on it. */
+  private[graft] def q83AllPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val sess = Tables.eventsWithMs(s, dir)
+      .select($"user_id", $"event_id", $"ms", $"event_type")
+      .withColumn("prev_ms", lag($"ms", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ms".isNull || $"ms" - $"prev_ms" > SessionGapMs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id", $"session_id").orderBy($"ms", $"event_id")))
+      .filter($"rn" <= 5)
+    sess.groupBy($"user_id", $"session_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"ms", $"event_id", $"event_type"))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+  }
+
   /** ST1 (batch twin of the streaming job): tumbling 1-hour window
     * aggregate per event type. Bucketing on integer-divided epoch ms
     * keeps the group key exact. */

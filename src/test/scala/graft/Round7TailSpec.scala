@@ -250,6 +250,18 @@ class Round7TailSpec extends GraftSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("q83: every q14 session contributes exactly one journey; paths cap at 5 hops") {
+    val nSessions = operators.Sessionize.q14Sessionize(spark, sf).count()
+    val all = operators.Sessionize.q83AllPaths(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(all.map(_._2).sum == nSessions,
+      s"${all.map(_._2).sum} journeys vs $nSessions sessions")
+    assert(all.forall(p => p._1.split(">").length <= 5))
+    val top = operators.Sessionize.q83TopPaths(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(top.size <= 25 && top.sortBy(r => (-r._2, r._1)) == top)
+  }
+
   // ---------------- s8 adaptive-probe exact search ----------------
 
   test("s8: bound-pruned adaptive probing equals brute force on the real corpus") {
