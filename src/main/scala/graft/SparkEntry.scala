@@ -1311,14 +1311,20 @@ object SparkEntry {
            FROM events GROUP BY 1, 2),
          st AS (
            SELECT user_id, day, n,
-             avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sd,
+             sum(n) OVER w AS s1, sum(n * n) OVER w AS s2,
              count(*) OVER w AS n_days
-           FROM daily WINDOW w AS (PARTITION BY user_id))
-         SELECT user_id, day, n,
-           floor((n - mu) / sd * 10000) / 10000.0 AS z
-         FROM st
-         WHERE n_days >= 3 AND sd > 0
-           AND floor((n - mu) / sd * 10000) / 10000.0 >= 2.0
+           FROM daily WINDOW w AS (PARTITION BY user_id)),
+         zz AS (
+           SELECT user_id, day, n,
+             floor(CAST(n * n_days - s1 AS DOUBLE)
+               / (CAST(n_days AS DOUBLE)
+                  * sqrt(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+                         / CAST(n_days * (n_days - 1) AS DOUBLE)))
+               * 10000) / 10000.0 AS z
+           FROM st
+           WHERE n_days >= 3 AND n_days * s2 - s1 * s1 > 0)
+         SELECT user_id, day, n, z FROM zz
+         WHERE z >= 2.0
          ORDER BY user_id, day""",
     "t12_bigram_surprisal" ->
       """WITH toks AS (

@@ -540,12 +540,26 @@ object Analytics {
       .groupBy($"user_id", $"day")
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy($"user_id")
+    // z from EXACT integer sufficient statistics (n is a count):
+    // S1 = Σn, S2 = Σn², D = days — engine-native avg/stddev_samp
+    // accumulate in floats with implementation-specific order, and a z
+    // landing exactly on a quantization boundary (measured: z = 2.7 at
+    // sf0.1) floors differently across engines. From exact integers,
+    // the one shared closed-form IEEE expression
+    //   z = A / (D · √(B / (D·(D−1)))),  A = n·D − S1, B = D·S2 − S1²
+    // evaluates bit-identically in Spark and DuckDB, and sd > 0 ⟺
+    // B > 0 becomes an INTEGER comparison.
     daily
-      .withColumn("mu", avg($"n").over(w))
-      .withColumn("sd", stddev_samp($"n").over(w))
+      .withColumn("s1", sum($"n").over(w))
+      .withColumn("s2", sum($"n" * $"n").over(w))
       .withColumn("n_days", count(lit(1)).over(w))
-      .filter($"n_days" >= 3 && $"sd" > 0.0)
-      .withColumn("z", q4(($"n" - $"mu") / $"sd"))
+      .filter($"n_days" >= 3 &&
+        $"n_days" * $"s2" - $"s1" * $"s1" > 0L)
+      .withColumn("z", q4(
+        ($"n" * $"n_days" - $"s1").cast("double") /
+          ($"n_days".cast("double") *
+            sqrt(($"n_days" * $"s2" - $"s1" * $"s1").cast("double") /
+              ($"n_days" * ($"n_days" - 1L)).cast("double")))))
       .filter($"z" >= 2.0)
       .select($"user_id", $"day", $"n", $"z")
       .orderBy($"user_id", $"day")

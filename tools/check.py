@@ -25,15 +25,24 @@ def canon(df: pd.DataFrame) -> str:
     body = df.to_csv(index=False, float_format="%.6f")
     return hashlib.md5(body.encode()).hexdigest()
 
-def main(sf_dir, out_dir):
+def fresh_con(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        # one FRESH connection per query: a single long-lived connection
+        # across 100+ multi-hundred-CTE oracles was observed to both OOM
+        # and (worse) return subtly WRONG aggregates under memory
+        # pressure (q29 off by one session) -- isolation makes each
+        # comparison trustworthy
+        con = fresh_con(sf_dir)
         sql = oracle[name]
         spark_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{spark_dir}/*.parquet")
@@ -58,6 +67,7 @@ def main(sf_dir, out_dir):
             else:
                 print("  spark cols:", list(got.columns)); print("  duck  cols:", list(exp.columns))
             n_fail += 1
+        con.close()
     # rows-only queries (in output but not oracle)
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
