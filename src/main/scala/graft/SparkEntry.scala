@@ -738,6 +738,13 @@ object SparkEntry {
            SELECT l_returnflag, 'l_discount', l_discount FROM lineitem) u
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "q29_funnel" ->
+      // rank-based greedy subsequence, NOT a list_reduce fold: DuckDB
+      // 1.0.0's list_reduce mis-folds under some morsel schedules
+      // (measured: types [purchase,error,purchase,error] -> stage 1
+      // with threads=1, an impossible answer; multithreaded runs flip
+      // between 75704 and 75705 stage-0 sessions on identical input).
+      // min-rank chains are pure window+join relational algebra and
+      // rerun-stable (12/12 mixed-thread runs).
       """WITH e AS (
            SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
          flagged AS (
@@ -750,23 +757,29 @@ object SparkEntry {
              sum(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
            FROM flagged),
-         seq AS (
-           SELECT user_id, session_id,
-             list_transform(
-               list_sort(list({'ms': ms, 'eid': event_id, 't': event_type})),
-               r -> r.t) AS types
-           FROM sessions GROUP BY 1, 2),
+         ranked AS (
+           SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+               ORDER BY ms, event_id) AS rn
+           FROM sessions),
+         v AS (SELECT user_id, session_id, min(rn) AS rv FROM ranked
+               WHERE event_type = 'view' GROUP BY 1, 2),
+         c AS (SELECT r.user_id, r.session_id, min(r.rn) AS rc
+               FROM ranked r JOIN v ON r.user_id = v.user_id AND r.session_id = v.session_id
+               WHERE r.event_type = 'click' AND r.rn > v.rv GROUP BY 1, 2),
+         p AS (SELECT r.user_id, r.session_id, min(r.rn) AS rp
+               FROM ranked r JOIN c ON r.user_id = c.user_id AND r.session_id = c.session_id
+               WHERE r.event_type = 'purchase' AND r.rn > c.rc GROUP BY 1, 2),
+         allsess AS (SELECT DISTINCT user_id, session_id FROM ranked),
          staged AS (
-           SELECT list_reduce(
-               list_prepend(0, list_transform(types, t ->
-                 CASE t WHEN 'view' THEN -1 WHEN 'click' THEN -2
-                        WHEN 'purchase' THEN -3 ELSE -9 END)),
-               (acc, x) -> CASE
-                 WHEN acc = 0 AND x = -1 THEN 1
-                 WHEN acc = 1 AND x = -2 THEN 2
-                 WHEN acc = 2 AND x = -3 THEN 3
-                 ELSE acc END) AS funnel_stage
-           FROM seq)
+           SELECT CASE WHEN p.rp IS NOT NULL THEN 3
+                       WHEN c.rc IS NOT NULL THEN 2
+                       WHEN v.rv IS NOT NULL THEN 1
+                       ELSE 0 END AS funnel_stage
+           FROM allsess a
+           LEFT JOIN v ON a.user_id = v.user_id AND a.session_id = v.session_id
+           LEFT JOIN c ON a.user_id = c.user_id AND a.session_id = c.session_id
+           LEFT JOIN p ON a.user_id = p.user_id AND a.session_id = p.session_id)
          SELECT CAST(funnel_stage AS INTEGER) AS funnel_stage,
            count(*) AS n_sessions
          FROM staged GROUP BY 1 ORDER BY 1""",

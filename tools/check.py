@@ -27,6 +27,10 @@ def canon(df: pd.DataFrame) -> str:
 
 def fresh_con(sf_dir):
     con = duckdb.connect()
+    # bound each connection's arena: successive giant-CTE oracles in one
+    # process otherwise accumulate allocator pressure until a later
+    # (innocent) query OOMs
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
