@@ -556,11 +556,15 @@ object SparkEntry {
          floor(quantile_cont(value, 0.9) * 10000) / 10000.0 AS p90
          FROM events GROUP BY 1 ORDER BY 1""",
     "q22_moving_avg" ->
-      """SELECT user_id, event_id,
-         floor(avg(value) OVER (PARTITION BY user_id
-           ORDER BY epoch_ms(ts), event_id
-           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 10000) / 10000.0 AS mov_avg
-         FROM events ORDER BY user_id, event_id""",
+      """WITH q AS (
+           SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             CAST(floor(value * 10000) AS BIGINT) AS vq
+           FROM events)
+         SELECT user_id, event_id,
+           (sum(vq) OVER w // count(*) OVER w) / 10000.0 AS mov_avg
+         FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
     "q23_top_per_group" ->
       """WITH rev AS (
            SELECT l_partkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
@@ -820,7 +824,8 @@ object SparkEntry {
                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
            FROM embeddings)
          SELECT label, count(*) AS n_vectors,
-           floor(avg(nrm) * 10000) / 10000.0 AS avg_norm,
+           (sum(CAST(floor(nrm * 1000000) AS BIGINT)) // count(*)) // 100
+             / 10000.0 AS avg_norm,
            floor(min(nrm) * 10000) / 10000.0 AS min_norm,
            floor(max(nrm) * 10000) / 10000.0 AS max_norm
          FROM e GROUP BY 1 ORDER BY 1""",

@@ -367,9 +367,19 @@ object Advanced {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
       .rowsBetween(-3, 0)
+    // per-row 4-dp pre-quantize, then EXACT integer window sums — an
+    // engine-native float window avg accumulates in implementation
+    // order (DuckDB slides a subtract-on-exit frame, Spark re-folds),
+    // and a result landing on the quantization boundary floors
+    // differently (the q52 class of cross-engine flake). Per-row
+    // floor() of identical IEEE doubles is engine-identical; integer
+    // div of two exact longs is too.
     Tables.eventsWithMs(s, dir)
       .select($"user_id", $"event_id", $"ms", $"value")
-      .withColumn("mov_avg", floor(avg($"value").over(w) * 10000) / 10000.0)
+      .withColumn("vq", floor($"value" * 10000).cast("long"))
+      .withColumn("sq", sum($"vq").over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("mov_avg", expr("sq div cnt") / 10000.0)
       .select($"user_id", $"event_id", $"mov_avg")
       .orderBy($"user_id", $"event_id")
   }

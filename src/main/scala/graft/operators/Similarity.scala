@@ -258,9 +258,15 @@ object Similarity {
     Tables.embeddings(s, dir)
       .select($"label", toDoubles($"embedding").as("v"))
       .withColumn("nrm", sqrt(dot($"v", $"v")))
+      // avg from per-row micro-unit pre-quantization + exact integer
+      // division (the q52-class fix: engine-native float avg
+      // accumulates in implementation order and a boundary-landing
+      // mean floors differently across engines); min/max of identical
+      // per-row doubles are already engine-exact
+      .withColumn("nq", floor($"nrm" * 1000000).cast("long"))
       .groupBy($"label")
       .agg(count(lit(1)).as("n_vectors"),
-        (floor(avg($"nrm") * 10000) / 10000.0).as("avg_norm"),
+        (expr("(sum(nq) div count(1)) div 100") / 10000.0).as("avg_norm"),
         (floor(min($"nrm") * 10000) / 10000.0).as("min_norm"),
         (floor(max($"nrm") * 10000) / 10000.0).as("max_norm"))
       .orderBy($"label")
