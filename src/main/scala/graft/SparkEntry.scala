@@ -1834,7 +1834,16 @@ object SparkEntry {
     // unrolled fixed-round peel (DuckDB's recursive CTE can't shrink
     // its working set in place) — generated, k=3 over KcoreRounds
     "q66_kcore" -> operators.Graph.kcoreOracleSql(),
-    "q76_core_numbers" -> operators.Graph.coreNumbersOracleSql(),
+    // q76's own unrolled-peel oracle (coreNumbersOracleSql, 374
+    // MATERIALIZED CTEs) verifies the same values but balloons the
+    // comparator process's allocator so badly that LATER queries in
+    // the same process OOM (measured: q77/q80 die after a full-suite
+    // check reaches q76; every query passes in isolation). The h-index
+    // oracle proves the identical fixed point in 48 CTEs — peel and
+    // h-index are two algorithms for ONE table (the spec pins q76 ==
+    // q79 on Spark, and coreNumbersOracleSql remains in Graph.scala,
+    // validated standalone at all three SFs).
+    "q76_core_numbers" -> operators.Graph.coreHindexOracleSql(),
     "q77_ppr" -> operators.Graph.pprOracleSql(),
     "q79_core_hindex" -> operators.Graph.coreHindexOracleSql(),
     "q80_weighted_pagerank" -> operators.Graph.weightedPagerankOracleSql(),

@@ -6,15 +6,20 @@ Loads each <out>/<name> parquet (Spark result), runs oracle_sql.json's
 SQL in DuckDB over the sfDir parquet tables, and compares row count,
 schema (column names), and a value hash (columns sorted by name, rows
 sorted, floats rounded to 6dp before hashing).
+
+Each oracle query runs in its OWN SUBPROCESS: one long-lived process
+(even with a fresh duckdb connection per query) accumulates native
+allocator state across 100+ giant-CTE oracles until later queries OOM
+— and, before that, a shared CONNECTION was caught returning subtly
+WRONG aggregates under memory pressure (q29 off by one session).
+Process isolation makes every comparison independent and trustworthy;
+the ~1 s/query fork overhead is noise next to the heavy oracles.
 """
-import sys, os, json, glob, hashlib
-import duckdb
-import pyarrow.parquet as pq
-import pandas as pd
+import sys, os, json, glob, hashlib, subprocess
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-def canon(df: pd.DataFrame) -> str:
+def canon(df) -> str:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype.kind == "f":
@@ -25,53 +30,59 @@ def canon(df: pd.DataFrame) -> str:
     body = df.to_csv(index=False, float_format="%.6f")
     return hashlib.md5(body.encode()).hexdigest()
 
-def fresh_con(sf_dir):
+def check_one(sf_dir, out_dir, name):
+    """Run a single oracle compare (called inside the per-query
+    subprocess). Prints the PASS/FAIL line; exits 0 on pass."""
+    import duckdb
+    import pyarrow.parquet as pq
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    sql = oracle[name]
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output"); return 1
+    got = pq.read_table(files[0]).to_pandas()
     con = duckdb.connect()
-    # bound each connection's arena: successive giant-CTE oracles in one
-    # process otherwise accumulate allocator pressure until a later
-    # (innocent) query OOMs
-    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    return con
+    try:
+        exp = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: duckdb error {e}"); return 1
+    ok_rows = len(got) == len(exp)
+    ok_cols = sorted(got.columns) == sorted(exp.columns)
+    ok_hash = ok_rows and ok_cols and canon(got) == canon(exp)
+    if ok_rows and ok_cols and ok_hash:
+        print(f"PASS {name} ({len(got)} rows)"); return 0
+    print(f"FAIL {name}: rows {len(got)}vs{len(exp)} cols_ok={ok_cols} hash_ok={ok_hash}")
+    if ok_cols and not ok_hash and len(got) == len(exp):
+        m = got[sorted(got.columns)].reset_index(drop=True).compare(
+            exp[sorted(exp.columns)].reset_index(drop=True))
+        if len(m): print(m.head(5))
+    elif not ok_cols:
+        print("  spark cols:", list(got.columns))
+        print("  duck  cols:", list(exp.columns))
+    return 1
 
 def main(sf_dir, out_dir):
+    import pyarrow.parquet as pq
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
-        # one FRESH connection per query: a single long-lived connection
-        # across 100+ multi-hundred-CTE oracles was observed to both OOM
-        # and (worse) return subtly WRONG aggregates under memory
-        # pressure (q29 off by one session) -- isolation makes each
-        # comparison trustworthy
-        con = fresh_con(sf_dir)
-        sql = oracle[name]
-        spark_dir = f"{out_dir}/{name}"
-        files = glob.glob(f"{spark_dir}/*.parquet")
-        if not files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
-        got = pq.read_table(files[0]).to_pandas()
-        try:
-            exp = con.execute(sql).fetchdf()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error {e}"); n_fail += 1; continue
-        ok_rows = len(got) == len(exp)
-        ok_cols = sorted(got.columns) == sorted(exp.columns)
-        ok_hash = ok_rows and ok_cols and canon(got) == canon(exp)
-        if ok_rows and ok_cols and ok_hash:
-            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf_dir, out_dir,
+             "--one", name],
+            capture_output=True, text=True)
+        sys.stdout.write(r.stdout)
+        if r.stderr.strip():
+            sys.stdout.write(f"  [stderr {name}] {r.stderr.strip()[:300]}\n")
+        if r.returncode == 0:
+            n_pass += 1
         else:
-            print(f"FAIL {name}: rows {len(got)}vs{len(exp)} cols_ok={ok_cols} hash_ok={ok_hash}")
-            if ok_cols and not ok_hash:
-                m = got[sorted(got.columns)].reset_index(drop=True).compare(
-                    exp[sorted(exp.columns)].reset_index(drop=True)) if len(got)==len(exp) else None
-                if m is not None and len(m): print(m.head(5))
-            else:
-                print("  spark cols:", list(got.columns)); print("  duck  cols:", list(exp.columns))
+            if not r.stdout.strip():
+                print(f"FAIL {name}: subprocess died rc={r.returncode}")
             n_fail += 1
-        con.close()
     # rows-only queries (in output but not oracle)
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
@@ -84,4 +95,6 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 5 and sys.argv[3] == "--one":
+        sys.exit(check_one(sys.argv[1], sys.argv[2], sys.argv[4]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
