@@ -456,9 +456,42 @@ object Graph {
   private def q76Compute(s: SparkSession, dir: String, kMax: Int,
       rounds: Int): DataFrame = {
     import s.implicits._
-    var e = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
-      .select($"pa", $"pb").localCheckpoint(true)
+    val pairs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      .select($"pa", $"pb")
+    val (table, clamped) = peelCoreNumbers(pairs, kMax, rounds)
+    if (!clamped) table
+    else {
+      // The peel budget did NOT empty the graph: reporting the level
+      // table would silently clamp every deeper node's core number at
+      // kMax — budget constants that look like data. Escalate LOUDLY
+      // to the budget-free h-index fixed point (q79's algorithm; the
+      // spec pins the two equal wherever the peel is exact).
+      System.err.println(s"[graft] q76_core_numbers: peel budget " +
+        s"(kMax=$kMax, rounds=$rounds) did not empty the graph — " +
+        "escalating to the h-index fixed point (q79 path) instead of " +
+        "reporting clamped core numbers")
+      val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
+        .unionAll(pairs.select($"pb".as("src"), $"pa".as("dst")))
+      hIndexCoreNumbers(edges, HIndexRounds)
+        .orderBy($"l_partkey")
+    }
+  }
+
+  /** The budgeted nested peel over an undirected pair list `(pa, pb)`.
+    * Returns the core-number table AND a `clamped` flag: true when the
+    * budget could not certify exactness — the level-`kMax` peel left
+    * survivors (their true core numbers may exceed `kMax`), or some
+    * level's cascade did not converge within `rounds` (its survivor
+    * set is then an overestimate of that k-core). Callers must not
+    * present a clamped table as data (q76 escalates to the h-index
+    * path). */
+  private[graft] def peelCoreNumbers(pairs: DataFrame, kMax: Int,
+      rounds: Int): (DataFrame, Boolean) = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    var e = pairs.select($"pa", $"pb").localCheckpoint(true)
     var cnt = e.count()
+    var clamped = false
     var levels = List.empty[DataFrame]
     for (k <- 1 to kMax) {
       var converged = false
@@ -474,13 +507,16 @@ object Graph {
         converged = c2 == cnt
         e = e2; cnt = c2; r += 1
       }
+      if (cnt > 0 && !converged) clamped = true
       levels = e.select($"pa".as("n")).unionAll(e.select($"pb".as("n")))
         .distinct().withColumn("k", lit(k)) :: levels
     }
-    levels.reduce(_ unionAll _)
+    if (cnt > 0) clamped = true
+    val table = levels.reduce(_ unionAll _)
       .groupBy($"n").agg(max($"k").cast("int").as("core_number"))
       .select($"n".as("l_partkey"), $"core_number")
       .orderBy($"l_partkey")
+    (table, clamped)
   }
 
   /** The q76 oracle: the q66 MATERIALIZED-CTE discipline chained over
@@ -559,35 +595,61 @@ object Graph {
     * measured 21/10/5 rounds at sf0.001/0.01/0.1 (denser ⟹ fewer),
     * each round one edge-keyed join + one node-keyed aggregate.
     *
-    * Per-round H: sort each node's gathered neighbor estimates desc
-    * and count prefix positions with value ≥ rank — a codegen'd array
-    * op over a degree-sized list (a 10⁶-degree hub's list is the
-    * documented caveat; the histogram/conditional-count alternative
-    * trades one more exchange for O(1) rows, same fixed point).
+    * Per-round H is HUB-SAFE — the histogram / conditional-count
+    * formulation, NOT a per-node sorted list: H({c(u)}) = max k with
+    * |{u : c(u) ≥ k}| ≥ k. Count neighbors per (src, estimate) value
+    * — O(1)-width rows with map-side partials — then one running sum
+    * over the estimates in descending order gives m(t) = #neighbors
+    * with estimate ≥ t, and H = max_t min(t, m(t)) (m is a step
+    * function, so the max over the distinct-t grid equals the max
+    * over all k). A 10⁶-degree power-law hub is ≤10⁶ NARROW rows
+    * through a sort-spillable window partition, never a degree-sized
+    * array in one aggregation buffer (the q30-class trap the sorted-
+    * list formulation carried). One more key-carried exchange than
+    * the list version, same fixed point.
     * Early exit is result-identical to the fixed unroll: estimates
     * only DECREASE, so an unchanged Σc means an unchanged table and
     * every further round is the identity — which is also why the
     * fixed-round DuckDB oracle (one CTE per round, list_filter with a
-    * 1-based index lambda vs Spark's 0-based) replays it exactly. */
+    * 1-based index lambda vs Spark's 0-based — the oracle keeps the
+    * list form; the histogram computes the identical H) replays it
+    * exactly. */
   def q79CoreHindex(s: SparkSession, dir: String,
       rounds: Int = HIndexRounds): DataFrame = {
     import s.implicits._
     val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
     val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
       .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
-      .cache()
+    hIndexCoreNumbers(edges, rounds).orderBy($"l_partkey")
+  }
+
+  /** The h-index core-number fixed point over a SYMMETRIC edge list
+    * `(src, dst)` — q79's engine, also the escalation target when
+    * q76's peel budget clamps. Returns (l_partkey, core_number),
+    * unordered (callers sort). */
+  private[graft] def hIndexCoreNumbers(edges0: DataFrame,
+      rounds: Int): DataFrame = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val edges = edges0.cache()
     var c = edges.groupBy($"src").agg(count(lit(1)).as("c"))
       .select($"src".as("node"), $"c")
       .localCheckpoint(true)
     var tot = c.agg(sum($"c")).as[Long].head()
     var converged = false
     var r = 0
+    val byTDesc = Window.partitionBy($"src").orderBy($"t".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     while (r < rounds && !converged) {
-      val h = edges.join(c.select($"node".as("dst"), $"c".as("cn")), "dst")
-        .groupBy($"src")
-        .agg(sort_array(collect_list($"cn"), asc = false).as("cs"))
-        .select($"src",
-          size(filter($"cs", (x, i) => x >= i + 1)).cast("long").as("h"))
+      // histogram of neighbor estimates per node: (src, t) -> m rows,
+      // O(1) width, map-side partial agg
+      val hist = edges.join(c.select($"node".as("dst"), $"c".as("t")), "dst")
+        .groupBy($"src", $"t").agg(count(lit(1)).as("m"))
+      // m(t) = running count of neighbors with estimate >= t (desc
+      // scan); H = max_t min(t, m(t))
+      val h = hist.withColumn("cum", sum($"m").over(byTDesc))
+        .groupBy($"src").agg(max(least($"t", $"cum")).as("h"))
       c = c.join(h, $"node" === $"src")
         .select($"node", least($"c", $"h").as("c"))
         .localCheckpoint(true)
@@ -597,7 +659,6 @@ object Graph {
     }
     edges.unpersist()
     c.select($"node".as("l_partkey"), $"c".cast("int").as("core_number"))
-      .orderBy($"l_partkey")
   }
 
   /** Q79 oracle: the h-index iteration unrolled, one MATERIALIZED CTE

@@ -193,11 +193,18 @@ object FunnelStream {
       state.update(st)
       // slide the eviction timer: delete-then-register keeps exactly
       // one live timer per user (a stale timer would evict an ACTIVE
-      // user when the watermark reached it)
-      if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
-      val at = maxMs + idleMs
-      getHandle.registerTimer(at)
-      timerAt.update(at)
+      // user when the watermark reached it). The timer must be
+      // MONOTONE: a late batch (allowed by the watermark) whose events
+      // all predate the user's prior max would otherwise move the
+      // timer BACKWARDS, shortening retention and making eviction
+      // depend on batch boundaries — so keep max(new, existing).
+      val prev = if (timerAt.exists()) timerAt.get() else Long.MinValue
+      val at = math.max(maxMs + idleMs, prev)
+      if (at != prev) {
+        if (prev != Long.MinValue) getHandle.deleteTimer(prev)
+        getHandle.registerTimer(at)
+        timerAt.update(at)
+      }
       out.iterator
     }
 

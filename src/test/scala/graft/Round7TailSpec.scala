@@ -8,8 +8,9 @@ import graft.streaming.FunnelStream.FunnelUpgrade
 
 /** Round-7 tail operators: the full core-number table (q76), the
   * bound-pruned exact adaptive probe search (s8), and the evicting
-  * streaming funnel (processing-time timers, the TTLConfig-hang
-  * workaround). */
+  * streaming funnel (event-time timers — both processing-time
+  * mechanisms, TTLConfig and ProcessingTime registerTimer, hang the
+  * first RocksDB commit on this build; see FunnelStream docs). */
 class Round7TailSpec extends GraftSpecBase {
   import spark.implicits._
 
@@ -487,6 +488,112 @@ class Round7TailSpec extends GraftSpecBase {
       // with a high-enough watermark only AFTER their activity -- they
       // must not double-emit
       assert(ups.count(u => u.user_id == 2L && u.funnel_level == 1) == 1)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  // Pinned regression boundary for the §8.3 RocksDB hang. On this
+  // Spark build (4.1.2), BOTH processing-time state-expiry mechanisms
+  // — getValueState(..., TTLConfig(duration)) AND registerTimer under
+  // TimeMode.ProcessingTime() — hang the FIRST micro-batch's state
+  // commit: every task spins inside RocksDB.createSnapshot (jstack: 2
+  // RUNNABLE spinners + 2 monitor-blocked, ~9% CPU each, forever;
+  // changelog checkpointing does not dodge it). That is why the
+  // shipped eviction mechanism is event-time timers. When a Spark
+  // upgrade lands, UN-IGNORE this spec: if it passes, TTLConfig works
+  // again and `funnelUpgradesEvicting` could offer a TTL variant; if
+  // it times out, the boundary still holds — either way, one switch
+  // flip instead of re-discovering the jstack archaeology.
+  ignore("REGRESSION BOUNDARY (hangs on Spark 4.1.2): TTLConfig under processing time commits its first batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => Enc}
+    import java.time.Duration
+    class TtlCounter extends StatefulProcessor[Long, Event, (Long, Long)] {
+      @transient private var n: ValueState[Long] = _
+      override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+          timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+        // the hang trigger: a TTL'd value state under processing time
+        n = getHandle.getValueState[Long]("n", Enc.scalaLong,
+          org.apache.spark.sql.streaming.TTLConfig(Duration.ofMinutes(5)))
+      override def handleInputRows(user: Long, it: Iterator[Event],
+          timers: TimerValues): Iterator[(Long, Long)] = {
+        val c = (if (n.exists()) n.get() else 0L) + it.size
+        n.update(c)
+        Iterator.single((user, c))
+      }
+    }
+    val stream = MemoryStream[Event]
+    val q = stream.toDS().groupByKey(_.user_id)
+      .transformWithState(new TtlCounter,
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        Enc.product[(Long, Long)])
+      .writeStream.format("memory").queryName("ttl_boundary")
+      .outputMode("append").start()
+    try {
+      stream.addData(Event(1L, 1L, 1000L, "view", 0.0))
+      // on the broken build this never returns (first commit hangs);
+      // a fixed build completes in seconds
+      val done = java.util.concurrent.Executors.newSingleThreadExecutor()
+      val f = done.submit(new Runnable { def run(): Unit = q.processAllAvailable() })
+      try f.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      finally done.shutdownNow()
+      assert(spark.table("ttl_boundary").count() == 1)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("evicting funnel: a late out-of-order batch never shortens the retention window") {
+    // Regression: the timer is MONOTONE in event time. A late batch
+    // (allowed by the watermark delay) whose events all PREDATE the
+    // user's prior max must not move the eviction timer backwards —
+    // otherwise eviction depends on how events happen to batch, which
+    // breaks replay determinism.
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[Event]
+    // idle 10 s, watermark delay 100 s so the late event is accepted
+    val q = FunnelStream.funnelUpgradesEvicting(stream.toDS(), 10000L, "100 seconds")
+      .writeStream.format("memory").queryName("funnel_evict_mono")
+      .outputMode("append").start()
+    try {
+      // user 1 @50000 => correct timer at 60000
+      stream.addData(Event(1L, 1L, 50000L, "view", 0.0))
+      q.processAllAvailable()
+      // LATE batch: user 1 @10000 — with the pre-fix bug the timer
+      // slid back to 20000; fixed, it stays at 60000
+      stream.addData(Event(1L, 2L, 10000L, "view", 0.0))
+      q.processAllAvailable()
+      // advance the watermark into (20000, 60000): wm = 125000-100000
+      stream.addData(Event(2L, 3L, 125000L, "view", 0.0))
+      q.processAllAvailable()
+      // this batch runs with wm=25000: the buggy 20000 timer would
+      // fire here and clear user 1's state; the monotone 60000 must not
+      stream.addData(Event(3L, 4L, 126000L, "view", 0.0))
+      q.processAllAvailable()
+      // user 1 returns while still inside their true retention window:
+      // state intact => already level 1 => NO re-emission
+      stream.addData(Event(1L, 5L, 130000L, "view", 0.0))
+      q.processAllAvailable()
+      val ups = spark.table("funnel_evict_mono").as[FunnelUpgrade].collect().toSeq
+      assert(ups.filter(u => u.user_id == 1L && u.funnel_level == 1).map(_.ms) == Seq(50000L),
+        s"late batch shortened the retention window (premature eviction): $ups")
     } finally {
       q.stop()
       prev match {

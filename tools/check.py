@@ -37,10 +37,13 @@ def check_one(sf_dir, out_dir, name):
     import pyarrow.parquet as pq
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     sql = oracle[name]
-    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
     if not files:
         print(f"FAIL {name}: no spark output"); return 1
-    got = pq.read_table(files[0]).to_pandas()
+    # read EVERY part file — a query repartitioned to >1 output file
+    # must not silently compare a subset of its rows
+    import pyarrow as pa
+    got = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
