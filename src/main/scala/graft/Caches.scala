@@ -22,6 +22,30 @@ object Caches {
   private val frames =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  /** Eagerly materialize a loop-state frame AND sever its inherited
+    * plan statistics. `localCheckpoint` truncates lineage but COPIES
+    * the child plan's `Statistics` onto the `LogicalRDD` it returns;
+    * in an iterative loop whose step joins the previous state k ≥ 2
+    * times, the inherited `sizeInBytes` MULTIPLIES per step — a
+    * BigInt whose bit length DOUBLES per iteration (measured in q84:
+    * 1.2k bits after one subround, 1.6e8 bits eighteen subrounds
+    * later, by which point Catalyst stats arithmetic — Toom-Cook
+    * multiplication of hundred-megabit integers — owns the driver and
+    * each step takes 2× the last). Rebuilding the frame from the
+    * checkpointed RDD resets the leaf to default stats: per-step
+    * planning cost becomes constant. The extra InternalRow↔Row bounce
+    * executes per downstream use of the STATE table (nodes, not
+    * edges) — noise next to the join work it feeds. */
+  def checkpointFresh(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(eager = true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  /** `.checkpointFresh` postfix syntax for loop bodies. */
+  implicit class FreshCheckpoint(private val df: DataFrame) extends AnyVal {
+    def checkpointFresh: DataFrame = Caches.checkpointFresh(df)
+  }
+
   /** Memoized cached frame for (op key, dataset dir). `build` runs at
     * most once per key; its result is cached and materialized before
     * `cleanup` runs (safe point to unpersist intermediates). */

@@ -166,6 +166,8 @@ object SparkEntry {
     "q80_weighted_pagerank" -> (Graph.q80WeightedPagerank _),
     "q81_label_prop"     -> ((s: SparkSession, d: String) => Graph.q81LabelProp(s, d)),
     "q82_harmonic"       -> ((s: SparkSession, d: String) => Graph.q82Harmonic(s, d)),
+    "q84_lpa_semisync"   -> ((s: SparkSession, d: String) => Graph.q84LpaSemisync(s, d)),
+    "t14_code_detect"    -> (TextAnalysis.t14CodeDetect _),
     "q83_top_paths"      -> (Sessionize.q83TopPaths _),
     "q78_seed_reach"     -> ((s: SparkSession, d: String) => Graph.q78SeedReach(s, d)),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
@@ -1849,6 +1851,8 @@ object SparkEntry {
     "q80_weighted_pagerank" -> operators.Graph.weightedPagerankOracleSql(),
     "q81_label_prop" -> operators.Graph.labelPropOracleSql(),
     "q82_harmonic" -> operators.Graph.harmonicOracleSql(),
+    "q84_lpa_semisync" -> operators.Graph.lpaSemiSyncOracleSql(),
+    "t14_code_detect" -> operators.TextAnalysis.codeDetectOracleSql,
     "q83_top_paths" ->
       """WITH e AS (
            SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),

@@ -97,6 +97,153 @@ class Round8Spec extends GraftSpecBase {
     assert(clamped, "budget left survivors but flag says exact")
   }
 
+  // ------------- q84 semi-synchronous LPA -------------
+
+  test("q84: stable under rounds + 1 at both SFs — the property q81 lacks") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val base = operators.Graph.q84LpaSemisync(spark, dir)
+        .as[(Long, Long, Long)].collect().toSet
+      val wider = operators.Graph.q84LpaSemisync(spark, dir,
+        rounds = operators.Graph.SemiLpaRounds + 1)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(base == wider, s"$dir: one more round changed the labeling")
+    }
+  }
+
+  test("q84: converges where synchronous LPA 2-cycles (bipartite star pair)") {
+    // K_{2,3}: synchronous min-tie LPA oscillates (each side adopts
+    // the other side's min label every round, swapping forever); the
+    // per-color schedule must reach a genuinely stable labeling.
+    val left = Seq(10L, 20L)
+    val right = Seq(3L, 7L, 11L)
+    val pairs = for { a <- left; b <- right } yield (a, b)
+    val lbl = operators.Graph.semiSyncLabels(symmetric(pairs))
+      .as[(Long, Long)].collect().toMap
+    // stability: every node's current label is among the argmax of
+    // its neighbors' labels (checked locally)
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    adj.foreach { case (v, ns) =>
+      val cnt = ns.groupBy(lbl).view.mapValues(_.size).toMap
+      val m = cnt.values.max
+      assert(cnt.getOrElse(lbl(v), 0) == m,
+        s"node $v label ${lbl(v)} not argmax among $cnt — not stable")
+    }
+  }
+
+  test("q84: coloring invariant under coloring budget + 1") {
+    val base = operators.Graph.q84LpaSemisync(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val wider = operators.Graph.q84LpaSemisync(spark, sf,
+      coloringRounds = operators.Graph.SemiColoringRounds + 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(base == wider)
+  }
+
+  test("q84: actual color count within the oracle's unroll budget at every SF") {
+    // the oracle unrolls SemiColors sweeps per round; Spark iterates
+    // the ACTUAL count — replay only matches while actual <= budget
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val prs = operators.Analytics.copurchasePairs(spark, dir)
+        .filter($"n_orders" >= 2)
+      val edges = prs.select($"pa", $"pb").as[(Long, Long)].collect().toSeq
+      // local greedy JP replay to count colors
+      val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+      edges.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, collection.mutable.Set.empty) += a
+      }
+      import scala.math.Ordering.Implicits._
+      def prio(v: Long) = ((v * 2654435761L) % 2147483647L, v)
+      val color = collection.mutable.Map.empty[Long, Int]
+      while (color.size < adj.size) {
+        val newly = adj.keys.filter(v => !color.contains(v) &&
+          adj(v).forall(u => color.contains(u) || prio(u) < prio(v)))
+        newly.foreach { v =>
+          val used = adj(v).flatMap(color.get)
+          color(v) = (1 to used.size + 1).find(c => !used.contains(c)).get
+        }
+      }
+      assert(color.values.max <= operators.Graph.SemiColors,
+        s"$dir needs ${color.values.max} colors > budget")
+    }
+  }
+
+  // ------------- t14 code-detect semantics -------------
+
+  test("t14: constructed code documents score as code, prose as prose") {
+    val code1 =
+      "def fib(n):\n    if n < 2:\n        return n\n    return fib(n - 1) + fib(n - 2)\n\nclass Memo:\n    def __init__(self):\n        self.cache = {}"
+    val code2 =
+      "public static int sum(int[] xs) {\n    int acc = 0;\n    for (int i = 0; i < xs.length; i++) {\n        acc += xs[i];\n    }\n    return acc;\n}"
+    val prose1 =
+      "The merchant considered the offer for a long while. If the terms were " +
+        "fair, he thought, the caravan could return before winter. His class " +
+        "of goods moved slowly in the cold season, and he would not wait for " +
+        "better prices while the passes stayed open."
+    val prose2 =
+      "Rain fell through the afternoon.\nThe streets emptied and the lamps " +
+        "came on early.\nNobody hurried, and nothing else happened for a while."
+    val docs = Seq((1L, code1), (2L, code2), (10L, prose1), (11L, prose2))
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis.codeDetectOf(docs)
+      .select($"doc_id", $"code_score", $"is_code")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._2 && got(2L)._2,
+      s"code docs not detected: ${got(1L)}, ${got(2L)}")
+    assert(!got(10L)._2 && !got(11L)._2,
+      s"prose docs misdetected: ${got(10L)}, ${got(11L)}")
+    // the margin is real, not a threshold graze: code scores at least
+    // double the threshold, prose stays under half of it
+    assert(got(1L)._1 >= 160 && got(2L)._1 >= 160, s"thin code margin: $got")
+    assert(got(10L)._1 <= 40 && got(11L)._1 <= 40, s"thin prose margin: $got")
+  }
+
+  test("t14: the real corpus is all-prose (vacuity honestly measured)") {
+    // the synthetic documents carry no code symbols at all — the
+    // corpus-wide signal is vacuously zero, which is WHY the
+    // semantics spec above drives constructed docs
+    val n = operators.TextAnalysis.t14CodeDetect(spark, sf)
+      .filter($"is_code").count()
+    assert(n == 0, s"$n synthetic docs scored as code")
+  }
+
+  // ------------- q82 pivot-count error curve -------------
+
+  test("q82: harmonic estimate error shrinks with pivot count (Eppstein-Wang trade, measured)") {
+    // Exact (all-sources, radius-truncated) harmonic vs the S-pivot
+    // estimate scaled by N/S, at S in {2,4,8,16}. Measured curve at
+    // sf0.001 (mean |err| / mean H): 0.232, 0.180, 0.138, 0.108 —
+    // monotone, each doubling ~0.78x (ideal 1/sqrt(2) = 0.71; the
+    // deterministic top-degree pivots flatten it slightly vs uniform
+    // sampling). Pinned: strict monotonicity + err(2)/err(16) >= 1.9.
+    val dir = "/root/testdata/sf0.001"
+    val nNodes = operators.Analytics.copurchasePairs(spark, dir)
+      .filter($"n_orders" >= 2)
+      .select(explode(array($"pa", $"pb")).as("n")).distinct().count().toInt
+    // "all nodes as pivots" IS the exact radius-truncated table
+    val exact = operators.Graph.q82Harmonic(spark, dir, nSeeds = nNodes)
+      .select($"l_partkey", $"harmonic_1e6").as[(Long, Long)]
+      .collect().toMap
+    val meanH = exact.values.sum.toDouble / exact.size
+    val errs = Seq(2, 4, 8, 16).map { s =>
+      val est = operators.Graph.q82Harmonic(spark, dir, nSeeds = s)
+        .select($"l_partkey", $"harmonic_1e6").as[(Long, Long)]
+        .collect().toMap
+      val mae = exact.map { case (v, h) =>
+        math.abs(est(v).toDouble * nNodes / s - h)
+      }.sum / exact.size
+      s -> mae / meanH
+    }
+    info(s"q82 error-vs-S curve: ${errs.map { case (s, e) => f"S=$s%d rel=$e%.4f" }.mkString(", ")}")
+    errs.sliding(2).foreach { case Seq((s1, e1), (s2, e2)) =>
+      assert(e2 < e1, f"error did not shrink from S=$s1 ($e1%.4f) to S=$s2 ($e2%.4f)")
+    }
+    assert(errs.head._2 / errs.last._2 >= 1.9,
+      f"S=2 to S=16 improvement ${errs.head._2 / errs.last._2}%.2f below the 1.9 floor")
+  }
+
   test("q76: an insufficient budget escalates to the h-index fixed point, never clamps") {
     // sf corpus degeneracy is >= 5 (pinned by Round7TailSpec), so a
     // kMax=2 peel cannot empty the graph: q76 must escalate and return
