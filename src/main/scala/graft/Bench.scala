@@ -122,11 +122,28 @@ object Bench {
     // subset runs (a regex arg) are triage probes — they must not
     // clobber the repo's full-suite record
     if (args.isEmpty) {
+      val dir = sys.props.getOrElse("user.dir", ".")
       val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-          sys.props.getOrElse("user.dir", ".") + "/BENCH.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", dir + "/BENCH.json"))
       try java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"bench: file write skipped: $e") }
+      // ALSO persist a round-stamped copy: the driver's BENCH_r{N}.json
+      // keeps only a ~2 kB stdout tail (the top-12 compact line), and
+      // BENCH.json is overwritten every run — so without this,
+      // historical per-entry bands die with the next round and
+      // bench_compare falls back to top-12-only. The current round is
+      // inferred as (newest driver artifact) + 1; repeated runs within
+      // a round overwrite their own stamp, like BENCH.json.
+      try {
+        val rs = new java.io.File(dir).list().toSeq
+          .flatMap { n =>
+            val m = "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(n)
+            m.map(_.group(1).toInt)
+          }
+        val round = (if (rs.isEmpty) 0 else rs.max) + 1
+        val full = java.nio.file.Paths.get(dir + f"/BENCH_full_r$round%02d.json")
+        java.nio.file.Files.write(full, (json + "\n").getBytes("UTF-8"))
+      } catch { case e: Throwable => System.err.println(s"bench: full archive skipped: $e") }
     }
     spark.stop()
   }

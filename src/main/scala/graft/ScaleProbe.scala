@@ -111,7 +111,7 @@ object ScaleProbe {
                   "q76_core_numbers", "q77_ppr", "q78_seed_reach", "q79_core_hindex",
                   "s8_adaptive_ann", "s9_knn_graph",
                   "q80_weighted_pagerank", "q81_label_prop", "q82_harmonic",
-                  "q83_top_paths")
+                  "q83_top_paths", "q84_lpa_semisync", "t14_code_detect")
     // optional arg 2: regex to probe a subset (factor stays arg 1)
     val picked = args.drop(1).headOption
       .map(re => all.filter(_.matches(re))).getOrElse(all)
@@ -126,6 +126,17 @@ object ScaleProbe {
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"== $q%-22s $sec%7.1f s  (${df.count()} rows)")
+      // m12 chain accounting: its first number inherits the full ALS
+      // fit + IVF build (honest-fit, like the bench). A second run
+      // serves the factors/index from the in-session registries, so
+      // this line isolates the METRIC's own cost — the serving joins
+      // + NDCG algebra (SURVEY carries both numbers).
+      if (q == "m12_ndcg") {
+        val t1 = System.nanoTime()
+        SparkEntry.queries(q)(spark, out)
+          .write.format("noop").mode("overwrite").save()
+        println(f"== m12_ndcg(metric-only)  ${(System.nanoTime() - t1) / 1e9}%7.1f s  (fit served from registry)")
+      }
     }
     spark.stop()
   }

@@ -20,7 +20,23 @@ import sys
 
 
 def load(path):
-    d = json.load(open(path))
+    # a driver BENCH_r{N}.json holds only the ~2 kB stdout tail (the
+    # top-12 compact line); the sibling BENCH_full_r{N}.json the bench
+    # writes alongside carries every entry's bands — prefer it
+    m = re.search(r"BENCH_r(\d+)\.json$", path)
+    if m:
+        full = path.replace("BENCH_r", "BENCH_full_r")
+        try:
+            with open(full) as f:
+                d = json.load(f)
+            print(f"== using full per-entry archive {full}")
+            return _maps(d)
+        except (OSError, ValueError):
+            pass
+    return _maps(json.load(open(path)))
+
+
+def _maps(d):
     if "parsed" in d and d["parsed"]:
         d = d["parsed"]
     mins = d.get("queries", {})
