@@ -170,6 +170,7 @@ object SparkEntry {
     "t14_code_detect"    -> (TextAnalysis.t14CodeDetect _),
     "q83_top_paths"      -> (Sessionize.q83TopPaths _),
     "q78_seed_reach"     -> ((s: SparkSession, d: String) => Graph.q78SeedReach(s, d)),
+    "q85_sssp"           -> ((s: SparkSession, d: String) => Graph.q85Sssp(s, d)),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "t15_heavy_sketch"   -> (TextAnalysis.t15HeavySketch _),
@@ -1878,6 +1879,7 @@ object SparkEntry {
          SELECT path, count(*) AS n_sessions FROM paths
          GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 25""",
     "q78_seed_reach" -> operators.Graph.seedReachOracleSql(),
+    "q85_sssp" -> operators.Graph.ssspOracleSql(),
     "q73_part_families" ->
       """WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          e AS (

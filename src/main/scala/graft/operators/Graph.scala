@@ -1226,7 +1226,19 @@ object Graph {
     var unc = nodes
     var uncCnt = unc.count()
     var r = 0
-    while (r < coloringRounds && uncCnt > 0) {
+    // color to COMPLETION: every node must land in some class or it
+    // would never be updated. `coloringRounds` sizes the ORACLE's
+    // unrolled replay (rounds past completion are the identity — no
+    // uncolored nodes, nothing newly colored — so a completion that
+    // beats the unroll keeps Spark ≡ oracle). The ceiling is ONLY a
+    // runaway guard: MIS-based coloring needs ≥ clique-number rounds
+    // (one clique member per independent set), so a densified graph
+    // legitimately takes hundreds — measured 374 rounds on the 20×
+    // probe graph (degeneracy 84) vs 39/13/5 at sf0.001/0.01/0.1.
+    // Schedule length ∝ degeneracy is the documented price of the
+    // convergence guarantee; q81 stays the cheap fixed-round twin.
+    val ceiling = math.max(coloringRounds, 4096)
+    while (r < ceiling && uncCnt > 0) {
       // max (prio, id) among UNCOLORED neighbors, per uncolored node
       val uncNbrMax = edges
         .join(unc.select($"node".as("dst"),
@@ -1254,7 +1266,7 @@ object Graph {
       r += 1
     }
     require(uncCnt == 0,
-      s"q84 coloring budget $coloringRounds left $uncCnt uncolored nodes")
+      s"q84 coloring ceiling $ceiling left $uncCnt uncolored nodes")
     val nColors = col.agg(max($"color")).as[Int].head()
     // ---- per-color LPA sweeps, keep-current-if-argmax ----
     var lbl = col.select($"node", $"color", $"node".as("lbl"))
@@ -1361,5 +1373,132 @@ object Graph {
            SELECT lbl, count(*) AS community_size
            FROM l_${rounds}_$colors GROUP BY 1) c USING (lbl)
          ORDER BY l_partkey"""
+  }
+
+  // ----------------------------------------------------------------
+  // Q85: weighted single-source shortest paths
+  // ----------------------------------------------------------------
+
+  /** Relaxation rounds for q85 — fixed (not until-convergence) so the
+    * operator stays a pure function of the input and the oracle can
+    * replay it as unrolled CTEs (the q66/q78 discipline); the spec
+    * pins convergence within budget (rounds == rounds+1) at the
+    * oracle SFs. Weighted paths need more rounds than q78's hop
+    * radius 4: a cheap multi-hop detour beats an expensive direct
+    * edge, so the optimal path can have more edges than the hop
+    * eccentricity. */
+  val SsspRounds = 8
+
+  /** Q85: weighted single-source SHORTEST PATHS from the top-degree
+    * seed part — q78's hop-count reach upgraded to edge COSTS. An
+    * edge between parts co-purchased in n baskets costs
+    * `greatest(1, 1000 div n)` (tighter assortment link = cheaper
+    * hop), so the table answers "how strongly is this part CHAINED to
+    * the seed through the assortment", not just "how many hops away":
+    * a part two strong links out ranks closer than one weak link out.
+    *
+    * Algorithm: frontier Bellman–Ford. Each round relaxes ONLY edges
+    * out of nodes whose distance improved last round — relaxing an
+    * unchanged node re-proposes a candidate already applied the round
+    * after it last changed, and distances never increase, so the
+    * frontier cut is output-equivalent to the full relaxation the
+    * oracle replays. Costs are exact BIGINTs: addition-order-
+    * independent, cross-engine bit-exact with NO quantization step at
+    * all (the q53 fixed-point discipline at its simplest).
+    *
+    * Shape at scale: one equi-join on the frontier key + one
+    * node-keyed min-aggregate (map-side partials) + one full-outer
+    * merge per round; every intermediate is bounded by the improved
+    * set's out-edge count, so total work is O(E · avg label
+    * settlings), the textbook frontier-BF bound. Loop state goes
+    * through `checkpointFresh`, because the merge joins two
+    * descendants of the same checkpointed state — exactly the
+    * inherited-stats compounding q84 uncovered (§6.14). Early exit
+    * when the frontier empties is result-identical (remaining rounds
+    * are the identity). */
+  def q85Sssp(s: SparkSession, dir: String,
+      rounds: Int = SsspRounds): DataFrame = {
+    import s.implicits._
+    val out =
+      if (rounds == SsspRounds) graft.Caches.memo("q85_sssp", dir)(
+        q85Compute(s, dir, rounds))()
+      else q85Compute(s, dir, rounds)
+    out.orderBy($"l_partkey")
+  }
+
+  private def q85Compute(s: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
+    import s.implicits._
+    val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      .select($"pa", $"pb",
+        greatest(lit(1L), expr("1000 div n_orders")).as("w"))
+    val edges = prs.select($"pa".as("src"), $"pb".as("dst"), $"w")
+      .unionAll(prs.select($"pb".as("src"), $"pa".as("dst"), $"w"))
+      .cache()
+    val res = ssspFrom(edges, egoSeed(s, dir), rounds)
+      .select($"node".as("l_partkey"), $"dist")
+    edges.unpersist()
+    res
+  }
+
+  /** q85's engine over a weighted symmetric edge list (src, dst, w):
+    * returns (node, dist) after `rounds` relaxations from `seed`.
+    * Separated so specs can drive constructed graphs (cheap-detour
+    * cases where weighted order differs from hop order). */
+  private[graft] def ssspFrom(edges: DataFrame, seed: Long,
+      rounds: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    var dist = Seq((seed, 0L)).toDF("node", "dist").checkpointFresh
+    var frontier = dist
+    var frontierCnt = 1L
+    var r = 0
+    while (r < rounds && frontierCnt > 0) {
+      val relax = frontier.join(edges, $"node" === $"src")
+        .select($"dst".as("node"), ($"dist" + $"w").as("cand"))
+        .groupBy($"node").agg(min($"cand").as("cand"))
+      val merged = dist.as("o").join(relax.as("r"), Seq("node"), "full_outer")
+        .select($"node",
+          when($"r.cand".isNull, $"o.dist")
+            .when($"o.dist".isNull, $"r.cand")
+            .otherwise(least($"o.dist", $"r.cand")).as("dist"),
+          ($"o.dist".isNull ||
+            ($"r.cand".isNotNull && $"r.cand" < $"o.dist")).as("improved"))
+        .checkpointFresh
+      dist = merged.select($"node", $"dist")
+      frontier = merged.filter($"improved").select($"node", $"dist")
+      frontierCnt = frontier.count()
+      r += 1
+    }
+    dist
+  }
+
+  private[graft] def ssspOracleSql(rounds: Int = SsspRounds): String = {
+    val base = """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         prs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_orders
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS MATERIALIZED (
+           SELECT pa AS src, pb AS dst,
+                  greatest(1, 1000 // n_orders) AS w FROM prs
+           UNION ALL
+           SELECT pb, pa, greatest(1, 1000 // n_orders) FROM prs),
+         dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         d0 AS (SELECT src AS node, CAST(0 AS BIGINT) AS dist FROM dg
+                ORDER BY deg DESC, src LIMIT 1)"""
+    val steps = (1 to rounds).map { h =>
+      s""",
+         d$h AS MATERIALIZED (
+           SELECT node, min(dd) AS dist FROM (
+             SELECT node, dist AS dd FROM d${h - 1}
+             UNION ALL
+             SELECT e.dst AS node, d.dist + e.w AS dd
+             FROM e JOIN d${h - 1} d ON e.src = d.node)
+           GROUP BY node)"""
+    }.mkString
+    base + steps + s"""
+         SELECT node AS l_partkey, dist FROM d$rounds ORDER BY l_partkey"""
   }
 }

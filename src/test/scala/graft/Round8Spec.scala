@@ -157,7 +157,9 @@ class Round8Spec extends GraftSpecBase {
       import scala.math.Ordering.Implicits._
       def prio(v: Long) = ((v * 2654435761L) % 2147483647L, v)
       val color = collection.mutable.Map.empty[Long, Int]
+      var jpRounds = 0
       while (color.size < adj.size) {
+        jpRounds += 1
         val newly = adj.keys.filter(v => !color.contains(v) &&
           adj(v).forall(u => color.contains(u) || prio(u) < prio(v)))
         newly.foreach { v =>
@@ -167,7 +169,60 @@ class Round8Spec extends GraftSpecBase {
       }
       assert(color.values.max <= operators.Graph.SemiColors,
         s"$dir needs ${color.values.max} colors > budget")
+      // oracle parity: the 48-round unrolled coloring must COMPLETE
+      // at every SF the oracle could run on (identity tails after)
+      assert(jpRounds <= operators.Graph.SemiColoringRounds,
+        s"$dir coloring completes in $jpRounds rounds > oracle unroll")
     }
+  }
+
+  // ------------- exact kNN graph through the s8 bound -------------
+
+  test("s9-via-s8: EXACT corpus kNN graph on a separated corpus, with measured pruning") {
+    // corpus-as-queries through the s8 ball-tree bound: on clustered
+    // data the triangle inequality yields the EXACT graph while
+    // scanning a fraction of the K*n probe grid (SURVEY 8.8c). Same
+    // constructed three-cluster corpus as the s8 spec, but EVERY
+    // vector is a query.
+    val d = 8
+    val centers = Array(0, 1, 2).map { c =>
+      Array.tabulate(d)(i => if (i == c) 1.0 else 0.0)
+    }
+    val n = 60
+    val vecs = (0L until n.toLong).map { id =>
+      val c = (id % 3).toInt
+      val v = Array.tabulate(d) { i =>
+        val jitter = 0.03 * math.sin(1.0 + id * 7.0 + i * 13.0)
+        (if (i == c) 1.0 else 0.0) + jitter
+      }
+      (id, v, c)
+    }
+    val assigned = vecs.toDF("vec_id", "v", "cluster")
+    val radii = operators.Similarity.clusterRadiiOf(assigned, centers)
+    val (resDf, probedDf) = operators.Similarity.s8Search(
+      assigned, centers, radii, n)
+    val res = resDf.as[(Long, Int, Long, Double)].collect().toSeq
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // local brute-force graph with the operator's quantize + tie-break
+    val want = (0L until n.toLong).flatMap { q =>
+      val qv = vecs(q.toInt)._2
+      vecs.filter(_._1 != q)
+        .map { case (id, v, _) => (id, math.floor(cos(qv, v) * 10000) / 10000.0) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(3).zipWithIndex
+        .map { case ((id, c), i) => (q, i + 1, id, c) }
+    }
+    assert(res == want, s"graph not exact: ${res.diff(want).take(3)}")
+    // pruning measured: the exact graph cost a fraction of the full
+    // K*n probe grid (each query resolves inside its own cluster)
+    val probed = probedDf.as[(Long, Int)].collect().size
+    assert(probed < n * centers.length / 2,
+      s"no pruning: $probed probes of ${n * centers.length} possible")
+    info(s"s9-via-s8 separated corpus: $probed probes of ${n * centers.length} grid (exact)")
   }
 
   // ------------- t14 code-detect semantics -------------
@@ -255,5 +310,50 @@ class Round8Spec extends GraftSpecBase {
     assert(got == truth,
       s"escalation did not reach the fixed point: ${(got diff truth).take(3)}")
     assert(got.exists(_._2 > 2), "escaped table still clamped at kMax")
+  }
+
+  // ------------- q85 weighted single-source shortest paths -------------
+
+  test("q85 engine: weighted distances match local Dijkstra; cheap detours beat direct edges") {
+    // seed 0: direct edge to 3 costs 100, but the 0->1->2->3 detour
+    // costs 3 — weighted order must differ from hop order. Node 5
+    // hangs off the expensive edge; 6 is isolated from the seed side.
+    val weighted = Seq(
+      (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (0L, 3L, 100L), (3L, 4L, 1L), (0L, 5L, 7L), (5L, 2L, 1L))
+    val edges = weighted.toDF("pa", "pb", "w")
+    val sym = edges.select($"pa".as("src"), $"pb".as("dst"), $"w")
+      .unionAll(edges.select($"pb".as("src"), $"pa".as("dst"), $"w"))
+    val got = operators.Graph.ssspFrom(sym, 0L, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    // local Dijkstra
+    val adj = collection.mutable.Map.empty[Long, List[(Long, Long)]]
+      .withDefaultValue(Nil)
+    weighted.foreach { case (a, b, w) =>
+      adj(a) = (b, w) :: adj(a); adj(b) = (a, w) :: adj(b)
+    }
+    val dist = collection.mutable.Map(0L -> 0L)
+    val pq = collection.mutable.PriorityQueue((0L, 0L))(
+      Ordering.by { case (d, _) => -d })
+    while (pq.nonEmpty) {
+      val (d, v) = pq.dequeue()
+      if (d == dist(v)) adj(v).foreach { case (u, w) =>
+        if (!dist.contains(u) || d + w < dist(u)) {
+          dist(u) = d + w; pq.enqueue((d + w, u))
+        }
+      }
+    }
+    assert(got == dist.toMap, s"sssp != Dijkstra: got $got want $dist")
+    assert(got(3L) == 3L, "detour 0->1->2->3 (cost 3) must beat direct edge (100)")
+    assert(!got.contains(6L), "unreached nodes must be absent, not infinite")
+  }
+
+  test("q85: converges within the fixed budget at the oracle SF (rounds == rounds+1)") {
+    val a = operators.Graph.q85Sssp(spark, sf, rounds = operators.Graph.SsspRounds)
+      .as[(Long, Long)].collect().toSeq
+    val b = operators.Graph.q85Sssp(spark, sf, rounds = operators.Graph.SsspRounds + 1)
+      .as[(Long, Long)].collect().toSeq
+    assert(a == b, "distances still improving past the oracle's unrolled budget")
+    assert(a.nonEmpty && a.exists(_._2 > 0))
   }
 }
