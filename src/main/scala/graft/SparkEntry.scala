@@ -173,6 +173,7 @@ object SparkEntry {
     "q85_sssp"           -> ((s: SparkSession, d: String) => Graph.q85Sssp(s, d)),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
+    "p13_weighted_sample" -> (Sampling.p13WeightedSample _),
     "t15_heavy_sketch"   -> (TextAnalysis.t15HeavySketch _),
     "z2_zonemap_prune"   -> ((s: SparkSession, d: String) => Layout.z2ZonemapPrune(s, d)),
     "q69_holt_winters"   -> (Analytics.q69HoltWinters _),
@@ -2022,6 +2023,7 @@ object SparkEntry {
          WHERE (doc_id * 7919) %
            (CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 5 ELSE 10 END) = 0
          ORDER BY doc_id""",
+    "p13_weighted_sample" -> operators.Sampling.p13OracleSql(),
     "z2_zonemap_prune" ->
       """WITH b0 AS (
            SELECT l_partkey, l_suppkey,

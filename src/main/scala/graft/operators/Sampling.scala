@@ -179,4 +179,72 @@ object Sampling {
       .select($"doc_id", $"lang")
       .orderBy($"doc_id")
   }
+
+  /** p13 grid stride, in weight units (characters): one selection per
+    * 6000 corpus characters ≈ a 5% document rate at this corpus'
+    * ~300-char mean. The stride is per unit of WEIGHT, not per
+    * document, so the sample grows linearly with the corpus — the
+    * scale-free way to spend a token budget. */
+  val P13Stride = 6000L
+
+  /** P13: WEIGHT-PROPORTIONAL systematic sample — the token-budget
+    * sampler: select documents with multiplicity proportional to
+    * length (weight = n_chars), so the sample is uniform over
+    * CHARACTERS, not documents — long documents can't be starved by a
+    * per-document coin, and expected token spend is exact. p12's
+    * systematic construction lifted from the id axis to the weight
+    * axis: lay documents end-to-end on the cumulative-weight line
+    * (intervals [cum−w, cum) in doc_id order) and take every
+    * grid point {j·S + 1 : j ≥ 0}; a document's `copies` is the
+    * number of grid points its interval contains —
+    * `ceildiv(cum−1, S) − ceildiv(cum−w−1, S)` in pure non-negative
+    * integer arithmetic (both engines' integral division agrees on
+    * non-negatives; the +S−2 form keeps every operand ≥ 0), so Σ
+    * copies over any PREFIX of the corpus is within 1 of its weight
+    * share — the systematic-sampling guarantee, deterministic,
+    * auditable, rerun-stable.
+    *
+    * Shape at scale: ONE distributed global running sum
+    * (`withGlobalRunningSum` — range-partition + per-partition prefix
+    * sums + broadcast offsets, never a single-task window), then
+    * scan-local integer algebra; no joins, no explode. Output carries
+    * `copies` (p11's epoch-repeat explodes multiplicities when
+    * materialization is wanted). */
+  def p13WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("p13_weighted", dir) {
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", $"lang", greatest(lit(1L), $"n_chars").as("w"))
+      p13Kernel(docs, P13Stride, scaffolding)
+    } { scaffolding.foreach(_.unpersist()) }
+      .orderBy($"doc_id")
+  }
+
+  /** p13's engine over (doc_id, lang, w ≥ 1): separated so specs can
+    * drive constructed weight patterns against a local replay. */
+  private[graft] def p13Kernel(docs: DataFrame, stride: Long,
+      scaffolding: scala.collection.mutable.ListBuffer[DataFrame]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    Analytics.withGlobalRunningSum(docs, $"w", "cum", scaffolding, $"doc_id")
+      .withColumn("copies",
+        expr(s"(cum + $stride - 2) div $stride") -
+          expr(s"(cum - w + $stride - 2) div $stride"))
+      .filter($"copies" >= 1)
+      .select($"doc_id", $"lang", $"w", $"copies")
+  }
+
+  private[graft] def p13OracleSql(stride: Long = P13Stride): String =
+    s"""WITH d AS (SELECT doc_id, lang, greatest(1, n_chars) AS w
+                   FROM documents),
+         c AS (SELECT doc_id, lang, w,
+                      sum(w) OVER (ORDER BY doc_id) AS cum FROM d)
+       SELECT doc_id, lang, w,
+              CAST((cum + $stride - 2) // $stride
+                   - (cum - w + $stride - 2) // $stride AS BIGINT) AS copies
+       FROM c
+       WHERE (cum + $stride - 2) // $stride
+             - (cum - w + $stride - 2) // $stride >= 1
+       ORDER BY doc_id"""
 }

@@ -356,4 +356,55 @@ class Round8Spec extends GraftSpecBase {
     assert(a == b, "distances still improving past the oracle's unrolled budget")
     assert(a.nonEmpty && a.exists(_._2 > 0))
   }
+
+  // ------------- p13 weight-proportional systematic sample -------------
+
+  private def localP13(weights: Seq[Long], stride: Long): Seq[(Long, Long)] = {
+    // grid {j*stride + 1 : j >= 0} over intervals [cum-w, cum)
+    val cums = weights.scanLeft(0L)(_ + _).tail
+    weights.indices.flatMap { i =>
+      val (a, b) = (cums(i) - weights(i), cums(i))
+      val copies = (0L to b / stride)
+        .count(j => j * stride + 1 >= a && j * stride + 1 < b)
+      if (copies >= 1) Some((i.toLong, copies.toLong)) else None
+    }
+  }
+
+  test("p13 kernel: copies match the local grid replay on constructed weight patterns") {
+    val cases = Seq(
+      (Seq(3L, 1L, 4L, 1L, 5L), 5L),   // single-copy scatter
+      (Seq(12L, 1L, 1L), 5L),           // heavy doc takes multiple copies
+      (Seq(1L, 1L, 1L, 1L), 2L),        // uniform weights = p12-like stride
+      (Seq(7L), 3L))                    // single doc
+    cases.foreach { case (ws, stride) =>
+      val docs = ws.zipWithIndex
+        .map { case (w, i) => (i.toLong, "en", w) }
+        .toDF("doc_id", "lang", "w")
+      val scaffolding = collection.mutable.ListBuffer.empty[org.apache.spark.sql.DataFrame]
+      val got = operators.Sampling.p13Kernel(docs, stride, scaffolding)
+        .select($"doc_id", $"copies").as[(Long, Long)]
+        .collect().toSeq.sorted
+      scaffolding.foreach(_.unpersist())
+      assert(got == localP13(ws, stride),
+        s"weights $ws stride $stride: got $got want ${localP13(ws, stride)}")
+    }
+  }
+
+  test("p13: exact token budget and heavy-doc guarantees at the corpus SF") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", greatest(lit(1L), $"n_chars").as("w"))
+    val totalW = docs.agg(sum($"w")).as[Long].head()
+    val stride = operators.Sampling.P13Stride
+    val out = operators.Sampling.p13WeightedSample(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    // budget exactness: total copies == number of grid points in [0, W)
+    val wantTotal = (totalW + stride - 2) / stride
+    assert(out.map(_._4).sum == wantTotal,
+      s"total copies ${out.map(_._4).sum} != grid count $wantTotal")
+    // no document heavier than the stride can be missed
+    val heavy = docs.filter($"w" >= stride).as[(Long, Long)].collect().map(_._1).toSet
+    val sampled = out.map(_._1).toSet
+    assert(heavy.subsetOf(sampled), s"heavy docs missed: ${heavy diff sampled}")
+    assert(out.nonEmpty)
+  }
 }
