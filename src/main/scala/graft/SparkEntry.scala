@@ -171,6 +171,7 @@ object SparkEntry {
     "q83_top_paths"      -> (Sessionize.q83TopPaths _),
     "q78_seed_reach"     -> ((s: SparkSession, d: String) => Graph.q78SeedReach(s, d)),
     "q85_sssp"           -> ((s: SparkSession, d: String) => Graph.q85Sssp(s, d)),
+    "q86_betweenness"    -> ((s: SparkSession, d: String) => Graph.q86Betweenness(s, d)),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "p13_weighted_sample" -> (Sampling.p13WeightedSample _),
@@ -1881,6 +1882,7 @@ object SparkEntry {
          GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 25""",
     "q78_seed_reach" -> operators.Graph.seedReachOracleSql(),
     "q85_sssp" -> operators.Graph.ssspOracleSql(),
+    "q86_betweenness" -> operators.Graph.betweennessOracleSql(),
     "q73_part_families" ->
       """WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          e AS (

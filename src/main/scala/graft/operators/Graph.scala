@@ -1501,4 +1501,166 @@ object Graph {
     base + steps + s"""
          SELECT node AS l_partkey, dist FROM d$rounds ORDER BY l_partkey"""
   }
+
+  // ----------------------------------------------------------------
+  // Q86: pivot-sampled betweenness centrality (Brandes)
+  // ----------------------------------------------------------------
+
+  /** Pivots for q86 — same top-degree/min-key rule as q82's, scalar-
+    * derivable in both engines. */
+  val BetweennessSeeds = 8
+
+  /** Q86: BETWEENNESS centrality estimated from `BetweennessSeeds`
+    * deterministic pivots (Brandes 2001's dependency accumulation;
+    * Brandes & Pich 2007 for the pivot-sampled estimator), radius-
+    * truncated at `ReachRadius` like q82 — the "bridge" centrality
+    * that completes the family: degree (local), PageRank (flow),
+    * harmonic (distance), core (density), betweenness (brokerage).
+    *
+    * Forward: one multi-pivot frontier BFS (rows carry their pivot id,
+    * the q82 shape) that also accumulates σ — the NUMBER of shortest
+    * paths — as a sum over predecessor frontiers (exact BIGINTs).
+    * Backward: Brandes' recurrence δ(u) = Σ_{v ∈ succ(u)}
+    * σ(u)·(1+δ(v))/σ(v), processed level-by-level downward in integer
+    * MICRO-UNITS with a per-term floor (the q80 per-edge-floor
+    * discipline): term = σ(u)·(Scale+δ(v)) div σ(v) — deterministic,
+    * addition-order-independent, replayable by the oracle's unrolled
+    * CTEs. Radius truncation is part of the estimator both engines
+    * replay (only dependencies of targets within the ball count).
+    *
+    * Shape at scale: forward = R frontier joins (the q78/q82 bound —
+    * each edge visited once per pivot ball); backward = R level-keyed
+    * joins, each bounded by the level's out-edge count; everything
+    * hashes on (pivot, node) pair keys, state through
+    * `checkpointFresh`. Integer headroom: max term ≈ σ_max ·
+    * Scale·(1+ball size) — ≤ 2e17 at sf0.1's observed path counts;
+    * at truly massive balls the micro-unit δ would need DECIMAL(38)
+    * or per-level rescaling (documented, not hit at any probed SF). */
+  def q86Betweenness(s: SparkSession, dir: String,
+      nSeeds: Int = BetweennessSeeds, radius: Int = ReachRadius): DataFrame = {
+    import s.implicits._
+    graft.Caches.memo("q86_betweenness", dir) {
+      val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
+        .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
+        .cache()
+      val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val seeds = deg.orderBy($"deg".desc, $"src").limit(nSeeds)
+        .select($"src".as("seed"))
+      val bet = betweennessFrom(edges, seeds, radius)
+      val out = deg.select($"src".as("node"))
+        .join(bet, Seq("node"), "left")
+        .select($"node".as("l_partkey"),
+          coalesce($"bet_1e6", lit(0L)).as("bet_1e6"))
+      edges.unpersist()
+      out
+    }().orderBy($"l_partkey")
+  }
+
+  /** q86's engine over a symmetric edge list + pivot frame: returns
+    * (node, bet_1e6). Separated so specs can drive constructed graphs
+    * (bridge/barbell cases) against a local Brandes replay. */
+  private[graft] def betweennessFrom(edges: DataFrame, seeds: DataFrame,
+      radius: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    // ---- forward: BFS levels + shortest-path counts σ ----
+    var settled = seeds.select($"seed", $"seed".as("node"),
+      lit(0).as("lvl"), lit(1L).as("sigma")).checkpointFresh
+    var frontier = settled
+    val perLevel = scala.collection.mutable.ArrayBuffer(frontier)
+    for (h <- 1 to radius) {
+      val nxt = frontier.join(edges, $"node" === $"src")
+        .select($"seed", $"dst".as("node"), $"sigma")
+        .join(settled.select($"seed", $"node"), Seq("seed", "node"), "left_anti")
+        .groupBy($"seed", $"node").agg(sum($"sigma").as("sigma"))
+        .select($"seed", $"node", lit(h).as("lvl"), $"sigma")
+        .checkpointFresh
+      settled = settled.unionAll(nxt).checkpointFresh
+      frontier = nxt
+      perLevel += nxt
+    }
+    // ---- backward: Brandes dependency accumulation, level-by-level ----
+    // δ(u at lvl h) = Σ over successors v at lvl h+1 of
+    //   floor(σ(u)·(Scale + δ(v)) div σ(v)); δ(lvl = radius) = 0.
+    var deltaNext = perLevel(radius)
+      .select($"seed", $"node", $"sigma", lit(0L).as("delta"))
+    val deltas = scala.collection.mutable.ArrayBuffer(
+      deltaNext.select($"seed", $"node", $"delta"))
+    for (h <- (radius - 1) to 1 by -1) {
+      val terms = perLevel(h).as("u")
+        .join(edges, $"u.node" === $"src")
+        .join(deltaNext.as("v"),
+          $"u.seed" === $"v.seed" && $"dst" === $"v.node")
+        .select($"u.seed".as("seed"), $"u.node".as("node"),
+          expr(s"CAST(u.sigma * ($Scale + v.delta) div v.sigma AS BIGINT)")
+            .as("term"))
+        .groupBy($"seed", $"node").agg(sum($"term").as("dsum"))
+      val dh = perLevel(h)
+        .join(terms, Seq("seed", "node"), "left")
+        .select($"seed", $"node", $"sigma",
+          coalesce($"dsum", lit(0L)).as("delta"))
+        .checkpointFresh
+      deltas += dh.select($"seed", $"node", $"delta")
+      deltaNext = dh
+    }
+    // pivots themselves (lvl 0) are excluded — Brandes sums δ over
+    // non-source nodes; a pivot still collects δ from OTHER pivots'
+    // walks through its lvl ≥ 1 appearances.
+    deltas.reduce(_ unionAll _)
+      .groupBy($"node").agg(sum($"delta").as("bet_1e6"))
+  }
+
+  private[graft] def betweennessOracleSql(nSeeds: Int = BetweennessSeeds,
+      radius: Int = ReachRadius): String = {
+    val base = s"""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         prs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM prs
+               UNION ALL SELECT pb, pa FROM prs),
+         dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         f0 AS (SELECT src AS seed, src AS node, 0 AS lvl,
+                       CAST(1 AS BIGINT) AS sigma FROM dg
+                ORDER BY deg DESC, src LIMIT $nSeeds),
+         d0 AS (SELECT seed, node FROM f0)"""
+    val fwd = (1 to radius).map { h =>
+      s""",
+         f$h AS MATERIALIZED (
+           SELECT f.seed, e.dst AS node, $h AS lvl,
+                  CAST(sum(f.sigma) AS BIGINT) AS sigma
+           FROM e JOIN f${h - 1} f ON e.src = f.node
+           WHERE NOT EXISTS (SELECT 1 FROM d${h - 1} d
+             WHERE d.seed = f.seed AND d.node = e.dst)
+           GROUP BY 1, 2),
+         d$h AS MATERIALIZED (SELECT seed, node FROM d${h - 1}
+                 UNION ALL SELECT seed, node FROM f$h)"""
+    }.mkString
+    val bInit = s""",
+         b$radius AS (SELECT seed, node, sigma,
+                      CAST(0 AS BIGINT) AS delta FROM f$radius)"""
+    val bwd = ((radius - 1) to 1 by -1).map { h =>
+      s""",
+         b$h AS MATERIALIZED (
+           SELECT f.seed, f.node, f.sigma,
+             CAST(coalesce(sum((f.sigma * ($Scale + b.delta)) // b.sigma), 0)
+                  AS BIGINT) AS delta
+           FROM f$h f
+           LEFT JOIN e ON e.src = f.node
+           LEFT JOIN b${h + 1} b ON b.seed = f.seed AND b.node = e.dst
+           GROUP BY f.seed, f.node, f.sigma)"""
+    }.mkString
+    val allb = (1 to radius)
+      .map(h => s"SELECT seed, node, delta FROM b$h").mkString("\n           UNION ALL ")
+    base + fwd + bInit + bwd + s""",
+         allb AS ($allb)
+         SELECT dg.src AS l_partkey,
+           CAST(coalesce(c.bet, 0) AS BIGINT) AS bet_1e6
+         FROM dg LEFT JOIN (
+           SELECT node, sum(delta) AS bet FROM allb GROUP BY 1) c
+           ON c.node = dg.src
+         ORDER BY l_partkey"""
+  }
 }

@@ -357,6 +357,67 @@ class Round8Spec extends GraftSpecBase {
     assert(a.nonEmpty && a.exists(_._2 > 0))
   }
 
+  // ------------- q86 pivot-sampled betweenness -------------
+
+  /** Local replay of the radius-truncated integer Brandes the operator
+    * defines: BFS levels + σ, then δ(u) = Σ_v floor(σu·(1e6+δv)/σv)
+    * over successors, summed per node over pivots, level 0 excluded. */
+  private def localBetweenness(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      radius: Int): Map[Long, Long] = {
+    val adj = collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    edges.foreach { case (a, b) => adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+    val bet = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    seeds.foreach { s0 =>
+      val lvl = collection.mutable.Map(s0 -> 0)
+      val sigma = collection.mutable.Map(s0 -> 1L)
+      var front = Set(s0)
+      for (h <- 1 to radius) {
+        val nxt = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        front.foreach(u => adj(u).foreach { v =>
+          if (!lvl.contains(v)) nxt(v) += sigma(u)
+        })
+        nxt.keys.foreach { v => lvl(v) = h; sigma(v) = nxt(v) }
+        front = nxt.keys.toSet
+      }
+      val delta = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (h <- (radius - 1) to 1 by -1) {
+        lvl.filter(_._2 == h).keys.foreach { u =>
+          delta(u) = adj(u).filter(v => lvl.get(v).contains(h + 1))
+            .map(v => sigma(u) * (1000000L + delta(v)) / sigma(v)).sum
+        }
+      }
+      lvl.filter(_._2 >= 1).keys.foreach(v => bet(v) += delta(v))
+    }
+    bet.toMap.filter(_._2 != 0L)
+  }
+
+  test("q86 engine: integer Brandes matches the local replay; bridge dominates a barbell") {
+    // barbell: triangle {0,1,2} - bridge 2-3-4 - triangle {4,5,6}.
+    // Node 3 carries every cross-side shortest path.
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L))
+    val sym = symmetric(pairs)
+    val seeds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L).toDF("seed")
+    val got = operators.Graph.betweennessFrom(sym, seeds, radius = 4)
+      .as[(Long, Long)].collect().toMap.filter(_._2 != 0L)
+    val want = localBetweenness(pairs, 0L to 6L, radius = 4)
+    assert(got == want, s"got $got want $want")
+    val top = got.maxBy(_._2)._1
+    assert(top == 3L, s"bridge node 3 must dominate, got top $top")
+  }
+
+  test("q86 engine: radius truncation is part of the estimator (path graph)") {
+    // path 0-1-2-3-4-5 with radius 2: from pivot 0, only nodes up to
+    // distance 2 contribute — the local replay uses the same cut
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val sym = symmetric(pairs)
+    val seeds = Seq(0L, 5L).toDF("seed")
+    val got = operators.Graph.betweennessFrom(sym, seeds, radius = 2)
+      .as[(Long, Long)].collect().toMap.filter(_._2 != 0L)
+    val want = localBetweenness(pairs, Seq(0L, 5L), radius = 2)
+    assert(got == want, s"got $got want $want")
+  }
+
   // ------------- p13 weight-proportional systematic sample -------------
 
   private def localP13(weights: Seq[Long], stride: Long): Seq[(Long, Long)] = {
