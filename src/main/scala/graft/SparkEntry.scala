@@ -175,6 +175,7 @@ object SparkEntry {
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "p13_weighted_sample" -> (Sampling.p13WeightedSample _),
+    "p14_keep_best"      -> (Dedup.p14KeepBest _),
     "t15_heavy_sketch"   -> (TextAnalysis.t15HeavySketch _),
     "z2_zonemap_prune"   -> ((s: SparkSession, d: String) => Layout.z2ZonemapPrune(s, d)),
     "q69_holt_winters"   -> (Analytics.q69HoltWinters _),
@@ -2026,6 +2027,61 @@ object SparkEntry {
            (CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 5 ELSE 10 END) = 0
          ORDER BY doc_id""",
     "p13_weighted_sample" -> operators.Sampling.p13OracleSql(),
+    "p14_keep_best" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(
+             list_transform(string_split(text, ' '), (x, i) ->
+               CASE WHEN i + 2 <= len(string_split(text, ' '))
+                    THEN x || ' ' || string_split(text, ' ')[i+1]
+                           || ' ' || string_split(text, ' ')[i+2] END),
+             s -> s IS NOT NULL))) AS shingle
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_both
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         prs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN sizes sa ON id_a = sa.doc_id
+           JOIN sizes sb ON id_b = sb.doc_id
+           WHERE CAST(n_both AS DOUBLE) / (sa.n_sh + sb.n_sh - n_both) >= 0.5),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM prs
+           UNION ALL SELECT id_b, id_a FROM prs),
+         reach(doc_id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+         labels AS (
+           SELECT doc_id, min(r) AS group_id FROM reach GROUP BY 1),
+         q AS (
+           SELECT doc_id,
+             CAST(floor(least(greatest(
+               (least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 32.0, 1.0)
+                + greatest(1.0 - abs(
+                    CAST(len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+                      / greatest(len(string_split(text, ' ')), 1) - 0.08) * 2.0, 0.0)
+                + greatest(1.0 -
+                    CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()]', '', 'g')) AS DOUBLE)
+                      / greatest(length(text), 1) * 4.0, 0.0)) / 3.0,
+               0.0), 1.0) * 10000) AS BIGINT) AS qmicro
+           FROM documents),
+         g AS (
+           SELECT d.doc_id, d.lang, d.n_chars,
+                  coalesce(l.group_id, d.doc_id) AS grp, q.qmicro
+           FROM documents d
+           LEFT JOIN labels l ON l.doc_id = d.doc_id
+           JOIN q ON q.doc_id = d.doc_id),
+         k AS (
+           SELECT grp, doc_id,
+             row_number() OVER (PARTITION BY grp
+               ORDER BY qmicro DESC, doc_id) AS rn FROM g)
+         SELECT g.doc_id, g.grp AS group_id, g.lang, g.n_chars,
+                g.qmicro AS quality_1e4
+         FROM g JOIN k ON k.grp = g.grp AND k.doc_id = g.doc_id AND k.rn = 1
+         ORDER BY g.doc_id""",
     "z2_zonemap_prune" ->
       """WITH b0 AS (
            SELECT l_partkey, l_suppkey,

@@ -569,6 +569,45 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** P14: KEEP-BEST dedup transversal — p10's keep rule upgraded from
+    * "min id" to "highest QUALITY": within each near-dup group (d6's
+    * component labels over the exact d2 pair graph) keep the document
+    * with the maximum t2 quality score, ties → min doc_id. The policy
+    * a production pipeline actually wants: when five scrapes of one
+    * page survive, keep the cleanest scrape, not the one that happened
+    * to be crawled first.
+    *
+    * Quality rides as the INTEGER micro-score `floor(q·10⁴)` — the
+    * same IEEE expression t2 floors before its division, so the
+    * argmax key is cross-engine exact (the q52-class float-boundary
+    * discipline). The argmax itself is AGGREGATE-ONLY —
+    * `max(struct(qmicro, −doc_id))` per group, map-side partials, no
+    * window sort (the q81 argmax shape); singleton docs (no pair-graph
+    * edge) are their own group via coalesce and always survive.
+    *
+    * Shape at scale: the pair graph and labels are the memoized d2/d6
+    * artifacts (inverted-index candidates, pointer-jumping
+    * components); beyond them this is one group-keyed aggregate + one
+    * semi-join on the (group, keeper) key. */
+  def p14KeepBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = d6DupGroups(s, dir).select($"doc_id", $"group_id")
+    val docs = Tables.documents(s, dir)
+      .withColumn("w", tokens($"text"))
+      .select($"doc_id", $"lang", $"n_chars",
+        floor(qualityScoreFromTokens($"text", $"w") * 10000)
+          .cast("long").as("qmicro"))
+    val grouped = docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce($"group_id", $"doc_id"))
+    val keepers = grouped.groupBy($"grp")
+      .agg(max(struct($"qmicro", (-$"doc_id").as("neg_id"))).as("m"))
+      .select($"grp", (-$"m.neg_id").as("doc_id"))
+    grouped.join(keepers, Seq("grp", "doc_id"), "left_semi")
+      .select($"doc_id", $"grp".as("group_id"), $"lang", $"n_chars",
+        $"qmicro".as("quality_1e4"))
+      .orderBy($"doc_id")
+  }
+
   // ---- MinHash -------------------------------------------------------
 
   val NumHashes: Int = graft.functions.MinHashAgg.NumHashes

@@ -468,4 +468,28 @@ class Round8Spec extends GraftSpecBase {
     assert(heavy.subsetOf(sampled), s"heavy docs missed: ${heavy diff sampled}")
     assert(out.nonEmpty)
   }
+
+  // ------------- p14 keep-best dedup transversal -------------
+
+  test("p14: keeps exactly the max-quality doc per dup group, min-id on ties; singletons survive") {
+    val labels = operators.Dedup.d6DupGroups(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val quality = operators.TextAnalysis.t2QualityScore(spark, sf)
+      .select($"doc_id", (floor($"quality" * 10000 + 0.5)).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val allDocs = graft.Tables.documents(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val want = allDocs.groupBy(d => labels.getOrElse(d, d)).map {
+      case (grp, members) =>
+        val keep = members.maxBy(d => (quality(d), -d))
+        (keep, grp)
+    }
+    val got = operators.Dedup.p14KeepBest(spark, sf)
+      .select($"doc_id", $"group_id").as[(Long, Long)].collect().toMap
+    assert(got == want, s"diff: ${(got.toSet diff want.toSet).take(3)} / ${(want.toSet diff got.toSet).take(3)}")
+    // one keeper per group, singletons all present
+    assert(got.values.toSeq.distinct.size == got.size)
+    val singletons = allDocs.filterNot(labels.contains)
+    assert(singletons.subsetOf(got.keySet))
+  }
 }
