@@ -172,6 +172,7 @@ object SparkEntry {
     "q78_seed_reach"     -> ((s: SparkSession, d: String) => Graph.q78SeedReach(s, d)),
     "q85_sssp"           -> ((s: SparkSession, d: String) => Graph.q85Sssp(s, d)),
     "q86_betweenness"    -> ((s: SparkSession, d: String) => Graph.q86Betweenness(s, d)),
+    "q87_seq_rules"      -> ((s: SparkSession, d: String) => Analytics.q87SeqRules(s, d)),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "p13_weighted_sample" -> (Sampling.p13WeightedSample _),
@@ -1884,6 +1885,26 @@ object SparkEntry {
     "q78_seed_reach" -> operators.Graph.seedReachOracleSql(),
     "q85_sssp" -> operators.Graph.ssspOracleSql(),
     "q86_betweenness" -> operators.Graph.betweennessOracleSql(),
+    "q87_seq_rules" ->
+      """WITH cp AS (
+           SELECT o.o_custkey AS c, l.l_partkey AS p, min(o.o_orderdate) AS d
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           GROUP BY 1, 2),
+         pc AS (SELECT p, count(*) AS n_cust FROM cp GROUP BY 1),
+         tot AS (SELECT count(DISTINCT c) AS n_all FROM cp),
+         seq AS (
+           SELECT a.p AS ante, b.p AS cons, count(*) AS n_seq
+           FROM cp a JOIN cp b ON a.c = b.c AND a.d < b.d
+           GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT ante, cons, n_seq,
+           floor(CAST(n_seq AS DOUBLE) / pa.n_cust * 10000) / 10000.0
+             AS confidence,
+           floor(CAST(n_all AS DOUBLE) * n_seq / (pa.n_cust * pb.n_cust)
+             * 10000) / 10000.0 AS slift
+         FROM seq
+         JOIN pc pa ON pa.p = seq.ante
+         JOIN pc pb ON pb.p = seq.cons, tot
+         ORDER BY n_seq DESC, confidence DESC, ante, cons LIMIT 25""",
     "q73_part_families" ->
       """WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          e AS (

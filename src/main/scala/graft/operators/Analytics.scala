@@ -473,6 +473,56 @@ object Analytics {
     * Ratios are floor-quantized at 4dp (engine-independent, unlike
     * round) and ordering tie-breaks on the rule key, so the top-k
     * frontier is exact across engines. */
+  /** Q87: SEQUENTIAL association rules — q50's same-basket rules
+    * extended along the time axis (the SPADE/AprioriAll family,
+    * Agrawal & Srikant ICDE'95): "customers who buy A LATER buy B",
+    * mined from each customer's first-purchase dates. Anchoring on
+    * the FIRST purchase of each (customer, part) makes the pair
+    * relation a pure function of the input (no multi-order ambiguity)
+    * and caps the per-customer fan-out at C(distinct parts, 2) — the
+    * copurchase bound keyed by customer instead of order. Same-date
+    * pairs are excluded (strict '<'), so the relation is
+    * antisymmetric and engine-replayable. Confidence = n_seq /
+    * customers(ante); sequential lift = confidence / P(cons) — both
+    * floor-quantized (q4). Top-25 under a total order.
+    *
+    * Shape at scale: one join keyed on the customer (both sides
+    * pre-aggregated to first-purchase rows), one pair-keyed count
+    * with map-side partials, two broadcast part-count joins, one
+    * TakeOrdered(25) — no global sort materialization. */
+  def q87SeqRules(s: SparkSession, dir: String,
+      minSupport: Long = 3L): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.q4
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("q87_seq_rules", dir) {
+      val cp = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+        .join(Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey".as("c"), $"l_partkey".as("p"))
+        .agg(min($"o_orderdate").as("d"))
+        .cache()
+      scaffolding += cp
+      val seq = cp.as("a").join(cp.as("b"),
+          $"a.c" === $"b.c" && $"a.d" < $"b.d")
+        .groupBy($"a.p".as("ante"), $"b.p".as("cons"))
+        .agg(count(lit(1)).as("n_seq"))
+        .filter($"n_seq" >= minSupport)
+      val custs = cp.groupBy($"p").agg(count(lit(1)).as("n_cust"))
+      val tot = cp.agg(countDistinct($"c").as("n_all"))
+      seq
+        .join(broadcast(custs.select($"p".as("ante"), $"n_cust".as("n_ante"))), "ante")
+        .join(broadcast(custs.select($"p".as("cons"), $"n_cust".as("n_cons"))), "cons")
+        .join(broadcast(tot))
+        .select($"ante", $"cons", $"n_seq",
+          q4($"n_seq" / $"n_ante".cast("double")).as("confidence"),
+          q4($"n_all" * $"n_seq" / ($"n_ante" * $"n_cons").cast("double")).as("slift"))
+        .orderBy($"n_seq".desc, $"confidence".desc, $"ante", $"cons")
+        .limit(25)
+    } { scaffolding.foreach(_.unpersist()) }
+  }
+
   def q50AssocRules(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.VectorFunctions.q4

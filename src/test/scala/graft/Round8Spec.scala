@@ -469,6 +469,37 @@ class Round8Spec extends GraftSpecBase {
     assert(out.nonEmpty)
   }
 
+  // ------------- q87 sequential association rules -------------
+
+  test("q87: top-25 sequential rules match a local first-purchase replay") {
+    val cp = graft.Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
+      .join(graft.Tables.orders(spark, sf)
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey", $"l_partkey")
+      .agg(datediff(min($"o_orderdate"), to_date(lit("1990-01-01")))
+        .cast("long").as("d"))
+      .as[(Long, Long, Long)].collect()
+    val byCust = cp.groupBy(_._1)
+    val nCust = cp.groupBy(_._2).map { case (p, rs) => p -> rs.size.toLong }
+    val nAll = byCust.size.toLong
+    val seqCount = collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    byCust.values.foreach { rows =>
+      for ((_, pa, da) <- rows; (_, pb, db) <- rows if da < db)
+        seqCount((pa, pb)) += 1L
+    }
+    def q4d(x: Double) = math.floor(x * 10000) / 10000.0
+    val want = seqCount.filter(_._2 >= 3L).toSeq.map { case ((a, b), n) =>
+      (a, b, n, q4d(n.toDouble / nCust(a)),
+        q4d(nAll.toDouble * n / (nCust(a) * nCust(b))))
+    }.sortBy { case (a, b, n, conf, _) => (-n, -conf, a, b) }.take(25)
+    val got = operators.Analytics.q87SeqRules(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == want, s"got ${got.take(3)} want ${want.take(3)}")
+    assert(got.size == 25)
+  }
+
   // ------------- p14 keep-best dedup transversal -------------
 
   test("p14: keeps exactly the max-quality doc per dup group, min-id on ties; singletons survive") {
