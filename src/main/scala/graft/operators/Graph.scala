@@ -1611,6 +1611,123 @@ object Graph {
       .groupBy($"node").agg(sum($"delta").as("bet_1e6"))
   }
 
+  // ----------------------------------------------------------------
+  // Q88: diameter lower bound by double-sweep BFS
+  // ----------------------------------------------------------------
+
+  /** BFS budget for q88 — sized far past any observed eccentricity
+    * (measured graph eccentricities ≤ 8 at every SF); the spec pins
+    * budget-invariance (rounds == rounds+1), so the unrolled oracle's
+    * tail CTEs are the identity. */
+  val DiameterRounds = 12
+
+  /** Q88: graph DIAMETER lower bound by the double-sweep heuristic
+    * (Magnien, Latapy & Habib 2009; the iFUB seed step): BFS from the
+    * top-degree seed, take the FARTHEST node (max hops, min key —
+    * deterministic), BFS again from there; the second eccentricity is
+    * a diameter lower bound, EXACT on trees and empirically tight on
+    * real-world graphs. One row out: seed, its eccentricity, the far
+    * node, and the double-sweep bound — the "how wide is this graph"
+    * dashboard number next to q73's component table.
+    *
+    * Shape at scale: two frontier BFS loops (the q78 bound — each
+    * edge visited once per endpoint frontier), both with
+    * result-identical early exit when the frontier empties; the
+    * argmax is aggregate-only (max(struct(hops, −node))). */
+  def q88Diameter(s: SparkSession, dir: String,
+      rounds: Int = DiameterRounds): DataFrame = {
+    import s.implicits._
+    def compute = {
+      val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
+        .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
+        .cache()
+      val seed = egoSeed(s, dir)
+      val d1 = bfsHops(edges, seed, rounds)
+      val (eccSeed, far) = d1
+        .agg(max(struct($"hops", (-$"node").as("neg"))).as("m"))
+        .select($"m.hops", -$"m.neg").as[(Int, Long)].head()
+      val d2 = bfsHops(edges, far, rounds)
+      val eccFar = d2.agg(max($"hops")).as[Int].head()
+      edges.unpersist()
+      Seq((seed, eccSeed, far, eccFar))
+        .toDF("seed", "ecc_seed", "far_node", "diameter_lb")
+    }
+    if (rounds == DiameterRounds)
+      graft.Caches.memo("q88_diameter", dir)(compute)()
+    else compute
+  }
+
+  /** Full-hop BFS kernel (q78's loop without the radius truncation):
+    * settles every node reachable within `rounds`, early-exits when
+    * the frontier empties (result-identical — remaining rounds are
+    * the identity). Loop state goes through `checkpointFresh`: the
+    * step anti-joins `dist` against the frontier expansion, so bare
+    * localCheckpoint would compound inherited stats per round (§6.14). */
+  private[graft] def bfsHops(edges: DataFrame, seed: Long,
+      rounds: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    var dist = Seq((seed, 0)).toDF("node", "hops").checkpointFresh
+    var frontier = dist
+    var cnt = 1L
+    var h = 0
+    while (h < rounds && cnt > 0) {
+      val nxt = frontier.join(edges, $"node" === $"src")
+        .select($"dst".as("node")).distinct()
+        .join(dist.select($"node"), Seq("node"), "left_anti")
+        .select($"node", lit(h + 1).as("hops"))
+        .checkpointFresh
+      dist = dist.unionAll(nxt).checkpointFresh
+      frontier = nxt
+      cnt = nxt.count()
+      h += 1
+    }
+    dist
+  }
+
+  private[graft] def diameterOracleSql(rounds: Int = DiameterRounds): String = {
+    val base = """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         prs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM prs
+               UNION ALL SELECT pb, pa FROM prs),
+         dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         f0 AS (SELECT src AS node, 0 AS hops FROM dg
+                ORDER BY deg DESC, src LIMIT 1),
+         d0 AS (SELECT node, hops FROM f0)"""
+    val sweep1 = (1 to rounds).map { h =>
+      s""",
+         f$h AS MATERIALIZED (SELECT DISTINCT e.dst AS node, $h AS hops
+                FROM e JOIN f${h - 1} f ON e.src = f.node
+                WHERE NOT EXISTS (SELECT 1 FROM d${h - 1} d
+                  WHERE d.node = e.dst)),
+         d$h AS MATERIALIZED (SELECT node, hops FROM d${h - 1}
+                 UNION ALL SELECT node, hops FROM f$h)"""
+    }.mkString
+    val mid = s""",
+         far AS (SELECT node FROM d$rounds ORDER BY hops DESC, node LIMIT 1),
+         g0 AS (SELECT node, 0 AS hops FROM far),
+         x0 AS (SELECT node, hops FROM g0)"""
+    val sweep2 = (1 to rounds).map { h =>
+      s""",
+         g$h AS MATERIALIZED (SELECT DISTINCT e.dst AS node, $h AS hops
+                FROM e JOIN g${h - 1} g ON e.src = g.node
+                WHERE NOT EXISTS (SELECT 1 FROM x${h - 1} x
+                  WHERE x.node = e.dst)),
+         x$h AS MATERIALIZED (SELECT node, hops FROM x${h - 1}
+                 UNION ALL SELECT node, hops FROM g$h)"""
+    }.mkString
+    base + sweep1 + mid + sweep2 + s"""
+         SELECT (SELECT node FROM f0) AS seed,
+                (SELECT max(hops) FROM d$rounds) AS ecc_seed,
+                (SELECT node FROM far) AS far_node,
+                (SELECT max(hops) FROM x$rounds) AS diameter_lb"""
+  }
+
   private[graft] def betweennessOracleSql(nSeeds: Int = BetweennessSeeds,
       radius: Int = ReachRadius): String = {
     val base = s"""WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -416,4 +416,27 @@ class PlanAuditSpec extends GraftSpecBase {
       }
     } finally scaffolding.foreach(_.unpersist())
   }
+
+  test("q87: part-count joins broadcast, top-25 is TakeOrdered, no cartesian") {
+    val p = plan(operators.Analytics.q87SeqRules(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the pair count aggregates map-side before the (ante,cons) exchange
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("p13: one range exchange for the running sum, offsets broadcast, no sort-merge join") {
+    val p = plan(operators.Sampling.p13WeightedSample(spark, sf))
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p14: quality argmax is a two-phase aggregate (map-side partial max)") {
+    val p = plan(operators.Dedup.p14KeepBest(spark, sf))
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

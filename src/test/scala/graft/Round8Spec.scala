@@ -469,6 +469,35 @@ class Round8Spec extends GraftSpecBase {
     assert(out.nonEmpty)
   }
 
+  // ------------- q88 diameter double-sweep -------------
+
+  test("q88 kernel: double sweep is exact on a tree and finds the true far pair") {
+    // caterpillar tree: path 0-1-2-3-4 with leaves 5,6 on node 1 and
+    // 7 on node 3; true diameter = 4 (5..4 or 6..4). bfsHops from any
+    // seed, argmax, sweep again — exact on trees (Magnien et al.).
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (1L, 5L), (1L, 6L), (3L, 7L))
+    val sym = symmetric(pairs)
+    val d1 = operators.Graph.bfsHops(sym, 2L, rounds = 12)
+      .as[(Long, Int)].collect().toMap
+    assert(d1.size == 8 && d1(5L) == 2 && d1(4L) == 2)
+    val far = d1.toSeq.maxBy { case (n, h) => (h, -n) }._1
+    val d2 = operators.Graph.bfsHops(sym, far, rounds = 12)
+      .as[(Long, Int)].collect().toMap
+    assert(d2.values.max == 4, s"tree diameter must be exact: got ${d2.values.max}")
+  }
+
+  test("q88: budget-invariant at the oracle SF (rounds == rounds+1)") {
+    val a = operators.Graph.q88Diameter(spark, sf, rounds = operators.Graph.DiameterRounds)
+      .as[(Long, Int, Long, Int)].head()
+    val b = operators.Graph.q88Diameter(spark, sf, rounds = operators.Graph.DiameterRounds + 1)
+      .as[(Long, Int, Long, Int)].head()
+    assert(a == b, s"BFS still expanding past the oracle's unrolled budget: $a vs $b")
+    // far is at distance ecc_seed from the seed, so ecc(far) ≥ ecc(seed)
+    assert(a._4 >= a._2, s"double-sweep bound below seed eccentricity: $a")
+    assert(a._4 >= 1)
+  }
+
   // ------------- q87 sequential association rules -------------
 
   test("q87: top-25 sequential rules match a local first-purchase replay") {
