@@ -174,6 +174,7 @@ object SparkEntry {
     "q86_betweenness"    -> ((s: SparkSession, d: String) => Graph.q86Betweenness(s, d)),
     "q87_seq_rules"      -> ((s: SparkSession, d: String) => Analytics.q87SeqRules(s, d)),
     "q88_diameter"       -> ((s: SparkSession, d: String) => Graph.q88Diameter(s, d)),
+    "q89_assortativity"  -> (Graph.q89Assortativity _),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "p13_weighted_sample" -> (Sampling.p13WeightedSample _),
@@ -1887,6 +1888,7 @@ object SparkEntry {
     "q85_sssp" -> operators.Graph.ssspOracleSql(),
     "q86_betweenness" -> operators.Graph.betweennessOracleSql(),
     "q88_diameter" -> operators.Graph.diameterOracleSql(),
+    "q89_assortativity" -> operators.Graph.assortativityOracleSql(),
     "q87_seq_rules" ->
       """WITH cp AS (
            SELECT o.o_custkey AS c, l.l_partkey AS p, min(o.o_orderdate) AS d

@@ -1780,4 +1780,78 @@ object Graph {
            ON c.node = dg.src
          ORDER BY l_partkey"""
   }
+
+  // ----------------------------------------------------------------
+  // Q89: degree assortativity
+  // ----------------------------------------------------------------
+
+  /** Q89: degree ASSORTATIVITY of the co-purchase graph (Newman 2002,
+    * "Assortative mixing in networks") — the Pearson correlation of
+    * endpoint degrees over all (symmetric) edges: do popular parts
+    * co-sell with other popular parts (r > 0, assortative hubs) or
+    * with the long tail (r < 0, hub-and-spoke)? The one-number
+    * structural summary next to q88's width and q73's components.
+    *
+    * Cross-engine exactness: over SYMMETRIC edges Σx = Σy and
+    * Σx² = Σy², so Pearson's denominator collapses to M·Σx² − (Σx)²
+    * — NO sqrt — and r is a ratio of two exact BIGINT sufficient
+    * statistics. The output carries the exact integers plus ONE
+    * shared IEEE expression (floor(num/den·1e6)/1e6 — the q52-class
+    * discipline: identical cast/divide/floor sequence both engines).
+    * Integer headroom: M·Σxy ≤ M²·d_max² ~ 1e16 at sf0.1's graph;
+    * beyond that the stats aggregate in DECIMAL(38) unchanged.
+    *
+    * Shape at scale: degrees are one map-side-partial aggregate over
+    * the edge list; attaching deg(src)/deg(dst) is two shuffle joins
+    * keyed on node (the key the degree frame is already hashed by);
+    * the sufficient statistics reduce in ONE two-phase global
+    * aggregate — no window, no collect, wire is O(edges) then O(1). */
+  def q89Assortativity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+    val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
+      .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
+    assortativityStats(edges)
+  }
+
+  /** The q89 kernel over an arbitrary symmetric edge list (src, dst). */
+  private[graft] def assortativityStats(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+    val xy = edges
+      .join(deg.select($"node".as("src"), $"deg".as("x")), "src")
+      .join(deg.select($"node".as("dst"), $"deg".as("y")), "dst")
+    val stats = xy.agg(
+      count(lit(1)).as("m_edges"),
+      sum($"x").as("sum_x"),
+      sum($"x" * $"y").as("sum_xy"),
+      sum($"x" * $"x").as("sum_x2"))
+    stats.select($"m_edges", $"sum_x", $"sum_xy", $"sum_x2",
+      (floor(($"m_edges" * $"sum_xy" - $"sum_x" * $"sum_x").cast("double") /
+             ($"m_edges" * $"sum_x2" - $"sum_x" * $"sum_x").cast("double")
+        * 1000000) / 1000000.0).as("assortativity"))
+  }
+
+  private[graft] def assortativityOracleSql(): String =
+    """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         prs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT pa AS src, pb AS dst FROM prs
+               UNION ALL SELECT pb, pa FROM prs),
+         dg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         xy AS (SELECT dx.deg AS x, dy.deg AS y
+                FROM e JOIN dg dx ON e.src = dx.node
+                       JOIN dg dy ON e.dst = dy.node),
+         st AS (SELECT count(*) AS m_edges, CAST(sum(x) AS BIGINT) AS sum_x,
+                  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+                  CAST(sum(x * x) AS BIGINT) AS sum_x2 FROM xy)
+         SELECT m_edges, sum_x, sum_xy, sum_x2,
+           floor(CAST(m_edges * sum_xy - sum_x * sum_x AS DOUBLE) /
+                 CAST(m_edges * sum_x2 - sum_x * sum_x AS DOUBLE)
+             * 1000000) / 1000000.0 AS assortativity
+         FROM st"""
 }

@@ -498,6 +498,34 @@ class Round8Spec extends GraftSpecBase {
     assert(a._4 >= 1)
   }
 
+  // ------------- q89 degree assortativity -------------
+
+  test("q89 kernel: star graph is exactly -1; local Pearson recount matches") {
+    // star K_{1,5}: every edge pairs deg-5 hub with deg-1 leaf — the
+    // closed form r = -k²(k-1)²/(k²(k-1)²) = -1 exactly, no float slack
+    val star = symmetric((1L to 5L).map(l => (0L, l)))
+    val r = operators.Graph.assortativityStats(star)
+      .select($"assortativity").as[Double].head()
+    assert(r == -1.0, s"star must be exactly -1: $r")
+
+    // caterpillar from the q88 spec: recount Pearson locally from the
+    // edge list and compare to the engine's quantized value
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (1L, 5L), (1L, 6L), (3L, 7L))
+    val sym = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val xs = sym.map { case (a, _) => deg(a) }
+    val ys = sym.map { case (_, b) => deg(b) }
+    val m = sym.size.toLong
+    val (sx, sxy, sx2) = (xs.sum, xs.zip(ys).map { case (x, y) => x * y }.sum,
+      xs.map(x => x * x).sum)
+    val expected = math.floor(
+      (m * sxy - sx * sx).toDouble / (m * sx2 - sx * sx).toDouble * 1e6) / 1e6
+    val got = operators.Graph.assortativityStats(symmetric(pairs))
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got == ((m, sx, sxy, sx2, expected)), s"got $got")
+  }
+
   // ------------- q87 sequential association rules -------------
 
   test("q87: top-25 sequential rules match a local first-purchase replay") {
