@@ -175,6 +175,8 @@ object SparkEntry {
     "q87_seq_rules"      -> ((s: SparkSession, d: String) => Analytics.q87SeqRules(s, d)),
     "q88_diameter"       -> ((s: SparkSession, d: String) => Graph.q88Diameter(s, d)),
     "q89_assortativity"  -> (Graph.q89Assortativity _),
+    "q90_markov_attrib"  -> ((s: SparkSession, d: String) =>
+      Analytics.q90MarkovAttribution(s, d)),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "p13_weighted_sample" -> (Sampling.p13WeightedSample _),
@@ -1889,6 +1891,7 @@ object SparkEntry {
     "q86_betweenness" -> operators.Graph.betweennessOracleSql(),
     "q88_diameter" -> operators.Graph.diameterOracleSql(),
     "q89_assortativity" -> operators.Graph.assortativityOracleSql(),
+    "q90_markov_attrib" -> operators.Analytics.markovOracleSql(),
     "q87_seq_rules" ->
       """WITH cp AS (
            SELECT o.o_custkey AS c, l.l_partkey AS p, min(o.o_orderdate) AS d

@@ -1128,4 +1128,158 @@ object Analytics {
         .orderBy($"decile")
     } { scaffolding.foreach(_.unpersist()) }
   }
+
+  // ----------------------------------------------------------------
+  // Q90: Markov removal-effect attribution
+  // ----------------------------------------------------------------
+
+  /** Value-iteration budget for q90 — the monotone integer iteration
+    * reaches its exact fixed point well inside this (measured: base
+    * run stabilizes at round 60/62 at sf0.01/sf0.001, removal runs by
+    * 30; the rounds == rounds+1 spec pins it), so the oracle's
+    * unrolled tail CTEs are the identity. */
+  val AttributionRounds = 80
+
+  /** Micro-unit scale for q90's conversion probabilities. */
+  val AttributionScale = 1000000L
+
+  /** Q90: MARKOV removal-effect attribution (Anderl et al. 2014's
+    * data-driven alternative to q46's first/last-touch): model each
+    * user's event stream as an absorbing Markov chain — states = event
+    * types plus START, absorbing CONV (purchase) and NULL (journey end
+    * without purchase) — and credit each channel c by its REMOVAL
+    * EFFECT: how much the START→CONV absorption probability drops when
+    * every walk through c is voided. The question first/last touch
+    * can't answer: which touchpoint actually carries the conversion
+    * mass.
+    *
+    * Journeys: a user's history splits at purchases (START → the
+    * event after each conversion); the last event of an unconverted
+    * journey transitions to NULL. Absorption probabilities by T
+    * rounds of value iteration in integer micro-units with per-state
+    * floors — V_{t+1}(s) = ⌊Σ_d n(s→d)·V_t(d) / n_s⌋, monotone
+    * nondecreasing from 0 and bounded, so it reaches an EXACT integer
+    * fixed point (spec-pinned rounds-invariant); the removal run for
+    * c pins V(c) = 0. Both engines replay the identical estimator —
+    * the oracle unrolls all removal runs as ONE (channel × state)
+    * chain. Integer headroom: Σ n·V ≤ n_src·Scale ≤ 1e18 at 1e12
+    * transitions per source state; DECIMAL(38) beyond.
+    *
+    * Shape at scale: the 100 TB work is the transition count — one
+    * user-keyed window (lag/lead) + one two-phase (src,dst) aggregate.
+    * The chain itself is VOCABULARY-bounded (|event types|+1 states,
+    * ≤ K² matrix rows — K-bounded like centroids/pivots), so the
+    * solve is a driver-side exact-integer loop on a collected matrix,
+    * never a distributed iteration over data-sized state. */
+  def q90MarkovAttribution(s: SparkSession, dir: String,
+      rounds: Int = AttributionRounds): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val e = Tables.eventsWithMs(s, dir)
+      .select($"user_id", $"ms", $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .withColumn("nxt", lead($"event_type", 1).over(w))
+    val outT = e.filter($"event_type" =!= "purchase")
+      .select($"event_type".as("src"),
+        when($"nxt".isNull, lit("NULL"))
+          .when($"nxt" === "purchase", lit("CONV"))
+          .otherwise($"nxt").as("dst"))
+    val startT = e.filter($"prev".isNull || $"prev" === "purchase")
+      .select(lit("START").as("src"),
+        when($"event_type" === "purchase", lit("CONV"))
+          .otherwise($"event_type").as("dst"))
+    // K-bounded collect: the matrix is |event types|²-sized metadata
+    val matrix = outT.unionAll(startT).groupBy($"src", $"dst")
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+    markovRemovalEffects(s, matrix, rounds)
+  }
+
+  /** The q90 solve over a collected transition-count matrix: exact
+    * Long value iteration, one base run + one per removable channel. */
+  private[graft] def markovRemovalEffects(s: SparkSession,
+      matrix: Array[(String, String, Long)], rounds: Int): DataFrame = {
+    import s.implicits._
+    val bySrc = matrix.groupBy(_._1)
+    val nSrc = bySrc.map { case (k, rows) => k -> rows.map(_._3).sum }
+    val states = nSrc.keys.toSeq.sorted
+    def absorb(removed: Option[String]): Long = {
+      var v = states.map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        v = states.map { st =>
+          st -> (if (removed.contains(st)) 0L
+          else bySrc(st).map { case (_, d, n) =>
+            n * (d match {
+              case "CONV" => AttributionScale
+              case "NULL" => 0L
+              case dd if removed.contains(dd) => 0L
+              case dd => v.getOrElse(dd, 0L)
+            })
+          }.sum / nSrc(st))
+        }.toMap
+      }
+      v("START")
+    }
+    val base = absorb(None)
+    val rows = states.filter(_ != "START")
+      .map(c => (c, base, absorb(Some(c))))
+    val tot = rows.map { case (_, b, r) => b - r }.sum
+    rows.map { case (c, b, r) =>
+      val eff = b - r
+      (c, b, r, eff, if (tot == 0) 0L else eff * AttributionScale / tot)
+    }.toDF("channel", "conv_base", "conv_removed", "removal_effect",
+      "share_1e6").orderBy($"channel")
+  }
+
+  private[graft] def markovOracleSql(rounds: Int = AttributionRounds): String = {
+    val base = """WITH e AS (
+           SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS nxt
+           FROM events),
+         tr AS (
+           SELECT event_type AS src,
+             CASE WHEN nxt IS NULL THEN 'NULL'
+                  WHEN nxt = 'purchase' THEN 'CONV' ELSE nxt END AS dst
+           FROM e WHERE event_type <> 'purchase'
+           UNION ALL
+           SELECT 'START' AS src,
+             CASE WHEN event_type = 'purchase' THEN 'CONV'
+                  ELSE event_type END AS dst
+           FROM e WHERE prev IS NULL OR prev = 'purchase'),
+         m AS MATERIALIZED (SELECT src, dst, count(*) AS n FROM tr GROUP BY 1, 2),
+         ns AS MATERIALIZED (SELECT src, sum(n) AS n_src FROM m GROUP BY 1),
+         st AS (SELECT DISTINCT src AS state FROM m),
+         runs AS (SELECT state AS rm FROM st WHERE state <> 'START'
+                  UNION ALL SELECT '(none)'),
+         v0 AS (SELECT r.rm, s.state, CAST(0 AS BIGINT) AS v
+                FROM runs r CROSS JOIN st s)"""
+    val iters = (1 to rounds).map { t =>
+      s""",
+         v$t AS MATERIALIZED (SELECT p.rm, p.state,
+           CAST(CASE WHEN p.state = p.rm THEN 0 ELSE
+             sum(m.n * (CASE WHEN m.dst = 'CONV' THEN 1000000
+                             WHEN m.dst = 'NULL' THEN 0
+                             WHEN m.dst = p.rm THEN 0
+                             ELSE coalesce(q.v, 0) END)) // max(ns.n_src)
+             END AS BIGINT) AS v
+           FROM v${t - 1} p
+           JOIN m ON m.src = p.state
+           JOIN ns ON ns.src = p.state
+           LEFT JOIN v${t - 1} q ON q.rm = p.rm AND q.state = m.dst
+           GROUP BY p.rm, p.state)"""
+    }.mkString
+    base + iters + s""",
+         eff AS (SELECT r.rm AS channel, b.v AS conv_base,
+                   r.v AS conv_removed, b.v - r.v AS removal_effect
+                 FROM v$rounds r JOIN v$rounds b
+                   ON b.rm = '(none)' AND b.state = 'START'
+                 WHERE r.state = 'START' AND r.rm <> '(none)'),
+         tot AS (SELECT sum(removal_effect) AS t FROM eff)
+         SELECT channel, conv_base, conv_removed, removal_effect,
+           CAST(CASE WHEN tot.t = 0 THEN 0
+                ELSE (removal_effect * 1000000) // tot.t END AS BIGINT)
+             AS share_1e6
+         FROM eff CROSS JOIN tot ORDER BY channel"""
+  }
 }

@@ -526,6 +526,44 @@ class Round8Spec extends GraftSpecBase {
     assert(got == ((m, sx, sxy, sx2, expected)), s"got $got")
   }
 
+  // ------------- q90 Markov removal-effect attribution -------------
+
+  test("q90 solve: analytic removal effects on constructed chains") {
+    // START→a→{CONV,NULL} 50/50: base absorption 0.5; removing the
+    // only channel kills all conversion → effect 0.5, share 100%
+    val one = operators.Analytics.markovRemovalEffects(spark,
+      Array(("START", "a", 1L), ("a", "CONV", 1L), ("a", "NULL", 1L)),
+      rounds = 40).as[(String, Long, Long, Long, Long)].collect()
+    assert(one.toSeq == Seq(("a", 500000L, 0L, 500000L, 1000000L)))
+
+    // two parallel paths: a always converts, b never does — removal
+    // separates them (a carries ALL the effect) even though both are
+    // "first touch" for half the journeys
+    val two = operators.Analytics.markovRemovalEffects(spark,
+      Array(("START", "a", 1L), ("START", "b", 1L),
+        ("a", "CONV", 1L), ("b", "NULL", 1L)),
+      rounds = 40).as[(String, Long, Long, Long, Long)].collect()
+      .map { case (c, b, r, e, sh) => c -> ((b, r, e, sh)) }.toMap
+    // (conv_base, conv_removed, effect, share)
+    assert(two("a") == ((500000L, 0L, 500000L, 1000000L)), two)
+    assert(two("b") == ((500000L, 500000L, 0L, 0L)), two)
+  }
+
+  test("q90: fixed point within budget (rounds == rounds+1) and removal is monotone") {
+    val T = operators.Analytics.AttributionRounds
+    val x = operators.Analytics.q90MarkovAttribution(spark, sf, rounds = T)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val y = operators.Analytics.q90MarkovAttribution(spark, sf, rounds = T + 1)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(x == y, s"value iteration still moving past the unrolled budget:\n$x\n$y")
+    assert(x.nonEmpty && x.head._2 > 0, "no conversion mass on the real stream")
+    // removing a channel can only lose conversion mass (monotone map,
+    // pin-to-zero is a lower bound of the base run)
+    x.foreach { case (c, base, removed, eff, _) =>
+      assert(removed <= base && eff == base - removed, s"$c: $base → $removed")
+    }
+  }
+
   // ------------- q87 sequential association rules -------------
 
   test("q87: top-25 sequential rules match a local first-purchase replay") {
