@@ -177,6 +177,7 @@ object SparkEntry {
     "q89_assortativity"  -> (Graph.q89Assortativity _),
     "q90_markov_attrib"  -> ((s: SparkSession, d: String) =>
       Analytics.q90MarkovAttribution(s, d)),
+    "s10_mmr"            -> (Similarity.s10Mmr _),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "p13_weighted_sample" -> (Sampling.p13WeightedSample _),
@@ -1892,6 +1893,7 @@ object SparkEntry {
     "q88_diameter" -> operators.Graph.diameterOracleSql(),
     "q89_assortativity" -> operators.Graph.assortativityOracleSql(),
     "q90_markov_attrib" -> operators.Analytics.markovOracleSql(),
+    "s10_mmr" -> operators.Similarity.mmrOracleSql(),
     "q87_seq_rules" ->
       """WITH cp AS (
            SELECT o.o_custkey AS c, l.l_partkey AS p, min(o.o_orderdate) AS d

@@ -830,4 +830,126 @@ object Similarity {
       .orderBy($"q_id", $"rnk")
   }
 
+  // ----------------------------------------------------------------
+  // S10: MMR diversified top-k
+  // ----------------------------------------------------------------
+
+  /** Candidate pool for s10 — relevance top-C; the MMR re-rank only
+    * ever looks inside this pool (Carbonell & Goldstein's standard
+    * two-stage serving shape). */
+  val MmrPool = 40
+  /** Slate size for s10. */
+  val MmrK = 10
+  /** λ numerator out of 10: score = 7·rel − 3·max-sim-to-selected. */
+  val MmrLambda10 = 7L
+
+  /** S10: MAXIMAL MARGINAL RELEVANCE diversified top-k (Carbonell &
+    * Goldstein SIGIR'98) — the serving-side re-rank every retrieval
+    * stack ends with: a relevant-but-redundant slate (s1's pure
+    * cosine top-k returns near-duplicates together) becomes a
+    * relevant-AND-diverse one by greedily picking
+    * argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s).
+    *
+    * Cross-engine exactness: rel and pairwise sims quantize to 1e4
+    * integers (the s1 discipline, same `array_dot` IEEE sequence both
+    * engines); the greedy runs entirely in integer units
+    * (7·rel4 − 3·maxsim4), ties broken by min vec_id — the oracle
+    * unrolls the K selection steps as CTEs.
+    *
+    * Shape at scale: stage 1 is the 100 TB part — ONE exact
+    * relevance scan (broadcast query, codegen dot, TakeOrdered
+    * top-C; the s2 IVF probe replaces the scan above memory scale).
+    * Stage 2 is POOL-bounded: C² pairwise sims and a K-step greedy
+    * over ≤ C candidates — artifact-sized (like centroids), solved
+    * driver-exact after a K-bounded collect. */
+  def s10Mmr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = withNorm(Tables.embeddings(s, dir))
+    val q = emb.filter($"vec_id" === 0)
+      .select($"v".as("qv"), $"nrm".as("qn"))
+    val pool = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id", $"v", $"nrm",
+        floor(dot($"qv", $"v") / ($"qn" * $"nrm") * 10000)
+          .cast("long").as("rel4"))
+      .orderBy($"rel4".desc, $"vec_id").limit(MmrPool)
+      .cache()
+    val a = pool.select($"vec_id".as("a"), $"v".as("va"), $"nrm".as("na"))
+    val b = pool.select($"vec_id".as("b"), $"v".as("vb"), $"nrm".as("nb"))
+    // pool × pool — C² artifact-sized rows, broadcast nested loop
+    val sims = a.join(broadcast(b), $"a" =!= $"b")
+      .select($"a", $"b",
+        floor(dot($"va", $"vb") / ($"na" * $"nb") * 10000)
+          .cast("long").as("sim4"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (x, y, v) => (x, y) -> v }.toMap
+    val rel = pool.select($"vec_id", $"rel4").as[(Long, Long)].collect().toMap
+    pool.unpersist()
+    mmrGreedy(rel, sims, MmrK, MmrLambda10).toDF("rnk", "vec_id", "rel4", "mmr")
+      .orderBy($"rnk")
+  }
+
+  /** The s10 selection kernel: exact-integer greedy MMR over a
+    * collected (rel, pairwise-sim) pool. */
+  private[graft] def mmrGreedy(rel: Map[Long, Long],
+      sims: Map[(Long, Long), Long], k: Int,
+      lam: Long): Seq[(Int, Long, Long, Long)] = {
+    val remaining = scala.collection.mutable.SortedSet(rel.keys.toSeq: _*)
+    val out = Seq.newBuilder[(Int, Long, Long, Long)]
+    var selected = List.empty[Long]
+    for (r <- 1 to math.min(k, rel.size)) {
+      val (bestId, bestScore) = remaining.iterator.map { c =>
+        val score = if (selected.isEmpty) lam * rel(c)
+          else lam * rel(c) -
+            (10L - lam) * selected.map(sid => sims((c, sid))).max
+        (c, score)
+      }.minBy { case (c, m) => (-m, c) }
+      out += ((r, bestId, rel(bestId), bestScore))
+      selected ::= bestId
+      remaining -= bestId
+    }
+    out.result()
+  }
+
+  private[graft] def mmrOracleSql(pool: Int = MmrPool, k: Int = MmrK,
+      lam: Long = MmrLambda10): String = {
+    val cosExpr = (xa: String, xb: String) =>
+      s"""CAST(floor(list_sum(list_transform(list_zip($xa, $xb),
+             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform($xa, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform($xb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           * 10000) AS BIGINT)"""
+    val base = s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         pool AS MATERIALIZED (
+           SELECT c.vec_id, c.embedding,
+             ${cosExpr("q.qe", "c.embedding")} AS rel4
+           FROM embeddings c CROSS JOIN q WHERE c.vec_id <> 0
+           ORDER BY rel4 DESC, c.vec_id LIMIT $pool),
+         sims AS MATERIALIZED (
+           SELECT a.vec_id AS a, b.vec_id AS b,
+             ${cosExpr("a.embedding", "b.embedding")} AS sim4
+           FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+         sel1 AS MATERIALIZED (SELECT vec_id, rel4,
+                    CAST($lam * rel4 AS BIGINT) AS mmr, 1 AS rnk
+                  FROM pool ORDER BY rel4 DESC, vec_id LIMIT 1),
+         acc1 AS MATERIALIZED (SELECT vec_id, rel4, mmr, rnk FROM sel1)"""
+    // acc is referenced 3× per step — MATERIALIZED or DuckDB's CTE
+    // inlining re-expands the chain ~3^k times (the q66 lesson)
+    val steps = (2 to k).map { r =>
+      s""",
+         sel$r AS MATERIALIZED (SELECT p.vec_id, p.rel4,
+             CAST($lam * p.rel4 - ${10 - lam} * max(s.sim4) AS BIGINT) AS mmr,
+             $r AS rnk
+           FROM pool p
+           JOIN sims s ON s.a = p.vec_id
+           JOIN acc${r - 1} t ON s.b = t.vec_id
+           WHERE p.vec_id NOT IN (SELECT vec_id FROM acc${r - 1})
+           GROUP BY p.vec_id, p.rel4
+           ORDER BY mmr DESC, p.vec_id LIMIT 1),
+         acc$r AS MATERIALIZED (SELECT vec_id, rel4, mmr, rnk FROM acc${r - 1}
+                   UNION ALL SELECT vec_id, rel4, mmr, rnk FROM sel$r)"""
+    }.mkString
+    base + steps + s"""
+         SELECT CAST(rnk AS INTEGER) AS rnk, vec_id, rel4, mmr
+         FROM acc$k ORDER BY rnk"""
+  }
 }

@@ -564,6 +564,38 @@ class Round8Spec extends GraftSpecBase {
     }
   }
 
+  // ------------- s10 MMR diversified top-k -------------
+
+  test("s10 kernel: MMR defers a redundant near-duplicate that pure relevance keeps") {
+    // 1 and 2 near-identical (sim .99) and most relevant; 3 slightly
+    // less relevant but dissimilar. Pure top-2 = {1,2}; MMR(λ=.7)
+    // picks 1 then 3: score(2) = 7·9000−3·9900 = 33300 <
+    // score(3) = 7·8000−3·1000 = 53000.
+    val rel = Map(1L -> 9001L, 2L -> 9000L, 3L -> 8000L)
+    val sims = Map[(Long, Long), Long](
+      (1L, 2L) -> 9900L, (2L, 1L) -> 9900L,
+      (1L, 3L) -> 1000L, (3L, 1L) -> 1000L,
+      (2L, 3L) -> 1000L, (3L, 2L) -> 1000L)
+    val slate = operators.Similarity.mmrGreedy(rel, sims, k = 2, lam = 7L)
+    assert(slate.map(_._2) == Seq(1L, 3L), slate)
+    assert(slate == Seq((1, 1L, 9001L, 63007L), (2, 3L, 8000L, 53000L)), slate)
+  }
+
+  test("s10: slate reorders pure relevance and greedy scores are monotone") {
+    val got = operators.Similarity.s10Mmr(spark, sf)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got.size == operators.Similarity.MmrK)
+    // rank 1 is the pure-relevance argmax...
+    assert(got.head._3 == got.map(_._3).max)
+    // ...but the rest of the slate is NOT the pure top-k prefix —
+    // diversity actually displaced something on this corpus
+    val byRel = got.map(_._3)
+    assert(byRel != byRel.sortBy(-_), s"MMR degenerated to pure relevance: $got")
+    // each step's winning score can only shrink (max-sim penalty grows)
+    val scores = got.map(_._4)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, scores)
+  }
+
   // ------------- q87 sequential association rules -------------
 
   test("q87: top-25 sequential rules match a local first-purchase replay") {
