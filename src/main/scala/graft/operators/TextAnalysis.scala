@@ -646,6 +646,54 @@ object TextAnalysis {
     .withColumn("is_code", $"code_score" >= CodeScoreThreshold)
   }
 
+  /** T16: marginal n-gram NOVELTY per document — in doc_id (ingest)
+    * order, how much of each document's 3-shingle content is seen here
+    * FIRST? The curation metric behind "is this source still adding
+    * new content or re-serving what we have" (the per-doc view of the
+    * corpus-growth curves data-mixing papers draw): a shingle credits
+    * the minimum doc_id containing it; novelty = novel/total distinct
+    * shingles, an exact rational floor-quantized via `div` (the t2/t5
+    * discipline). Complements p3/d9 (which score overlap against a
+    * FIXED benchmark set — this scores against everything already
+    * ingested).
+    *
+    * Shape at scale: the same inverted-index exchange d2/p3 already
+    * carry — one explode, one shingle-keyed min aggregate (map-side
+    * partial), one shingle-keyed join back, one doc-keyed count. No
+    * window, no all-pairs; AQE splits hot shingles like d2's join. */
+  def t16Novelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id", explode(shinglesFromTokens($"w", 3)).as("shingle"))
+    val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        (expr("n_novel * 10000 div n_shingles") / 10000.0).as("novelty"))
+      .orderBy($"doc_id")
+  }
+
+  private[graft] def noveltyOracleSql: String =
+    """WITH sh AS (
+         SELECT doc_id, unnest(list_distinct(list_filter(
+           list_transform(string_split(text, ' '), (x, i) ->
+             CASE WHEN i + 2 <= len(string_split(text, ' '))
+                  THEN x || ' ' || string_split(text, ' ')[i+1]
+                         || ' ' || string_split(text, ' ')[i+2] END),
+           s -> s IS NOT NULL))) AS shingle
+         FROM documents),
+       fst AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+       SELECT sh.doc_id, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN fst.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_novel,
+         (sum(CASE WHEN fst.first_doc = sh.doc_id THEN 1 ELSE 0 END) * 10000)
+           // count(*) / 10000.0 AS novelty
+       FROM sh JOIN fst ON sh.shingle = fst.shingle
+       GROUP BY 1 ORDER BY 1"""
+
   /** t14 oracle: the same regex algebra in DuckDB (RE2). */
   private[graft] def codeDetectOracleSql: String =
     raw"""SELECT doc_id,

@@ -564,6 +564,26 @@ class Round8Spec extends GraftSpecBase {
     }
   }
 
+  // ------------- t16 marginal n-gram novelty -------------
+
+  test("t16: novelty credit is conserved and the earliest doc is fully novel") {
+    import org.apache.spark.sql.functions._
+    val out = operators.TextAnalysis.t16Novelty(spark, sf).cache()
+    try {
+      // every distinct corpus shingle is credited to exactly one doc
+      val creditSum = out.agg(sum($"n_novel")).as[Long].head()
+      val distinctShingles = Tables.documents(spark, sf)
+        .select(explode(graft.functions.TextFunctions.shingles($"text", 3))
+          .as("sh")).select($"sh").distinct().count()
+      assert(creditSum == distinctShingles, s"$creditSum vs $distinctShingles")
+      // the earliest doc with any shingles can only see first-time content
+      val firstRow = out.orderBy($"doc_id").select($"novelty").as[Double].head()
+      assert(firstRow == 1.0)
+      val bounds = out.agg(min($"novelty"), max($"novelty")).as[(Double, Double)].head()
+      assert(bounds._1 >= 0.0 && bounds._2 <= 1.0, bounds)
+    } finally out.unpersist()
+  }
+
   // ------------- s10 MMR diversified top-k -------------
 
   test("s10 kernel: MMR defers a redundant near-duplicate that pure relevance keeps") {
