@@ -179,6 +179,7 @@ object SparkEntry {
       Analytics.q90MarkovAttribution(s, d)),
     "s10_mmr"            -> (Similarity.s10Mmr _),
     "t16_novelty"        -> (TextAnalysis.t16Novelty _),
+    "q91_conversion_lag" -> (Analytics.q91ConversionLag _),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "p13_weighted_sample" -> (Sampling.p13WeightedSample _),
@@ -1896,6 +1897,7 @@ object SparkEntry {
     "q90_markov_attrib" -> operators.Analytics.markovOracleSql(),
     "s10_mmr" -> operators.Similarity.mmrOracleSql(),
     "t16_novelty" -> operators.TextAnalysis.noveltyOracleSql,
+    "q91_conversion_lag" -> operators.Analytics.conversionLagOracleSql,
     "q87_seq_rules" ->
       """WITH cp AS (
            SELECT o.o_custkey AS c, l.l_partkey AS p, min(o.o_orderdate) AS d

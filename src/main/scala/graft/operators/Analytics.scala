@@ -1130,6 +1130,71 @@ object Analytics {
   }
 
   // ----------------------------------------------------------------
+  // Q91: conversion-lag distribution
+  // ----------------------------------------------------------------
+
+  /** Q91: TIME-TO-CONVERT distribution — for every purchase with a
+    * preceding view by the same user, the ms lag from that user's
+    * LATEST prior view, summarized per week (q42's integer week
+    * buckets — no calendar parity risk): conversion count, exact mean
+    * lag, and interpolated quartiles. The funnel-latency view q29/q61
+    * (did they convert) doesn't give: HOW LONG conversion takes, the
+    * number an SLA or attribution window is tuned against.
+    *
+    * Cross-engine exactness: the lag is an exact BIGINT; the mean is
+    * an exact rational via `div`; the quartiles use interpolation
+    * factors 0.25/0.5/0.75 — exactly representable in binary, so
+    * a + (b−a)·f over sub-2^50 integers is EXACT in IEEE double in
+    * both engines (no q20-class floor-boundary risk) and the ×4
+    * quantization is loss-free.
+    *
+    * Shape at scale: ONE user-keyed window (running last-view carry,
+    * rows-frame — state is one value per user, not a buffer), one
+    * filter, one two-phase weekly aggregate. The exact percentile
+    * buffers one week's conversion lags per group — calendar-bounded
+    * groups, the q55-class justification; the streaming funnel twins
+    * carry the unbounded-horizon version. */
+  def q91ConversionLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weekMs = 7L * 24 * 3600 * 1000
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.eventsWithMs(s, dir)
+      .select($"user_id", $"ms", $"event_id", $"event_type")
+      .withColumn("last_view_ms",
+        last(when($"event_type" === "view", $"ms"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase" && $"last_view_ms".isNotNull)
+      .select(expr(s"ms div ${weekMs}L").as("wk"),
+        ($"ms" - $"last_view_ms").as("lag_ms"))
+      .groupBy($"wk")
+      .agg(count(lit(1)).as("n_conv"),
+        expr("sum(lag_ms) div count(1)").as("avg_lag_ms"),
+        (floor(expr("percentile(lag_ms, 0.25)") * 4) / 4.0).as("p25_lag_ms"),
+        (floor(expr("percentile(lag_ms, 0.5)") * 4) / 4.0).as("p50_lag_ms"),
+        (floor(expr("percentile(lag_ms, 0.75)") * 4) / 4.0).as("p75_lag_ms"))
+      .orderBy($"wk")
+  }
+
+  private[graft] def conversionLagOracleSql: String =
+    """WITH e AS (
+         SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type,
+           last_value(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END
+               IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS last_view_ms
+         FROM events),
+       lags AS (
+         SELECT ms // 604800000 AS wk, ms - last_view_ms AS lag_ms
+         FROM e WHERE event_type = 'purchase' AND last_view_ms IS NOT NULL)
+       SELECT wk, count(*) AS n_conv,
+         CAST(sum(lag_ms) // count(*) AS BIGINT) AS avg_lag_ms,
+         floor(quantile_cont(lag_ms, 0.25) * 4) / 4.0 AS p25_lag_ms,
+         floor(quantile_cont(lag_ms, 0.5) * 4) / 4.0 AS p50_lag_ms,
+         floor(quantile_cont(lag_ms, 0.75) * 4) / 4.0 AS p75_lag_ms
+       FROM lags GROUP BY 1 ORDER BY 1"""
+
+  // ----------------------------------------------------------------
   // Q90: Markov removal-effect attribution
   // ----------------------------------------------------------------
 

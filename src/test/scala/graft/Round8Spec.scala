@@ -564,6 +564,30 @@ class Round8Spec extends GraftSpecBase {
     }
   }
 
+  // ------------- q91 conversion-lag distribution -------------
+
+  test("q91: weekly lag rollup matches a local latest-prior-view replay") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.eventsWithMs(spark, sf)
+      .select($"user_id", $"ms", $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy { case (u, ms, id, _) => (u, ms, id) }
+    val lags = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var lastUser = -1L
+    var lastView = Option.empty[Long]
+    events.foreach { case (u, ms, _, tpe) =>
+      if (u != lastUser) { lastUser = u; lastView = None }
+      if (tpe == "purchase") lastView.foreach(v => lags += ((ms / 604800000L, ms - v)))
+      if (tpe == "view") lastView = Some(ms)
+    }
+    val want = lags.groupBy(_._1).map { case (wk, ls) =>
+      (wk, ls.size.toLong, ls.map(_._2).sum / ls.size) }.toSet
+    val got = operators.Analytics.q91ConversionLag(spark, sf)
+      .select($"wk", $"n_conv", $"avg_lag_ms")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   // ------------- t16 marginal n-gram novelty -------------
 
   test("t16: novelty credit is conserved and the earliest doc is fully novel") {
