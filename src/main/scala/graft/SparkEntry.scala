@@ -180,6 +180,7 @@ object SparkEntry {
     "s10_mmr"            -> (Similarity.s10Mmr _),
     "t16_novelty"        -> (TextAnalysis.t16Novelty _),
     "q91_conversion_lag" -> (Analytics.q91ConversionLag _),
+    "m13_slate_diversity" -> (graft.ml.Recommender.m13SlateDiversity _),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "p13_weighted_sample" -> (Sampling.p13WeightedSample _),

@@ -274,6 +274,50 @@ object Recommender {
         (floor(avg($"ndcg") * 10000) / 10000.0).as("mean_ndcg"))
   }
 
+  /** M13: BEYOND-ACCURACY slate metrics — the two numbers m7's
+    * dashboard lacks (Castells et al., "Novelty and Diversity in
+    * Recommender Systems"): INTRA-LIST DIVERSITY (Ziegler et al.
+    * WWW'05 — mean pairwise cosine DISTANCE between a slate's items
+    * in ALS factor space, the filter-bubble detector: an ILD near 0
+    * means every user gets 5 flavors of the same thing even when
+    * coverage looks healthy) and mean SELF-INFORMATION novelty (Zhou
+    * et al. PNAS'10 — −log₂ of each recommended item's purchase
+    * popularity: how far down the long tail the slates reach).
+    *
+    * Shape at scale: slate pairs are a user-keyed self-join bounded
+    * by C(k,2) = 10 rows per user (never catalog-sized); both factor
+    * attachments hash on the item key the factor frame already
+    * carries; popularity is one two-phase count joined on the same
+    * key; everything reduces map-side to two one-row aggregates.
+    * Model-fit dependent → rows-only; the spec replays both metrics
+    * locally from the collected slates, factors, and rating counts. */
+  def m13SlateDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.dot
+    val recs = m1AlsRecommend(s, dir).select($"c_custkey", $"p_partkey")
+    val f = itemIvf(s, dir)._1.select($"id", $"v", $"nrm")
+    val pairs = recs.as("a").join(recs.as("b"),
+        $"a.c_custkey" === $"b.c_custkey" && $"a.p_partkey" < $"b.p_partkey")
+      .select($"a.c_custkey".as("u"),
+        $"a.p_partkey".as("pa"), $"b.p_partkey".as("pb"))
+    val dists = pairs
+      .join(f.select($"id".as("pa"), $"v".as("va"), $"nrm".as("na")), "pa")
+      .join(f.select($"id".as("pb"), $"v".as("vb"), $"nrm".as("nb")), "pb")
+      .select($"u", (lit(1.0) - dot($"va", $"vb") /
+        (when($"na" === 0.0, 1.0).otherwise($"na") *
+         when($"nb" === 0.0, 1.0).otherwise($"nb"))).as("dist"))
+    val ild = dists.groupBy($"u").agg(avg($"dist").as("ild"))
+      .agg(count(lit(1)).as("n_users"),
+        (floor(avg($"ild") * 10000) / 10000.0).as("mean_ild"))
+    val r = ratings(s, dir)
+    val nUsers = r.select($"user").distinct().count()
+    val pop = r.groupBy($"item".as("p_partkey")).agg(count(lit(1)).as("n_i"))
+    val nov = recs.join(pop, "p_partkey")
+      .select((-log2($"n_i" / nUsers.toDouble)).as("si"))
+      .agg((floor(avg($"si") * 10000) / 10000.0).as("mean_self_info"))
+    ild.join(broadcast(nov))
+  }
+
   /** M7: corpus-level recommendation-quality metrics — the eval
     * dashboard a recommender ships with: per-slate hit rate against
     * actual purchase history (m1 recommends from the full catalog, so

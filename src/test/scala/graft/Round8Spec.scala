@@ -564,6 +564,47 @@ class Round8Spec extends GraftSpecBase {
     }
   }
 
+  // ------------- m13 beyond-accuracy slate metrics -------------
+
+  test("m13: ILD and self-info novelty replay locally from slates, factors, popularity") {
+    import org.apache.spark.sql.functions._
+    val (nUsers, meanIld, meanSi) = ml.Recommender.m13SlateDiversity(spark, sf)
+      .as[(Long, Double, Double)].head()
+    assert(meanIld >= 0.0 && meanIld <= 2.0, meanIld) // 1 − cos ∈ [0, 2]
+    assert(meanSi > 0.0, meanSi)
+
+    val recs = ml.Recommender.m1AlsRecommend(spark, sf)
+      .select($"c_custkey".cast("long"), $"p_partkey".cast("long"))
+      .as[(Long, Long)].collect()
+    val f = ml.Recommender.itemIvf(spark, sf)._1
+      .select($"id".cast("long"), $"v").as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (if (na == 0) 1.0 else na) / (if (nb == 0) 1.0 else nb)
+    }
+    val slates = recs.groupBy(_._1).values.map(_.map(_._2))
+    assert(slates.size == nUsers)
+    val ilds = slates.map { items =>
+      val ds = for { i <- items.indices; j <- (i + 1) until items.length }
+        yield 1.0 - cos(f(items(i)), f(items(j)))
+      ds.sum / ds.size
+    }
+    // float-sum order differs distributed vs local: one quantum slack
+    assert(math.abs(ilds.sum / ilds.size - meanIld) <= 2e-4,
+      s"ILD replay ${ilds.sum / ilds.size} vs $meanIld")
+
+    val ratings = ml.Recommender.ratings(spark, sf)
+      .select($"user".cast("long"), $"item".cast("long")).as[(Long, Long)].collect()
+    val nU = ratings.map(_._1).distinct.length.toDouble
+    val popCount = ratings.groupBy(_._2).map { case (i, rs) => i -> rs.length }
+    val sis = recs.map { case (_, i) =>
+      -math.log(popCount(i) / nU) / math.log(2.0) }
+    assert(math.abs(sis.sum / sis.length - meanSi) <= 2e-4,
+      s"self-info replay ${sis.sum / sis.length} vs $meanSi")
+  }
+
   // ------------- q91 conversion-lag distribution -------------
 
   test("q91: weekly lag rollup matches a local latest-prior-view replay") {
