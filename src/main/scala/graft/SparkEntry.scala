@@ -181,6 +181,7 @@ object SparkEntry {
     "t16_novelty"        -> (TextAnalysis.t16Novelty _),
     "q91_conversion_lag" -> (Analytics.q91ConversionLag _),
     "m13_slate_diversity" -> (graft.ml.Recommender.m13SlateDiversity _),
+    "z3_bloom_skip"      -> (Layout.z3BloomSkip _),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "p13_weighted_sample" -> (Sampling.p13WeightedSample _),
@@ -1899,6 +1900,7 @@ object SparkEntry {
     "s10_mmr" -> operators.Similarity.mmrOracleSql(),
     "t16_novelty" -> operators.TextAnalysis.noveltyOracleSql,
     "q91_conversion_lag" -> operators.Analytics.conversionLagOracleSql,
+    "z3_bloom_skip" -> operators.Layout.z3OracleSql(),
     "q87_seq_rules" ->
       """WITH cp AS (
            SELECT o.o_custkey AS c, l.l_partkey AS p, min(o.o_orderdate) AS d

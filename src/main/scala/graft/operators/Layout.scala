@@ -207,4 +207,153 @@ object Layout {
       .agg(count(lit(1)).as("exact_rows"))
     tot.join(broadcast(cand)).join(broadcast(exact))
   }
+
+  // ----------------------------------------------------------------
+  // Z3: bloom-filter skip accounting for point lookups
+  // ----------------------------------------------------------------
+
+  /** z3 bloom geometry: k = 3 hash functions, m = 16^3 = 4096 slots
+    * each (3 md5 hex chars), per z-bucket. */
+  val Z3Hashes = 3
+  val Z3HexChars = 3
+  /** Point-lookup probes: the smallest distinct orderkeys. */
+  val Z3Probes = 10
+
+  /** Z3: BLOOM-FILTER skip accounting — z2's twin for the predicate
+    * shape zone maps CANNOT serve: a point lookup on a column the
+    * layout doesn't cluster by. The z1 layout orders by (part, supp),
+    * so every z-bucket spans nearly the whole `l_orderkey` range and
+    * the min-max test admits almost every bucket; a per-bucket BLOOM
+    * of the orderkeys (what parquet bloom filters / Delta & Iceberg
+    * column blooms store in the footer) prunes to nearly the exact
+    * bucket set. For each probe key the output carries the whole
+    * comparison: total buckets, zone-map candidates (+ admitted
+    * rows), bloom candidates (+ admitted rows), and ground truth.
+    *
+    * The bloom is plain relational algebra, so the WHOLE path — build
+    * and probe — replays in SQL: slot_i(key) = first 3 md5 hex chars
+    * of "i:key" tagged by function id (k=3, m=4096 per function); a
+    * bucket's filter is its DISTINCT slot set; a bucket is a
+    * candidate iff all k probe slots are present. No false negatives
+    * by construction (spec + both engines agree exactly).
+    *
+    * Shape at scale: the position set is the metadata artifact a
+    * reader keeps per file — bounded by k·m per bucket regardless of
+    * rows (saturation = honest fpp loss, never wrong skips); the
+    * probe side is K-bounded (probes × k rows), so the candidate
+    * test is a broadcast-scale join; only ground truth touches data,
+    * with the key list pushed to the scan. */
+  def z3BloomSkip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def slots(key: Column): Column = array((0 until Z3Hashes).map { i =>
+      concat(lit(s"$i:"),
+        substring(md5(concat(lit(s"$i:"), key.cast("string")).cast("binary")),
+          1, Z3HexChars))
+    }: _*)
+    val rows = Tables.lineitem(s, dir)
+      .select($"l_orderkey",
+        shiftright(zorderKey($"l_partkey", $"l_suppkey"), 12).as("zbucket"))
+    val positions = rows
+      .select($"zbucket", explode(slots($"l_orderkey")).as("pos")).distinct()
+    val zm = rows.groupBy($"zbucket")
+      .agg(count(lit(1)).as("n"),
+        min($"l_orderkey").as("lo"), max($"l_orderkey").as("hi"))
+    val tot = zm.agg(count(lit(1)).as("n_buckets"))
+    val probes = rows.select($"l_orderkey").distinct()
+      .orderBy($"l_orderkey").limit(Z3Probes)
+    val probePos = probes
+      .select($"l_orderkey", explode(slots($"l_orderkey")).as("pos"))
+    val bloomCand = broadcast(probePos).join(positions, "pos")
+      .groupBy($"l_orderkey", $"zbucket")
+      .agg(countDistinct($"pos").as("nhit"))
+      .filter($"nhit" === Z3Hashes)
+      .join(zm.select($"zbucket", $"n"), "zbucket")
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("bloom_buckets"), sum($"n").as("bloom_rows"))
+    val zmCand = broadcast(probes)
+      .join(zm, $"l_orderkey".between($"lo", $"hi"))
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("zm_buckets"), sum($"n").as("zm_rows"))
+    val exact = rows.join(broadcast(probes), "l_orderkey")
+      .groupBy($"l_orderkey")
+      .agg(countDistinct($"zbucket").as("exact_buckets"),
+        count(lit(1)).as("exact_rows"))
+    probes.crossJoin(broadcast(tot))
+      .join(broadcast(zmCand), Seq("l_orderkey"), "left")
+      .join(broadcast(bloomCand), Seq("l_orderkey"), "left")
+      .join(broadcast(exact), Seq("l_orderkey"), "left")
+      .select($"l_orderkey", $"n_buckets",
+        coalesce($"zm_buckets", lit(0L)).as("zm_buckets"),
+        coalesce($"zm_rows", lit(0L)).as("zm_rows"),
+        coalesce($"bloom_buckets", lit(0L)).as("bloom_buckets"),
+        coalesce($"bloom_rows", lit(0L)).as("bloom_rows"),
+        coalesce($"exact_buckets", lit(0L)).as("exact_buckets"),
+        coalesce($"exact_rows", lit(0L)).as("exact_rows"))
+      .orderBy($"l_orderkey")
+  }
+
+  private[graft] def z3OracleSql(): String =
+    s"""WITH b0 AS (
+           SELECT l_orderkey, l_partkey & 2097151 AS a, l_suppkey & 2097151 AS b
+           FROM lineitem),
+         b1 AS (SELECT l_orderkey,
+           (a | (a << 16)) & 281470681808895 AS a,
+           (b | (b << 16)) & 281470681808895 AS b FROM b0),
+         b2 AS (SELECT l_orderkey,
+           (a | (a << 8)) & 71777214294589695 AS a,
+           (b | (b << 8)) & 71777214294589695 AS b FROM b1),
+         b3 AS (SELECT l_orderkey,
+           (a | (a << 4)) & 1085102592571150095 AS a,
+           (b | (b << 4)) & 1085102592571150095 AS b FROM b2),
+         b4 AS (SELECT l_orderkey,
+           (a | (a << 2)) & 3689348814741910323 AS a,
+           (b | (b << 2)) & 3689348814741910323 AS b FROM b3),
+         b5 AS (SELECT l_orderkey,
+           (a | (a << 1)) & 6148914691236517205 AS a,
+           (b | (b << 1)) & 6148914691236517205 AS b FROM b4),
+         rws AS MATERIALIZED (
+           SELECT l_orderkey, (a | (b << 1)) >> 12 AS zbucket FROM b5),
+         h(i) AS (VALUES ('0'), ('1'), ('2')),
+         pos AS MATERIALIZED (
+           SELECT DISTINCT zbucket,
+             h.i || ':' || substr(md5(h.i || ':' ||
+               CAST(l_orderkey AS VARCHAR)), 1, $Z3HexChars) AS pos
+           FROM rws CROSS JOIN h),
+         zm AS MATERIALIZED (
+           SELECT zbucket, count(*) AS n, min(l_orderkey) AS lo,
+             max(l_orderkey) AS hi
+           FROM rws GROUP BY 1),
+         tot AS (SELECT count(*) AS n_buckets FROM zm),
+         probes AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey FROM rws ORDER BY 1 LIMIT $Z3Probes),
+         ppos AS (SELECT l_orderkey,
+             h.i || ':' || substr(md5(h.i || ':' ||
+               CAST(l_orderkey AS VARCHAR)), 1, $Z3HexChars) AS pos
+           FROM probes CROSS JOIN h),
+         bc AS (SELECT p.l_orderkey, x.zbucket
+           FROM ppos p JOIN pos x ON p.pos = x.pos
+           GROUP BY 1, 2 HAVING count(DISTINCT p.pos) = $Z3Hashes),
+         bcn AS (SELECT bc.l_orderkey, count(*) AS bloom_buckets,
+             CAST(sum(zm.n) AS BIGINT) AS bloom_rows
+           FROM bc JOIN zm ON bc.zbucket = zm.zbucket GROUP BY 1),
+         zc AS (SELECT p.l_orderkey, count(*) AS zm_buckets,
+             CAST(sum(z.n) AS BIGINT) AS zm_rows
+           FROM probes p JOIN zm z ON p.l_orderkey BETWEEN z.lo AND z.hi
+           GROUP BY 1),
+         ex AS (SELECT l_orderkey, count(DISTINCT zbucket) AS exact_buckets,
+             count(*) AS exact_rows
+           FROM rws WHERE l_orderkey IN (SELECT l_orderkey FROM probes)
+           GROUP BY 1)
+         SELECT p.l_orderkey, tot.n_buckets,
+           coalesce(zc.zm_buckets, 0) AS zm_buckets,
+           coalesce(zc.zm_rows, 0) AS zm_rows,
+           coalesce(bcn.bloom_buckets, 0) AS bloom_buckets,
+           coalesce(bcn.bloom_rows, 0) AS bloom_rows,
+           coalesce(ex.exact_buckets, 0) AS exact_buckets,
+           coalesce(ex.exact_rows, 0) AS exact_rows
+         FROM probes p CROSS JOIN tot
+         LEFT JOIN zc ON zc.l_orderkey = p.l_orderkey
+         LEFT JOIN bcn ON bcn.l_orderkey = p.l_orderkey
+         LEFT JOIN ex ON ex.l_orderkey = p.l_orderkey
+         ORDER BY 1"""
 }

@@ -564,6 +564,30 @@ class Round8Spec extends GraftSpecBase {
     }
   }
 
+  // ------------- z3 bloom skip accounting -------------
+
+  test("z3: bloom has no false negatives, prunes for real, and beats zone maps on point lookups") {
+    val rows = operators.Layout.z3BloomSkip(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.size == operators.Layout.Z3Probes)
+    rows.foreach { case (k, nb, zmB, _, blB, blR, exB, exR) =>
+      // probes are real keys: ground truth nonempty
+      assert(exB >= 1 && exR >= exB, s"key $k: $exB/$exR")
+      // no false negatives: every true bucket (and its rows) admitted
+      assert(blB >= exB && blR >= exR, s"key $k: bloom $blB/$blR vs exact $exB/$exR")
+      assert(zmB <= nb && blB <= nb)
+    }
+    // the headline: on a column the layout doesn't cluster by, the
+    // bloom admits fewer buckets than the min-max test in aggregate...
+    val (zmTot, blTot, exTot) =
+      (rows.map(_._3).sum, rows.map(_._5).sum, rows.map(_._7).sum)
+    assert(blTot <= zmTot, s"bloom $blTot not under zone-map $zmTot")
+    // ...and stays within a small false-positive margin of ground
+    // truth (measured: +0 of 24 at sf0.001, +1 of 37 at sf0.01)
+    assert(blTot <= exTot + 2 * rows.size,
+      s"bloom fp margin blew up: $blTot vs exact $exTot")
+  }
+
   // ------------- m13 beyond-accuracy slate metrics -------------
 
   test("m13: ILD and self-info novelty replay locally from slates, factors, popularity") {
