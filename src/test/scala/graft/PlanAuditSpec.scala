@@ -439,4 +439,29 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(p.contains("partial_max"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q89: assortativity stats reduce two-phase with no cartesian") {
+    val p = plan(operators.Graph.q89Assortativity(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q91: one user-keyed window then a two-phase weekly aggregate") {
+    val p = plan(operators.Analytics.q91ConversionLag(spark, sf))
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t16: shingle min-agg is map-side partial; no cartesian") {
+    val p = plan(operators.TextAnalysis.t16Novelty(spark, sf))
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("z3: probe-side joins broadcast; only the exact count is a data join") {
+    val p = plan(operators.Layout.z3BloomSkip(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
