@@ -182,6 +182,7 @@ object SparkEntry {
     "q91_conversion_lag" -> (Analytics.q91ConversionLag _),
     "m13_slate_diversity" -> (graft.ml.Recommender.m13SlateDiversity _),
     "z3_bloom_skip"      -> (Layout.z3BloomSkip _),
+    "p15_temperature_mix" -> (Sampling.p15TemperatureMix _),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "p13_weighted_sample" -> (Sampling.p13WeightedSample _),
@@ -1901,6 +1902,7 @@ object SparkEntry {
     "t16_novelty" -> operators.TextAnalysis.noveltyOracleSql,
     "q91_conversion_lag" -> operators.Analytics.conversionLagOracleSql,
     "z3_bloom_skip" -> operators.Layout.z3OracleSql(),
+    "p15_temperature_mix" -> operators.Sampling.temperatureMixOracleSql,
     "q87_seq_rules" ->
       """WITH cp AS (
            SELECT o.o_custkey AS c, l.l_partkey AS p, min(o.o_orderdate) AS d

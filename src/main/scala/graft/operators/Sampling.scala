@@ -72,6 +72,67 @@ object Sampling {
       .orderBy($"lang")
   }
 
+  /** P15: TEMPERATURE-scaled mix allocation (Arivazhagan et al. 2019;
+    * the mT5/XLM-R multilingual sampling standard) — p6's budget
+    * apportionment with weights n_l^(1/τ) instead of n_l: τ > 1
+    * flattens the distribution, upweighting low-resource languages a
+    * proportional mix starves. This entry instantiates τ = 2, i.e.
+    * w_l = √n_l — deliberately: IEEE `sqrt` is CORRECTLY ROUNDED (a
+    * 754 requirement both engines honor), while general `pow(x, 1/τ)`
+    * is not, so τ = 2 is the exactly-verifiable member of the family
+    * (other τ run fine, with cross-engine parity only to pow's ulp).
+    * The single sqrt quantizes to a BIGINT micro-weight immediately;
+    * everything after — shares, floors, largest-remainder top-up — is
+    * p6's exact integer Hamilton apportionment.
+    *
+    * Shape at scale: identical to p6 — one scan + map-side-partial
+    * token sum, then one-row-per-language arithmetic (a bounded
+    * artifact) with broadcast totals. */
+  def p15TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.tokens
+    val langTok = Tables.documents(s, dir)
+      .select($"lang", size(tokens($"text")).cast("long").as("n"))
+      .groupBy($"lang")
+      .agg(sum($"n").as("n_tok"))
+      .withColumn("wq", floor(sqrt($"n_tok".cast("double")) * 1000000)
+        .cast("long"))
+    val total = langTok.agg(sum($"n_tok").as("t_tok"), sum($"wq").as("t_wq"))
+    val quotas = langTok.crossJoin(broadcast(total))
+      .select($"lang", $"n_tok", $"wq",
+        expr(s"(${MixBudget}L * wq) div t_wq").as("base"),
+        expr(s"(${MixBudget}L * wq) % t_wq").as("rem"))
+    val leftover = quotas.agg((lit(MixBudget) - sum($"base")).as("extra"))
+    quotas.crossJoin(broadcast(leftover))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"rem".desc, $"lang")))
+      .select($"lang", $"n_tok", $"wq",
+        ($"base" + when($"rnk" <= $"extra", 1L).otherwise(0L)).as("alloc_tokens"))
+      .orderBy($"lang")
+  }
+
+  private[graft] def temperatureMixOracleSql: String =
+    s"""WITH lt AS (
+           SELECT lang,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+           FROM documents GROUP BY 1),
+         w AS (SELECT lang, n_tok,
+             CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+           FROM lt),
+         t AS (SELECT CAST(sum(wq) AS BIGINT) AS t_wq FROM w),
+         q AS (SELECT lang, n_tok, wq,
+             ($MixBudget * wq) // t.t_wq AS base,
+             ($MixBudget * wq) % t.t_wq AS rem
+           FROM w CROSS JOIN t),
+         x AS (SELECT CAST($MixBudget - sum(base) AS BIGINT) AS extra FROM q),
+         r AS (SELECT lang, n_tok, wq, base, rem,
+             row_number() OVER (ORDER BY rem DESC, lang) AS rnk
+           FROM q)
+         SELECT lang, n_tok, wq,
+           CAST(base + CASE WHEN rnk <= x.extra THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_tokens
+         FROM r CROSS JOIN x ORDER BY lang"""
+
   /** P9: curriculum assignment — rank the corpus by t2's quality score
     * and deal it into 4 curriculum phases (quartiles: phase 1 = best),
     * the "quality-ordered training schedule" stage between cleaning

@@ -564,6 +564,31 @@ class Round8Spec extends GraftSpecBase {
     }
   }
 
+  // ------------- p15 temperature mix -------------
+
+  test("p15: budget conserved and τ=2 flattens the mix toward low-resource langs") {
+    import org.apache.spark.sql.functions._
+    val tau = operators.Sampling.p15TemperatureMix(spark, sf)
+      .select($"lang", $"n_tok", $"alloc_tokens")
+      .as[(String, Long, Long)].collect().toSeq
+    val prop = operators.Sampling.p6MixAllocate(spark, sf)
+      .select($"lang", $"alloc_tokens").as[(String, Long)].collect().toMap
+    val budget = operators.Sampling.MixBudget
+    assert(tau.map(_._3).sum == budget, tau)
+    assert(prop.values.sum == budget)
+    // temperature flattening: the token-richest language gives up share,
+    // the token-poorest language gains it (strictly, on this corpus)
+    val rich = tau.maxBy(_._2); val poor = tau.minBy(_._2)
+    assert(rich._3 < prop(rich._1),
+      s"rich ${rich._1}: τ=2 ${rich._3} not below proportional ${prop(rich._1)}")
+    assert(poor._3 > prop(poor._1),
+      s"poor ${poor._1}: τ=2 ${poor._3} not above proportional ${prop(poor._1)}")
+    // still monotone: more tokens never allocates fewer
+    val sorted = tau.sortBy(_._2)
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(a._3 <= b._3, s"$a vs $b") }
+  }
+
   // ------------- z3 bloom skip accounting -------------
 
   test("z3: bloom has no false negatives, prunes for real, and beats zone maps on point lookups") {
