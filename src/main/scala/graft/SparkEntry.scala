@@ -183,6 +183,8 @@ object SparkEntry {
     "m13_slate_diversity" -> (graft.ml.Recommender.m13SlateDiversity _),
     "z3_bloom_skip"      -> (Layout.z3BloomSkip _),
     "p15_temperature_mix" -> (Sampling.p15TemperatureMix _),
+    "i7_schema_evolution" -> (Ingest.i7SchemaEvolution _),
+    "t17_heavy_change"   -> (TextAnalysis.t17HeavyChange _),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "p13_weighted_sample" -> (Sampling.p13WeightedSample _),
@@ -1903,6 +1905,11 @@ object SparkEntry {
     "q91_conversion_lag" -> operators.Analytics.conversionLagOracleSql,
     "z3_bloom_skip" -> operators.Layout.z3OracleSql(),
     "p15_temperature_mix" -> operators.Sampling.temperatureMixOracleSql,
+    "i7_schema_evolution" ->
+      """SELECT s_suppkey, s_name,
+         CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal END AS s_acctbal
+         FROM supplier ORDER BY s_suppkey""",
+    "t17_heavy_change" -> operators.TextAnalysis.heavyChangeOracleSql,
     "q87_seq_rules" ->
       """WITH cp AS (
            SELECT o.o_custkey AS c, l.l_partkey AS p, min(o.o_orderdate) AS d

@@ -159,4 +159,34 @@ object Ingest {
         md5($"content").as("digest"))
       .orderBy($"doc_id")
   }
+
+  /** I7: SCHEMA-EVOLUTION read — the lake reality i1–i6 don't cover:
+    * a table written over time by producers on DIFFERENT schema
+    * versions (here: supplier v1 without `s_acctbal`, v2 with it —
+    * the classic added-column migration), read back as ONE table via
+    * parquet `mergeSchema`. Rows from v1 files surface the added
+    * column as NULL — the documented widening contract (additive
+    * evolution only; renames/type changes need a MERGE rewrite, the
+    * §8.6 lake-format stand-in). The oracle replays the widening as a
+    * CASE on the original table, so the hash proves the merged read
+    * is value-exact including the null backfill.
+    *
+    * Shape at scale: mergeSchema unions footers, not data — the
+    * schema merge cost is per-FILE metadata (and in production is
+    * pinned once in the catalog, not re-derived per query); the read
+    * itself stays a plain pruned columnar scan. */
+  def i7SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = stage("supplier_evo", dir) { tmp =>
+      val sup = Tables.supplier(s, dir)
+      sup.filter($"s_suppkey" % 2 === 1).select($"s_suppkey", $"s_name")
+        .write.mode("overwrite").parquet(tmp + "/v1")
+      sup.filter($"s_suppkey" % 2 === 0)
+        .select($"s_suppkey", $"s_name", $"s_acctbal")
+        .write.mode("overwrite").parquet(tmp + "/v2")
+    }
+    s.read.option("mergeSchema", "true")
+      .parquet(path + "/v1", path + "/v2")
+      .orderBy($"s_suppkey")
+  }
 }

@@ -694,6 +694,59 @@ object TextAnalysis {
        FROM sh JOIN fst ON sh.shingle = fst.shingle
        GROUP BY 1 ORDER BY 1"""
 
+  /** T17: HEAVY-CHANGE detection between corpus snapshots (the
+    * Cormode–Muthukrishnan "what's new" question asked of training
+    * data): split the corpus at the doc_id midpoint into snapshot A
+    * (earlier) and B (later), compute each token's share of its
+    * snapshot in exact integer micro-units, and report the top-20 by
+    * absolute share DRIFT — the distribution-shift alarm a data
+    * pipeline wants between crawl batches (t6/t15 say what's big;
+    * this says what CHANGED). Min combined count 5 keeps one-off
+    * tokens out of the drift ranking.
+    *
+    * Shape at scale: one explode + one token-keyed two-phase
+    * conditional count (both snapshots in ONE aggregate — never two
+    * scans), totals broadcast, TakeOrdered top-20. The split point is
+    * a scalar aggregate (K-bounded driver value, like centroids). */
+  def t17HeavyChange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val mid = docs.agg(expr("(max(doc_id) + 1) div 2")).as[Long].head()
+    val cnt = docs.select($"doc_id", explode(tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token")
+      .agg(sum(when($"doc_id" < mid, 1L).otherwise(0L)).as("na"),
+        sum(when($"doc_id" >= mid, 1L).otherwise(0L)).as("nb"))
+    val tots = cnt.agg(sum($"na").as("ta"), sum($"nb").as("tb"))
+    cnt.filter($"na" + $"nb" >= 5)
+      .crossJoin(broadcast(tots))
+      .select($"token", $"na", $"nb",
+        expr("na * 1000000 div ta").as("share_a_1e6"),
+        expr("nb * 1000000 div tb").as("share_b_1e6"))
+      .withColumn("drift_1e6", abs($"share_a_1e6" - $"share_b_1e6"))
+      .orderBy($"drift_1e6".desc, $"token").limit(20)
+  }
+
+  private[graft] def heavyChangeOracleSql: String =
+    """WITH mx AS (SELECT (max(doc_id) + 1) // 2 AS mid FROM documents),
+       tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         FROM documents),
+       cnt AS (
+         SELECT token,
+           CAST(sum(CASE WHEN doc_id < mx.mid THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(sum(CASE WHEN doc_id >= mx.mid THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         FROM tok CROSS JOIN mx WHERE token <> '' GROUP BY 1),
+       tots AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+                  CAST(sum(nb) AS BIGINT) AS tb FROM cnt)
+       SELECT token, na, nb,
+         (na * 1000000) // ta AS share_a_1e6,
+         (nb * 1000000) // tb AS share_b_1e6,
+         abs((na * 1000000) // ta - (nb * 1000000) // tb) AS drift_1e6
+       FROM cnt CROSS JOIN tots
+       WHERE na + nb >= 5
+       ORDER BY drift_1e6 DESC, token LIMIT 20"""
+
   /** t14 oracle: the same regex algebra in DuckDB (RE2). */
   private[graft] def codeDetectOracleSql: String =
     raw"""SELECT doc_id,

@@ -564,6 +564,46 @@ class Round8Spec extends GraftSpecBase {
     }
   }
 
+  // ------------- t17 heavy-change drift -------------
+
+  test("t17: top-20 drift matches a local integer replay") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    val mid = (docs.map(_._1).max + 1) / 2
+    val cnt = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    docs.foreach { case (id, text) =>
+      text.split(" ", -1).filter(_.nonEmpty).foreach { t =>
+        val (a, b) = cnt.getOrElse(t, (0L, 0L))
+        cnt(t) = if (id < mid) (a + 1, b) else (a, b + 1)
+      }
+    }
+    val ta = cnt.values.map(_._1).sum; val tb = cnt.values.map(_._2).sum
+    val want = cnt.toSeq.collect { case (t, (a, b)) if a + b >= 5 =>
+      val (sa, sb) = (a * 1000000L / ta, b * 1000000L / tb)
+      (t, a, b, sa, sb, math.abs(sa - sb))
+    }.sortBy { case (t, _, _, _, _, d) => (-d, t) }.take(20)
+    val got = operators.TextAnalysis.t17HeavyChange(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, s"got ${got.take(3)}...\nwant ${want.take(3)}...")
+  }
+
+  // ------------- i7 schema-evolution read -------------
+
+  test("i7: merged read widens v1 rows with nulls and loses no data") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Ingest.i7SchemaEvolution(spark, sf).cache()
+    try {
+      assert(out.columns.toSet == Set("s_suppkey", "s_name", "s_acctbal"))
+      val nSup = Tables.supplier(spark, sf).count()
+      assert(out.count() == nSup)
+      // exactly the v1 (odd-key) rows carry the null backfill
+      assert(out.filter($"s_acctbal".isNull).select($"s_suppkey")
+        .as[Long].collect().forall(_ % 2 == 1))
+      assert(out.filter($"s_suppkey" % 2 === 0 && $"s_acctbal".isNull).count() == 0)
+    } finally out.unpersist()
+  }
+
   // ------------- p15 temperature mix -------------
 
   test("p15: budget conserved and τ=2 flattens the mix toward low-resource langs") {
