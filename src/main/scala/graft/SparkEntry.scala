@@ -185,6 +185,7 @@ object SparkEntry {
     "p15_temperature_mix" -> (Sampling.p15TemperatureMix _),
     "i7_schema_evolution" -> (Ingest.i7SchemaEvolution _),
     "t17_heavy_change"   -> (TextAnalysis.t17HeavyChange _),
+    "s11_filtered_ann"   -> (Similarity.s11FilteredAnn _),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "p13_weighted_sample" -> (Sampling.p13WeightedSample _),
@@ -1910,6 +1911,7 @@ object SparkEntry {
          CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal END AS s_acctbal
          FROM supplier ORDER BY s_suppkey""",
     "t17_heavy_change" -> operators.TextAnalysis.heavyChangeOracleSql,
+    "s11_filtered_ann" -> operators.Similarity.filteredAnnOracleSql,
     "q87_seq_rules" ->
       """WITH cp AS (
            SELECT o.o_custkey AS c, l.l_partkey AS p, min(o.o_orderdate) AS d

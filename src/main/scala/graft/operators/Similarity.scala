@@ -831,6 +831,63 @@ object Similarity {
   }
 
   // ----------------------------------------------------------------
+  // S11: attribute-filtered kNN
+  // ----------------------------------------------------------------
+
+  /** S11: FILTERED vector search — top-3 cosine neighbors among
+    * vectors sharing the query's `label` (same-category retrieval,
+    * the production ANN pain point every vector store documents:
+    * hybrid attribute + vector queries). The critical design choice
+    * is PRE-filtering: the label constraint rides the candidate JOIN
+    * as an equi-key, so only matching-label vectors are ever scored
+    * and the slate is always full — post-filtering an unfiltered
+    * top-k loses recall whenever the global top-k crosses labels.
+    *
+    * Shape at scale: the label equi-key makes the candidate join a
+    * HASH join (queries broadcast, candidates hashed by label — at
+    * lake scale, label IS a partition key and the scan prunes to the
+    * query's partitions); scoring is the codegen dot; the top-k is
+    * the map-side-partial `topk_agg` (s7's shape — wire is q·k rows).
+    * An IVF refinement within each label partition composes on top
+    * exactly as s2 does globally. */
+  def s11FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = withNorm(Tables.embeddings(s, dir))
+      .join(Tables.embeddings(s, dir).select($"vec_id", $"label"), "vec_id")
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+        $"label".as("qlabel"))
+    emb.join(broadcast(queries),
+        $"label" === $"qlabel" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"qlabel".as("label"), $"vec_id".as("neighbor_id"),
+        q4(dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
+      .groupBy($"q_id", $"label")
+      .agg(expr("topk_agg(cos, neighbor_id, 3)").as("top"))
+      .select($"q_id", $"label", posexplode($"top").as(Seq("pos", "e")))
+      .select($"q_id", $"label", ($"pos" + 1).cast("int").as("rnk"),
+        $"e.id".as("neighbor_id"), $"e.score".as("cos"))
+      .orderBy($"q_id", $"rnk")
+  }
+
+  private[graft] def filteredAnnOracleSql: String =
+    """WITH scored AS (
+           SELECT q.vec_id AS q_id, q.label AS label, c.vec_id AS neighbor_id,
+             floor(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                 z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               * 10000) / 10000.0 AS cos
+           FROM embeddings q JOIN embeddings c
+             ON q.vec_id < 5 AND c.vec_id != q.vec_id AND c.label = q.label),
+         ranked AS (
+           SELECT q_id, label, CAST(row_number() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rnk,
+             neighbor_id, cos
+           FROM scored)
+         SELECT q_id, label, rnk, neighbor_id, cos FROM ranked WHERE rnk <= 3
+         ORDER BY q_id, rnk"""
+
+  // ----------------------------------------------------------------
   // S10: MMR diversified top-k
   // ----------------------------------------------------------------
 

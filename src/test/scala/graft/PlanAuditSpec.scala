@@ -464,4 +464,12 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("s11: label filter rides the candidate join as a hash key; top-k is partial topk_agg") {
+    val p = plan(operators.Similarity.s11FilteredAnn(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_topk_agg"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

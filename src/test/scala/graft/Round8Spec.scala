@@ -564,6 +564,29 @@ class Round8Spec extends GraftSpecBase {
     }
   }
 
+  // ------------- s11 filtered ANN -------------
+
+  test("s11: slates are full, label-pure, and pre-filtering beats post-filtering") {
+    import org.apache.spark.sql.functions._
+    val got = operators.Similarity.s11FilteredAnn(spark, sf)
+      .as[(Long, Int, Int, Long, Double)].collect().toSeq
+    // pre-filter keeps every slate full (3 per query)
+    assert(got.groupBy(_._1).forall(_._2.size == 3), got)
+    val labels = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    got.foreach { case (q, lbl, _, n, _) =>
+      assert(labels(q) == lbl && labels(n) == lbl,
+        s"query $q (label ${labels(q)}) got neighbor $n (label ${labels(n)})")
+    }
+    // post-filtering the UNFILTERED global top-3 by label must lose
+    // rows somewhere (or the filter would be a no-op on this corpus)
+    val postFiltered = operators.Similarity.s1KnnBrute(spark, sf)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect()
+      .count { case (q, n) => labels(q) == labels(n) }
+    assert(postFiltered < got.size,
+      s"post-filter kept $postFiltered of ${got.size} — filter vacuous here")
+  }
+
   // ------------- t17 heavy-change drift -------------
 
   test("t17: top-20 drift matches a local integer replay") {
