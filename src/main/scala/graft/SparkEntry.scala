@@ -186,6 +186,7 @@ object SparkEntry {
     "i7_schema_evolution" -> (Ingest.i7SchemaEvolution _),
     "t17_heavy_change"   -> (TextAnalysis.t17HeavyChange _),
     "s11_filtered_ann"   -> (Similarity.s11FilteredAnn _),
+    "s12_rrf"            -> (Similarity.s12Rrf _),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "p13_weighted_sample" -> (Sampling.p13WeightedSample _),
@@ -1912,6 +1913,7 @@ object SparkEntry {
          FROM supplier ORDER BY s_suppkey""",
     "t17_heavy_change" -> operators.TextAnalysis.heavyChangeOracleSql,
     "s11_filtered_ann" -> operators.Similarity.filteredAnnOracleSql,
+    "s12_rrf" -> operators.Similarity.rrfOracleSql,
     "q87_seq_rules" ->
       """WITH cp AS (
            SELECT o.o_custkey AS c, l.l_partkey AS p, min(o.o_orderdate) AS d

@@ -831,6 +831,94 @@ object Similarity {
   }
 
   // ----------------------------------------------------------------
+  // S12: reciprocal-rank fusion
+  // ----------------------------------------------------------------
+
+  /** RRF constant (Cormack et al. SIGIR'09's k = 60) and truncation
+    * depth per ranker. */
+  val RrfK = 60
+  val RrfDepth = 20
+
+  /** S12: RECIPROCAL-RANK FUSION — the standard way a hybrid
+    * retrieval stack merges rankings that score on incomparable
+    * scales (Cormack, Clarke & Buettcher SIGIR'09; what every
+    * "hybrid search" engine ships): here the COSINE ranker (angle —
+    * s1's semantics) fused with the raw INNER-PRODUCT ranker
+    * (preference magnitude — s6's MIPS semantics) over each query's
+    * top-20 lists: fused(c) = Σ_r ⌊1e6 / (60 + rank_r(c))⌋, absent →
+    * 0, top-5 by fused score with min-id tie-break. Pure rank
+    * arithmetic — exact integers end-to-end, no score calibration.
+    *
+    * Shape at scale: each ranker is the s7 wire shape (broadcast
+    * queries, codegen dot, map-side-partial `topk_agg` — q·depth
+    * rows cross the wire per ranker); the fusion is a (query,
+    * candidate)-keyed sum over ≤ 2·depth rows per query and a
+    * TakeOrdered top-5. Adding rankers (BM25, recency) adds wire
+    * linearly, never a rescan of scored candidates. */
+  def s12Rrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = withNorm(Tables.embeddings(s, dir))
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val scored = emb.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        q4(dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"),
+        q4(dot($"qv", $"v")).as("ip"))
+    def ranked(score: String) = scored
+      .groupBy($"q_id")
+      .agg(expr(s"topk_agg($score, neighbor_id, $RrfDepth)").as("top"))
+      .select($"q_id", posexplode($"top").as(Seq("pos", "e")))
+      .select($"q_id", $"e.id".as("neighbor_id"),
+        expr(s"1000000L div ($RrfK + pos + 1)").as("contrib"))
+    ranked("cos").unionAll(ranked("ip"))
+      .groupBy($"q_id", $"neighbor_id")
+      .agg(sum($"contrib").as("rrf_1e6"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"rrf_1e6".desc, $"neighbor_id")))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"rnk".cast("int").as("rnk"), $"neighbor_id", $"rrf_1e6")
+      .orderBy($"q_id", $"rnk")
+  }
+
+  private[graft] def rrfOracleSql: String = {
+    val cosExpr =
+      """floor(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           * 10000) / 10000.0"""
+    val ipExpr =
+      """floor(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+             z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) * 10000) / 10000.0"""
+    s"""WITH scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             $cosExpr AS cos, $ipExpr AS ip
+           FROM embeddings q JOIN embeddings c
+             ON q.vec_id < 5 AND c.vec_id != q.vec_id),
+         ra AS (SELECT q_id, neighbor_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor_id) AS rnk
+           FROM scored),
+         rb AS (SELECT q_id, neighbor_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY ip DESC, neighbor_id) AS rnk
+           FROM scored),
+         contrib AS (
+           SELECT q_id, neighbor_id, 1000000 // ($RrfK + rnk) AS c
+           FROM ra WHERE rnk <= $RrfDepth
+           UNION ALL
+           SELECT q_id, neighbor_id, 1000000 // ($RrfK + rnk) AS c
+           FROM rb WHERE rnk <= $RrfDepth),
+         fused AS (
+           SELECT q_id, neighbor_id, CAST(sum(c) AS BIGINT) AS rrf_1e6,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY sum(c) DESC, neighbor_id) AS INTEGER) AS rnk
+           FROM contrib GROUP BY 1, 2)
+         SELECT q_id, rnk, neighbor_id, rrf_1e6 FROM fused
+         WHERE rnk <= 5 ORDER BY q_id, rnk"""
+  }
+
+  // ----------------------------------------------------------------
   // S11: attribute-filtered kNN
   // ----------------------------------------------------------------
 

@@ -564,6 +564,37 @@ class Round8Spec extends GraftSpecBase {
     }
   }
 
+  // ------------- s12 reciprocal-rank fusion -------------
+
+  test("s12: fused top-5 matches an exact local two-ranker replay") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def q4(x: Double) = math.floor(x * 10000) / 10000.0
+    val want = (0L until 5L).flatMap { q =>
+      val qv = emb(q); val qn = math.sqrt(dot(qv, qv))
+      val cands = emb.keys.filter(_ != q).toSeq
+      def top(score: Long => Double) = cands
+        .map(c => (c, score(c))).sortBy { case (c, sc) => (-sc, c) }
+        .take(operators.Similarity.RrfDepth).zipWithIndex
+        .map { case ((c, _), i) =>
+          c -> 1000000L / (operators.Similarity.RrfK + i + 1) }
+      val contribs = top(c => q4(dot(qv, emb(c)) / (qn * math.sqrt(dot(emb(c), emb(c)))))) ++
+        top(c => q4(dot(qv, emb(c))))
+      contribs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        .sortBy { case (c, sc) => (-sc, c) }.take(5).zipWithIndex
+        .map { case ((c, sc), i) => (q, i + 1, c, sc) }
+    }
+    val got = operators.Similarity.s12Rrf(spark, sf)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got == want, s"got ${got.take(5)}\nwant ${want.take(5)}")
+  }
+
   // ------------- s11 filtered ANN -------------
 
   test("s11: slates are full, label-pure, and pre-filtering beats post-filtering") {
