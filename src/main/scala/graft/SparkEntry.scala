@@ -187,6 +187,7 @@ object SparkEntry {
     "t17_heavy_change"   -> (TextAnalysis.t17HeavyChange _),
     "s11_filtered_ann"   -> (Similarity.s11FilteredAnn _),
     "s12_rrf"            -> (Similarity.s12Rrf _),
+    "q92_reliability"    -> (Analytics.q92Reliability _),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "p13_weighted_sample" -> (Sampling.p13WeightedSample _),
@@ -1914,6 +1915,7 @@ object SparkEntry {
     "t17_heavy_change" -> operators.TextAnalysis.heavyChangeOracleSql,
     "s11_filtered_ann" -> operators.Similarity.filteredAnnOracleSql,
     "s12_rrf" -> operators.Similarity.rrfOracleSql,
+    "q92_reliability" -> operators.Analytics.reliabilityOracleSql,
     "q87_seq_rules" ->
       """WITH cp AS (
            SELECT o.o_custkey AS c, l.l_partkey AS p, min(o.o_orderdate) AS d

@@ -1130,6 +1130,75 @@ object Analytics {
   }
 
   // ----------------------------------------------------------------
+  // Q92: reliability ranking by Wilson lower bound
+  // ----------------------------------------------------------------
+
+  /** Q92: supplier RELIABILITY ranking by the WILSON score lower
+    * bound (Wilson 1927; the "how not to sort by average rating"
+    * estimator) — on-time rate (ship lag ≤ 60 days, q41's boundary)
+    * per supplier, ranked by the z = 2 lower confidence bound instead
+    * of the raw rate, so a 3-for-3 newcomer ranks below a 950-for-1000
+    * veteran instead of above. Top-25 by bound, min-key ties.
+    *
+    * Cross-engine exactness: (n, k) are exact BIGINTs; the bound is
+    * ONE shared IEEE expression — every operation (÷, ×, +, −, sqrt)
+    * is correctly rounded and the expression structure is identical
+    * in both engines, so the double result is bit-identical (the
+    * q52-class discipline, with sqrt's 754 guarantee doing the work
+    * p15 also leans on); floor-quantized at 1e6.
+    *
+    * Shape at scale: one orders⋈lineitem join (both sides hash on
+    * the order key) + one supplier-keyed two-phase conditional count
+    * + TakeOrdered top-25. The math is per-row scalar arithmetic on
+    * the aggregated frame — supplier-cardinality-sized. */
+  def q92Reliability(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate")
+      .join(Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_shipdate"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"l_suppkey",
+        when(datediff($"l_shipdate", $"o_orderdate") <= 60, 1L)
+          .otherwise(0L).as("ontime"))
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n"), sum($"ontime").as("k"))
+    agg.select($"l_suppkey", $"n", $"k",
+        expr("k * 10000 div n").as("rate_1e4"),
+        expr(WilsonExpr).as("wilson_lb_1e6"))
+      .orderBy($"wilson_lb_1e6".desc, $"l_suppkey").limit(25)
+  }
+
+  /** The z = 2 Wilson lower bound as one engine-shared expression
+    * over BIGINT columns n, k — spelled identically in the oracle so
+    * the IEEE evaluation sequence matches step for step. */
+  private val WilsonExpr: String =
+    """cast(floor(
+         ((cast(k as double) / cast(n as double)) + 2.0 / cast(n as double)
+          - 2.0 * sqrt((cast(k as double) / cast(n as double))
+              * (1.0 - cast(k as double) / cast(n as double)) / cast(n as double)
+              + 1.0 / (cast(n as double) * cast(n as double))))
+         / (1.0 + 4.0 / cast(n as double)) * 1000000) as bigint)"""
+
+  private[graft] def reliabilityOracleSql: String =
+    s"""WITH a AS (
+           SELECT l_suppkey, count(*) AS n,
+             CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 60
+               THEN 1 ELSE 0 END) AS BIGINT) AS k
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1)
+         SELECT l_suppkey, n, k,
+           (k * 10000) // n AS rate_1e4,
+           CAST(floor(
+             ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) + 2.0 / CAST(n AS DOUBLE)
+              - 2.0 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+                  + 1.0 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + 4.0 / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+             AS wilson_lb_1e6
+         FROM a
+         ORDER BY wilson_lb_1e6 DESC, l_suppkey LIMIT 25"""
+
+  // ----------------------------------------------------------------
   // Q91: conversion-lag distribution
   // ----------------------------------------------------------------
 

@@ -564,6 +564,37 @@ class Round8Spec extends GraftSpecBase {
     }
   }
 
+  // ------------- q92 Wilson reliability ranking -------------
+
+  test("q92: top-25 matches a local Wilson replay; bound demotes small-n rates") {
+    import org.apache.spark.sql.functions._
+    val pairs = Tables.orders(spark, sf).select($"o_orderkey", $"o_orderdate")
+      .join(Tables.lineitem(spark, sf)
+        .select($"l_orderkey", $"l_suppkey", $"l_shipdate"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"l_suppkey", datediff($"l_shipdate", $"o_orderdate").as("lag"))
+      .as[(Long, Int)].collect()
+    def wilson(n: Long, k: Long): Long = {
+      val nd = n.toDouble; val p = k.toDouble / nd
+      math.floor((p + 2.0 / nd - 2.0 * math.sqrt(p * (1.0 - p) / nd +
+        1.0 / (nd * nd))) / (1.0 + 4.0 / nd) * 1000000).toLong
+    }
+    val agg = pairs.groupBy(_._1).map { case (sk, rows) =>
+      (sk, rows.size.toLong, rows.count(_._2 <= 60).toLong) }.toSeq
+    val want = agg.map { case (sk, n, k) =>
+      (sk, n, k, k * 10000 / n, wilson(n, k)) }
+      .sortBy { case (sk, _, _, _, w) => (-w, sk) }.take(25)
+    val got = operators.Analytics.q92Reliability(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, s"got ${got.take(3)}\nwant ${want.take(3)}")
+    // the point of the estimator: the bound is always below the raw
+    // rate, and more data tightens it (same rate, larger n → higher lb)
+    got.foreach { case (sk, n, k, r, w) =>
+      assert(w <= r * 100, s"$sk: bound $w above rate ${r * 100}") }
+    assert(wilson(1000, 950) > wilson(3, 3),
+      "a 3-for-3 newcomer must rank below a 950-for-1000 veteran")
+  }
+
   // ------------- s12 reciprocal-rank fusion -------------
 
   test("s12: fused top-5 matches an exact local two-ranker replay") {
