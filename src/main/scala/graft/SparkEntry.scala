@@ -188,6 +188,8 @@ object SparkEntry {
     "s11_filtered_ann"   -> (Similarity.s11FilteredAnn _),
     "s12_rrf"            -> (Similarity.s12Rrf _),
     "q92_reliability"    -> (Analytics.q92Reliability _),
+    "q93_trend_slope"    -> (Analytics.q93TrendSlope _),
+    "p16_source_cap"     -> (Sampling.p16SourceCap _),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "p13_weighted_sample" -> (Sampling.p13WeightedSample _),
@@ -1916,6 +1918,8 @@ object SparkEntry {
     "s11_filtered_ann" -> operators.Similarity.filteredAnnOracleSql,
     "s12_rrf" -> operators.Similarity.rrfOracleSql,
     "q92_reliability" -> operators.Analytics.reliabilityOracleSql,
+    "q93_trend_slope" -> operators.Analytics.trendSlopeOracleSql,
+    "p16_source_cap" -> operators.Sampling.sourceCapOracleSql,
     "q87_seq_rules" ->
       """WITH cp AS (
            SELECT o.o_custkey AS c, l.l_partkey AS p, min(o.o_orderdate) AS d

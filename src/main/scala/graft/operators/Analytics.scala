@@ -1130,6 +1130,83 @@ object Analytics {
   }
 
   // ----------------------------------------------------------------
+  // Q93: per-group OLS trend slope
+  // ----------------------------------------------------------------
+
+  /** Q93: revenue TREND SLOPE per nation — the least-squares line
+    * through each nation's weekly revenue series, in cents/week: the
+    * "which markets are actually growing, and how fast" number q48's
+    * YoY ratio can't give (a ratio has no units and two points; a
+    * fitted slope uses every week). slope = (nΣxy − ΣxΣy)/(nΣx² −
+    * (Σx)²) over x = week index REBASED to the corpus minimum (keeps
+    * every sufficient statistic well inside BIGINT: x ≤ ~350 here,
+    * y = weekly cents), y from `round(o_totalprice·100)` — 2-dp
+    * doubles land within 1e-9 of an integer, so round is
+    * boundary-safe in both engines.
+    *
+    * Cross-engine exactness: all five sufficient statistics are
+    * exact BIGINTs; the slope is the q89 discipline — ONE shared
+    * IEEE ratio expression, floor-quantized at 1e2 (floor, not
+    * integer division: `div` truncates toward zero while `//` floors,
+    * and slopes go NEGATIVE — the mismatch class this repo's floor
+    * convention exists to avoid).
+    *
+    * Shape at scale: broadcast dim chain customer→nation, ONE
+    * two-phase aggregate to the (nation, week) grain, one more to
+    * the nation grain — no window, no collect beyond the rebase
+    * scalar. */
+  def q93TrendSlope(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderdate",
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+        expr("datediff(o_orderdate, date'1970-01-01') div 7").as("wk"))
+    val minWk = o.agg(min($"wk")).as[Long].head()
+    val weekly = o
+      .join(Tables.customer(s, dir).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)
+        .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", ($"wk" - minWk).as("x"))
+      .agg(sum($"cents").as("y"))
+    weekly.groupBy($"n_name")
+      .agg(count(lit(1)).as("n_weeks"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sx2"))
+      .select($"n_name", $"n_weeks", $"sx", $"sy", $"sxy", $"sx2",
+        (floor(($"n_weeks" * $"sxy" - $"sx" * $"sy").cast("double") /
+               ($"n_weeks" * $"sx2" - $"sx" * $"sx").cast("double")
+          * 100) / 100.0).as("slope_cents_wk"))
+      .orderBy($"n_name")
+  }
+
+  private[graft] def trendSlopeOracleSql: String =
+    """WITH o AS (
+         SELECT o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           date_diff('day', DATE '1970-01-01', o_orderdate) // 7 AS wk
+         FROM orders),
+       mw AS (SELECT min(wk) AS m FROM o),
+       weekly AS (
+         SELECT n.n_name, o.wk - mw.m AS x,
+           CAST(sum(o.cents) AS BIGINT) AS y
+         FROM o CROSS JOIN mw
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1, 2),
+       st AS (
+         SELECT n_name, count(*) AS n_weeks,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sx2
+         FROM weekly GROUP BY 1)
+       SELECT n_name, n_weeks, sx, sy, sxy, sx2,
+         floor(CAST(n_weeks * sxy - sx * sy AS DOUBLE) /
+               CAST(n_weeks * sx2 - sx * sx AS DOUBLE) * 100) / 100.0
+           AS slope_cents_wk
+       FROM st ORDER BY n_name"""
+
+  // ----------------------------------------------------------------
   // Q92: reliability ranking by Wilson lower bound
   // ----------------------------------------------------------------
 

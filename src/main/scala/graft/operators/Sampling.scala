@@ -133,6 +133,59 @@ object Sampling {
              AS alloc_tokens
          FROM r CROSS JOIN x ORDER BY lang"""
 
+  /** Per-source ceiling for p16, percent of the corpus. 3% binds on
+    * this deliberately uniform corpus (every source holds 5%). */
+  val SourceCapPct = 3
+
+  /** P16: SOURCE-CAP curation — bound any single source's share of
+    * the corpus at `SourceCapPct`% (the anti-domination guard every
+    * web-scale mix applies before weighting: one crawler bucket or
+    * mirror farm must not swamp the distribution, however its quality
+    * scores look). Deterministic keep policy: the LOWEST doc_ids per
+    * source up to the cap (ingest order = keep-first, p7's
+    * convention). Output is the per-source audit row: total, kept,
+    * whether the cap bound, and the kept-set fingerprint (the
+    * d7/p7 `kept_fp` discipline — md5 over the ordered kept ids).
+    *
+    * Shape at scale: one count for the global cap scalar, then a
+    * per-source rank — a (source)-keyed window whose partitions are
+    * exactly the unit the cap is defined over (a pathologically hot
+    * source is the thing being CUT; rank ≤ cap short-circuits into a
+    * per-source top-cap TakeOrdered under AQE at real scale) — and
+    * one per-source aggregate. */
+  def p16SourceCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source")
+    val cap = docs.count() * SourceCapPct / 100
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    docs.withColumn("rnk", row_number().over(w))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"rnk" <= cap, 1L).otherwise(0L)).as("n_kept"),
+        (max($"rnk") > cap).as("capped"),
+        md5(concat_ws(" ",
+          sort_array(collect_list(when($"rnk" <= cap, $"doc_id")))))
+          .as("kept_fp"))
+      .orderBy($"source")
+  }
+
+  private[graft] def sourceCapOracleSql: String =
+    s"""WITH n AS (SELECT count(*) * $SourceCapPct // 100 AS cap
+           FROM documents),
+         r AS (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+           FROM documents)
+         SELECT source, count(*) AS n_total,
+           CAST(sum(CASE WHEN rnk <= n.cap THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           max(rnk) > n.cap AS capped,
+           md5(string_agg(CASE WHEN rnk <= n.cap
+             THEN CAST(doc_id AS VARCHAR) END, ' ' ORDER BY doc_id))
+             AS kept_fp
+         FROM r CROSS JOIN n
+         GROUP BY source, n.cap ORDER BY source"""
+
   /** P9: curriculum assignment — rank the corpus by t2's quality score
     * and deal it into 4 curriculum phases (quartiles: phase 1 = best),
     * the "quality-ordered training schedule" stage between cleaning

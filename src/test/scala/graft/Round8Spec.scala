@@ -564,6 +564,59 @@ class Round8Spec extends GraftSpecBase {
     }
   }
 
+  // ------------- q93 trend slope -------------
+
+  test("q93: per-nation slope matches a local OLS replay") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.orders(spark, sf)
+      .select($"o_custkey", expr("cast(round(o_totalprice * 100) as bigint)"),
+        expr("datediff(o_orderdate, date'1970-01-01') div 7"))
+      .as[(Long, Long, Long)].collect()
+    val nation = Tables.customer(spark, sf)
+      .select($"c_custkey", $"c_nationkey").as[(Long, Int)].collect().toMap
+    val names = Tables.nation(spark, sf)
+      .select($"n_nationkey", $"n_name").as[(Int, String)].collect().toMap
+    val minWk = rows.map(_._3).min
+    val weekly = rows.groupBy { case (ck, _, wk) =>
+        (names(nation(ck)), wk - minWk) }
+      .map { case ((nm, x), rs) => (nm, x, rs.map(_._2).sum) }.toSeq
+    val want = weekly.groupBy(_._1).map { case (nm, pts) =>
+      val n = pts.size.toLong
+      val sx = pts.map(_._2).sum; val sy = pts.map(_._3).sum
+      val sxy = pts.map(p => p._2 * p._3).sum
+      val sx2 = pts.map(p => p._2 * p._2).sum
+      (nm, n, sx, sy, sxy, sx2,
+        math.floor((n * sxy - sx * sy).toDouble /
+          (n * sx2 - sx * sx).toDouble * 100) / 100.0)
+    }.toSeq.sortBy(_._1)
+    val got = operators.Analytics.q93TrendSlope(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == want, s"got ${got.take(2)}\nwant ${want.take(2)}")
+  }
+
+  // ------------- p16 source cap -------------
+
+  test("p16: cap binds per source, keep-first policy, audit conserved") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Sampling.p16SourceCap(spark, sf)
+      .as[(String, Long, Long, Boolean, String)].collect().toSeq
+    val total = Tables.documents(spark, sf).count()
+    val cap = total * operators.Sampling.SourceCapPct / 100
+    out.foreach { case (src, n, kept, capped, fp) =>
+      assert(kept == math.min(n, cap), s"$src: kept $kept of $n, cap $cap")
+      assert(capped == (n > cap), s"$src: capped flag wrong")
+      assert(fp.nonEmpty)
+    }
+    // keep-first: the kept set of one source is exactly its lowest ids
+    val src = out.head._1
+    val ids = Tables.documents(spark, sf).filter($"source" === src)
+      .select($"doc_id").as[Long].collect().sorted.take(cap.toInt)
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(ids.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out.head._5 == fp, s"kept_fp mismatch for $src")
+  }
+
   // ------------- q92 Wilson reliability ranking -------------
 
   test("q92: top-25 matches a local Wilson replay; bound demotes small-n rates") {
