@@ -189,6 +189,7 @@ object SparkEntry {
     "s12_rrf"            -> (Similarity.s12Rrf _),
     "q92_reliability"    -> (Analytics.q92Reliability _),
     "q93_trend_slope"    -> (Analytics.q93TrendSlope _),
+    "q94_robustness"     -> (Graph.q94Robustness _),
     "p16_source_cap"     -> (Sampling.p16SourceCap _),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
@@ -1919,6 +1920,7 @@ object SparkEntry {
     "s12_rrf" -> operators.Similarity.rrfOracleSql,
     "q92_reliability" -> operators.Analytics.reliabilityOracleSql,
     "q93_trend_slope" -> operators.Analytics.trendSlopeOracleSql,
+    "q94_robustness" -> operators.Graph.robustnessOracleSql(),
     "p16_source_cap" -> operators.Sampling.sourceCapOracleSql,
     "q87_seq_rules" ->
       """WITH cp AS (

@@ -1782,6 +1782,98 @@ object Graph {
   }
 
   // ----------------------------------------------------------------
+  // Q94: attack robustness
+  // ----------------------------------------------------------------
+
+  /** Hubs removed by q94 — top-degree, min-key ties. */
+  val RobustnessHubs = 10
+
+  /** Q94: attack ROBUSTNESS of the co-purchase graph (Albert, Jeong &
+    * Barabási 2000's "error and attack tolerance"): remove the top-10
+    * degree hubs and measure how much of the largest connected
+    * component survives — the one-number answer to "does this
+    * catalog's connectivity hang off a few anchor products?". Output
+    * one row: nodes/edges/LCC before, nodes/LCC after, and the
+    * retained share (exact integer ratio, floor-quantized).
+    *
+    * Shape at scale: degrees are one aggregate; the hub set is a
+    * K-bounded driver artifact (like pivots); both component passes
+    * are the q73/d6 pointer-jumping loop (one shuffle per round,
+    * state through localCheckpoint inside `connectedComponents`);
+    * the removal filter is a broadcast NOT-IN over 10 keys pushed to
+    * the edge scan. */
+  def q94Robustness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def compute = {
+      val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
+        .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
+        .cache()
+      val nEdges = edges.count() / 2
+      val hubs = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .orderBy($"deg".desc, $"src").limit(RobustnessHubs)
+        .select($"src").as[Long].collect()
+      val lab1 = Dedup.connectedComponents(s, edges)
+      val (n1, lcc1) = sizesOf(lab1)
+      val edges2 = edges
+        .filter(!$"src".isInCollection(hubs) && !$"dst".isInCollection(hubs))
+        .cache()
+      val (n2, lcc2) =
+        if (edges2.isEmpty) (0L, 0L) else sizesOf(Dedup.connectedComponents(s, edges2))
+      edges.unpersist(); edges2.unpersist()
+      Seq((n1, nEdges, lcc1, n2, lcc2, lcc2 * 10000 / lcc1))
+        .toDF("n_nodes", "n_edges", "lcc_before", "n_nodes_after",
+          "lcc_after", "retained_1e4")
+    }
+    graft.Caches.memo("q94_robustness", dir)(compute)()
+  }
+
+  private def sizesOf(labels: DataFrame): (Long, Long) = {
+    val s = labels.sparkSession
+    import s.implicits._
+    labels.groupBy($"group_id").agg(count(lit(1)).as("c"))
+      .agg(sum($"c"), max($"c")).as[(Long, Long)].head()
+  }
+
+  private[graft] def robustnessOracleSql(hubs: Int = RobustnessHubs): String =
+    s"""WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         prs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT pa AS src, pb AS dst FROM prs
+               UNION ALL SELECT pb, pa FROM prs),
+         dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         hub AS (SELECT src FROM dg ORDER BY deg DESC, src LIMIT $hubs),
+         e2 AS (SELECT src, dst FROM e
+                WHERE src NOT IN (SELECT src FROM hub)
+                  AND dst NOT IN (SELECT src FROM hub)),
+         reach1(n, r) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT x.src, reach1.r FROM e x JOIN reach1 ON x.dst = reach1.n),
+         lab1 AS (SELECT n, min(r) AS gid FROM reach1 GROUP BY 1),
+         sz1 AS (SELECT count(*) AS n_nodes FROM lab1),
+         l1 AS (SELECT max(c) AS lcc FROM
+                 (SELECT count(*) AS c FROM lab1 GROUP BY gid)),
+         reach2(n, r) AS (
+           SELECT src, src FROM e2
+           UNION
+           SELECT x.src, reach2.r FROM e2 x JOIN reach2 ON x.dst = reach2.n),
+         lab2 AS (SELECT n, min(r) AS gid FROM reach2 GROUP BY 1),
+         sz2 AS (SELECT count(*) AS n_nodes FROM lab2),
+         l2 AS (SELECT coalesce(max(c), 0) AS lcc FROM
+                 (SELECT count(*) AS c FROM lab2 GROUP BY gid))
+         SELECT sz1.n_nodes AS n_nodes,
+           (SELECT count(*) FROM prs) AS n_edges,
+           l1.lcc AS lcc_before,
+           sz2.n_nodes AS n_nodes_after,
+           l2.lcc AS lcc_after,
+           (l2.lcc * 10000) // l1.lcc AS retained_1e4
+         FROM sz1 CROSS JOIN l1 CROSS JOIN sz2 CROSS JOIN l2"""
+
+  // ----------------------------------------------------------------
   // Q89: degree assortativity
   // ----------------------------------------------------------------
 

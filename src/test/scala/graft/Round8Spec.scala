@@ -564,6 +564,20 @@ class Round8Spec extends GraftSpecBase {
     }
   }
 
+  // ------------- q94 attack robustness -------------
+
+  test("q94: hub removal shrinks the graph consistently") {
+    val (n, m, lcc1, n2, lcc2, ret) = operators.Graph.q94Robustness(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(n > 0 && m > 0 && lcc1 <= n)
+    // removing 10 hubs drops at least those nodes (plus any isolated)
+    assert(n2 <= n - operators.Graph.RobustnessHubs, s"$n2 vs $n")
+    assert(lcc2 <= lcc1 && lcc2 <= n2)
+    assert(ret == lcc2 * 10000 / lcc1)
+    // the removal must actually cost connectivity on this graph
+    assert(ret < 10000, "hub removal left the LCC untouched")
+  }
+
   // ------------- q93 trend slope -------------
 
   test("q93: per-nation slope matches a local OLS replay") {
