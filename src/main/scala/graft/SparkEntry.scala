@@ -190,6 +190,8 @@ object SparkEntry {
     "q92_reliability"    -> (Analytics.q92Reliability _),
     "q93_trend_slope"    -> (Analytics.q93TrendSlope _),
     "q94_robustness"     -> (Graph.q94Robustness _),
+    "q95_degree_dist"    -> (Graph.q95DegreeDist _),
+    "t18_cross_surprisal" -> (TextAnalysis.t18CrossSurprisal _),
     "p16_source_cap"     -> (Sampling.p16SourceCap _),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
@@ -1921,6 +1923,8 @@ object SparkEntry {
     "q92_reliability" -> operators.Analytics.reliabilityOracleSql,
     "q93_trend_slope" -> operators.Analytics.trendSlopeOracleSql,
     "q94_robustness" -> operators.Graph.robustnessOracleSql(),
+    "q95_degree_dist" -> operators.Graph.degreeDistOracleSql,
+    "t18_cross_surprisal" -> operators.TextAnalysis.crossSurprisalOracleSql,
     "p16_source_cap" -> operators.Sampling.sourceCapOracleSql,
     "q87_seq_rules" ->
       """WITH cp AS (

@@ -1874,6 +1874,57 @@ object Graph {
          FROM sz1 CROSS JOIN l1 CROSS JOIN sz2 CROSS JOIN l2"""
 
   // ----------------------------------------------------------------
+  // Q95: degree distribution
+  // ----------------------------------------------------------------
+
+  /** Q95: DEGREE DISTRIBUTION of the co-purchase graph — the
+    * histogram + complementary CDF (share of nodes with degree ≥ d,
+    * exact integer micro-units) that every "is this graph power-law"
+    * conversation starts from, and the direct evidence behind q94's
+    * robustness number (a heavy CCDF tail = hub-dependent). Exact
+    * integers end-to-end.
+    *
+    * Shape at scale: one degree aggregate (map-side partial), one
+    * degree-histogram aggregate — the CCDF window runs over the
+    * HISTOGRAM (degree-cardinality rows, ≤ d_max — bounded artifact
+    * scale), never over nodes. */
+  def q95DegreeDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+    val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
+      .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
+    val hist = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .groupBy($"deg").agg(count(lit(1)).as("n_nodes"))
+    val total = hist.agg(sum($"n_nodes").as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"deg".desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    hist.crossJoin(broadcast(total))
+      .withColumn("n_ge", sum($"n_nodes").over(w))
+      .select($"deg", $"n_nodes",
+        expr("n_ge * 1000000 div n_total").as("ccdf_1e6"))
+      .orderBy($"deg")
+  }
+
+  private[graft] def degreeDistOracleSql: String =
+    """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         prs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT pa AS src, pb AS dst FROM prs
+               UNION ALL SELECT pb, pa FROM prs),
+         dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         h AS (SELECT deg, count(*) AS n_nodes FROM dg GROUP BY 1),
+         t AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n_total FROM h)
+         SELECT deg, n_nodes,
+           (CAST(sum(n_nodes) OVER (ORDER BY deg DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            * 1000000) // t.n_total AS ccdf_1e6
+         FROM h CROSS JOIN t ORDER BY deg"""
+
+  // ----------------------------------------------------------------
   // Q89: degree assortativity
   // ----------------------------------------------------------------
 

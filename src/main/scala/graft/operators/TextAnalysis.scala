@@ -747,6 +747,60 @@ object TextAnalysis {
        WHERE na + nb >= 5
        ORDER BY drift_1e6 DESC, token LIMIT 20"""
 
+  /** T18: CROSS-corpus surprisal — t9's per-doc surprisal scored
+    * against a REFERENCE unigram LM instead of the corpus's own: the
+    * snapshot-A half (t17's doc_id-midpoint split) trains the add-one
+    * model, snapshot-B docs are scored under it, OOV tokens smoothed
+    * to count 0+1. This is the perplexity-filter shape of CCNet /
+    * Wenzek et al. 2020 — "how surprising is this NEW document to the
+    * distribution we already curated" — the quality/domain gate a
+    * within-corpus surprisal (t9) can't express because a document
+    * always helps train the model scoring it. Same log2 floor-quantize
+    * discipline as t9.
+    *
+    * Shape at scale: the reference counts are one token aggregate
+    * over half the corpus; scoring is one token-keyed LEFT join (OOV
+    * rows survive with null→smoothed) + one doc aggregate — d2-class
+    * exchanges, no window. */
+  def t18CrossSurprisal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val mid = docs.agg(expr("(max(doc_id) + 1) div 2")).as[Long].head()
+    val tok = docs.select($"doc_id", explode(tokens($"text")).as("token"))
+      .filter($"token" =!= "")
+    val ref = tok.filter($"doc_id" < mid)
+      .groupBy($"token").agg(count(lit(1)).as("c"))
+    val scalars = ref.agg(sum($"c").as("n_total"), count(lit(1)).as("v"))
+    tok.filter($"doc_id" >= mid)
+      .join(ref, Seq("token"), "left")
+      .join(broadcast(scalars))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (floor(avg(-log2((coalesce($"c", lit(0L)) + 1).cast("double") /
+          ($"n_total" + $"v").cast("double"))) * 10000) / 10000.0)
+          .as("cross_surprisal"))
+      .orderBy($"doc_id")
+  }
+
+  private[graft] def crossSurprisalOracleSql: String =
+    """WITH mx AS (SELECT (max(doc_id) + 1) // 2 AS mid FROM documents),
+       tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         FROM documents),
+       tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+       ref AS (SELECT token, count(*) AS c FROM tk CROSS JOIN mx
+               WHERE doc_id < mx.mid GROUP BY 1),
+       sc AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                count(*) AS v FROM ref)
+       SELECT tk.doc_id, count(*) AS n_tokens,
+         floor(avg(-log2(CAST(coalesce(ref.c, 0) + 1 AS DOUBLE) /
+           CAST(sc.n_total + sc.v AS DOUBLE))) * 10000) / 10000.0
+           AS cross_surprisal
+       FROM tk CROSS JOIN mx CROSS JOIN sc
+       LEFT JOIN ref ON tk.token = ref.token
+       WHERE tk.doc_id >= mx.mid
+       GROUP BY 1 ORDER BY 1"""
+
   /** t14 oracle: the same regex algebra in DuckDB (RE2). */
   private[graft] def codeDetectOracleSql: String =
     raw"""SELECT doc_id,

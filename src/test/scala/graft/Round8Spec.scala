@@ -564,6 +564,47 @@ class Round8Spec extends GraftSpecBase {
     }
   }
 
+  // ------------- q95 degree distribution -------------
+
+  test("q95: histogram conserves nodes and the CCDF is a proper tail function") {
+    val rows = operators.Graph.q95DegreeDist(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(rows.nonEmpty)
+    // at the minimum degree every node qualifies: CCDF = 1e6 exactly
+    assert(rows.head._3 == 1000000L, rows.head)
+    // monotone nonincreasing tail, positive bins
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a._3 >= b._3, s"$a vs $b"); assert(b._2 > 0) }
+    // conservation: histogram mass equals q94's independent node count
+    val nNodes = operators.Graph.q94Robustness(spark, sf)
+      .select($"n_nodes").as[Long].head()
+    assert(rows.map(_._2).sum == nNodes, s"${rows.map(_._2).sum} vs $nNodes")
+  }
+
+  // ------------- t18 cross-corpus surprisal -------------
+
+  test("t18: scores exactly the B half; OOV-heavy docs score above in-reference docs") {
+    import org.apache.spark.sql.functions._
+    val out = operators.TextAnalysis.t18CrossSurprisal(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    val mid = Tables.documents(spark, sf)
+      .agg(expr("(max(doc_id) + 1) div 2")).as[Long].head()
+    assert(out.nonEmpty && out.forall(_._1 >= mid))
+    assert(out.forall(_._3 > 0))
+    // a doc whose tokens all appear in the reference scores strictly
+    // below the OOV ceiling -log2(1/(N+V))
+    val (nTotal, v) = {
+      val tok = Tables.documents(spark, sf)
+        .select($"doc_id", explode(graft.functions.TextFunctions.tokens($"text"))
+          .as("t")).filter($"t" =!= "" && $"doc_id" < mid)
+      val c = tok.groupBy($"t").count()
+      (c.agg(sum($"count")).as[Long].head(), c.count())
+    }
+    val ceiling = -math.log((1.0) / (nTotal + v)) / math.log(2.0)
+    out.foreach { case (id, _, sp) =>
+      assert(sp <= ceiling + 1e-6, s"doc $id surprisal $sp above OOV ceiling $ceiling") }
+  }
+
   // ------------- q94 attack robustness -------------
 
   test("q94: hub removal shrinks the graph consistently") {
