@@ -120,7 +120,9 @@ object ScaleProbe {
                   "i7_schema_evolution", "t17_heavy_change",
                   "s11_filtered_ann", "s12_rrf", "q92_reliability",
                   "q93_trend_slope", "p16_source_cap", "q94_robustness",
-                  "q95_degree_dist", "t18_cross_surprisal")
+                  "q95_degree_dist", "t18_cross_surprisal",
+                  "q96_shapley", "q96_shapley_sampled",
+                  "s13_hybrid_ann", "s13_hybrid_full")
     // optional arg 2: regex to probe a subset (factor stays arg 1)
     val picked = args.drop(1).headOption
       .map(re => all.filter(_.matches(re))).getOrElse(all)

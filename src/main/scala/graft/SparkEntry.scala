@@ -187,7 +187,15 @@ object SparkEntry {
     "t17_heavy_change"   -> (TextAnalysis.t17HeavyChange _),
     "s11_filtered_ann"   -> (Similarity.s11FilteredAnn _),
     "s12_rrf"            -> (Similarity.s12Rrf _),
+    "s13_hybrid_ann"     -> ((s: SparkSession, d: String) => Similarity.s13HybridAnn(s, d)),
+    // scanning every cluster of the label slice makes the hybrid index
+    // path exact, so s11's filtered brute-force SQL oracles it
+    "s13_hybrid_full"    -> ((s: SparkSession, d: String) =>
+      Similarity.s13HybridAnn(s, d, Similarity.IvfClusters)),
     "q92_reliability"    -> (Analytics.q92Reliability _),
+    "q96_shapley"        -> (Analytics.q96Shapley _),
+    "q96_shapley_sampled" -> ((s: SparkSession, d: String) =>
+      Analytics.q96ShapleySampled(s, d)),
     "q93_trend_slope"    -> (Analytics.q93TrendSlope _),
     "q94_robustness"     -> (Graph.q94Robustness _),
     "q95_degree_dist"    -> (Graph.q95DegreeDist _),
@@ -1908,6 +1916,7 @@ object SparkEntry {
     "q88_diameter" -> operators.Graph.diameterOracleSql(),
     "q89_assortativity" -> operators.Graph.assortativityOracleSql(),
     "q90_markov_attrib" -> operators.Analytics.markovOracleSql(),
+    "q96_shapley" -> operators.Analytics.shapleyOracleSql,
     "s10_mmr" -> operators.Similarity.mmrOracleSql(),
     "t16_novelty" -> operators.TextAnalysis.noveltyOracleSql,
     "q91_conversion_lag" -> operators.Analytics.conversionLagOracleSql,
@@ -1919,6 +1928,7 @@ object SparkEntry {
          FROM supplier ORDER BY s_suppkey""",
     "t17_heavy_change" -> operators.TextAnalysis.heavyChangeOracleSql,
     "s11_filtered_ann" -> operators.Similarity.filteredAnnOracleSql,
+    "s13_hybrid_full" -> operators.Similarity.filteredAnnOracleSql,
     "s12_rrf" -> operators.Similarity.rrfOracleSql,
     "q92_reliability" -> operators.Analytics.reliabilityOracleSql,
     "q93_trend_slope" -> operators.Analytics.trendSlopeOracleSql,

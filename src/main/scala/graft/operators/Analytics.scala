@@ -1493,4 +1493,221 @@ object Analytics {
              AS share_1e6
          FROM eff CROSS JOIN tot ORDER BY channel"""
   }
+
+  /** Micro-unit scale for q96's coalition conversion rates. */
+  val ShapleyScale = 1000000L
+
+  /** Permutation-sample size for the q96 sampled estimator. */
+  val ShapleySamples = 64
+
+  /** Q96: SHAPLEY-VALUE attribution (Shapley 1953 via Zhao et al.
+    * 2018's coalition formulation) — the game-theoretic upgrade of
+    * q90's removal effect: channels are players, a coalition S's
+    * value v(S) is the observed conversion rate of journeys whose
+    * touched-channel set is exactly S (v(∅) ≡ 0, unobserved sets 0),
+    * and channel i is credited its Shapley value
+    * φ_i = Σ_{S⊆C\i} |S|!·(K−1−|S|)!/K! · (v(S∪i) − v(S)).
+    * Unlike removal effect, φ satisfies the fairness axioms
+    * (symmetry, dummy, additivity) — two channels that always appear
+    * together get equal credit instead of double-counted drops.
+    *
+    * Cross-engine exactness: v quantizes to 1e6 micro-units by floor
+    * division; φ is carried UN-normalized as φ·K! (every term
+    * |S|!·(K−1−|S|)!·Δv is an exact Long product), so both engines
+    * replay identical integer algebra — no factorial fractions.
+    * Shares are floor-division of the same integers (floorDiv,
+    * matching DuckDB's `//` on possibly-negative φ).
+    *
+    * Shape at scale: the 100 TB work is journey construction — one
+    * user-keyed window (running purchase count = journey id) + one
+    * (user, journey) aggregate + one coalition-set aggregate. The
+    * coalition table is 2^K rows (K = |channels|, VOCABULARY-bounded
+    * like q90's transition matrix), so the 2^K subset sum is exact
+    * driver-side metadata work. For K beyond ~20 the subset
+    * enumeration explodes — that regime is `q96_shapley_sampled`'s
+    * seeded permutation estimator (unbiased, m11's pattern). */
+  def q96Shapley(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val co = shapleyCoalitions(s, dir)
+    val chans = co.flatMap(_._1).distinct.sorted
+    shapleyExact(s, co, chans)
+  }
+
+  /** Coalition stats: for each observed touched-channel SET (sorted),
+    * the journey count and conversion count. ≤ 2^K rows collected. */
+  private[graft] def shapleyCoalitions(s: SparkSession,
+      dir: String): Array[(Seq[String], Long, Long)] = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = Tables.eventsWithMs(s, dir)
+      .select($"user_id", $"ms", $"event_id", $"event_type")
+      .withColumn("jid",
+        count(when($"event_type" === "purchase", 1)).over(w))
+    e.groupBy($"user_id", $"jid")
+      .agg(
+        sort_array(collect_set(
+          when($"event_type" =!= "purchase", $"event_type"))).as("chans"),
+        max(($"event_type" === "purchase").cast("long")).as("conv"))
+      .groupBy($"chans")
+      .agg(count(lit(1)).as("n"), sum($"conv").as("c"))
+      .as[(Seq[String], Long, Long)].collect()
+  }
+
+  /** The exact subset-sum Shapley solve over collected coalition
+    * stats — 2^K integer driver work, the q90 solve's sibling. */
+  private[graft] def shapleyExact(s: SparkSession,
+      co: Array[(Seq[String], Long, Long)],
+      chans: Seq[String]): DataFrame = {
+    import s.implicits._
+    val k = chans.length
+    require(k <= 20, s"exact Shapley needs 2^K enumeration; K=$k — use the sampled estimator")
+    val bit = chans.zipWithIndex.toMap
+    val byMask = co.map { case (set, n, c) =>
+      (set.map(ch => 1 << bit(ch)).sum, (n, c))
+    }.toMap
+    // v(∅) ≡ 0 (Zhao et al.'s grounding); unobserved coalitions 0
+    val v: Map[Int, Long] = byMask.collect {
+      case (m, (n, c)) if m != 0 => m -> c * ShapleyScale / n
+    }
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val phis = chans.map { ch =>
+      val b = 1 << bit(ch)
+      var acc = 0L
+      var sMask = 0
+      while (sMask < (1 << k)) {
+        if ((sMask & b) == 0) {
+          val sz = Integer.bitCount(sMask)
+          acc += fact(sz) * fact(k - 1 - sz) *
+            (v.getOrElse(sMask | b, 0L) - v.getOrElse(sMask, 0L))
+        }
+        sMask += 1
+      }
+      val nJourneys = byMask.collect {
+        case (m, (n, _)) if (m & b) != 0 => n }.sum
+      (ch, nJourneys, acc)
+    }
+    val tot = phis.map(_._3).sum
+    phis.map { case (ch, nj, p) =>
+      (ch, nj, p,
+        if (tot == 0) 0L else Math.floorDiv(p * ShapleyScale, tot))
+    }.toDF("channel", "n_journeys", "phi_kfact", "share_1e6")
+      .orderBy($"channel")
+  }
+
+  /** Q96 SAMPLED: the permutation-sample Shapley estimator — for K
+    * where 2^K enumeration is off the table, φ_i is estimated as the
+    * mean marginal contribution of i over M seeded uniform channel
+    * permutations (Castro et al. 2009). Deterministic given the seed
+    * (splittable counter-based draws, the m11 discipline); UNBIASED:
+    * each permutation's marginal term has expectation φ_i exactly,
+    * spec-pinned by mean-over-seeds convergence to the exact table.
+    * Output is scaled to φ·K! units so the two entries are directly
+    * comparable. Rows-only by design (seeded RNG). */
+  def q96ShapleySampled(s: SparkSession, dir: String,
+      samples: Int = ShapleySamples, seed: Long = 42L): DataFrame = {
+    import s.implicits._
+    val co = shapleyCoalitions(s, dir)
+    val chans = co.flatMap(_._1).distinct.sorted
+    shapleySampled(s, co, chans, samples, seed)
+  }
+
+  private[graft] def shapleySampled(s: SparkSession,
+      co: Array[(Seq[String], Long, Long)], chans: Seq[String],
+      samples: Int, seed: Long): DataFrame = {
+    import s.implicits._
+    val k = chans.length
+    val bit = chans.zipWithIndex.toMap
+    val byMask = co.map { case (set, n, c) =>
+      (set.map(ch => 1 << bit(ch)).sum, (n, c))
+    }.toMap
+    val v: Map[Int, Long] = byMask.collect {
+      case (m, (n, c)) if m != 0 => m -> c * ShapleyScale / n
+    }
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    // marginal sums per channel over M seeded permutations
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for (i <- 0 until samples) {
+      val rng = new scala.util.Random(seed * 1000003L + i)
+      val perm = rng.shuffle(chans.toVector)
+      var m = 0
+      perm.foreach { ch =>
+        val b = 1 << bit(ch)
+        acc(ch) += v.getOrElse(m | b, 0L) - v.getOrElse(m, 0L)
+        m |= b
+      }
+    }
+    // scale the mean marginal to φ·K! units: φ̂·K! = (Σ marginals)·K!/M
+    val phis = chans.map { ch =>
+      val nJourneys = byMask.collect {
+        case (m, (n, _)) if (m & (1 << bit(ch))) != 0 => n }.sum
+      (ch, nJourneys, Math.floorDiv(acc(ch) * fact(k), samples.toLong))
+    }
+    val tot = phis.map(_._3).sum
+    phis.map { case (ch, nj, p) =>
+      (ch, nj, p,
+        if (tot == 0) 0L else Math.floorDiv(p * ShapleyScale, tot))
+    }.toDF("channel", "n_journeys", "phi_kfact", "share_1e6")
+      .orderBy($"channel")
+  }
+
+  private[graft] def shapleyOracleSql: String =
+    s"""WITH e AS (
+           SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type,
+             count(*) FILTER (WHERE event_type = 'purchase') OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS jid
+           FROM events),
+         chan AS MATERIALIZED (
+           SELECT c, CAST(row_number() OVER (ORDER BY c) - 1 AS INTEGER) AS bit
+           FROM (SELECT DISTINCT event_type AS c FROM events
+                 WHERE event_type <> 'purchase')),
+         j AS MATERIALIZED (
+           SELECT e.user_id, e.jid,
+             coalesce(sum(DISTINCT CASE WHEN ch.bit IS NULL THEN NULL
+               ELSE (1 << ch.bit) END), 0) AS mask,
+             max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+           FROM e LEFT JOIN chan ch ON e.event_type = ch.c
+           GROUP BY e.user_id, e.jid),
+         vt AS MATERIALIZED (
+           SELECT mask, count(*) AS n, sum(conv) AS c,
+             CASE WHEN mask = 0 THEN 0
+               ELSE (sum(conv) * ${ShapleyScale}) // count(*) END AS vint
+           FROM j GROUP BY mask),
+         kk AS (SELECT count(*) AS k FROM chan),
+         subs AS (SELECT range AS m FROM range(0, 1048576), kk
+                  WHERE range >> kk.k = 0),
+         sz AS (SELECT subs.m,
+             (SELECT count(*) FROM chan ch
+              WHERE (subs.m >> ch.bit) & 1 = 1) AS sz
+           FROM subs),
+         f AS (SELECT * FROM (VALUES (0,1),(1,1),(2,2),(3,6),(4,24),
+               (5,120),(6,720),(7,5040),(8,40320),(9,362880),
+               (10,3628800)) AS t(n, fct)),
+         shap AS (
+           SELECT ch.c AS channel,
+             sum(f1.fct * f2.fct *
+               (coalesce(v1.vint, 0) - coalesce(v0.vint, 0))) AS phi
+           FROM chan ch
+           JOIN sz ON (sz.m >> ch.bit) & 1 = 0
+           CROSS JOIN kk
+           JOIN f f1 ON f1.n = sz.sz
+           JOIN f f2 ON f2.n = kk.k - 1 - sz.sz
+           LEFT JOIN vt v1 ON v1.mask = sz.m | (1 << ch.bit)
+           LEFT JOIN vt v0 ON v0.mask = sz.m
+           GROUP BY ch.c),
+         nj AS (
+           SELECT ch.c AS channel, coalesce(sum(vt.n), 0) AS n_journeys
+           FROM chan ch LEFT JOIN vt ON (vt.mask >> ch.bit) & 1 = 1
+           GROUP BY ch.c),
+         tot AS (SELECT sum(phi) AS t FROM shap)
+         SELECT shap.channel,
+           CAST(nj.n_journeys AS BIGINT) AS n_journeys,
+           CAST(shap.phi AS BIGINT) AS phi_kfact,
+           CAST(CASE WHEN tot.t = 0 THEN 0
+             ELSE (shap.phi * ${ShapleyScale}) // tot.t END AS BIGINT)
+             AS share_1e6
+         FROM shap JOIN nj ON nj.channel = shap.channel CROSS JOIN tot
+         ORDER BY shap.channel"""
 }

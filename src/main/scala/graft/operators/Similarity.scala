@@ -976,6 +976,59 @@ object Similarity {
          ORDER BY q_id, rnk"""
 
   // ----------------------------------------------------------------
+  // S13: hybrid filtered ANN — s11's label filter through s2's IVF
+  // ----------------------------------------------------------------
+
+  /** S13: HYBRID attribute + vector search at index speed — s11's
+    * label constraint composed WITH s2's IVF probe. The inverted
+    * lists are keyed on (label, cluster): the global coarse quantizer
+    * is reused (one KMeans fit serves every label — per-label
+    * quantizers would multiply index build cost by the label
+    * cardinality for no recall gain on a shared geometry), and the
+    * candidate join carries BOTH keys, so a probe query scores only
+    * the probed clusters' members OF ITS OWN LABEL.
+    *
+    * Shape at scale: this is the standard hybrid-search layout
+    * (label = partition directory, cluster = file/bucket within it —
+    * the s3 write composes: `partitionBy("label", "cluster")`); the
+    * candidate join prunes to probes/K of the query's label slice,
+    * which is the product of both selectivities. `probes ==
+    * IvfClusters` scans the whole label slice and degenerates to
+    * s11's exact result — the oracle gate for the index path
+    * (registered as `s13_hybrid_full`); the default probe count is
+    * the recall/scan trade (rows-only + recall-floor spec, the s2
+    * discipline). */
+  def s13HybridAnn(s: SparkSession, dir: String): DataFrame =
+    s13HybridAnn(s, dir, IvfProbes)
+
+  def s13HybridAnn(s: SparkSession, dir: String, probes: Int): DataFrame = {
+    import s.implicits._
+    val (assigned, centers) = ivfIndex(s, dir)
+    // inverted-list key (label, cluster): labels ride the cached
+    // assignments via a vec_id equi-join (at scale this is the write
+    // layout, not a join)
+    val labeled = assigned.join(
+      Tables.embeddings(s, dir).select($"vec_id", $"label"), "vec_id")
+    val centerLit = array(centers.map(c => array(c.map(lit): _*)): _*)
+    val queries = labeled.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"label".as("qlabel"))
+      .withColumn("cdist", transform(centerLit, c => q4(cosine($"qv", c))))
+      .withColumn("probe", explode(topIndicesDesc($"cdist", probes)))
+      .select($"q_id", $"qv", $"qlabel", $"probe")
+    labeled.join(broadcast(queries),
+        $"label" === $"qlabel" && $"cluster" === $"probe" &&
+          $"vec_id" =!= $"q_id")
+      .select($"q_id", $"qlabel".as("label"), $"vec_id".as("neighbor_id"),
+        q4(cosine($"qv", $"v")).as("cos"))
+      .groupBy($"q_id", $"label")
+      .agg(expr("topk_agg(cos, neighbor_id, 3)").as("top"))
+      .select($"q_id", $"label", posexplode($"top").as(Seq("pos", "e")))
+      .select($"q_id", $"label", ($"pos" + 1).cast("int").as("rnk"),
+        $"e.id".as("neighbor_id"), $"e.score".as("cos"))
+      .orderBy($"q_id", $"rnk")
+  }
+
+  // ----------------------------------------------------------------
   // S10: MMR diversified top-k
   // ----------------------------------------------------------------
 

@@ -757,6 +757,95 @@ class Round8Spec extends GraftSpecBase {
       s"post-filter kept $postFiltered of ${got.size} — filter vacuous here")
   }
 
+  // ------------- q96 Shapley attribution -------------
+
+  test("q96: dummy channel gets zero credit, symmetric channels equal credit, shares floor-sum to 1e6") {
+    import org.apache.spark.sql.functions._
+    // constructed game, K=3: a and b symmetric (identical marginal
+    // contributions), d a dummy (adds nothing to any coalition)
+    val co: Array[(Seq[String], Long, Long)] = Array(
+      (Seq("a"), 100L, 40L), (Seq("b"), 100L, 40L),
+      (Seq("a", "b"), 100L, 80L),
+      (Seq("a", "d"), 100L, 40L), (Seq("b", "d"), 100L, 40L),
+      (Seq("a", "b", "d"), 100L, 80L), (Seq("d"), 100L, 0L))
+    val got = operators.Analytics
+      .shapleyExact(spark, co, Seq("a", "b", "d"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(got("d")._1 == 0L, s"dummy credited: $got")
+    assert(got("a")._1 == got("b")._1, s"symmetry broken: $got")
+    assert(got("a")._2 == got("b")._2 && got("d")._2 == 0L)
+    // real corpus: shares floor-sum to 1e6 within K floor slack
+    val real = operators.Analytics.q96Shapley(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    val shareSum = real.map(_._4).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - real.length,
+      s"share sum $shareSum")
+    assert(real.forall(_._2 > 0), "journey counts must be positive")
+  }
+
+  test("q96 sampled: seed-deterministic and unbiased (mean over seeds converges to exact)") {
+    val co: Array[(Seq[String], Long, Long)] = Array(
+      (Seq("a"), 50L, 10L), (Seq("b"), 60L, 30L), (Seq("c"), 40L, 8L),
+      (Seq("a", "b"), 80L, 56L), (Seq("a", "c"), 30L, 12L),
+      (Seq("b", "c"), 20L, 11L), (Seq("a", "b", "c"), 90L, 72L))
+    val chans = Seq("a", "b", "c")
+    val exact = operators.Analytics.shapleyExact(spark, co, chans)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val s1 = operators.Analytics
+      .shapleySampled(spark, co, chans, 16, 7L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val s2 = operators.Analytics
+      .shapleySampled(spark, co, chans, 16, 7L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(s1 == s2, "same seed must replay identically")
+    // unbiasedness: mean phi over 40 seeds within 3% of each exact phi
+    val means = (0 until 40).map { sd =>
+      operators.Analytics.shapleySampled(spark, co, chans, 16, sd.toLong)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+    }
+    chans.foreach { ch =>
+      val mean = means.map(_(ch)).sum.toDouble / means.size
+      val rel = math.abs(mean - exact(ch)) / math.abs(exact(ch)).toDouble
+      info(f"q96 sampled $ch: mean $mean%.0f vs exact ${exact(ch)} (rel $rel%.3f)")
+      assert(rel < 0.03, s"$ch mean $mean vs exact ${exact(ch)}")
+    }
+  }
+
+  // ------------- s13 hybrid filtered ANN -------------
+
+  test("s13: full probes reproduce s11 exactly; default probes are label-pure, full, and keyed on (label, cluster)") {
+    import org.apache.spark.sql.functions._
+    val exact = operators.Similarity.s11FilteredAnn(spark, sf).collect().toSeq
+    val full = operators.Similarity
+      .s13HybridAnn(spark, sf, operators.Similarity.IvfClusters).collect().toSeq
+    assert(full == exact, "hybrid index path with full probes must equal s11")
+    val approx = operators.Similarity.s13HybridAnn(spark, sf)
+    val got = approx.as[(Long, Int, Int, Long, Double)].collect().toSeq
+    // probed lists still fill every slate on this corpus, and stay label-pure
+    assert(got.groupBy(_._1).forall(_._2.size == 3), got)
+    val labels = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    got.foreach { case (q, lbl, _, n, _) =>
+      assert(labels(q) == lbl && labels(n) == lbl, s"$q/$n label impurity") }
+    // the candidate join must carry BOTH inverted-list keys — label AND
+    // cluster — as broadcast-hash equi-keys (the scan-pruning shape)
+    val p = approx.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val joinLines = p.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(joinLines.exists(l => l.contains("label") && l.contains("cluster")),
+      s"hybrid join not keyed on (label, cluster): ${joinLines.mkString("\n")}")
+    // recall floor vs the exact filtered slates (2/16 probes on
+    // isotropic noise — the honest measured trade, s2's discipline)
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(3))).toSet
+    val recall = got.count { case (q, _, _, n, _) => exactSet((q, n)) }
+      .toDouble / exactSet.size
+    info(f"s13 recall@3 vs s11 exact: $recall%.2f")
+    assert(recall >= 0.2, s"recall $recall collapsed below the measured floor")
+  }
+
   // ------------- t17 heavy-change drift -------------
 
   test("t17: top-20 drift matches a local integer replay") {
