@@ -122,7 +122,8 @@ object ScaleProbe {
                   "q93_trend_slope", "p16_source_cap", "q94_robustness",
                   "q95_degree_dist", "t18_cross_surprisal",
                   "q96_shapley", "q96_shapley_sampled",
-                  "s13_hybrid_ann", "s13_hybrid_full")
+                  "s13_hybrid_ann", "s13_hybrid_full",
+                  "p17_temperature_tau4", "p17_temperature_pow")
     // optional arg 2: regex to probe a subset (factor stays arg 1)
     val picked = args.drop(1).headOption
       .map(re => all.filter(_.matches(re))).getOrElse(all)

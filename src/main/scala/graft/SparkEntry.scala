@@ -201,6 +201,8 @@ object SparkEntry {
     "q95_degree_dist"    -> (Graph.q95DegreeDist _),
     "t18_cross_surprisal" -> (TextAnalysis.t18CrossSurprisal _),
     "p16_source_cap"     -> (Sampling.p16SourceCap _),
+    "p17_temperature_tau4" -> (Sampling.p17TemperatureTau4 _),
+    "p17_temperature_pow" -> (Sampling.p17TemperaturePow _),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "p13_weighted_sample" -> (Sampling.p13WeightedSample _),
@@ -1922,6 +1924,7 @@ object SparkEntry {
     "q91_conversion_lag" -> operators.Analytics.conversionLagOracleSql,
     "z3_bloom_skip" -> operators.Layout.z3OracleSql(),
     "p15_temperature_mix" -> operators.Sampling.temperatureMixOracleSql,
+    "p17_temperature_tau4" -> operators.Sampling.tau4OracleSql,
     "i7_schema_evolution" ->
       """SELECT s_suppkey, s_name,
          CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal END AS s_acctbal

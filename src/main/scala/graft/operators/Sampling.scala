@@ -88,15 +88,59 @@ object Sampling {
     * Shape at scale: identical to p6 — one scan + map-side-partial
     * token sum, then one-row-per-language arithmetic (a bounded
     * artifact) with broadcast totals. */
-  def p15TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+  def p15TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    p17Kernel(s, dir, 2.0)
+
+  /** P17: the GENERAL-τ temperature knob (§8b.2, closed) — p15 pins
+    * τ = 2 because one IEEE sqrt is correctly rounded; this entry
+    * ships the rest of the family with honesty matched to what each
+    * τ can verifiably promise:
+    *   - τ = 1 degenerates to p6's proportional weights (micro-unit
+    *     scaled — spec-pinned identity);
+    *   - τ = 4 composes as sqrt∘sqrt: two correctly-rounded sqrts are
+    *     a DETERMINISTIC identical sequence in both engines (not the
+    *     correctly-rounded 4th root, but the same bits everywhere) —
+    *     so `p17_temperature_tau4` is hash-oracle-checked like p15;
+    *   - arbitrary τ (the registered `p17_temperature_pow` uses
+    *     τ = 3) needs `pow`, which 754 does NOT require correctly
+    *     rounded — cross-engine parity only to pow's ulp, so the
+    *     entry is rows-only with an ulp-BAND spec (each micro-weight
+    *     within 1 unit of a local StrictMath.pow reference, floors
+    *     can differ only at a boundary) instead of a hash oracle.
+    * After the weight column, everything is the shared exact integer
+    * Hamilton apportionment (same shape and scale story as p6/p15). */
+  def p17TemperatureTau4(s: SparkSession, dir: String): DataFrame =
+    p17Kernel(s, dir, 4.0)
+
+  def p17TemperaturePow(s: SparkSession, dir: String): DataFrame =
+    p17Kernel(s, dir, 3.0)
+
+  private[graft] def p17Kernel(s: SparkSession, dir: String,
+      tau: Double): DataFrame = {
     import s.implicits._
     import graft.functions.TextFunctions.tokens
+    val nd = $"n_tok".cast("double")
+    val w = tau match {
+      case 1.0 => $"n_tok" * 1000000L // exact proportional micro-units
+      case 2.0 => floor(sqrt(nd) * 1000000).cast("long")
+      case 4.0 => floor(sqrt(sqrt(nd)) * 1000000).cast("long")
+      case t   => floor(pow(nd, lit(1.0 / t)) * 1000000).cast("long")
+    }
     val langTok = Tables.documents(s, dir)
       .select($"lang", size(tokens($"text")).cast("long").as("n"))
       .groupBy($"lang")
       .agg(sum($"n").as("n_tok"))
-      .withColumn("wq", floor(sqrt($"n_tok".cast("double")) * 1000000)
-        .cast("long"))
+      .withColumn("wq", w)
+    hamiltonApportion(langTok)
+  }
+
+  /** The exact integer largest-remainder apportionment over
+    * (lang, n_tok, wq) rows — p15/p17's shared tail: floor shares of
+    * `MixBudget` by micro-weight, leftover one-each to the largest
+    * remainders. One-row-per-language arithmetic on a bounded
+    * artifact; broadcast totals. */
+  private def hamiltonApportion(langTok: DataFrame): DataFrame = {
+    import langTok.sparkSession.implicits._
     val total = langTok.agg(sum($"n_tok").as("t_tok"), sum($"wq").as("t_wq"))
     val quotas = langTok.crossJoin(broadcast(total))
       .select($"lang", $"n_tok", $"wq",
@@ -110,6 +154,28 @@ object Sampling {
         ($"base" + when($"rnk" <= $"extra", 1L).otherwise(0L)).as("alloc_tokens"))
       .orderBy($"lang")
   }
+
+  private[graft] def tau4OracleSql: String =
+    s"""WITH lt AS (
+           SELECT lang,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+           FROM documents GROUP BY 1),
+         w AS (SELECT lang, n_tok,
+             CAST(floor(sqrt(sqrt(CAST(n_tok AS DOUBLE))) * 1000000) AS BIGINT) AS wq
+           FROM lt),
+         t AS (SELECT CAST(sum(wq) AS BIGINT) AS t_wq FROM w),
+         q AS (SELECT lang, n_tok, wq,
+             ($MixBudget * wq) // t.t_wq AS base,
+             ($MixBudget * wq) % t.t_wq AS rem
+           FROM w CROSS JOIN t),
+         x AS (SELECT CAST($MixBudget - sum(base) AS BIGINT) AS extra FROM q),
+         r AS (SELECT lang, n_tok, wq, base, rem,
+             row_number() OVER (ORDER BY rem DESC, lang) AS rnk
+           FROM q)
+         SELECT lang, n_tok, wq,
+           CAST(base + CASE WHEN rnk <= x.extra THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_tokens
+         FROM r CROSS JOIN x ORDER BY lang"""
 
   private[graft] def temperatureMixOracleSql: String =
     s"""WITH lt AS (

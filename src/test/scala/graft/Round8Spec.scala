@@ -911,6 +911,41 @@ class Round8Spec extends GraftSpecBase {
       assert(a._3 <= b._3, s"$a vs $b") }
   }
 
+  // ------------- p17 general-τ temperature -------------
+
+  test("p17: τ=1 equals p6 exactly, flattening is monotone in τ, and pow weights sit in a 1-unit band of a local reference") {
+    import org.apache.spark.sql.functions._
+    // τ=1 degenerates to p6's proportional allocation (micro-unit
+    // weights are a constant multiple — Hamilton is scale-invariant)
+    val tau1 = operators.Sampling.p17Kernel(spark, sf, 1.0)
+      .select($"lang", $"alloc_tokens").as[(String, Long)].collect().toMap
+    val prop = operators.Sampling.p6MixAllocate(spark, sf)
+      .select($"lang", $"alloc_tokens").as[(String, Long)].collect().toMap
+    assert(tau1 == prop, s"τ=1 diverged from proportional: $tau1 vs $prop")
+    // flattening monotone in τ: the richest lang's share nonincreasing,
+    // the poorest's nondecreasing, budget conserved at every τ
+    val byTau = Seq(1.0, 2.0, 3.0, 4.0).map { t =>
+      val rows = operators.Sampling.p17Kernel(spark, sf, t)
+        .select($"lang", $"n_tok", $"alloc_tokens")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(rows.map(_._3).sum == operators.Sampling.MixBudget, s"τ=$t")
+      t -> rows
+    }
+    val seq = byTau.map { case (_, rows) =>
+      (rows.maxBy(_._2)._3, rows.minBy(_._2)._3) }
+    seq.zip(seq.tail).foreach { case ((rMax, rMin), (nMax, nMin)) =>
+      assert(nMax <= rMax && nMin >= rMin, s"flattening not monotone: $seq") }
+    // pow path (τ=3): micro-weights within 1 unit of StrictMath.pow —
+    // floors may differ only at a quantization boundary (the honest
+    // cross-engine promise for a non-correctly-rounded pow)
+    val got = operators.Sampling.p17TemperaturePow(spark, sf)
+      .select($"lang", $"n_tok", $"wq").as[(String, Long, Long)].collect()
+    got.foreach { case (lang, n, wq) =>
+      val ref = math.floor(StrictMath.pow(n.toDouble, 1.0 / 3.0) * 1000000).toLong
+      assert(math.abs(wq - ref) <= 1L, s"$lang: wq $wq vs local ref $ref")
+    }
+  }
+
   // ------------- z3 bloom skip accounting -------------
 
   test("z3: bloom has no false negatives, prunes for real, and beats zone maps on point lookups") {
