@@ -1532,10 +1532,11 @@ object Graph {
     * each edge visited once per pivot ball); backward = R level-keyed
     * joins, each bounded by the level's out-edge count; everything
     * hashes on (pivot, node) pair keys, state through
-    * `checkpointFresh`. Integer headroom: max term ≈ σ_max ·
-    * Scale·(1+ball size) — ≤ 2e17 at sf0.1's observed path counts;
-    * at truly massive balls the micro-unit δ would need DECIMAL(38)
-    * or per-level rescaling (documented, not hit at any probed SF). */
+    * `checkpointFresh`. Integer headroom (§8b.4, closed): σ and the
+    * backward product run in DECIMAL(38,0) — no silent Long wrap at
+    * any density — and the forward pass guards max σ ≤ `SigmaGuard`
+    * (1e15), RAISING with the escalation named (per-level σ
+    * renormalization) where even decimal headroom thins. */
   def q86Betweenness(s: SparkSession, dir: String,
       nSeeds: Int = BetweennessSeeds, radius: Int = ReachRadius): DataFrame = {
     import s.implicits._
@@ -1557,9 +1558,35 @@ object Graph {
     }().orderBy($"l_partkey")
   }
 
+  /** σ ceiling for the backward pass (§8b.4): with σ ≤ 1e15 the
+    * DECIMAL(38,0) product σ·(Scale+δ) keeps ~23 digits of headroom
+    * for δ, and the forward decimal sums stay far from precision
+    * loss. A graph whose truncated balls hold more than 1e15 shortest
+    * paths to one node needs per-level renormalization — that regime
+    * RAISES loudly (the q76 never-clamp-as-data lesson) instead of
+    * wrapping or nulling. */
+  val SigmaGuard = 1000000000000000L
+
   /** q86's engine over a symmetric edge list + pivot frame: returns
     * (node, bet_1e6). Separated so specs can drive constructed graphs
-    * (bridge/barbell cases) against a local Brandes replay. */
+    * (bridge/barbell cases) against a local Brandes replay.
+    *
+    * Overflow discipline (§8b.4, closed): σ and δ stay BIGINT in the
+    * hot exchanges (a full DECIMAL(38,0) state rebuild measured 2.6×
+    * slower at 20×), but every Long SUM is PROVEN unwrapped by a
+    * per-level guard before its values are trusted: each aggregation
+    * also carries its term COUNT, and count·(trusted prior max) must
+    * fit in Long — counts cannot wrap, and the prior max was itself
+    * guard-verified, so a wrapped sum is caught the level it could
+    * first occur. σ is additionally capped at `SigmaGuard` and the
+    * guard RAISES with the escalation named (per-level σ
+    * renormalization), never reporting precision-compromised
+    * centralities. The one multiplication that outgrows Long first —
+    * the backward σ·(Scale+δ) product — runs through DECIMAL(38,0)
+    * inside the expression (projection-only, no decimal state), with
+    * the integral-divide landing back in BIGINT micro-units. The
+    * guard aggregates run on just-checkpointed (cached) frames — R
+    * frontier-sized reduces, not extra shuffles. */
   private[graft] def betweennessFrom(edges: DataFrame, seeds: DataFrame,
       radius: Int): DataFrame = {
     val s = edges.sparkSession
@@ -1569,13 +1596,29 @@ object Graph {
       lit(0).as("lvl"), lit(1L).as("sigma")).checkpointFresh
     var frontier = settled
     val perLevel = scala.collection.mutable.ArrayBuffer(frontier)
+    var sigmaMaxPrev = 1L // guard-verified max σ of the previous level
     for (h <- 1 to radius) {
-      val nxt = frontier.join(edges, $"node" === $"src")
+      val nxtFull = frontier.join(edges, $"node" === $"src")
         .select($"seed", $"dst".as("node"), $"sigma")
         .join(settled.select($"seed", $"node"), Seq("seed", "node"), "left_anti")
-        .groupBy($"seed", $"node").agg(sum($"sigma").as("sigma"))
-        .select($"seed", $"node", lit(h).as("lvl"), $"sigma")
+        .groupBy($"seed", $"node")
+        .agg(sum($"sigma").as("sigma"), count(lit(1)).as("npred"))
+        .select($"seed", $"node", lit(h).as("lvl"), $"sigma", $"npred")
         .checkpointFresh
+      val (mxH, cntH) = nxtFull.agg(max($"sigma"), max($"npred"))
+        .as[(Option[Long], Option[Long])].head()
+      // each σ sum has ≤ cntH terms, each ≤ the VERIFIED prior max —
+      // if that product fits in Long, no sum at this level wrapped
+      require(BigInt(sigmaMaxPrev) * BigInt(cntH.getOrElse(0L)) <=
+          BigInt(Long.MaxValue),
+        s"q86: level-$h σ sums (≤ ${cntH.getOrElse(0L)} terms × ≤ $sigmaMaxPrev) " +
+          "could exceed Long — per-level σ renormalization required (SigmaGuard regime)")
+      require(mxH.getOrElse(0L) <= SigmaGuard,
+        s"q86: max shortest-path count ${mxH.getOrElse(0L)} exceeds " +
+          s"SigmaGuard=$SigmaGuard — per-level σ renormalization required; " +
+          "refusing to report precision-compromised centralities")
+      sigmaMaxPrev = math.max(mxH.getOrElse(1L), 1L)
+      val nxt = nxtFull.select($"seed", $"node", $"lvl", $"sigma")
       settled = settled.unionAll(nxt).checkpointFresh
       frontier = nxt
       perLevel += nxt
@@ -1587,26 +1630,50 @@ object Graph {
       .select($"seed", $"node", $"sigma", lit(0L).as("delta"))
     val deltas = scala.collection.mutable.ArrayBuffer(
       deltaNext.select($"seed", $"node", $"delta"))
+    var deltaMaxPrev = 0L // guard-verified max δ of the level below
+    var deltaMaxAll = 0L  // guard-verified max δ across all levels
     for (h <- (radius - 1) to 1 by -1) {
       val terms = perLevel(h).as("u")
         .join(edges, $"u.node" === $"src")
         .join(deltaNext.as("v"),
           $"u.seed" === $"v.seed" && $"dst" === $"v.node")
         .select($"u.seed".as("seed"), $"u.node".as("node"),
-          expr(s"CAST(u.sigma * ($Scale + v.delta) div v.sigma AS BIGINT)")
-            .as("term"))
-        .groupBy($"seed", $"node").agg(sum($"term").as("dsum"))
+          // the product σ·(Scale+δ) is the first thing to outgrow
+          // Long — route it through DECIMAL(38,0) in the projection
+          // (σ ≤ 1e15 guard leaves ~23 digits for Scale+δ); the
+          // integral-divide lands back in BIGINT
+          expr(s"CAST(CAST(u.sigma AS DECIMAL(38,0)) * ($Scale + v.delta)" +
+            s" div v.sigma AS BIGINT)").as("term"))
+        .groupBy($"seed", $"node")
+        .agg(sum($"term").as("dsum"), count(lit(1)).as("nterm"))
       val dh = perLevel(h)
         .join(terms, Seq("seed", "node"), "left")
         .select($"seed", $"node", $"sigma",
-          coalesce($"dsum", lit(0L)).as("delta"))
+          coalesce($"dsum", lit(0L)).as("delta"),
+          coalesce($"nterm", lit(0L)).as("nterm"))
         .checkpointFresh
+      // no-wrap proof for the δ sums: each term ≤ (σu/σv)·(Scale+δv)
+      // ≤ Scale + verified-prior-max-δ, and counts cannot wrap
+      val (dMax, tMax) = dh.agg(max($"delta"), max($"nterm"))
+        .as[(Option[Long], Option[Long])].head()
+      require(BigInt(Scale + deltaMaxPrev) * BigInt(tMax.getOrElse(0L)) <=
+          BigInt(Long.MaxValue),
+        s"q86: level-$h δ sums (≤ ${tMax.getOrElse(0L)} terms × ≤ " +
+          s"${Scale + deltaMaxPrev}) could exceed Long — δ needs DECIMAL(38) " +
+          "state at this density; refusing to report wrapped centralities")
+      deltaMaxPrev = math.max(dMax.getOrElse(0L), 0L)
+      deltaMaxAll = math.max(deltaMaxAll, deltaMaxPrev)
       deltas += dh.select($"seed", $"node", $"delta")
       deltaNext = dh
     }
     // pivots themselves (lvl 0) are excluded — Brandes sums δ over
     // non-source nodes; a pivot still collects δ from OTHER pivots'
-    // walks through its lvl ≥ 1 appearances.
+    // walks through its lvl ≥ 1 appearances. The final per-node sum
+    // has ≤ |pivots| terms (one level per node per seed), each ≤ the
+    // verified max δ — prove it unwrapped too.
+    val nSeeds = seeds.count()
+    require(BigInt(deltaMaxAll) * BigInt(nSeeds) <= BigInt(Long.MaxValue),
+      s"q86: pivot-sum of δ (≤ $nSeeds × $deltaMaxAll) could exceed Long")
     deltas.reduce(_ unionAll _)
       .groupBy($"node").agg(sum($"delta").as("bet_1e6"))
   }

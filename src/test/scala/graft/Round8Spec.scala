@@ -418,6 +418,28 @@ class Round8Spec extends GraftSpecBase {
     assert(got == want, s"got $got want $want")
   }
 
+  test("q86 engine: path-count blowup raises the sigma guard instead of wrapping (layered graph)") {
+    // one pivot feeding 10 complete-bipartite layers of width 64:
+    // σ = 64^(h-1) at layer h → 64^9 ≈ 1.8e16 at layer 10, past the
+    // 1e15 SigmaGuard. Before the decimal rebuild a denser graph
+    // would wrap σ silently past Long; now it must refuse loudly.
+    val width = 64L
+    val layers = 11
+    val pairs = for {
+      l <- 0L until (layers - 1)
+      a <- 0L until width; b <- 0L until width
+      // node id = layer * 1000 + index; layer 0 collapsed to node 0
+      // so a single pivot fans out with multiplicity 1 per layer-1 node
+    } yield (if (l == 0) 0L else l * 1000 + a, (l + 1) * 1000 + b)
+    val sym = symmetric(pairs.distinct)
+    val seeds = Seq(0L).toDF("seed")
+    val e = intercept[IllegalArgumentException] {
+      operators.Graph.betweennessFrom(sym, seeds, radius = layers - 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("SigmaGuard"), e.getMessage)
+  }
+
   // ------------- p13 weight-proportional systematic sample -------------
 
   private def localP13(weights: Seq[Long], stride: Long): Seq[(Long, Long)] = {
