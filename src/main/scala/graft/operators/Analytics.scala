@@ -1300,7 +1300,11 @@ object Analytics {
     * buffers one week's conversion lags per group — calendar-bounded
     * groups, the q55-class justification; the streaming funnel twins
     * carry the unbounded-horizon version. */
-  def q91ConversionLag(s: SparkSession, dir: String): DataFrame = {
+  /** q91's per-conversion lag intermediate (user, ms, wk, lag_ms) —
+    * exposed so the streaming twin's emissions can be spec-compared
+    * against the batch semantics row-for-row (see
+    * `streaming.LagStream`). */
+  private[graft] def q91Lags(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val weekMs = 7L * 24 * 3600 * 1000
     val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
@@ -1310,8 +1314,13 @@ object Analytics {
       .withColumn("last_view_ms",
         last(when($"event_type" === "view", $"ms"), ignoreNulls = true).over(w))
       .filter($"event_type" === "purchase" && $"last_view_ms".isNotNull)
-      .select(expr(s"ms div ${weekMs}L").as("wk"),
+      .select($"user_id", $"ms", expr(s"ms div ${weekMs}L").as("wk"),
         ($"ms" - $"last_view_ms").as("lag_ms"))
+  }
+
+  def q91ConversionLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q91Lags(s, dir)
       .groupBy($"wk")
       .agg(count(lit(1)).as("n_conv"),
         expr("sum(lag_ms) div count(1)").as("avg_lag_ms"),

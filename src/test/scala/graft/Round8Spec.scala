@@ -779,6 +779,47 @@ class Round8Spec extends GraftSpecBase {
       s"post-filter kept $postFiltered of ${got.size} — filter vacuous here")
   }
 
+  // ------------- q91 streaming twin -------------
+
+  test("lag stream: per-conversion emissions equal q91's batch lag table across batches") {
+    import graft.streaming.EventStreams.Event
+    import graft.streaming.LagStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.eventsWithMs(spark, sf)
+      .select($"user_id", $"event_id", $"ms", $"event_type", $"value")
+      .as[Event].collect().toSeq.sortBy(e => (e.ms, e.event_id))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[Event]
+    val q = LagStream.conversionLags(stream.toDS())
+      .writeStream.format("memory").queryName("lag_stream_eq")
+      .outputMode("append").start()
+    try {
+      // batch-monotone arrival in 4 slices — views and their purchases
+      // routinely land in different micro-batches, driving the state
+      events.grouped(events.size / 4 + 1).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val got = spark.table("lag_stream_eq")
+        .as[LagStream.ConversionLag].collect()
+        .map(l => (l.user_id, l.ms, l.wk, l.lag_ms)).sorted.toSeq
+      val want = operators.Analytics.q91Lags(spark, sf)
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(got.nonEmpty, "stream emitted nothing")
+      assert(got == want,
+        s"stream/batch diverged: ${(got.toSet diff want.toSet).take(3)} / " +
+          s"${(want.toSet diff got.toSet).take(3)}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   // ------------- q96 Shapley attribution -------------
 
   test("q96: dummy channel gets zero credit, symmetric channels equal credit, shares floor-sum to 1e6") {
