@@ -199,6 +199,7 @@ object SparkEntry {
     "q93_trend_slope"    -> (Analytics.q93TrendSlope _),
     "q94_robustness"     -> (Graph.q94Robustness _),
     "q95_degree_dist"    -> (Graph.q95DegreeDist _),
+    "q97_anf"            -> (Graph.q97Anf _),
     "t18_cross_surprisal" -> (TextAnalysis.t18CrossSurprisal _),
     "p16_source_cap"     -> (Sampling.p16SourceCap _),
     "p17_temperature_tau4" -> (Sampling.p17TemperatureTau4 _),

@@ -1753,6 +1753,99 @@ object Graph {
     dist
   }
 
+  // ----------------------------------------------------------------
+  // Q97: HyperANF neighborhood function / effective diameter
+  // ----------------------------------------------------------------
+
+  /** Round budget for q97 — past every observed eccentricity (q88's
+    * convention); the loop additionally early-exits the round after
+    * the estimated totals stop growing. */
+  val AnfRounds = 12
+
+  /** lgConfigK for q97's per-node HLL sketches: 2^10 = 1024 registers
+    * → ~3.25% relative standard error, 1 KB/node of loop state. */
+  val AnfLgK = 10
+
+  /** Q97: the NEIGHBORHOOD FUNCTION N(t) = #(u,v) pairs within t hops
+    * and the EFFECTIVE DIAMETER (min t with N(t) ≥ 90% of N(∞)) by
+    * HyperANF (Boldi, Rosa & Vigna WWW'11) — THE big-graph distance
+    * tool: exact N(t) needs all-pairs BFS (quadratic), HyperANF keeps
+    * one HLL counter per node and folds each round's neighbor union
+    * as a register-wise max, so a 12-round run costs 12 edge-keyed
+    * joins. q88's double sweep bounds the LONGEST distance; this
+    * estimates the whole distance DISTRIBUTION (median/90th-pct
+    * reach, the "six degrees" curve).
+    *
+    * Mechanics: state(v) = HLL sketch of the ball around v —
+    * initialized to {v} (`hll_sketch_agg` over the 1-row group), one
+    * round = edge join pushing sketches to neighbors + `hll_union_agg`
+    * with the node's own sketch (register-max is commutative/
+    * idempotent — union order cannot change a register, which is why
+    * the datasketches binary is a safe shuffle payload). N(t) reads
+    * as one sum of `hll_sketch_estimate` per round on the
+    * just-checkpointed state (cached reduce, the q86 guard pattern).
+    *
+    * Estimates are DataSketches-internal (not SQL-replicable) →
+    * rows-only; the spec pins the estimator against the EXACT local
+    * neighborhood function at sf0.001 (±3σ-class tolerance), plus
+    * analytic path-graph N(t), monotonicity, and the eff-diam rule.
+    *
+    * Shape at scale: loop state is nodes × 1 KB; each round is ONE
+    * shuffle keyed on dst (edge-sized wire carrying fixed-width
+    * sketches — the t15/q72 fixed-buffer discipline applied to a
+    * graph loop); no driver-bound path (the per-round totals are 12
+    * scalars). */
+  def q97Anf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Caches.memo("q97_anf", dir) {
+      val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
+        .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
+        .cache()
+      val out = anfFrom(edges, AnfRounds, AnfLgK)
+      edges.unpersist()
+      out
+    }().orderBy($"hop")
+  }
+
+  /** q97's engine over a symmetric edge list: per-hop estimated
+    * reachable-pair totals + the effective-diameter column. Separated
+    * so specs can drive constructed graphs (path, clique) and the
+    * exact-BFS comparison. */
+  private[graft] def anfFrom(edges: DataFrame, rounds: Int,
+      lgK: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    var state = edges.select($"src".as("node")).distinct()
+      .groupBy($"node").agg(expr(s"hll_sketch_agg(node, $lgK)").as("sk"))
+      .checkpointFresh
+    def total(st: DataFrame): Long =
+      st.agg(sum(expr("hll_sketch_estimate(sk)"))).as[Long].head()
+    val totals = scala.collection.mutable.ArrayBuffer(total(state)) // N(0)
+    var t = 1
+    var grew = true
+    while (t <= rounds && grew) {
+      val nbr = edges.join(state, $"src" === $"node")
+        .select($"dst".as("node"), $"sk")
+      state = state.unionAll(nbr)
+        .groupBy($"node").agg(expr("hll_union_agg(sk, true)").as("sk"))
+        .checkpointFresh
+      val nt = total(state)
+      grew = nt > totals.last
+      totals += nt
+      t += 1
+    }
+    // driver-side percentages in BigInt — pair counts at web scale
+    // outgrow Long×1e6 products
+    val fin = totals.last
+    val effDiam = totals.indexWhere(n => BigInt(n) * 10 >= BigInt(fin) * 9)
+    totals.toSeq.zipWithIndex.map { case (n, hop) =>
+      (hop, n,
+        if (fin == 0) 0L else (BigInt(n) * 1000000 / BigInt(fin)).toLong,
+        effDiam)
+    }.toDF("hop", "est_pairs", "pct_1e6", "eff_diam_90")
+  }
+
   private[graft] def diameterOracleSql(rounds: Int = DiameterRounds): String = {
     val base = """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          prs AS (

@@ -440,6 +440,61 @@ class Round8Spec extends GraftSpecBase {
     assert(e.getMessage.contains("SigmaGuard"), e.getMessage)
   }
 
+  // ------------- q97 HyperANF -------------
+
+  test("q97: path-graph neighborhood function is exact at this size; totals monotone; eff-diam rule holds") {
+    // path 0-1-2-...-9: N(t) = 10 + 2*sum_{i=1..t}(10-i) pairs
+    // (ordered pairs incl. self) — tiny balls, far below HLL error
+    val pairs = (0L until 9L).map(i => (i, i + 1))
+    val sym = symmetric(pairs)
+    val got = operators.Graph.anfFrom(sym, rounds = 12, lgK = 12)
+      .as[(Int, Long, Long, Int)].collect().toSeq.sortBy(_._1)
+    def exactN(t: Int): Long =
+      10L + 2L * (1 to t).map(i => math.max(10 - i, 0)).sum
+    got.foreach { case (hop, est, _, _) =>
+      assert(est == exactN(hop), s"hop $hop: est $est vs exact ${exactN(hop)}") }
+    // monotone, final pct = 1e6, effective diameter consistent
+    got.zip(got.tail).foreach { case (a, b) => assert(a._2 <= b._2) }
+    assert(got.last._3 == 1000000L)
+    val eff = got.head._4
+    assert(got.forall(_._4 == eff))
+    val firstOver = got.find(_._3 >= 900000L).get._1
+    assert(eff == firstOver, s"eff_diam $eff vs first-≥90% hop $firstOver")
+  }
+
+  test("q97: sketch totals track the exact neighborhood function on the real graph (HLL tolerance)") {
+    val prs = operators.Analytics.copurchasePairs(spark, sf)
+      .filter($"n_orders" >= 2)
+      .select($"pa", $"pb").as[(Long, Long)].collect()
+    // exact N(t) by local BFS from every node
+    val adj = collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+    prs.foreach { case (a, b) => adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+    val nodes = adj.keys.toSeq
+    val exact = collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    nodes.foreach { s0 =>
+      val dist = collection.mutable.Map(s0 -> 0)
+      var front = Set(s0); var h = 0
+      while (front.nonEmpty) {
+        h += 1
+        front = front.flatMap(adj(_)).filterNot(dist.contains)
+        front.foreach(dist(_) = h)
+      }
+      dist.values.foreach { d => (d to 24).foreach(t => exact(t) += 1L) }
+    }
+    val got = operators.Graph.q97Anf(spark, sf)
+      .as[(Int, Long, Long, Int)].collect().toSeq.sortBy(_._1)
+    got.foreach { case (hop, est, _, _) =>
+      val ex = exact(hop)
+      val rel = math.abs(est - ex).toDouble / ex
+      info(f"q97 hop $hop: est $est exact $ex (rel $rel%.4f)")
+      // lgK=10 → ~3.25% RSE; totals average over per-node sketches,
+      // but registers are shared across balls — allow a 3σ-class band
+      assert(rel <= 0.10, s"hop $hop: est $est vs exact $ex (rel $rel)")
+    }
+    assert(got.last._3 == 1000000L && got.map(_._2).sliding(2).forall(w =>
+      w.size < 2 || w(0) <= w(1)))
+  }
+
   // ------------- p13 weight-proportional systematic sample -------------
 
   private def localP13(weights: Seq[Long], stride: Long): Seq[(Long, Long)] = {
