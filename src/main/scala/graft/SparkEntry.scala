@@ -200,6 +200,7 @@ object SparkEntry {
     "q94_robustness"     -> (Graph.q94Robustness _),
     "q95_degree_dist"    -> (Graph.q95DegreeDist _),
     "q97_anf"            -> (Graph.q97Anf _),
+    "q98_ktruss"         -> ((s: SparkSession, d: String) => Graph.q98Ktruss(s, d)),
     "t18_cross_surprisal" -> (TextAnalysis.t18CrossSurprisal _),
     "p16_source_cap"     -> (Sampling.p16SourceCap _),
     "p17_temperature_tau4" -> (Sampling.p17TemperatureTau4 _),
@@ -1872,6 +1873,7 @@ object SparkEntry {
     // unrolled fixed-round peel (DuckDB's recursive CTE can't shrink
     // its working set in place) — generated, k=3 over KcoreRounds
     "q66_kcore" -> operators.Graph.kcoreOracleSql(),
+    "q98_ktruss" -> operators.Graph.ktrussOracleSql(),
     // q76's own unrolled-peel oracle (coreNumbersOracleSql, 374
     // MATERIALIZED CTEs) verifies the same values but balloons the
     // comparator process's allocator so badly that LATER queries in

@@ -440,6 +440,39 @@ class Round8Spec extends GraftSpecBase {
     assert(e.getMessage.contains("SigmaGuard"), e.getMessage)
   }
 
+  // ------------- q98 k-truss -------------
+
+  test("q98: K4 survives the 4-truss, a pendant triangle peels, and the budget is rounds-invariant") {
+    // K4 on {0..3} (every edge in 2 triangles of the clique) + a
+    // pendant triangle {3,4,5} (each of its edges in 1 triangle only
+    // → peeled at k=4, leaving K4's supports untouched)
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val pend = Seq((3L, 4L), (3L, 5L), (4L, 5L))
+    val e = (k4 ++ pend).toDF("pa", "pb")
+    // drive the kernel: peel twice (fixed point after round 1 here)
+    var cur = e
+    (1 to 2).foreach { _ =>
+      val keep = operators.Graph.edgeSupport(cur)
+        .filter($"support" >= 2).select($"pa", $"pb")
+      cur = cur.join(keep, Seq("pa", "pb"), "left_semi")
+    }
+    val surv = cur.join(operators.Graph.edgeSupport(cur), Seq("pa", "pb"), "left")
+      .select($"pa", $"pb", coalesce($"support", lit(0L)).as("support"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(surv == k4.map { case (a, b) => (a, b, 2L) }.toSet, surv)
+    // real graph: budget invariance (fixed point inside TrussRounds)
+    val got = operators.Graph.q98Ktruss(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val more = operators.Graph
+      .q98Ktruss(spark, sf, rounds = operators.Graph.TrussRounds + 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == more, "k-truss not settled inside the round budget")
+    // truss property: every surviving edge has support >= k-2 in the
+    // surviving subgraph, and the gate level is non-vacuous here
+    assert(got.nonEmpty, "k=3 truss empty — gate would be vacuous")
+    assert(got.forall(_._3 >= operators.Graph.TrussK - 2), got.take(5))
+  }
+
   // ------------- q97 HyperANF -------------
 
   test("q97: path-graph neighborhood function is exact at this size; totals monotone; eff-diam rule holds") {
