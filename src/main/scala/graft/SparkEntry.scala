@@ -201,10 +201,12 @@ object SparkEntry {
     "q95_degree_dist"    -> (Graph.q95DegreeDist _),
     "q97_anf"            -> (Graph.q97Anf _),
     "q98_ktruss"         -> ((s: SparkSession, d: String) => Graph.q98Ktruss(s, d)),
+    "q99_hits"           -> (Graph.q99Hits _),
     "t18_cross_surprisal" -> (TextAnalysis.t18CrossSurprisal _),
     "p16_source_cap"     -> (Sampling.p16SourceCap _),
     "p17_temperature_tau4" -> (Sampling.p17TemperatureTau4 _),
     "p17_temperature_pow" -> (Sampling.p17TemperaturePow _),
+    "p18_curate"         -> (Sampling.p18Curate _),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "p13_weighted_sample" -> (Sampling.p13WeightedSample _),
@@ -1874,6 +1876,7 @@ object SparkEntry {
     // its working set in place) — generated, k=3 over KcoreRounds
     "q66_kcore" -> operators.Graph.kcoreOracleSql(),
     "q98_ktruss" -> operators.Graph.ktrussOracleSql(),
+    "q99_hits" -> operators.Graph.hitsOracleSql(),
     // q76's own unrolled-peel oracle (coreNumbersOracleSql, 374
     // MATERIALIZED CTEs) verifies the same values but balloons the
     // comparator process's allocator so badly that LATER queries in
@@ -1928,6 +1931,7 @@ object SparkEntry {
     "z3_bloom_skip" -> operators.Layout.z3OracleSql(),
     "p15_temperature_mix" -> operators.Sampling.temperatureMixOracleSql,
     "p17_temperature_tau4" -> operators.Sampling.tau4OracleSql,
+    "p18_curate" -> operators.Sampling.p18OracleSql,
     "i7_schema_evolution" ->
       """SELECT s_suppkey, s_name,
          CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal END AS s_acctbal

@@ -2271,4 +2271,113 @@ object Graph {
                  CAST(m_edges * sum_x2 - sum_x * sum_x AS DOUBLE)
              * 1000000) / 1000000.0 AS assortativity
          FROM st"""
+
+  /** HITS iteration count — 5 mutual-reinforcement rounds, the q53
+    * budget (scores are rank-stable well before; rounds+1 spec'd on
+    * the TOP slate, the consumer surface). */
+  val HitsIters = 5
+
+  /** Q99: HITS hubs & authorities (Kleinberg, JACM 1999) over the
+    * BIPARTITE purchase graph — customers are hubs ("whose baskets
+    * point at the good stuff"), parts are authorities ("what the good
+    * baskets point at"). The mutual-reinforcement pair the centrality
+    * family still lacked: q53/q80 rank within ONE node population;
+    * HITS ranks two populations against each other, and on a
+    * customer×part graph it is the classic two-sided catalog view
+    * (reference: recommender co-ranking surveys trace to this paper).
+    *
+    * Exactness: textbook HITS is float power iteration with L2
+    * normalization — a sqrt of a SUM, addition-order-dependent and
+    * cross-engine unverifiable. This entry uses MAX-normalization
+    * (x' = x·Scale div max x), a known-equivalent convergence scheme
+    * for HITS's ranking fixed point: sums are exact BIGINTs (Spark 4
+    * ANSI throws on wrap — loud, never silent), the max is one scalar,
+    * and the one product that can outgrow Long (x·Scale before the
+    * div) routes through DECIMAL(38,0) in the projection only — the
+    * q86 discipline. Every round is a pure function of the last, so
+    * the oracle unrolls all 5 rounds and the hash gates the whole
+    * trajectory.
+    *
+    * Shape at scale: the edge list is one distinct (cust, part)
+    * projection of the order join — at 100 TB this is the already-
+    * bucketed purchase fact, no self-join, no wedge fan-out (HITS is
+    * LINEAR in edges where the co-purchase family pays Σ C(deg,2)).
+    * Each round = two edge-keyed shuffles (auth sum on part, hub sum
+    * on cust, both map-side partial) + two one-row maxes broadcast
+    * back; state through `checkpointFresh` (§6.14). Output is the
+    * top-20 slate per side — TakeOrdered, never a global sort. */
+  def q99Hits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("cust"), $"l_partkey".as("part"))
+      .distinct()
+    hitsTop(e, HitsIters)
+  }
+
+  /** The q99 kernel over an arbitrary bipartite (cust, part) edge
+    * list — iters exposed for the rounds+1 spec, edges for the
+    * constructed-graph replay spec. */
+  private[graft] def hitsTop(edges: DataFrame, iters: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.cache()
+    val normA = "cast((cast(a as decimal(38,0)) * 1000000) div amax as bigint)"
+    val normH = "cast((cast(h as decimal(38,0)) * 1000000) div hmax as bigint)"
+    var hub = e.select($"cust").distinct()
+      .select($"cust", lit(Scale).as("hub")).checkpointFresh
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val asum = e.join(hub, "cust").groupBy($"part").agg(sum($"hub").as("a"))
+      auth = asum.crossJoin(broadcast(asum.agg(max($"a").as("amax"))))
+        .select($"part", expr(normA).as("auth")).checkpointFresh
+      val hsum = e.join(auth, "part").groupBy($"cust").agg(sum($"auth").as("h"))
+      hub = hsum.crossJoin(broadcast(hsum.agg(max($"h").as("hmax"))))
+        .select($"cust", expr(normH).as("hub")).checkpointFresh
+    }
+    val out = auth.orderBy($"auth".desc, $"part").limit(20)
+      .select(lit("auth").as("role"), $"part".cast("long").as("node"),
+        $"auth".as("score"))
+      .unionAll(hub.orderBy($"hub".desc, $"cust").limit(20)
+        .select(lit("hub").as("role"), $"cust".cast("long").as("node"),
+          $"hub".as("score")))
+      .orderBy($"role", $"score".desc, $"node")
+    e.unpersist()
+    out
+  }
+
+  /** q99's oracle: the 5 max-normalized rounds unrolled (generated —
+    * the q76 discipline for iteration-family oracles), every round
+    * CTE MATERIALIZED — each is referenced twice (the sum feeds both
+    * its normalization and its scalar max), so DuckDB's default
+    * inlining expands the chain ~2^rounds and spins (the q66/s10
+    * lesson, re-hit live on this oracle). DuckDB sums BIGINT into
+    * HUGEINT, so the ·1e6 normalization product is wide by
+    * construction there; the CAST back to BIGINT mirrors Spark's
+    * decimal-projection cast. */
+  private[graft] def hitsOracleSql(): String = {
+    val rounds = (1 to HitsIters).map { i =>
+      val (ph, pa) = (if (i == 1) "h0" else s"h${i - 1}", s"a$i")
+      s"""a${i}s AS MATERIALIZED (SELECT part, sum(hub) AS a
+             FROM e JOIN $ph USING (cust) GROUP BY 1),
+         a$i AS MATERIALIZED (SELECT part, CAST(a * 1000000 //
+                   (SELECT max(a) FROM a${i}s) AS BIGINT) AS auth FROM a${i}s),
+         h${i}s AS MATERIALIZED (SELECT cust, sum(auth) AS h
+             FROM e JOIN $pa USING (part) GROUP BY 1),
+         h$i AS MATERIALIZED (SELECT cust, CAST(h * 1000000 //
+                   (SELECT max(h) FROM h${i}s) AS BIGINT) AS hub FROM h${i}s)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         h0 AS (SELECT DISTINCT cust, CAST(1000000 AS BIGINT) AS hub FROM e),
+         $rounds,
+         ta AS (SELECT 'auth' AS role, part AS node, auth AS score
+                FROM a$HitsIters ORDER BY auth DESC, part LIMIT 20),
+         th AS (SELECT 'hub' AS role, cust AS node, hub AS score
+                FROM h$HitsIters ORDER BY hub DESC, cust LIMIT 20)
+         SELECT role, node, score
+         FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+         ORDER BY role, score DESC, node"""
+  }
 }

@@ -91,6 +91,40 @@ object Sampling {
   def p15TemperatureMix(s: SparkSession, dir: String): DataFrame =
     p17Kernel(s, dir, 2.0)
 
+  /** P18: the END-TO-END CURATION PIPELINE — the composition a real
+    * training-data team runs, as ONE oracle-checked entry: p1's
+    * survivors (quality ≥ 0.5, exact-dup keep-first, near-dup losers
+    * out) → p3's decontamination (drop the benchmark slice itself
+    * AND every survivor sharing an 8-shingle with it) → p16's
+    * source cap (lowest doc_ids per source, cap recomputed over the
+    * SURVIVING corpus — the mix is capped after curation, not
+    * before). Output = the final kept documents, so the hash gate
+    * checks the whole composition end-to-end: any drift in any
+    * stage's semantics (or in how they chain) breaks the hash.
+    *
+    * Shape at scale: each stage is its §2 entry's plan (memoized
+    * artifacts shared in-session — the d2 pair table builds once);
+    * the chain adds two anti-joins and one source-keyed window over
+    * the shrinking survivor set. The one scalar action (the cap over
+    * survivors) is p16's own discipline. */
+  def p18Curate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clean = Dedup.p1CleanCorpus(s, dir).select($"doc_id")
+    val contaminated = Dedup.p3Decontaminate(s, dir).select($"doc_id")
+    val train = clean
+      .filter($"doc_id" % Dedup.DecontamMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val docs = Tables.documents(s, dir).select($"doc_id", $"lang", $"source")
+    val kept = train.join(docs, "doc_id").cache()
+    val cap = kept.count() * SourceCapPct / 100
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    kept.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= cap)
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
   /** P17: the GENERAL-τ temperature knob (§8b.2, closed) — p15 pins
     * τ = 2 because one IEEE sqrt is correctly rounded; this entry
     * ships the rest of the family with honesty matched to what each
@@ -154,6 +188,87 @@ object Sampling {
         ($"base" + when($"rnk" <= $"extra", 1L).otherwise(0L)).as("alloc_tokens"))
       .orderBy($"lang")
   }
+
+  /** p18's oracle: the p1 / p3 / p16 oracle algebra composed into one
+    * statement (kept textually in step with those entries' SQL — the
+    * end-to-end hash breaks if any stage drifts). */
+  private[graft] def p18OracleSql: String =
+    s"""WITH base AS (
+           SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1) AS swr,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS pr
+           FROM documents),
+         scored AS (
+           SELECT doc_id, n_tokens,
+             floor(least(greatest((least(CAST(n_tokens AS DOUBLE) / 32.0, 1.0)
+               + greatest(1.0 - abs(swr - 0.08) * 2.0, 0.0)
+               + greatest(1.0 - pr * 4.0, 0.0)) / 3.0, 0.0), 1.0) * 10000) / 10000.0 AS quality
+           FROM base),
+         fps AS (
+           SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+           FROM documents),
+         dup_losers AS (
+           SELECT f.doc_id FROM fps f
+           JOIN (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY 1) g ON f.fp = g.fp
+           WHERE f.doc_id != g.keep_id),
+         sh3 AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(
+             list_transform(string_split(text, ' '), (x, i) ->
+               CASE WHEN i + 2 <= len(string_split(text, ' '))
+                    THEN x || ' ' || string_split(text, ' ')[i+1]
+                           || ' ' || string_split(text, ' ')[i+2] END),
+             s -> s IS NOT NULL))) AS shingle
+           FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh3 GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_both
+           FROM sh3 x JOIN sh3 y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         near_losers AS (
+           SELECT DISTINCT id_b AS doc_id FROM inter
+           JOIN sizes sa ON id_a = sa.doc_id
+           JOIN sizes sb ON id_b = sb.doc_id
+           WHERE CAST(n_both AS DOUBLE) / (sa.n_sh + sb.n_sh - n_both) >= 0.5),
+         clean AS (
+           SELECT doc_id FROM scored
+           WHERE quality >= 0.5
+             AND doc_id NOT IN (SELECT doc_id FROM dup_losers)
+             AND doc_id NOT IN (SELECT doc_id FROM near_losers)),
+         sh8 AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(
+             list_transform(string_split(text, ' '), (x, i) ->
+               CASE WHEN i + 7 <= len(string_split(text, ' '))
+                    THEN x || ' ' || string_split(text, ' ')[i+1]
+                           || ' ' || string_split(text, ' ')[i+2]
+                           || ' ' || string_split(text, ' ')[i+3]
+                           || ' ' || string_split(text, ' ')[i+4]
+                           || ' ' || string_split(text, ' ')[i+5]
+                           || ' ' || string_split(text, ' ')[i+6]
+                           || ' ' || string_split(text, ' ')[i+7] END),
+             g -> g IS NOT NULL))) AS sh8
+           FROM documents),
+         bench AS (SELECT DISTINCT sh8 FROM sh8 WHERE doc_id % 7 = 0),
+         contaminated AS (
+           SELECT DISTINCT s.doc_id FROM sh8 s JOIN bench b ON s.sh8 = b.sh8
+           WHERE s.doc_id % 7 <> 0),
+         train AS (
+           SELECT doc_id FROM clean
+           WHERE doc_id % 7 <> 0
+             AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         kept AS (
+           SELECT t.doc_id, d.lang, d.source
+           FROM train t JOIN documents d ON d.doc_id = t.doc_id),
+         cap AS (SELECT count(*) * $SourceCapPct // 100 AS cap FROM kept),
+         ranked AS (
+           SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+           FROM kept)
+         SELECT doc_id, lang, source FROM ranked CROSS JOIN cap
+         WHERE rnk <= cap.cap ORDER BY doc_id"""
 
   private[graft] def tau4OracleSql: String =
     s"""WITH lt AS (

@@ -440,6 +440,110 @@ class Round8Spec extends GraftSpecBase {
     assert(e.getMessage.contains("SigmaGuard"), e.getMessage)
   }
 
+  // ------------- p18 end-to-end curation pipeline -------------
+
+  test("p18: every kept doc survives every stage, the cap binds per source, and no benchmark doc leaks") {
+    import org.apache.spark.sql.functions._
+    val kept = operators.Sampling.p18Curate(spark, sf)
+      .as[(Long, String, String)].collect().toSeq
+    assert(kept.nonEmpty)
+    // stage invariants on the output set
+    val clean = operators.Dedup.p1CleanCorpus(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val contaminated = operators.Dedup.p3Decontaminate(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    kept.foreach { case (id, _, _) =>
+      assert(clean(id), s"doc $id not a p1 survivor")
+      assert(id % operators.Dedup.DecontamMod != 0, s"benchmark doc $id leaked")
+      assert(!contaminated(id), s"contaminated doc $id leaked")
+    }
+    // cap arithmetic: per-source kept counts never exceed the
+    // survivor-set cap, and the cap BINDS on this corpus (the entry
+    // would be a no-op mix guard otherwise)
+    val survivors = clean.count(id =>
+      id % operators.Dedup.DecontamMod != 0 && !contaminated(id))
+    val cap = survivors.toLong * operators.Sampling.SourceCapPct / 100
+    val bySource = kept.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(bySource.values.forall(_ <= cap), s"cap $cap exceeded: $bySource")
+    assert(bySource.values.exists(_ == cap.toInt), s"cap $cap never binds: $bySource")
+    // keep-first within source: kept ids per source are the LOWEST
+    // surviving ids of that source
+    val keptSet = kept.map(_._1).toSet
+    val srcOf = Tables.documents(spark, sf).select($"doc_id", $"source")
+      .as[(Long, String)].collect().toMap
+    val survBypSource = clean.filter(id =>
+        id % operators.Dedup.DecontamMod != 0 && !contaminated(id))
+      .groupBy(srcOf)
+    survBypSource.foreach { case (src, ids) =>
+      val want = ids.toSeq.sorted.take(cap.toInt).toSet
+      val got = kept.filter(_._3 == src).map(_._1).toSet
+      assert(got == want, s"source $src keep-first violated")
+    }
+    assert(keptSet.size == kept.size, "duplicate doc_ids in output")
+  }
+
+  // ------------- q99 HITS -------------
+
+  /** Exact local HITS replay: BigInt sums, max-normalization with
+    * floor division (positive BigInt / == floor). */
+  private def localHits(edges: Seq[(Long, Long)], iters: Int)
+      : (Seq[(Long, Long)], Seq[(Long, Long)]) = {
+    var hub = edges.map(_._1).distinct.map(_ -> BigInt(1000000)).toMap
+    var auth = Map.empty[Long, BigInt]
+    for (_ <- 1 to iters) {
+      val as = edges.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(e => hub(e._1)).sum }
+      val amax = as.values.max
+      auth = as.map { case (p, a) => p -> (a * 1000000 / amax) }
+      val hs = edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => auth(e._2)).sum }
+      val hmax = hs.values.max
+      hub = hs.map { case (c, h) => c -> (h * 1000000 / hmax) }
+    }
+    def top(m: Map[Long, BigInt]) = m.toSeq
+      .map { case (n, v) => (n, v.toLong) }
+      .sortBy { case (n, v) => (-v, n) }.take(20)
+    (top(auth), top(hub))
+  }
+
+  test("q99: HITS == local BigInt max-norm replay; anchors at Scale; slate stable under rounds+1") {
+    val got = operators.Graph.q99Hits(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    val edges = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey", $"l_partkey")
+      .distinct().as[(Long, Long)].collect().toSeq
+    val (ta, th) = localHits(edges, operators.Graph.HitsIters)
+    val want = ta.map { case (n, v) => ("auth", n, v) } ++
+      th.map { case (n, v) => ("hub", n, v) }
+    assert(got == want, s"replay mismatch:\n got=$got\nwant=$want")
+    // max-normalization anchors each side's top score at exactly Scale
+    assert(got.filter(_._1 == "auth").map(_._3).max == 1000000L)
+    assert(got.filter(_._1 == "hub").map(_._3).max == 1000000L)
+    // the slate RANKING (the consumer surface) is stable one round on
+    val plus = operators.Graph.hitsTop(
+      edges.toDF("cust", "part"), operators.Graph.HitsIters + 1)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(plus.map(r => (r._1, r._2)) == got.map(r => (r._1, r._2)),
+      "slate ranking changed at rounds+1")
+  }
+
+  test("q99: constructed graph — diverse basket tops hubs, popular part tops authorities") {
+    val edges = Seq(
+      (1L, 101L), (1L, 102L), (1L, 103L), // c1: diverse basket incl p101
+      (2L, 101L),                         // c2, c3: single popular part
+      (3L, 101L)).toDF("cust", "part")
+    val got = operators.Graph.hitsTop(edges, operators.Graph.HitsIters)
+      .as[(String, Long, Long)].collect().toSeq
+    val auths = got.filter(_._1 == "auth")
+    val hubs = got.filter(_._1 == "hub")
+    assert(auths.head._2 == 101L && auths.head._3 == 1000000L)
+    assert(hubs.head._2 == 1L && hubs.head._3 == 1000000L)
+    // the two spoke customers tie below the diverse basket
+    assert(hubs.tail.map(_._3).distinct.size == 1 && hubs.tail.head._3 < 1000000L)
+  }
+
   // ------------- q98 k-truss -------------
 
   test("q98: K4 survives the 4-truss, a pendant triangle peels, and the budget is rounds-invariant") {
