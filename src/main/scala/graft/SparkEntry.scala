@@ -186,6 +186,7 @@ object SparkEntry {
     "i7_schema_evolution" -> (Ingest.i7SchemaEvolution _),
     "t17_heavy_change"   -> (TextAnalysis.t17HeavyChange _),
     "s11_filtered_ann"   -> (Similarity.s11FilteredAnn _),
+    "s14_jl_projection"  -> (Similarity.s14JlProjection _),
     "s12_rrf"            -> (Similarity.s12Rrf _),
     "s13_hybrid_ann"     -> ((s: SparkSession, d: String) => Similarity.s13HybridAnn(s, d)),
     // scanning every cluster of the label slice makes the hybrid index
@@ -1938,6 +1939,7 @@ object SparkEntry {
          FROM supplier ORDER BY s_suppkey""",
     "t17_heavy_change" -> operators.TextAnalysis.heavyChangeOracleSql,
     "s11_filtered_ann" -> operators.Similarity.filteredAnnOracleSql,
+    "s14_jl_projection" -> operators.Similarity.jlOracleSql(),
     "s13_hybrid_full" -> operators.Similarity.filteredAnnOracleSql,
     "s12_rrf" -> operators.Similarity.rrfOracleSql,
     "q92_reliability" -> operators.Analytics.reliabilityOracleSql,

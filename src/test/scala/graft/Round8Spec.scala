@@ -482,6 +482,48 @@ class Round8Spec extends GraftSpecBase {
     assert(keptSet.size == kept.size, "duplicate doc_ids in output")
   }
 
+  // ------------- s14 JL projection -------------
+
+  test("s14: projection == exact local replay; JL distortion in band; map-only plan") {
+    val got = operators.Similarity.s14JlProjection(spark, sf)
+      .as[(Long, Int, Long)].collect().toSeq
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val signs = operators.Similarity.jlSigns
+    val proj: Map[Long, Array[Long]] = emb.map { case (id, v) =>
+      val q = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+      id -> signs.map(row =>
+        row.zip(q).map { case (s, qi) => s * qi }.sum).toArray
+    }.toMap
+    val want = emb.flatMap { case (id, _) =>
+      proj(id).zipWithIndex.map { case (v, j) => (id, j, v) } }.toSeq
+    assert(got == want, "projection differs from local replay")
+    // JL: E||Pz||^2 = K ||z||^2 — pairwise ratio band over all pairs
+    // of the first 60 vectors (measured at sf0.001: median 1.00,
+    // mean 1.01 — pinned with slack for other corpora)
+    val qv: Map[Long, Array[Long]] = emb.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1e6).toLong) }.toMap
+    val ids = emb.map(_._1).take(60)
+    val ratios = for {
+      a <- ids; b <- ids if a < b
+      dProj = proj(a).zip(proj(b)).map { case (x, y) =>
+        val d = (x - y).toDouble; d * d }.sum
+      dIn = qv(a).zip(qv(b)).map { case (x, y) =>
+        val d = (x - y).toDouble; d * d }.sum
+    } yield dProj / (operators.Similarity.JlOutDim * dIn)
+    val sorted = ratios.sorted
+    val median = sorted(sorted.size / 2)
+    val mean = ratios.sum / ratios.size
+    assert(median > 0.7 && median < 1.4, s"median distortion $median")
+    assert(mean > 0.75 && mean < 1.35, s"mean distortion $mean")
+    // the projection is map-only: no join, no aggregate in the plan
+    val plan = operators.Similarity.s14JlProjection(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"projection plan grew a join/aggregate:\n$plan")
+  }
+
   // ------------- q99 HITS -------------
 
   /** Exact local HITS replay: BigInt sums, max-normalization with
