@@ -124,7 +124,7 @@ object ScaleProbe {
                   "q96_shapley", "q96_shapley_sampled",
                   "s13_hybrid_ann", "s13_hybrid_full",
                   "p17_temperature_tau4", "p17_temperature_pow", "q97_anf",
-                  "q98_ktruss", "p18_curate", "q99_hits",
+                  "q98_ktruss", "q98_truss_thinned", "p18_curate", "q99_hits",
                   "s14_jl_projection")
     // optional arg 2: regex to probe a subset (factor stays arg 1)
     val picked = args.drop(1).headOption

@@ -202,6 +202,7 @@ object SparkEntry {
     "q95_degree_dist"    -> (Graph.q95DegreeDist _),
     "q97_anf"            -> (Graph.q97Anf _),
     "q98_ktruss"         -> ((s: SparkSession, d: String) => Graph.q98Ktruss(s, d)),
+    "q98_truss_thinned"  -> ((s: SparkSession, d: String) => Graph.q98TrussThinned(s, d)),
     "q99_hits"           -> (Graph.q99Hits _),
     "t18_cross_surprisal" -> (TextAnalysis.t18CrossSurprisal _),
     "p16_source_cap"     -> (Sampling.p16SourceCap _),

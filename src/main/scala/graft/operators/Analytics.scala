@@ -516,8 +516,16 @@ object Analytics {
         .join(broadcast(custs.select($"p".as("cons"), $"n_cust".as("n_cons"))), "cons")
         .join(broadcast(tot))
         .select($"ante", $"cons", $"n_seq",
-          q4($"n_seq" / $"n_ante".cast("double")).as("confidence"),
-          q4($"n_all" * $"n_seq" / ($"n_ante" * $"n_cons").cast("double")).as("slift"))
+          q4($"n_seq".cast("double") / $"n_ante").as("confidence"),
+          // slift's cast/multiply/divide SEQUENCE mirrors the oracle
+          // token-for-token (CAST(n_all AS DOUBLE) * n_seq / (n_ante *
+          // n_cons)): rounding at the double multiply, integer product
+          // only in the denominator — identical IEEE ops both engines,
+          // with no exact Long numerator product to outgrow 2^63
+          // (denominator headroom: n_ante·n_cust ≤ customers², ~2e16
+          // at 100 TB — inside Long; ANSI raises loudly beyond)
+          q4($"n_all".cast("double") * $"n_seq" /
+            ($"n_ante" * $"n_cons")).as("slift"))
         .orderBy($"n_seq".desc, $"confidence".desc, $"ante", $"cons")
         .limit(25)
     } { scaffolding.foreach(_.unpersist()) }
@@ -1563,8 +1571,32 @@ object Analytics {
       .as[(Seq[String], Long, Long)].collect()
   }
 
+  /** Floor division over BigInt — DuckDB `//` semantics (floors
+    * toward −∞ on mixed signs, where BigInt's `/` truncates toward
+    * zero). The driver-side twin of the Spark-side floorDiv. */
+  private def bigFloorDiv(a: BigInt, b: BigInt): BigInt = {
+    val q = a / b
+    if ((a % b).signum != 0 && (a.signum != b.signum)) q - 1 else q
+  }
+
+  /** Convert a driver-side BigInt result to the Long the output
+    * schema carries — LOUDLY, never a silent wrap (the q86 SigmaGuard
+    * discipline applied to plain JVM arithmetic: φ·K! units outgrow
+    * Long around K ≈ 14 even when every per-term product is exact). */
+  private def bigToLongLoud(x: BigInt, what: String): Long = {
+    require(x.isValidLong,
+      s"$what = $x exceeds Long — φ·K! units overflow at this K; " +
+        "rescale (drop the K! carrying) or report in BigInt/decimal")
+    x.toLong
+  }
+
   /** The exact subset-sum Shapley solve over collected coalition
-    * stats — 2^K integer driver work, the q90 solve's sibling. */
+    * stats — 2^K integer driver work, the q90 solve's sibling.
+    * φ accumulates in BigInt: fact(sz)·fact(k−1−sz)·Δv wraps Long
+    * silently from K ≈ 14 (and φ·Scale from K ≈ 11) — driver-side
+    * JVM arithmetic has none of the ANSI-SQL overflow raises, so the
+    * exact algebra runs unbounded and only the final Long conversion
+    * is guarded (loud, not wrapped). */
   private[graft] def shapleyExact(s: SparkSession,
       co: Array[(Seq[String], Long, Long)],
       chans: Seq[String]): DataFrame = {
@@ -1579,16 +1611,16 @@ object Analytics {
     val v: Map[Int, Long] = byMask.collect {
       case (m, (n, c)) if m != 0 => m -> c * ShapleyScale / n
     }
-    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    def fact(n: Int): BigInt = (1 to n).foldLeft(BigInt(1))(_ * _)
     val phis = chans.map { ch =>
       val b = 1 << bit(ch)
-      var acc = 0L
+      var acc = BigInt(0)
       var sMask = 0
       while (sMask < (1 << k)) {
         if ((sMask & b) == 0) {
           val sz = Integer.bitCount(sMask)
           acc += fact(sz) * fact(k - 1 - sz) *
-            (v.getOrElse(sMask | b, 0L) - v.getOrElse(sMask, 0L))
+            BigInt(v.getOrElse(sMask | b, 0L) - v.getOrElse(sMask, 0L))
         }
         sMask += 1
       }
@@ -1598,8 +1630,10 @@ object Analytics {
     }
     val tot = phis.map(_._3).sum
     phis.map { case (ch, nj, p) =>
-      (ch, nj, p,
-        if (tot == 0) 0L else Math.floorDiv(p * ShapleyScale, tot))
+      (ch, nj, bigToLongLoud(p, s"phi_kfact($ch)"),
+        if (tot.signum == 0) 0L
+        else bigToLongLoud(bigFloorDiv(p * ShapleyScale, tot),
+          s"share_1e6($ch)"))
     }.toDF("channel", "n_journeys", "phi_kfact", "share_1e6")
       .orderBy($"channel")
   }
@@ -1633,7 +1667,7 @@ object Analytics {
     val v: Map[Int, Long] = byMask.collect {
       case (m, (n, c)) if m != 0 => m -> c * ShapleyScale / n
     }
-    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    def fact(n: Int): BigInt = (1 to n).foldLeft(BigInt(1))(_ * _)
     // marginal sums per channel over M seeded permutations
     val acc = scala.collection.mutable.Map.empty[String, Long]
       .withDefaultValue(0L)
@@ -1648,15 +1682,19 @@ object Analytics {
       }
     }
     // scale the mean marginal to φ·K! units: φ̂·K! = (Σ marginals)·K!/M
+    // — the ·K! product through BigInt (wraps Long from K ≈ 14, same
+    // silent-JVM-arithmetic class as the exact solve's terms)
     val phis = chans.map { ch =>
       val nJourneys = byMask.collect {
         case (m, (n, _)) if (m & (1 << bit(ch))) != 0 => n }.sum
-      (ch, nJourneys, Math.floorDiv(acc(ch) * fact(k), samples.toLong))
+      (ch, nJourneys, bigFloorDiv(BigInt(acc(ch)) * fact(k), BigInt(samples)))
     }
     val tot = phis.map(_._3).sum
     phis.map { case (ch, nj, p) =>
-      (ch, nj, p,
-        if (tot == 0) 0L else Math.floorDiv(p * ShapleyScale, tot))
+      (ch, nj, bigToLongLoud(p, s"phi_kfact($ch)"),
+        if (tot.signum == 0) 0L
+        else bigToLongLoud(bigFloorDiv(p * ShapleyScale, tot),
+          s"share_1e6($ch)"))
     }.toDF("channel", "n_journeys", "phi_kfact", "share_1e6")
       .orderBy($"channel")
   }

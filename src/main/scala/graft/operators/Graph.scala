@@ -1329,7 +1329,12 @@ object Graph {
            SELECT node, color FROM col_${i - 1}
            UNION ALL
            SELECT v.node, CAST((
-               SELECT min(s.c) FROM (SELECT unnest(generate_series(1, 64)) AS c) s
+               -- mex bound = degree+1 (a free color ALWAYS exists in
+               -- 1..deg+1), so a denser-than-expected graph can never
+               -- run the series dry and return a silent NULL color —
+               -- any drift breaks the hash loudly instead
+               SELECT min(s.c) FROM (SELECT unnest(generate_series(1,
+                 (SELECT count(*) FROM e WHERE e.src = v.node) + 1)) AS c) s
                WHERE s.c NOT IN (
                  SELECT cc.color FROM e JOIN col_${i - 1} cc ON e.dst = cc.node
                  WHERE e.src = v.node)) AS INTEGER) AS color
@@ -1799,13 +1804,9 @@ object Graph {
       rounds: Int = TrussRounds): DataFrame = {
     import s.implicits._
     def compute = {
-      var e = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
-        .select($"pa", $"pb").checkpointFresh
-      for (_ <- 1 to rounds) {
-        val keep = edgeSupport(e).filter($"support" >= k - 2)
-          .select($"pa", $"pb")
-        e = e.join(keep, Seq("pa", "pb"), "left_semi").checkpointFresh
-      }
+      val e0 = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+        .select($"pa", $"pb")
+      val e = trussPeel(e0, k, rounds, math.max(rounds, 1024))
       // final support measured IN the settled subgraph (≥ k−2 by the
       // fixed point; the coalesce mirrors the oracle's left join)
       e.join(edgeSupport(e), Seq("pa", "pb"), "left")
@@ -1814,6 +1815,122 @@ object Graph {
     (if (k == TrussK && rounds == TrussRounds)
       graft.Caches.memo("q98_ktruss", dir)(compute)()
     else compute).orderBy($"pa", $"pb")
+  }
+
+  /** The support-peel loop, run to its FIXED POINT: each round keeps
+    * edges with support ≥ k−2 in the current subgraph; a round that
+    * removes nothing is the identity, so the loop early-exits there
+    * (result-identical to any larger blind unroll — the q76/q66
+    * discipline). `rounds` is the ORACLE's unroll budget: settling
+    * within it keeps Spark ≡ oracle; needing more trips the LOUD
+    * escalation note (the result is then the true truss and the
+    * budget-bounded oracle must be re-unrolled — never report a
+    * budget artifact as the k-truss, the q76 silent-clamp lesson).
+    * `ceiling` is the runaway guard: hitting it still unsettled
+    * RAISES instead of returning a non-truss. */
+  private[graft] def trussPeel(e0: DataFrame, k: Int, rounds: Int,
+      ceiling: Int): DataFrame = {
+    import e0.sparkSession.implicits._
+    var e = e0.checkpointFresh
+    var prev = e.count()
+    var settled = prev == 0L
+    var r = 0
+    while (r < ceiling && !settled) {
+      val keep = edgeSupport(e).filter($"support" >= k - 2)
+        .select($"pa", $"pb")
+      e = e.join(keep, Seq("pa", "pb"), "left_semi").checkpointFresh
+      val cnt = e.count()
+      settled = cnt == prev
+      prev = cnt
+      r += 1
+    }
+    require(settled,
+      s"q98 truss peel NOT settled after ceiling=$ceiling rounds " +
+        "(edges still dropping) — raise the ceiling; returning a " +
+        "budget artifact as the k-truss is the q76 silent-clamp bug")
+    if (r > rounds)
+      println(s"[graft] q98 truss peel needed $r rounds > oracle " +
+        s"budget $rounds — result is the TRUE fixed point; re-unroll " +
+        "the oracle if hash-gating at this scale")
+    e
+  }
+
+  /** Thinning probability (per mille) for `q98_truss_thinned`'s
+    * support screen — p = 1/2 at the gate SFs (sparse supports: the
+    * screen must not starve; recall measured by the spec); the 20×
+    * ScaleProbe drives lower p where supports are large and the p²
+    * wedge contraction is the point. */
+  val TrussThinP1000 = 500L
+
+  /** Q98's production-scale twin: DOULION-style THINNED SUPPORT
+    * SCREEN (Tsourakakis KDD'09, q70's seeded-coin machinery) ahead
+    * of the exact peel. The exact path's asymptote is round 1 — the
+    * full wedge fan-out over the un-peeled graph (93.8 s at 20×, the
+    * one documented exact-path ceiling without a shipped twin until
+    * now). The screen replaces round 1's exact support with an
+    * UNBIASED estimate from the thinned graph:
+    *
+    *   - edges keep a deterministic seeded coin at probability p
+    *     (canonical-pair xxhash64 — rerun-identical, q70);
+    *   - wedges enumerate at EVERY node of the thinned SYMMETRIC
+    *     adjacency (cost p²·Σ C(deg,2) — the full-degree wedge bound
+    *     contracted p² SCAN-SIDE, which also tames hubs: a degree-D
+    *     hub's wedge cost falls D²→(pD)²), and close against the
+    *     FULL edge set — so each triangle through edge (a,b) is seen
+    *     exactly once via the wedge at its third node, and the count
+    *     never involves (a,b)'s own coin: est = cnt/p² is unbiased
+    *     for EVERY edge, not just surviving ones;
+    *   - the screen drops edges with est < k−2 (exact integer
+    *     compare: cnt·10⁶ < (k−2)·p1000²), then the EXACT peel runs
+    *     to its fixed point on the survivors — cheap, the screen
+    *     already removed the non-backbone mass.
+    *
+    * p = 1 makes the screen the exact round 1 (cnt = true support),
+    * so the whole entry degenerates to q98 bit-for-bit — the spec
+    * pins it. The trade is RECALL on small supports (an edge with
+    * support s survives the screen w.p. ≥ 1−(1−p²)^s — fine where
+    * supports are large, i.e. exactly the dense regime where the
+    * exact path is expensive; measured per SF in the spec/SURVEY).
+    * Seeded coin → rows-only by design. */
+  def q98TrussThinned(s: SparkSession, dir: String, k: Int = TrussK,
+      p1000: Long = TrussThinP1000): DataFrame = {
+    import s.implicits._
+    def compute = {
+      val e0 = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+        .select($"pa", $"pb")
+      val screened = thinnedSupport(e0, p1000)
+        .filter($"cnt" * 1000000L >= lit((k - 2).toLong) * p1000 * p1000)
+        .select($"pa", $"pb")
+      val e = trussPeel(screened, k, TrussRounds, 1024)
+      e.join(edgeSupport(e), Seq("pa", "pb"), "left")
+        .select($"pa", $"pb", coalesce($"support", lit(0L)).as("support"))
+    }
+    (if (k == TrussK && p1000 == TrussThinP1000)
+      graft.Caches.memo("q98_truss_thinned", dir)(compute)()
+    else compute).orderBy($"pa", $"pb")
+  }
+
+  /** Per-edge THINNED triangle support: for every canonical (pa<pb)
+    * edge of `e`, the count of third nodes w whose BOTH spokes
+    * (w,pa), (w,pb) survive the seeded coin. Wedges pair thinned
+    * neighbors at every center node (a<b orders the pair, so the
+    * wedge (w; a, b) is canonical) and close against the full edge
+    * set — each triangle contributes to each of its 3 edges exactly
+    * once, via the wedge centered at the edge's third node. The
+    * edge's OWN coin never participates: cnt/p² is unbiased for all
+    * of `e`. */
+  private[graft] def thinnedSupport(e: DataFrame, p1000: Long): DataFrame = {
+    import e.sparkSession.implicits._
+    val thin = e.filter(
+      pmod(xxhash64(lit(7L), $"pa", $"pb"), lit(1000L)) < p1000)
+    val adj = thin.select($"pa".as("w"), $"pb".as("n"))
+      .unionAll(thin.select($"pb".as("w"), $"pa".as("n")))
+    val wedgeCnt = adj.as("x").join(adj.as("y"),
+        $"x.w" === $"y.w" && $"x.n" < $"y.n")
+      .groupBy($"x.n".as("pa"), $"y.n".as("pb"))
+      .agg(count(lit(1)).as("cnt"))
+    e.join(wedgeCnt, Seq("pa", "pb"), "left")
+      .select($"pa", $"pb", coalesce($"cnt", lit(0L)).as("cnt"))
   }
 
   /** Per-edge triangle support over an oriented (pa < pb) edge list:

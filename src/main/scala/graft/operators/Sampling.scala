@@ -109,19 +109,27 @@ object Sampling {
     * survivors) is p16's own discipline. */
   def p18Curate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val clean = Dedup.p1CleanCorpus(s, dir).select($"doc_id")
-    val contaminated = Dedup.p3Decontaminate(s, dir).select($"doc_id")
-    val train = clean
-      .filter($"doc_id" % Dedup.DecontamMod =!= 0)
-      .join(contaminated, Seq("doc_id"), "left_anti")
-    val docs = Tables.documents(s, dir).select($"doc_id", $"lang", $"source")
-    val kept = train.join(docs, "doc_id").cache()
-    val cap = kept.count() * SourceCapPct / 100
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source").orderBy($"doc_id")
-    kept.withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= cap)
-      .select($"doc_id", $"lang", $"source")
+    // memoized + scaffolding unpersisted after materialization: the
+    // un-memoized form leaked one cached `kept` frame per invocation
+    // (repeated bench/ScaleProbe sweeps accumulate partitions
+    // Caches.clear never saw — the d9 leak class)
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("p18_curate", dir) {
+      val clean = Dedup.p1CleanCorpus(s, dir).select($"doc_id")
+      val contaminated = Dedup.p3Decontaminate(s, dir).select($"doc_id")
+      val train = clean
+        .filter($"doc_id" % Dedup.DecontamMod =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val docs = Tables.documents(s, dir).select($"doc_id", $"lang", $"source")
+      val kept = train.join(docs, "doc_id").cache()
+      scaffolding += kept
+      val cap = kept.count() * SourceCapPct / 100
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+      kept.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= cap)
+        .select($"doc_id", $"lang", $"source")
+    } { scaffolding.foreach(_.unpersist()) }
       .orderBy($"doc_id")
   }
 

@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 hardening: the q98 k-truss scale twin (thinned support
+  * screen), the truss peel's fixed-point guard, and the Shapley
+  * driver-arithmetic overflow fixes. */
+class Round9Spec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def edgesDF(pairs: Seq[(Long, Long)]) = pairs.toDF("pa", "pb")
+
+  /** Exact per-edge triangle support by local brute force. */
+  private def localSupport(pairs: Seq[(Long, Long)]): Map[(Long, Long), Long] = {
+    val es = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = es.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    es.toSeq.map { case (a, b) =>
+      (a, b) -> nodes.count(w =>
+        w != a && w != b &&
+          es.contains((math.min(a, w), math.max(a, w))) &&
+          es.contains((math.min(b, w), math.max(b, w)))).toLong
+    }.toMap
+  }
+
+  /** Exact k-truss by local peeling to the fixed point. */
+  private def localTruss(pairs: Seq[(Long, Long)], k: Int): Set[(Long, Long)] = {
+    var es = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    var changed = true
+    while (changed) {
+      val sup = localSupport(es)
+      val next = es.filter(e => sup(e) >= k - 2)
+      changed = next.size != es.size
+      es = next
+    }
+    es.toSet
+  }
+
+  // ------------- q98 thinned support screen -------------
+
+  test("q98 thinned: p=1 degenerates to the exact truss bit-for-bit") {
+    val exact = operators.Graph.q98Ktruss(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val full = operators.Graph.q98TrussThinned(spark, sf, p1000 = 1000L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(full == exact, "p=1 thinned screen must equal the exact peel")
+  }
+
+  test("q98 thinned: screen counts replay locally from the realized coin (unbiased estimator algebra)") {
+    // dense-enough constructed graph: two K5s sharing an edge — every
+    // edge sits in >= 3 triangles, so the screen has signal at p=1/2
+    val k5a = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k5b = for (a <- 3L to 7L; b <- (a + 1) to 7L) yield (a, b)
+    val pairs = (k5a ++ k5b).distinct
+    val e = edgesDF(pairs)
+    val p1000 = 500L
+    // the REALIZED thinned edge set, via the same engine coin
+    val thin = e.filter(pmod(xxhash64(lit(7L), $"pa", $"pb"), lit(1000L)) < p1000)
+      .as[(Long, Long)].collect().toSet
+    // local replay: for each full edge, count third nodes whose both
+    // spokes survived the realized coin
+    val nodes = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    def thinHas(a: Long, b: Long) =
+      thin.contains((math.min(a, b), math.max(a, b)))
+    val want = pairs.map { case (a, b) =>
+      (a, b, nodes.count(w => w != a && w != b &&
+        thinHas(a, w) && thinHas(b, w)).toLong)
+    }.toSet
+    val got = operators.Graph.thinnedSupport(e, p1000)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, s"screen counts diverge from the local replay")
+    // the estimator never reads the edge's own coin: counts exist for
+    // edges the coin REMOVED too (pick one removed edge, if any)
+    val removed = pairs.filterNot(p => thin.contains(p))
+    removed.headOption.foreach { p =>
+      assert(got.exists(r => (r._1, r._2) == p),
+        "removed edges must still receive a support estimate")
+    }
+  }
+
+  test("q98 thinned: rerun-identical (deterministic coin) and non-vacuous at the gate SF") {
+    val a = operators.Graph.q98TrussThinned(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = operators.Graph.q98TrussThinned(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b, "seeded screen must be rerun-identical")
+    assert(a.nonEmpty, "thinned truss empty at gate SF — vacuous entry")
+    // output is a valid truss OF ITS SURVIVOR SET: support >= k-2
+    assert(a.forall(_._3 >= operators.Graph.TrussK - 2))
+  }
+
+  test("q98 thinned: recall vs the exact truss at the gate SF (measured floor)") {
+    val exact = operators.Graph.q98Ktruss(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    val approx = operators.Graph.q98TrussThinned(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    // precision is structural: survivors peel exactly, so approx edges
+    // form a truss of a subgraph of the exact truss's edge set UNION
+    // screen survivors — every approx edge must be an exact-truss edge
+    // (dropping edges only LOWERS supports; the peel re-verifies)
+    assert(approx.subsetOf(exact),
+      s"approx kept non-truss edges: ${(approx -- exact).take(5)}")
+    val recall =
+      if (exact.isEmpty) 1.0 else approx.size.toDouble / exact.size
+    info(f"q98 thinned recall at p=0.5, sf0.001: $recall%.3f (${approx.size}/${exact.size})")
+    // measured 2026-08: sparse gate graph, supports mostly 1-2 — the
+    // screen keeps the high-support backbone; floor pinned under the
+    // measurement with slack (the honest small-support trade the
+    // docstring documents; dense graphs are the win regime)
+    assert(recall >= 0.30, f"recall $recall%.3f collapsed below floor")
+  }
+
+  test("q98: unsettled peel at the ceiling RAISES instead of returning a budget artifact") {
+    // a peeling CASCADE: chain of triangles sharing single vertices
+    // would settle fast; instead build a "staircase" where each round
+    // removes exactly one layer — K4 chain glued edge-to-edge peels
+    // layer by layer at k=4. Simpler: a path of pendant triangles
+    // hanging off a K4, each removal exposing the next round's drop.
+    // Construct: triangle fan t_i = {c, i, i+1} for i=1..6 (wheel-ish):
+    // at k=4, outer edges have support 1 -> all spokes drop over
+    // multiple rounds as supports cascade.
+    val wheel = (1L to 6L).flatMap(i =>
+      Seq((0L, i), (i, i + 1))) :+ (0L, 7L)
+    // k=4 on a wheel: every edge peels, but the cascade takes >1 round
+    val e = edgesDF(wheel)
+    val ex = intercept[IllegalArgumentException] {
+      operators.Graph.trussPeel(e, k = 4, rounds = 1, ceiling = 1)
+        .count()
+    }
+    assert(ex.getMessage.contains("NOT settled"),
+      s"wrong raise: ${ex.getMessage}")
+    // with headroom the same peel settles (to the empty truss here)
+    val settledCnt =
+      operators.Graph.trussPeel(e, k = 4, rounds = 1, ceiling = 16).count()
+    assert(settledCnt == 0L)
+  }
+
+  test("q98 thinned: constructed-graph truss semantics survive the screen at p=1") {
+    // K4 + pendant triangle (the q98 spec's graph), driven through the
+    // thinned kernel at p=1 and k=4: K4 survives, pendant peels
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val pend = Seq((3L, 4L), (3L, 5L), (4L, 5L))
+    val pairs = k4 ++ pend
+    val e = edgesDF(pairs)
+    val screened = operators.Graph.thinnedSupport(e, 1000L)
+      .filter($"cnt" >= 2).select($"pa", $"pb")
+    val got = operators.Graph.trussPeel(screened, 4, 5, 16)
+      .as[(Long, Long)].collect().toSet
+    assert(got == localTruss(pairs, 4))
+    assert(got == k4.toSet)
+  }
+
+  // ------------- Shapley BigInt arithmetic -------------
+
+  test("q96: K=16 constructed game — exact solve does not wrap Long (BigInt carry)") {
+    // 16 channels; journeys touch singleton coalitions with v spread
+    // so phi*K! terms are huge: fact(15) = 1.3e12, times Scale-level
+    // dv ~ 1e6 -> per-term ~1e18; the pre-fix Long path wrapped here.
+    val chans = (0 until 16).map(i => f"ch$i%02d")
+    val co: Array[(Seq[String], Long, Long)] =
+      chans.zipWithIndex.map { case (c, i) =>
+        (Seq(c), 10L, (i % 10).toLong) // v(single) = i%10 / 10
+      }.toArray
+    val df = operators.Analytics.shapleyExact(spark, co, chans)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // additive game over singletons: phi_i*K! = K!*v({i}) exactly
+    def fact(n: Int): BigInt = (1 to n).foldLeft(BigInt(1))(_ * _)
+    val scale = operators.Analytics.ShapleyScale
+    df.zipWithIndex.foreach { case ((ch, nj, phi, _), i) =>
+      val v = (i % 10).toLong * scale / 10L
+      val want = fact(16) * BigInt(v)
+      assert(want.isValidLong && phi == want.toLong,
+        s"$ch: phi $phi vs ${want}")
+      assert(nj == 10L)
+    }
+    // shares floor-sum to <= 1e6 and reconstruct the value ratios
+    val tot = df.map(_._3).sum
+    assert(df.map(_._4).sum <= 1000000L)
+    assert(tot > 0L)
+  }
+
+  test("q96: K=18 all-equal game overflows Long in phi*K! units and raises LOUDLY") {
+    // fact(18) = 6.4e15; v = Scale for every singleton -> phi*K! =
+    // 6.4e21 — past Long. The guard must raise, never wrap silently.
+    val chans = (0 until 18).map(i => f"ch$i%02d")
+    val co: Array[(Seq[String], Long, Long)] =
+      chans.map(c => (Seq(c), 1L, 1L)).toArray
+    val ex = intercept[IllegalArgumentException] {
+      operators.Analytics.shapleyExact(spark, co, chans).collect()
+    }
+    assert(ex.getMessage.contains("exceeds Long"), ex.getMessage)
+  }
+
+  test("q96 sampled: BigInt K! carry agrees with the exact table on the 4-channel corpus") {
+    // regression net for the floorDiv->BigInt rewrite: the sampled
+    // estimator's output must still be phi*K!-unit comparable
+    val exact = operators.Analytics.q96Shapley(spark, sf)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val est = operators.Analytics.q96ShapleySampled(spark, sf, samples = 40)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(exact.keySet == est.keySet)
+    exact.foreach { case (ch, p) =>
+      val q = est(ch)
+      val denom = math.max(math.abs(p), 1L)
+      assert(math.abs(q - p).toDouble / denom < 0.15,
+        s"$ch: sampled $q vs exact $p drifted")
+    }
+  }
+}

@@ -50,14 +50,33 @@ def _maps(d):
 
 def main():
     args = sys.argv[1:]
-    rounds = [p for p in glob.glob("BENCH_r*.json")
-              if re.search(r"_r(\d+)\.json$", p)]
-    prev_path = args[0] if len(args) > 0 else sorted(
-        rounds, key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)))[-1]
+    rounds = sorted(
+        (p for p in glob.glob("BENCH_r*.json")
+         if re.search(r"_r(\d+)\.json$", p)),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)))
     cur_path = args[1] if len(args) > 1 else "BENCH.json"
-    factor = float(args[2]) if len(args) > 2 else 1.5
-    pmin, pmed = load(prev_path)
     cmin, cmed = load(cur_path)
+    if len(args) > 0:
+        prev_path = args[0]
+        pmin, pmed = load(prev_path)
+    else:
+        # walk archives newest-first and SKIP any whose per-entry map
+        # equals the current run's — the newest BENCH_r{N}.json is
+        # usually the driver's copy of THIS round's BENCH.json, and
+        # round 8's compare ran against itself (vacuous "0 regressions")
+        prev_path, pmin, pmed = None, {}, {}
+        for p in reversed(rounds):
+            a, b = load(p)
+            if (a, b) == (cmin, cmed):
+                print(f"== skipping {p}: identical to {cur_path} "
+                      "(same run archived)")
+                continue
+            prev_path, pmin, pmed = p, a, b
+            break
+        if prev_path is None:
+            print("== no prior-round archive distinct from current run")
+            sys.exit(0)
+    factor = float(args[2]) if len(args) > 2 else 1.5
     clock = "median" if pmed and cmed else "min"
     prev = pmed if clock == "median" else pmin
     cur = cmed if clock == "median" else cmin
