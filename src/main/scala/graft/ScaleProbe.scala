@@ -24,9 +24,18 @@ object ScaleProbe {
     if (!new java.io.File(s"$out/documents.parquet").exists()) {
       val docs = Tables.documents(spark, base)
       val nDocs = docs.count()
+      // id offset rounded UP to a multiple of DecontamMod: replication
+      // must PRESERVE doc_id residues mod 7, so each base doc's copies
+      // all land on its own benchmark/train side. With a non-multiple
+      // offset, every base doc gets ~1/7 of its copies at benchmark
+      // residue, and since copies share interior 8-shingles, p3/p18
+      // decontamination then kills essentially the WHOLE corpus — the
+      // round-8 "p18 degenerate at 20×" artifact (0 kept rows).
+      val mod = operators.Dedup.DecontamMod.toLong
+      val off = (nDocs + mod - 1) / mod * mod
       val copies = spark.range(factor).select($"id".as("copy"))
       docs.crossJoin(copies)
-        .select(($"doc_id" + $"copy" * nDocs).as("doc_id"),
+        .select(($"doc_id" + $"copy" * off).as("doc_id"),
           // vary ~every 3rd copy's text so exact-dup, near-dup and
           // distinct strata all exist at scale
           when($"copy" % 3 === 0, $"text")

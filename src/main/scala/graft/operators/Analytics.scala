@@ -347,6 +347,44 @@ object Analytics {
       .drop("__pid", "__lr", "__off")
   }
 
+  /** Exact PER-GROUP rank under a total `sort` order within each
+    * group — withGlobalRank's partitioned sibling, for "rank within
+    * source" shapes where a plain
+    * `row_number().over(partitionBy(group))` funnels each group's
+    * ENTIRE population through one task (the p16/p18 100 TB killer:
+    * group cardinality is small by construction — that's the point
+    * of a per-source cap — so group partitions are data-sized).
+    * Range-partition on (group, sort): each group spans a contiguous
+    * run of partitions and every partition holds sorted group
+    * segments, so a per-(partition, group) row_number plus exclusive
+    * per-group offsets over the (partition, group) COUNTS — a bounded
+    * artifact, ≤ shuffle-partitions + |groups| rows — reassembles the
+    * exact per-group rank. Offsets broadcast back; the offset window
+    * partitions BY GROUP over the artifact frame (bounded). */
+  private[graft] def withGroupRank(df: DataFrame, group: String,
+      out: String,
+      scaffolding: scala.collection.mutable.ListBuffer[DataFrame],
+      sort: org.apache.spark.sql.Column*): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val n = s.sessionState.conf.numShufflePartitions
+    val local = df.repartitionByRange(n, (col(group) +: sort): _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy($"__pid", col(group)).orderBy(sort: _*)))
+      .cache()
+    scaffolding += local
+    val offs = local.groupBy($"__pid", col(group))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum($"__c").over(
+        Window.partitionBy(col(group)).orderBy($"__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"__pid", col(group), $"__off")
+    local.join(broadcast(offs), Seq("__pid", group))
+      .withColumn(out, $"__off" + $"__lr")
+      .drop("__pid", "__lr", "__off")
+  }
+
   /** Exact global RUNNING SUM of `value` under a total `sort` order —
     * withGlobalRank's additive sibling (rank = running sum of 1):
     * range-partition on the sort key, per-partition prefix sums, then
@@ -1668,11 +1706,25 @@ object Analytics {
       case (m, (n, c)) if m != 0 => m -> c * ShapleyScale / n
     }
     def fact(n: Int): BigInt = (1 to n).foldLeft(BigInt(1))(_ * _)
+    // splitmix64 finalizer (Steele et al., JDK SplittableRandom): the
+    // per-permutation stream seed MUST be avalanche-mixed — a bare
+    // linear derivation (seed*c + i) hands java.util.Random
+    // sequential internal states whose first few outputs are heavily
+    // correlated, which BIASES the permutation distribution (measured:
+    // ~20% persistent phi drift on the 4-channel corpus at 3200
+    // permutations, vanishing once mixed — counter-based draws, the
+    // m11 discipline done properly)
+    def mix64(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
     // marginal sums per channel over M seeded permutations
     val acc = scala.collection.mutable.Map.empty[String, Long]
       .withDefaultValue(0L)
     for (i <- 0 until samples) {
-      val rng = new scala.util.Random(seed * 1000003L + i)
+      val rng = new scala.util.Random(mix64(seed * 1000003L + i))
       val perm = rng.shuffle(chans.toVector)
       var m = 0
       perm.foreach { ch =>

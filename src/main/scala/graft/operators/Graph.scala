@@ -1125,12 +1125,15 @@ object Graph {
          GROUP BY 1 ORDER BY l_partkey"""
   }
 
-  /** Coloring-round budget for q84's Jones–Plassmann pre-pass —
-    * measured 39 rounds at sf0.001 (dense, 51 max degree), 13 at
-    * sf0.01, 5 at sf0.1; 48 is 1.2× the worst. The loop early-exits
-    * when every node is colored; extra oracle rounds are the identity
-    * (no uncolored nodes ⟹ nothing newly colored). */
-  val SemiColoringRounds = 48
+  /** Coloring-round budget for q84's Luby-schedule pre-pass —
+    * re-randomized per-round priorities (see `semiPrioA`) cut
+    * fixed-priority JP's measured 39/13/5 rounds (sf0.001/0.01/0.1)
+    * to 29/9/4 (the sf0.001 graph is the dense one — its clique
+    * number lower-bounds ANY MIS schedule); 36 is 1.25× the worst.
+    * The loop early-exits when every node is colored; extra oracle
+    * rounds are the identity (no uncolored nodes ⟹ nothing newly
+    * colored). */
+  val SemiColoringRounds = 36
 
   /** Color-class budget for q84's oracle unroll — greedy min-free
     * coloring uses ≤ Δ+1 colors but measured max is 13 (sf0.001),
@@ -1146,11 +1149,31 @@ object Graph {
     * absorbing: the potential argument below). */
   val SemiLpaRounds = 6
 
-  /** Deterministic coloring priority — Knuth multiplicative hash mod
-    * the Mersenne prime 2³¹−1, pure integer algebra both engines
-    * replay exactly (ids ≤ ~10⁶ keep the product far inside int64). */
-  private def semiPrio(node: org.apache.spark.sql.Column) =
-    (node * lit(2654435761L)) % lit(2147483647L)
+  /** Coloring-priority modulus (Mersenne prime 2³¹−1) and the
+    * per-round multiplier schedule. PRIORITIES RE-RANDOMIZE EVERY
+    * ROUND (Luby 1986's MIS schedule, not fixed-priority
+    * Jones–Plassmann): round r uses prio_r(v) = (v · a_r) mod M with
+    * a_r = (A0 + r·STEP) mod M — multiplications by varying constants
+    * mod a prime are a pairwise-independent permutation family, so
+    * each round breaks last round's blocking chains and the expected
+    * schedule is O(ω + log n) rounds instead of fixed-priority JP's
+    * longest-decreasing-path bound (measured rounds 39/13/5 →
+    * 29/9/4 at sf0.001/0.01/0.1 — the dense sf0.001 graph's clique
+    * number floors any MIS schedule; the 20× densified probe is
+    * where the gap opens, 374 JP rounds → see §6.15). Pure integer
+    * algebra both engines replay exactly (ids ≤ ~10⁶ keep the
+    * product far inside int64). */
+  private[graft] val SemiPrioM = 2147483647L
+  private[graft] val SemiPrioA0 = 2654435761L
+  private[graft] val SemiPrioStep = 2246822519L
+
+  /** Round-r priority multiplier — nonzero mod M by construction
+    * (guarded loudly: a zero multiplier would tie every priority). */
+  private[graft] def semiPrioA(r: Int): Long = {
+    val a = (SemiPrioA0 + r.toLong * SemiPrioStep) % SemiPrioM
+    require(a != 0L, s"q84 coloring multiplier degenerate at round $r")
+    a
+  }
 
   /** Q84: SEMI-SYNCHRONOUS label propagation — q81's communities with
     * a CONVERGENCE GUARANTEE (Cordasco & Gargano, "Community detection
@@ -1159,11 +1182,16 @@ object Graph {
     * bipartite-ish structure (measured: not stable under +1 round at
     * either SF); this entry fixes it with the literature's schedule:
     *
-    *  1. COLORING PRE-PASS: a proper coloring by Jones–Plassmann
-    *     greedy (deterministic hash priorities, min-free color) —
-    *     each round, every uncolored node that beats all its
-    *     uncolored neighbors on (prio, id) takes the smallest color
-    *     its colored neighbors don't use. O(log n) rounds w.h.p.
+    *  1. COLORING PRE-PASS: a proper greedy coloring on Luby's MIS
+    *     schedule (Luby 1986) — each round, every uncolored node that
+    *     beats all its uncolored neighbors on (prio_r, id) takes the
+    *     smallest color its colored neighbors don't use, with
+    *     priorities RE-RANDOMIZED each round (`semiPrioA`'s
+    *     deterministic pairwise-independent multipliers): O(ω+log n)
+    *     expected rounds where fixed-priority Jones–Plassmann pays
+    *     its longest-decreasing-path bound (measured rounds
+    *     39/13/5 → 29/9/4 at sf0.001/0.01/0.1; the 20× densified
+    *     probe — JP's 374-round pathology — is the win case, §6.15).
     *  2. PER-COLOR SWEEPS: each LPA round updates one color class at
     *     a time. Classes are independent sets, so the simultaneous
     *     within-class update equals a sequential schedule — and
@@ -1218,9 +1246,8 @@ object Graph {
     val s = edges.sparkSession
     import s.implicits._
     val nodes = edges.select($"src".as("node")).distinct()
-      .withColumn("prio", semiPrio($"node"))
       .checkpointFresh
-    // ---- Jones–Plassmann greedy coloring ----
+    // ---- Luby-schedule greedy coloring ----
     var col = nodes.select($"node", lit(0).as("color")).filter(lit(false))
       .checkpointFresh
     var unc = nodes
@@ -1232,19 +1259,22 @@ object Graph {
     // uncolored nodes, nothing newly colored — so a completion that
     // beats the unroll keeps Spark ≡ oracle). The ceiling is ONLY a
     // runaway guard: MIS-based coloring needs ≥ clique-number rounds
-    // (one clique member per independent set), so a densified graph
-    // legitimately takes hundreds — measured 374 rounds on the 20×
-    // probe graph (degeneracy 84) vs 39/13/5 at sf0.001/0.01/0.1.
-    // Schedule length ∝ degeneracy is the documented price of the
-    // convergence guarantee; q81 stays the cheap fixed-round twin.
+    // (one clique member per independent set). Re-randomized
+    // priorities keep the expected schedule near that lower bound —
+    // fixed-priority JP needed 39/13/5 rounds at sf0.001/0.01/0.1 and
+    // 374 on the 20× densified probe (degeneracy 84); the Luby
+    // schedule's measured rounds live in the spec and §6.15.
     val ceiling = math.max(coloringRounds, 4096)
     while (r < ceiling && uncCnt > 0) {
+      // round-r priorities (re-randomized each round — Luby)
+      val prio = ($"node" * semiPrioA(r)) % SemiPrioM
+      val uncP = unc.withColumn("prio", prio)
       // max (prio, id) among UNCOLORED neighbors, per uncolored node
       val uncNbrMax = edges
-        .join(unc.select($"node".as("dst"),
+        .join(uncP.select($"node".as("dst"),
           struct($"prio".as("p"), $"node".as("n")).as("up")), "dst")
         .groupBy($"src").agg(max($"up").as("mx"))
-      val eligible = unc
+      val eligible = uncP
         .join(uncNbrMax.withColumnRenamed("src", "node"), Seq("node"), "left")
         .filter($"mx".isNull ||
           $"mx" < struct($"prio".as("p"), $"node".as("n")))
@@ -1319,11 +1349,12 @@ object Graph {
          e AS (SELECT pa AS src, pb AS dst FROM prs
                UNION ALL SELECT pb, pa FROM prs),
          nd AS MATERIALIZED (
-           SELECT DISTINCT src AS node,
-             (src * 2654435761) % 2147483647 AS prio FROM e),
+           SELECT DISTINCT src AS node FROM e),
          col_0 AS (SELECT node, CAST(NULL AS INTEGER) AS color
                    FROM nd WHERE 1 = 0)"""
     val coloring = (1 to coloringRounds).map { i =>
+      // Luby: SQL round i replays Spark round r = i-1's multiplier
+      val a = semiPrioA(i - 1)
       s""",
          col_$i AS MATERIALIZED (
            SELECT node, color FROM col_${i - 1}
@@ -1341,10 +1372,11 @@ object Graph {
            FROM nd v
            WHERE v.node NOT IN (SELECT node FROM col_${i - 1})
              AND NOT EXISTS (
-               SELECT 1 FROM e JOIN nd w ON w.node = e.dst
+               SELECT 1 FROM e
                WHERE e.src = v.node
                  AND e.dst NOT IN (SELECT node FROM col_${i - 1})
-                 AND (w.prio, w.node) > (v.prio, v.node)))"""
+                 AND ((e.dst * $a) % $SemiPrioM, e.dst)
+                   > ((v.node * $a) % $SemiPrioM, v.node)))"""
     }.mkString
     val init = s""",
          l_0_$colors AS MATERIALIZED (
@@ -1848,10 +1880,14 @@ object Graph {
       s"q98 truss peel NOT settled after ceiling=$ceiling rounds " +
         "(edges still dropping) — raise the ceiling; returning a " +
         "budget artifact as the k-truss is the q76 silent-clamp bug")
-    if (r > rounds)
-      println(s"[graft] q98 truss peel needed $r rounds > oracle " +
-        s"budget $rounds — result is the TRUE fixed point; re-unroll " +
-        "the oracle if hash-gating at this scale")
+    // productive rounds = r - 1: the final round is the identity that
+    // merely CONFIRMS the fixed point, and the oracle's round-`rounds`
+    // unroll already equals the fixed point when rounds productive
+    // rounds sufficed — warn only past that
+    if (r - 1 > rounds)
+      println(s"[graft] q98 truss peel needed ${r - 1} productive " +
+        s"rounds > oracle budget $rounds — result is the TRUE fixed " +
+        "point; re-unroll the oracle if hash-gating at this scale")
     e
   }
 

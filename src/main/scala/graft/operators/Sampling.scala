@@ -104,9 +104,11 @@ object Sampling {
     *
     * Shape at scale: each stage is its §2 entry's plan (memoized
     * artifacts shared in-session — the d2 pair table builds once);
-    * the chain adds two anti-joins and one source-keyed window over
-    * the shrinking survivor set. The one scalar action (the cap over
-    * survivors) is p16's own discipline. */
+    * the chain adds two anti-joins and one DISTRIBUTED per-source
+    * rank (`withGroupRank`, p16's discipline — never a bare
+    * partitionBy(source) window) over the shrinking survivor set.
+    * The one scalar action (the cap over survivors) is p16's own
+    * discipline. */
   def p18Curate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // memoized + scaffolding unpersisted after materialization: the
@@ -124,9 +126,10 @@ object Sampling {
       val kept = train.join(docs, "doc_id").cache()
       scaffolding += kept
       val cap = kept.count() * SourceCapPct / 100
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"source").orderBy($"doc_id")
-      kept.withColumn("rnk", row_number().over(w))
+      // per-source keep-first rank via the distributed group rank —
+      // p16's discipline (a bare partitionBy(source) window puts each
+      // source's whole survivor population through one task)
+      Analytics.withGroupRank(kept, "source", "rnk", scaffolding, $"doc_id")
         .filter($"rnk" <= cap)
         .select($"doc_id", $"lang", $"source")
     } { scaffolding.foreach(_.unpersist()) }
@@ -326,6 +329,21 @@ object Sampling {
     * this deliberately uniform corpus (every source holds 5%). */
   val SourceCapPct = 3
 
+  /** Audit-fingerprint mix constants (p16/p18's kept-set power sums):
+    * h(id) = ((id mod P)·A + B) mod P with P = 1e9+7 prime. Chosen so
+    * every intermediate stays exact in BIGINT on BOTH engines:
+    * (P−1)·A ≈ 1.2e18 and (P−1)² ≈ 1e18 < 2^63; the fingerprint SUMS
+    * hold exact for ~9·10⁹ kept rows per source before the audit
+    * column needs DECIMAL(38,0) (a column-type change, not a plan
+    * change). */
+  val FpPrime = 1000000007L
+  val FpMulA = 1103515245L
+  val FpAddB = 12345L
+
+  /** The mixed per-id fingerprint term (Spark side). */
+  private[graft] def fpMix(id: org.apache.spark.sql.Column) =
+    pmod(pmod(id, lit(FpPrime)) * FpMulA + FpAddB, lit(FpPrime))
+
   /** P16: SOURCE-CAP curation — bound any single source's share of
     * the corpus at `SourceCapPct`% (the anti-domination guard every
     * web-scale mix applies before weighting: one crawler bucket or
@@ -333,45 +351,54 @@ object Sampling {
     * scores look). Deterministic keep policy: the LOWEST doc_ids per
     * source up to the cap (ingest order = keep-first, p7's
     * convention). Output is the per-source audit row: total, kept,
-    * whether the cap bound, and the kept-set fingerprint (the
-    * d7/p7 `kept_fp` discipline — md5 over the ordered kept ids).
+    * whether the cap bound, and TWO mergeable kept-set fingerprints —
+    * order-insensitive power sums Σh(id) and Σh(id)² mod P over the
+    * kept ids (exact integers both engines replay; a multiset is
+    * pinned up to degree-2 power-sum collisions, the audit-grade
+    * check).
     *
-    * Shape at scale: one count for the global cap scalar, then a
-    * per-source rank — a (source)-keyed window whose partitions are
-    * exactly the unit the cap is defined over (a pathologically hot
-    * source is the thing being CUT; rank ≤ cap short-circuits into a
-    * per-source top-cap TakeOrdered under AQE at real scale) — and
-    * one per-source aggregate. */
+    * Shape at scale: one count for the global cap scalar, then the
+    * per-source rank via `withGroupRank` — range-partitioned
+    * (source, doc_id) with per-partition ranks + bounded offsets —
+    * NEVER a bare partitionBy(source) window, which funnels each
+    * source's ENTIRE population (3 % of a 100 TB corpus) through one
+    * task; and the fingerprints are map-side-partial SUMS, never a
+    * `collect_list` materializing a data-sized kept set in one
+    * aggregation buffer. */
   def p16SourceCap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir).select($"doc_id", $"source")
-    val cap = docs.count() * SourceCapPct / 100
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source").orderBy($"doc_id")
-    docs.withColumn("rnk", row_number().over(w))
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_total"),
-        sum(when($"rnk" <= cap, 1L).otherwise(0L)).as("n_kept"),
-        (max($"rnk") > cap).as("capped"),
-        md5(concat_ws(" ",
-          sort_array(collect_list(when($"rnk" <= cap, $"doc_id")))))
-          .as("kept_fp"))
-      .orderBy($"source")
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("p16_source_cap", dir) {
+      val docs = Tables.documents(s, dir).select($"doc_id", $"source")
+      val cap = docs.count() * SourceCapPct / 100
+      val h = fpMix($"doc_id")
+      Analytics.withGroupRank(docs, "source", "rnk", scaffolding, $"doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when($"rnk" <= cap, 1L).otherwise(0L)).as("n_kept"),
+          (max($"rnk") > cap).as("capped"),
+          coalesce(sum(when($"rnk" <= cap, h)), lit(0L)).as("kept_fp1"),
+          coalesce(sum(when($"rnk" <= cap, pmod(h * h, lit(FpPrime)))),
+            lit(0L)).as("kept_fp2"))
+        .orderBy($"source")
+    } { scaffolding.foreach(_.unpersist()) }
   }
 
   private[graft] def sourceCapOracleSql: String =
     s"""WITH n AS (SELECT count(*) * $SourceCapPct // 100 AS cap
            FROM documents),
          r AS (SELECT source, doc_id,
+             ((doc_id % $FpPrime) * $FpMulA + $FpAddB) % $FpPrime AS h,
              row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
            FROM documents)
          SELECT source, count(*) AS n_total,
            CAST(sum(CASE WHEN rnk <= n.cap THEN 1 ELSE 0 END) AS BIGINT)
              AS n_kept,
            max(rnk) > n.cap AS capped,
-           md5(string_agg(CASE WHEN rnk <= n.cap
-             THEN CAST(doc_id AS VARCHAR) END, ' ' ORDER BY doc_id))
-             AS kept_fp
+           CAST(coalesce(sum(CASE WHEN rnk <= n.cap THEN h END), 0)
+             AS BIGINT) AS kept_fp1,
+           CAST(coalesce(sum(CASE WHEN rnk <= n.cap
+             THEN (h * h) % $FpPrime END), 0) AS BIGINT) AS kept_fp2
          FROM r CROSS JOIN n
          GROUP BY source, n.cap ORDER BY source"""
 

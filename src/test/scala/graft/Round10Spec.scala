@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 hardening: the p16/p18 scale reshape — distributed
+  * per-group rank (`withGroupRank`) replacing the single-task
+  * partitionBy(source) window, and mergeable power-sum kept-set
+  * fingerprints replacing the data-sized collect_list audit. */
+class Round10Spec extends GraftSpecBase {
+  import spark.implicits._
+
+  // ------------- withGroupRank -------------
+
+  test("withGroupRank: exact per-group rank equals the window replay on skewed constructed groups") {
+    // groups sized to SPAN partitions (one giant group, several small
+    // ones, a singleton) with shuffled insert order — the shape where
+    // a wrong offset reassembly shows
+    val rows = (
+      (1L to 997L).map(i => ("big", i * 7 % 1009)) ++   // permuted keys
+      (1L to 40L).map(i => ("mid", 1000L - i)) ++
+      Seq(("solo", 5L)) ++
+      (1L to 13L).map(i => ("tiny", i))
+    )
+    val df = scala.util.Random.shuffle(rows).toDF("g", "k")
+    val scaffolding = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    val got = operators.Analytics
+      .withGroupRank(df, "g", "rnk", scaffolding, $"k")
+      .select($"g", $"k", $"rnk")
+      .as[(String, Long, Long)].collect().toSet
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map(_._2).sorted.zipWithIndex.map { case (k, i) =>
+        (g, k, i + 1L) }
+    }.toSet
+    assert(got == want,
+      s"diff: ${(got -- want).take(3)} / ${(want -- got).take(3)}")
+    scaffolding.foreach(_.unpersist())
+  }
+
+  test("withGroupRank: descending sort and multi-column tie-break orders") {
+    val rows = Seq(("a", 3L, 1L), ("a", 3L, 2L), ("a", 1L, 9L),
+      ("b", 5L, 5L), ("b", 5L, 4L))
+    val df = rows.toDF("g", "x", "y")
+    val scaffolding = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    val got = operators.Analytics
+      .withGroupRank(df, "g", "rnk", scaffolding, $"x".desc, $"y")
+      .select($"g", $"x", $"y", $"rnk")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val want = Set(("a", 3L, 1L, 1L), ("a", 3L, 2L, 2L), ("a", 1L, 9L, 3L),
+      ("b", 5L, 4L, 1L), ("b", 5L, 5L, 2L))
+    assert(got == want, got)
+    scaffolding.foreach(_.unpersist())
+  }
+
+  // ------------- p16 reshape -------------
+
+  test("p16 plan audit: rank windows key on __pid (distributed), no collect_list audit buffer") {
+    // the memoized frame's ANALYZED plan is the original build plan
+    // (cache() substitutes only at execution), so the shape audit
+    // survives memoization
+    val df = operators.Sampling.p16SourceCap(spark, sf)
+    val p = df.queryExecution.analyzed.toString
+    assert(!p.contains("collect_list"),
+      "data-sized collect_list audit buffer is back: " + p.take(2000))
+    // every row_number window in the plan must be keyed on __pid —
+    // never a bare partitionBy(source) over the full corpus
+    val winLines = p.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(winLines.nonEmpty, p.take(2000))
+    winLines.foreach { l =>
+      assert(l.contains("__pid"), s"single-task-per-source window: $l")
+    }
+  }
+
+  test("p16: power-sum fingerprints replay locally and the full audit row matches a local replay") {
+    val out = operators.Sampling.p16SourceCap(spark, sf)
+      .as[(String, Long, Long, Boolean, Long, Long)].collect().toSeq
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"source")
+      .as[(Long, String)].collect()
+    val cap = docs.length.toLong * operators.Sampling.SourceCapPct / 100
+    val P = operators.Sampling.FpPrime
+    def h(id: Long) = ((id % P) * operators.Sampling.FpMulA +
+      operators.Sampling.FpAddB) % P
+    val want = docs.groupBy(_._2).map { case (src, rs) =>
+      val ids = rs.map(_._1).sorted
+      val kept = ids.take(cap.toInt)
+      (src, ids.length.toLong, kept.length.toLong, ids.length > cap,
+        kept.map(h).sum, kept.map(id => h(id) * h(id) % P).sum)
+    }.toSeq.sortBy(_._1)
+    assert(out == want)
+  }
+
+  test("p18: reshaped per-source rank keeps the exact keep-first semantics (vs plain-window replay)") {
+    // the oracle hash gate covers this end-to-end at sf0.01; this is
+    // the in-suite twin at the gate SF against a literal window plan
+    val got = operators.Sampling.p18Curate(spark, sf)
+      .as[(Long, String, String)].collect().toSeq
+    val clean = operators.Dedup.p1CleanCorpus(spark, sf).select($"doc_id")
+    val contaminated = operators.Dedup.p3Decontaminate(spark, sf)
+      .select($"doc_id")
+    val train = clean
+      .filter($"doc_id" % operators.Dedup.DecontamMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"source")
+    val kept = train.join(docs, "doc_id")
+    val cap = kept.count() * operators.Sampling.SourceCapPct / 100
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    val want = kept.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= cap)
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == want)
+  }
+}

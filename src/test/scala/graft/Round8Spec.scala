@@ -155,11 +155,14 @@ class Round8Spec extends GraftSpecBase {
         adj.getOrElseUpdate(b, collection.mutable.Set.empty) += a
       }
       import scala.math.Ordering.Implicits._
-      def prio(v: Long) = ((v * 2654435761L) % 2147483647L, v)
       val color = collection.mutable.Map.empty[Long, Int]
-      var jpRounds = 0
+      var lubyRounds = 0
       while (color.size < adj.size) {
-        jpRounds += 1
+        // Luby schedule: priorities re-randomize per round (round
+        // index 0-based, matching the Spark loop's r)
+        val a = operators.Graph.semiPrioA(lubyRounds)
+        def prio(v: Long) = ((v * a) % operators.Graph.SemiPrioM, v)
+        lubyRounds += 1
         val newly = adj.keys.filter(v => !color.contains(v) &&
           adj(v).forall(u => color.contains(u) || prio(u) < prio(v)))
         newly.foreach { v =>
@@ -167,12 +170,13 @@ class Round8Spec extends GraftSpecBase {
           color(v) = (1 to used.size + 1).find(c => !used.contains(c)).get
         }
       }
+      info(s"$dir: ${color.values.max} colors, $lubyRounds Luby rounds")
       assert(color.values.max <= operators.Graph.SemiColors,
         s"$dir needs ${color.values.max} colors > budget")
-      // oracle parity: the 48-round unrolled coloring must COMPLETE
-      // at every SF the oracle could run on (identity tails after)
-      assert(jpRounds <= operators.Graph.SemiColoringRounds,
-        s"$dir coloring completes in $jpRounds rounds > oracle unroll")
+      // oracle parity: the unrolled coloring must COMPLETE at every
+      // SF the oracle could run on (identity tails after)
+      assert(lubyRounds <= operators.Graph.SemiColoringRounds,
+        s"$dir coloring completes in $lubyRounds rounds > oracle unroll")
     }
   }
 
@@ -910,22 +914,28 @@ class Round8Spec extends GraftSpecBase {
   test("p16: cap binds per source, keep-first policy, audit conserved") {
     import org.apache.spark.sql.functions._
     val out = operators.Sampling.p16SourceCap(spark, sf)
-      .as[(String, Long, Long, Boolean, String)].collect().toSeq
+      .as[(String, Long, Long, Boolean, Long, Long)].collect().toSeq
     val total = Tables.documents(spark, sf).count()
     val cap = total * operators.Sampling.SourceCapPct / 100
-    out.foreach { case (src, n, kept, capped, fp) =>
+    out.foreach { case (src, n, kept, capped, fp1, fp2) =>
       assert(kept == math.min(n, cap), s"$src: kept $kept of $n, cap $cap")
       assert(capped == (n > cap), s"$src: capped flag wrong")
-      assert(fp.nonEmpty)
+      assert(fp1 > 0L && fp2 > 0L)
     }
-    // keep-first: the kept set of one source is exactly its lowest ids
+    // keep-first: the kept set of one source is exactly its lowest
+    // ids — replay the order-insensitive power-sum fingerprints
+    val P = operators.Sampling.FpPrime
+    def h(id: Long) = ((id % P) * operators.Sampling.FpMulA +
+      operators.Sampling.FpAddB) % P
     val src = out.head._1
     val ids = Tables.documents(spark, sf).filter($"source" === src)
       .select($"doc_id").as[Long].collect().sorted.take(cap.toInt)
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(ids.mkString(" ").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    assert(out.head._5 == fp, s"kept_fp mismatch for $src")
+    assert(out.head._5 == ids.map(h).sum, s"kept_fp1 mismatch for $src")
+    assert(out.head._6 == ids.map(id => h(id) * h(id) % P).sum,
+      s"kept_fp2 mismatch for $src")
+    // order-insensitivity is structural (sums commute); distinctness
+    // across sources is the audit signal
+    assert(out.map(_._5).distinct.size == out.size)
   }
 
   // ------------- q92 Wilson reliability ranking -------------

@@ -155,35 +155,74 @@ class Round9Spec extends GraftSpecBase {
     // 16 channels; journeys touch singleton coalitions with v spread
     // so phi*K! terms are huge: fact(15) = 1.3e12, times Scale-level
     // dv ~ 1e6 -> per-term ~1e18; the pre-fix Long path wrapped here.
-    val chans = (0 until 16).map(i => f"ch$i%02d")
+    // NOTE the game is NOT additive: v is grounded at 0 for every
+    // UNOBSERVED coalition (exactly-S semantics), so with only
+    // singletons observed phi_i*K! = (K-1)!*v_i - (K-2)!*sum(v_j, j!=i)
+    // — the expectation is a local BigInt brute-force over the SAME
+    // exactly-S v definition, not fact(K)*v_i.
+    val k = 16
+    val chans = (0 until k).map(i => f"ch$i%02d")
     val co: Array[(Seq[String], Long, Long)] =
       chans.zipWithIndex.map { case (c, i) =>
         (Seq(c), 10L, (i % 10).toLong) // v(single) = i%10 / 10
       }.toArray
     val df = operators.Analytics.shapleyExact(spark, co, chans)
       .as[(String, Long, Long, Long)].collect().toSeq
-    // additive game over singletons: phi_i*K! = K!*v({i}) exactly
     def fact(n: Int): BigInt = (1 to n).foldLeft(BigInt(1))(_ * _)
+    val facts = (0 to k).map(fact)
     val scale = operators.Analytics.ShapleyScale
+    // the exactly-S valuation the engine uses: v(mask)=c*Scale/n for
+    // observed masks, 0 elsewhere (here: singletons only)
+    val v: Map[Int, Long] = chans.indices.map { i =>
+      (1 << i) -> (i % 10).toLong * scale / 10L
+    }.toMap.withDefaultValue(0L)
+    def bruteForcePhi(i: Int): BigInt = {
+      val b = 1 << i
+      var acc = BigInt(0)
+      var m = 0
+      while (m < (1 << k)) {
+        if ((m & b) == 0) {
+          val sz = Integer.bitCount(m)
+          acc += facts(sz) * facts(k - 1 - sz) * BigInt(v(m | b) - v(m))
+        }
+        m += 1
+      }
+      acc
+    }
     df.zipWithIndex.foreach { case ((ch, nj, phi, _), i) =>
-      val v = (i % 10).toLong * scale / 10L
-      val want = fact(16) * BigInt(v)
+      val want = bruteForcePhi(i)
       assert(want.isValidLong && phi == want.toLong,
-        s"$ch: phi $phi vs ${want}")
+        s"$ch: phi $phi vs brute-force $want")
       assert(nj == 10L)
     }
-    // shares floor-sum to <= 1e6 and reconstruct the value ratios
+    // EFFICIENCY axiom: sum(phi)*K! = K!*(v(C) - v(empty)) and the
+    // grand coalition C is UNOBSERVED here -> v(C) = 0 -> tot = 0
+    // exactly (and shares degrade to all-zero by the tot==0 branch)
     val tot = df.map(_._3).sum
-    assert(df.map(_._4).sum <= 1000000L)
-    assert(tot > 0L)
+    assert(tot == 0L, s"efficiency violated: sum(phi*K!) = $tot")
+    assert(df.map(_._4).forall(_ == 0L))
+    // phi itself is non-degenerate: the converting channels are
+    // positive-signal, ch00 (v=0) is pure negative
+    assert(df.map(_._3).exists(_ > 0L) && df.head._3 < 0L)
+    // sanity on the closed form the docstring claims: phi_0*K! =
+    // 15!*v_0 - 14!*sum(v_j, j!=0) (v_0 = 0 here, so pure negative)
+    val t = chans.indices.map(j => BigInt(v(1 << j))).sum
+    assert(bruteForcePhi(0) ==
+      facts(k - 1) * BigInt(v(1)) - facts(k - 2) * (t - BigInt(v(1))))
   }
 
-  test("q96: K=18 all-equal game overflows Long in phi*K! units and raises LOUDLY") {
-    // fact(18) = 6.4e15; v = Scale for every singleton -> phi*K! =
-    // 6.4e21 — past Long. The guard must raise, never wrap silently.
+  test("q96: K=18 skewed game overflows Long in phi*K! units and raises LOUDLY") {
+    // An ALL-EQUAL singleton game cancels exactly — phi_i*K! =
+    // 17!*v - 16!*17v = 0 (17! = 17*16!) — and never trips the guard.
+    // A NON-CANCELLING game: one converting channel, the rest dead:
+    // phi_0*K! = 0!*17!*Scale = 3.56e20 >> Long.MaxValue (9.2e18),
+    // and phi_j*K! = -16!*Scale = -2.1e19 for j!=0 also overflows.
+    // The guard must raise, never wrap silently.
     val chans = (0 until 18).map(i => f"ch$i%02d")
     val co: Array[(Seq[String], Long, Long)] =
-      chans.map(c => (Seq(c), 1L, 1L)).toArray
+      chans.zipWithIndex.map { case (c, i) =>
+        (Seq(c), 1L, if (i == 0) 1L else 0L)
+      }.toArray
     val ex = intercept[IllegalArgumentException] {
       operators.Analytics.shapleyExact(spark, co, chans).collect()
     }
@@ -192,17 +231,32 @@ class Round9Spec extends GraftSpecBase {
 
   test("q96 sampled: BigInt K! carry agrees with the exact table on the 4-channel corpus") {
     // regression net for the floorDiv->BigInt rewrite: the sampled
-    // estimator's output must still be phi*K!-unit comparable
-    val exact = operators.Analytics.q96Shapley(spark, sf)
+    // estimator's output must still be phi*K!-unit comparable.
+    // A SINGLE 40-permutation run drifts up to ~35% on one channel
+    // (Castro estimator variance: the per-permutation marginal's sigma
+    // is several times phi on this corpus) — average over seeds so the
+    // band tests the UNIT SCALING, not one draw's luck: 16 seeds x 200
+    // permutations = 3200 marginals per channel. Deterministic given
+    // the fixed seeds; band pinned ~2x over the measured drift.
+    val co = operators.Analytics.shapleyCoalitions(spark, sf)
+    val chans = co.flatMap(_._1).distinct.sorted
+    val exact = operators.Analytics.shapleyExact(spark, co, chans)
       .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
-    val est = operators.Analytics.q96ShapleySampled(spark, sf, samples = 40)
-      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
-    assert(exact.keySet == est.keySet)
+    val seeds = 1L to 16L
+    val perSeed = seeds.map { sd =>
+      operators.Analytics.shapleySampled(spark, co, chans,
+          samples = 200, seed = sd)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> r._3).toMap
+    }
+    assert(perSeed.forall(_.keySet == exact.keySet))
     exact.foreach { case (ch, p) =>
-      val q = est(ch)
-      val denom = math.max(math.abs(p), 1L)
-      assert(math.abs(q - p).toDouble / denom < 0.15,
-        s"$ch: sampled $q vs exact $p drifted")
+      val q = perSeed.map(m => BigInt(m(ch))).sum / seeds.size
+      val denom = BigInt(math.max(math.abs(p), 1L))
+      val drift = (q - BigInt(p)).abs.toDouble / denom.toDouble
+      info(f"$ch: seed-mean drift $drift%.4f")
+      assert(drift < 0.15, s"$ch: seed-mean sampled $q vs exact $p " +
+        f"drifted $drift%.3f")
     }
   }
 }
