@@ -1893,9 +1893,10 @@ object Graph {
 
   /** Thinning probability (per mille) for `q98_truss_thinned`'s
     * support screen — p = 1/2 at the gate SFs (sparse supports: the
-    * screen must not starve; recall measured by the spec); the 20×
-    * ScaleProbe drives lower p where supports are large and the p²
-    * wedge contraction is the point. */
+    * screen must not starve; recall measured by the spec). The 20×
+    * recall/time-vs-p curve (TrussThinProbe, §6.15) sets the scale
+    * expectations: lower p buys 2–8× wall-clock at sharply falling
+    * recall — backbone extraction, not truss recovery. */
   val TrussThinP1000 = 500L
 
   /** Q98's production-scale twin: DOULION-style THINNED SUPPORT
@@ -1923,11 +1924,18 @@ object Graph {
     *
     * p = 1 makes the screen the exact round 1 (cnt = true support),
     * so the whole entry degenerates to q98 bit-for-bit — the spec
-    * pins it. The trade is RECALL on small supports (an edge with
-    * support s survives the screen w.p. ≥ 1−(1−p²)^s — fine where
-    * supports are large, i.e. exactly the dense regime where the
-    * exact path is expensive; measured per SF in the spec/SURVEY).
-    * Seeded coin → rows-only by design. */
+    * pins it. The trade is RECALL, and the round-10 20× measurements
+    * (§6.15) bound it honestly: an edge with support s survives the
+    * screen w.p. ≥ 1−(1−p²)^s, but the exact peel then CASCADES
+    * marginal losses (a dropped edge lowers its triangles' other two
+    * edges), so recall is poor wherever truss edges sit NEAR the
+    * support threshold — measured 0.665/0.278/0.108 at p=0.5/0.3/0.2
+    * for k=3 (abundant support-1 edges), and 0.068 at p=0.5 for k=10
+    * (marginal surplus unravels). The screen's honest use is
+    * HIGH-SUPPORT BACKBONE extraction at aggressive p (2–8× faster,
+    * keeps the heavy core, precision structural: output ⊆ exact
+    * truss), NOT full-truss recovery. Seeded coin → rows-only by
+    * design. */
   def q98TrussThinned(s: SparkSession, dir: String, k: Int = TrussK,
       p1000: Long = TrussThinP1000): DataFrame = {
     import s.implicits._

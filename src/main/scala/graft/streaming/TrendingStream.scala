@@ -31,8 +31,10 @@ object TrendingStream {
   case class MgState(ver: Long, n: Long, tokens: Seq[String], counts: Seq[Long])
   case class TrendRow(range: Int, ver: Long, n: Long, token: String, est: Long)
 
-  /** One Misra–Gries update step on a mutable map. */
-  private def mgUpdate(m: collection.mutable.LinkedHashMap[String, Long],
+  /** One Misra–Gries update step on a mutable map (shared with
+    * DriftStream's two-sketch processor). */
+  private[streaming] def mgUpdate(
+      m: collection.mutable.LinkedHashMap[String, Long],
       token: String, cap: Int): Unit = {
     if (m.contains(token)) m(token) += 1L
     else if (m.size < cap) m(token) = 1L

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** Round-10 hardening: the p16/p18 scale reshape — distributed
@@ -113,5 +114,97 @@ class Round10Spec extends GraftSpecBase {
       .orderBy($"doc_id")
       .as[(Long, String, String)].collect().toSeq
     assert(got == want)
+  }
+
+  // ------------- t17 streaming drift twin -------------
+
+  test("drift stream: two-sketch MG bounds per snapshot, and drift within the error band of batch t17 on a replayed corpus") {
+    import graft.streaming.DriftStream
+    implicit val sqlCtx = spark.sqlContext
+    val ranges = 4
+    val cap = 64
+    // t17's semantics on a 300-doc slice: snapshot split at the
+    // doc_id midpoint, tokens tagged by side
+    val docs = Tables.documents(spark, sf).limit(300)
+    val mid = docs.agg(expr("(max(doc_id) + 1) div 2")).as[Long].head()
+    val toks = docs
+      .select($"doc_id",
+        explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .filter($"t" =!= "").as[(Long, String)].collect().toSeq
+      .map { case (id, t) =>
+        DriftStream.SnapTok(math.floorMod(t.hashCode, ranges), id >= mid, t) }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[DriftStream.SnapTok]
+    val q = DriftStream.heavyChange(stream.toDS(), cap)
+      .writeStream.format("memory").queryName("drift_t17")
+      .outputMode("append").start()
+    try {
+      toks.grouped(toks.size / 4 + 1).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+      val rows = spark.table("drift_t17")
+        .as[DriftStream.DriftRow].collect().toSeq
+      val latest = rows.groupBy(_.range).view.mapValues { rs =>
+        val v = rs.map(_.ver).max; rs.filter(_.ver == v)
+      }.toMap
+      // exact per-snapshot truths over the same slice
+      val exactA = toks.filterNot(_.isB).groupBy(_.token)
+        .view.mapValues(_.size.toLong).toMap.withDefaultValue(0L)
+      val exactB = toks.filter(_.isB).groupBy(_.token)
+        .view.mapValues(_.size.toLong).toMap.withDefaultValue(0L)
+      val naR = toks.filterNot(_.isB).groupBy(_.range)
+        .view.mapValues(_.size.toLong).toMap.withDefaultValue(0L)
+      val nbR = toks.filter(_.isB).groupBy(_.range)
+        .view.mapValues(_.size.toLong).toMap.withDefaultValue(0L)
+      latest.foreach { case (r, rs) =>
+        assert(rs.head.na == naR(r) && rs.head.nb == nbR(r),
+          s"range $r exact totals drifted")
+        val mA = naR(r) / (cap + 1L)
+        val mB = nbR(r) / (cap + 1L)
+        rs.foreach { row =>
+          // per-snapshot MG bounds (est==0 allowed: absent from that
+          // sketch means only that its count is under the margin)
+          assert(row.estA <= exactA(row.token) &&
+            (row.estA > 0L || exactA(row.token) <= mA) &&
+            exactA(row.token) <= row.estA + mA,
+            s"A-bound broken for ${row.token} in range $r")
+          assert(row.estB <= exactB(row.token) &&
+            (row.estB > 0L || exactB(row.token) <= mB) &&
+            exactB(row.token) <= row.estB + mB,
+            s"B-bound broken for ${row.token} in range $r")
+        }
+        // guaranteed presence above the per-snapshot error line
+        val present = rs.map(_.token).toSet
+        (exactA.keys ++ exactB.keys).filter(t =>
+            math.floorMod(t.hashCode, ranges) == r &&
+            (exactA(t) > mA || exactB(t) > mB))
+          .foreach(t => assert(present.contains(t),
+            s"heavy token $t missing from range $r summaries"))
+      }
+      // drift estimates: within the analytic error band of the exact
+      // batch drift (t17's micro-unit algebra) for every reported row
+      val ta = toks.count(!_.isB).toLong
+      val tb = toks.count(_.isB).toLong
+      val top = DriftStream.driftTopK(rows, 20, minCombined = 5L)
+      assert(top.nonEmpty && top.size <= 20)
+      top.foreach { case (t, _, _, drift) =>
+        val r = math.floorMod(t.hashCode, ranges)
+        val exact = math.abs(exactA(t) * 1000000L / ta -
+          exactB(t) * 1000000L / tb)
+        // each share underestimates by <= margin/total (+1 floor slack)
+        val band = naR(r) / (cap + 1L) * 1000000L / ta +
+          nbR(r) / (cap + 1L) * 1000000L / tb + 2L
+        assert(math.abs(drift - exact) <= band,
+          s"$t: stream drift $drift vs exact $exact outside band $band")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 }
