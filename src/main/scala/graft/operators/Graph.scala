@@ -2091,6 +2091,26 @@ object Graph {
       lgK: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
+    val (_, totals) = anfLoop(edges, rounds, lgK)
+    // driver-side percentages in BigInt — pair counts at web scale
+    // outgrow Long×1e6 products
+    val fin = totals.last
+    val effDiam = totals.indexWhere(n => BigInt(n) * 10 >= BigInt(fin) * 9)
+    totals.zipWithIndex.map { case (n, hop) =>
+      (hop, n,
+        if (fin == 0) 0L else (BigInt(n) * 1000000 / BigInt(fin)).toLong,
+        effDiam)
+    }.toDF("hop", "est_pairs", "pct_1e6", "eff_diam_90")
+  }
+
+  /** The ANF sketch loop itself, returning the FINAL per-node state
+    * alongside the per-hop totals — separated so the lgK wire/error
+    * accounting (spec + AnfWireProbe) can measure the serialized
+    * sketch sizes the per-round shuffle actually carries. */
+  private[graft] def anfLoop(edges: DataFrame, rounds: Int,
+      lgK: Int): (DataFrame, Seq[Long]) = {
+    val s = edges.sparkSession
+    import s.implicits._
     var state = edges.select($"src".as("node")).distinct()
       .groupBy($"node").agg(expr(s"hll_sketch_agg(node, $lgK)").as("sk"))
       .checkpointFresh
@@ -2110,15 +2130,7 @@ object Graph {
       totals += nt
       t += 1
     }
-    // driver-side percentages in BigInt — pair counts at web scale
-    // outgrow Long×1e6 products
-    val fin = totals.last
-    val effDiam = totals.indexWhere(n => BigInt(n) * 10 >= BigInt(fin) * 9)
-    totals.toSeq.zipWithIndex.map { case (n, hop) =>
-      (hop, n,
-        if (fin == 0) 0L else (BigInt(n) * 1000000 / BigInt(fin)).toLong,
-        effDiam)
-    }.toDF("hop", "est_pairs", "pct_1e6", "eff_diam_90")
+    (state, totals.toSeq)
   }
 
   private[graft] def diameterOracleSql(rounds: Int = DiameterRounds): String = {

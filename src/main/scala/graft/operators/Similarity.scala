@@ -1028,6 +1028,41 @@ object Similarity {
       .orderBy($"q_id", $"rnk")
   }
 
+  /** Measured recall of the hybrid probe path at `probes` vs the
+    * exact label-filtered answer (probes == IvfClusters ≡ s11):
+    * the fraction of exact (q_id, neighbor_id) slate pairs the probed
+    * path recovers. Both slates are K-bounded driver artifacts
+    * (queries × 3 rows). */
+  def s13RecallAtProbes(s: SparkSession, dir: String,
+      probes: Int): Double = {
+    import s.implicits._
+    val exact = s13HybridAnn(s, dir, IvfClusters)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val got = s13HybridAnn(s, dir, probes)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    if (exact.isEmpty) 1.0 else (got & exact).size.toDouble / exact.size
+  }
+
+  /** The serving-side PROBE KNOB: smallest probe count whose measured
+    * recall reaches `target`. Recall is MONOTONE in probes — a larger
+    * probe set only GROWS the candidate set, and any candidate that
+    * outscores a true top-k member is itself a true top-k member
+    * (deterministic q4 + id tie-breaks), so candidates can only pull
+    * the slate TOWARD the exact answer — hence the first count to
+    * reach the target is the answer and the linear walk is exact
+    * (≤ IvfClusters recall evaluations; at real scale the curve runs
+    * once per index build over a SAMPLED query set and is stored as
+    * index metadata, like the centroids). probes == IvfClusters
+    * degenerates to the exact s11 answer, so every target ≤ 1.0 is
+    * reachable. */
+  def hybridProbesFor(s: SparkSession, dir: String,
+      target: Double): Int = {
+    require(target > 0.0 && target <= 1.0, s"target $target not in (0,1]")
+    (1 to IvfClusters)
+      .find(p => s13RecallAtProbes(s, dir, p) >= target)
+      .getOrElse(IvfClusters)
+  }
+
   // ----------------------------------------------------------------
   // S10: MMR diversified top-k
   // ----------------------------------------------------------------

@@ -116,6 +116,75 @@ class Round10Spec extends GraftSpecBase {
     assert(got == want)
   }
 
+  // ------------- s13 probe knob -------------
+
+  test("s13: recall-vs-probes curve is monotone to 1.0 and hybridProbesFor returns the minimal knob") {
+    val K = operators.Similarity.IvfClusters
+    val curve = (1 to K).map(p =>
+      p -> operators.Similarity.s13RecallAtProbes(spark, sf, p))
+    info("recall curve: " +
+      curve.map { case (p, r) => f"$p:$r%.2f" }.mkString(" "))
+    curve.sliding(2).foreach {
+      case Seq((pa, a), (pb, b)) =>
+        assert(b >= a, s"recall fell $a -> $b from probes $pa -> $pb")
+      case _ =>
+    }
+    assert(curve.last._2 == 1.0, "full probes must be exact (== s11)")
+    val k90 = operators.Similarity.hybridProbesFor(spark, sf, 0.9)
+    assert(operators.Similarity.s13RecallAtProbes(spark, sf, k90) >= 0.9)
+    if (k90 > 1)
+      assert(operators.Similarity.s13RecallAtProbes(spark, sf, k90 - 1) < 0.9,
+        s"$k90 not minimal for target 0.9")
+    // a lower target never needs more probes
+    assert(operators.Similarity.hybridProbesFor(spark, sf, 0.5) <= k90)
+    info(s"hybridProbesFor(0.9) = $k90 of $K")
+  }
+
+  // ------------- q97 lgK accuracy/wire knob -------------
+
+  test("q97: lgK knob — error vs the exact neighborhood function shrinks with lgK, sketch bytes grow") {
+    // exact N(t) by local BFS on the sf0.001 pair graph (Round8's
+    // replay), then the ANF loop at three register sizes
+    val prs = operators.Analytics.copurchasePairs(spark, sf)
+      .filter($"n_orders" >= 2)
+      .select($"pa", $"pb").as[(Long, Long)].collect()
+    val adj = collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    prs.foreach { case (a, b) => adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+    val exact = collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    adj.keys.foreach { s0 =>
+      val dist = collection.mutable.Map(s0 -> 0)
+      var front = Set(s0); var h = 0
+      while (front.nonEmpty) {
+        h += 1
+        front = front.flatMap(adj(_)).filterNot(dist.contains)
+        front.foreach(dist(_) = h)
+      }
+      dist.values.foreach { d => (d to 24).foreach(t => exact(t) += 1L) }
+    }
+    val sym = prs.toSeq.toDF("pa", "pb")
+      .select($"pa".as("src"), $"pb".as("dst"))
+      .unionAll(prs.toSeq.toDF("pa", "pb")
+        .select($"pb".as("src"), $"pa".as("dst")))
+    val rows = Seq(6, 10, 12).map { lgK =>
+      val (state, totals) = operators.Graph.anfLoop(sym, 12, lgK)
+      val maxRel = totals.zipWithIndex.map { case (est, hop) =>
+        math.abs(est - exact(hop)).toDouble / exact(hop) }.max
+      val avgB = state.agg(avg(length($"sk"))).as[Double].head()
+      info(f"lgK=$lgK: maxRel $maxRel%.4f, avg sketch $avgB%.0f B")
+      (lgK, maxRel, avgB)
+    }
+    // accuracy: more registers never measured worse here, and the
+    // lgK=12 run sits inside a tight band (RSE ~1.6% per sketch)
+    assert(rows(2)._2 <= rows(0)._2,
+      s"lgK=12 error ${rows(2)._2} worse than lgK=6 ${rows(0)._2}")
+    assert(rows(2)._2 <= 0.05, s"lgK=12 drifted ${rows(2)._2}")
+    assert(rows(1)._2 <= 0.10, s"lgK=10 drifted ${rows(1)._2}")
+    // wire: serialized sketches strictly grow with the register file
+    assert(rows(0)._3 < rows(1)._3 && rows(1)._3 < rows(2)._3,
+      s"sketch sizes not monotone: ${rows.map(_._3)}")
+  }
+
   // ------------- t17 streaming drift twin -------------
 
   test("drift stream: two-sketch MG bounds per snapshot, and drift within the error band of batch t17 on a replayed corpus") {
