@@ -205,6 +205,8 @@ object SparkEntry {
     "q98_truss_thinned"  -> ((s: SparkSession, d: String) => Graph.q98TrussThinned(s, d)),
     "q99_hits"           -> (Graph.q99Hits _),
     "t18_cross_surprisal" -> (TextAnalysis.t18CrossSurprisal _),
+    "t20_bm25"           -> (TextAnalysis.t20Bm25 _),
+    "t21_ks_drift"       -> (TextAnalysis.t21KsDrift _),
     "p16_source_cap"     -> (Sampling.p16SourceCap _),
     "p17_temperature_tau4" -> (Sampling.p17TemperatureTau4 _),
     "p17_temperature_pow" -> (Sampling.p17TemperaturePow _),
@@ -1948,6 +1950,8 @@ object SparkEntry {
     "q94_robustness" -> operators.Graph.robustnessOracleSql(),
     "q95_degree_dist" -> operators.Graph.degreeDistOracleSql,
     "t18_cross_surprisal" -> operators.TextAnalysis.crossSurprisalOracleSql,
+    "t20_bm25" -> operators.TextAnalysis.bm25OracleSql,
+    "t21_ks_drift" -> operators.TextAnalysis.ksDriftOracleSql,
     "p16_source_cap" -> operators.Sampling.sourceCapOracleSql,
     "q87_seq_rules" ->
       """WITH cp AS (

@@ -801,6 +801,176 @@ object TextAnalysis {
        WHERE tk.doc_id >= mx.mid
        GROUP BY 1 ORDER BY 1"""
 
+  /** Query tokens for t20 — mid-to-high-frequency corpus terms so
+    * idf, tf saturation, and length normalization all carry signal at
+    * every SF (same generator vocabulary across SFs). */
+  val Bm25Query = Seq("query", "join", "filter")
+  /** Okapi k1 (tf saturation) and b (length normalization). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 25
+
+  /** T20: BM25 RETRIEVAL (Robertson & Zaragoza 2009, the Okapi
+    * weighting every retrieval / RAG-curation stack runs) — top-25
+    * documents for a fixed query under
+    * score(D) = Σ_q idf(q) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(q) = log(1 + (N−n_q+0.5)/(n_q+0.5)) (the always-positive
+    * Robertson–Sparck-Jones form). idf is computed in LOG2 units —
+    * a 1/ln2 constant rescale of the textbook ln that leaves the
+    * ranking identical, because log2 is the engine-agreed primitive
+    * (the t9 discipline); each per-term score floor-quantizes to 1e4
+    * micro-units and the doc score is the exact INTEGER sum of its
+    * term scores, ties broken by doc_id — fully hash-oracle-checked.
+    * Every double expression is written in the SAME literal/operation
+    * sequence in both engines (k1+1 as `1.2 + 1.0`, never the
+    * pre-folded 2.2 — the two parses differ in the last ulp).
+    *
+    * Shape at scale: the corpus statistics (N, total tokens, per-term
+    * document frequencies) are ONE map-side-partial aggregate to a
+    * single broadcast row; scoring is then a SCAN-LOCAL per-row
+    * expression (tf via array filters on the token array — no
+    * explode, no token shuffle), and the top-25 plans as
+    * TakeOrderedAndProject. Two scans, zero data-sized shuffles —
+    * the 100 TB shape a posting-list engine needs an index for. */
+  def t20Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", filter(tokens($"text"), t => t =!= "").as("tk"))
+      .withColumn("dl", size($"tk").cast("long"))
+    val aggs = count(lit(1)).as("n_docs") +:
+      sum($"dl").as("total_tok") +:
+      Bm25Query.zipWithIndex.map { case (q, i) =>
+        sum(when(array_contains($"tk", q), 1L).otherwise(0L)).as(s"df_$i") }
+    val stats = toks.agg(aggs.head, aggs.tail: _*)
+    val nD = $"n_docs".cast("double")
+    val avgdl = $"total_tok".cast("double") / nD
+    val score = Bm25Query.zipWithIndex.map { case (q, i) =>
+      val tf = size(filter($"tk", t => t === q)).cast("double")
+      val nq = col(s"df_$i").cast("double")
+      val idf = log2(lit(1.0) + (nD - nq + lit(0.5)) / (nq + lit(0.5)))
+      floor(idf * (tf * (lit(Bm25K1) + lit(1.0))) /
+        (tf + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) +
+          lit(Bm25B) * $"dl".cast("double") / avgdl)) * 10000)
+        .cast("long")
+    }.reduce(_ + _)
+    toks.join(broadcast(stats))
+      .select($"doc_id", $"dl", score.as("score_1e4"))
+      .filter($"score_1e4" > 0)
+      .orderBy($"score_1e4".desc, $"doc_id").limit(Bm25TopK)
+  }
+
+  private[graft] def bm25OracleSql: String = {
+    val terms = Bm25Query.zipWithIndex
+    val dfSel = terms.map { case (q, i) =>
+      s"sum(CASE WHEN list_contains(tk, '$q') THEN 1 ELSE 0 END) AS df_$i"
+    }.mkString(", ")
+    val scoreExpr = terms.map { case (q, i) =>
+      s"""CAST(floor(
+           log2(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)
+             / (CAST(df_$i AS DOUBLE) + 0.5))
+           * (CAST(len(list_filter(tk, x -> x = '$q')) AS DOUBLE) * ($Bm25K1 + 1.0))
+           / (CAST(len(list_filter(tk, x -> x = '$q')) AS DOUBLE)
+              + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * CAST(dl AS DOUBLE)
+                / (CAST(total_tok AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+           * 10000) AS BIGINT)"""
+    }.mkString(" + ")
+    s"""WITH d AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           FROM documents),
+         dd AS (SELECT doc_id, tk,
+             CAST(len(tk) AS BIGINT) AS dl FROM d),
+         st AS (SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_tok, $dfSel FROM dd)
+         SELECT doc_id, dl, score_1e4 FROM (
+           SELECT doc_id, dl, $scoreExpr AS score_1e4
+           FROM dd CROSS JOIN st)
+         WHERE score_1e4 > 0
+         ORDER BY score_1e4 DESC, doc_id LIMIT $Bm25TopK"""
+  }
+
+  /** T21: two-sample KOLMOGOROV–SMIRNOV quality drift between corpus
+    * snapshots — the distribution-shift alarm on a CONTINUOUS score
+    * where t17 watches token shares: split the corpus at the doc_id
+    * midpoint (t17's discipline), D = sup_x |F_A(x) − F_B(x)| over
+    * t2's quality scores, plus the classical 95% rejection line
+    * D_crit = 1.358·√((n_A+n_B)/(n_A·n_B)). EXACT integer algebra:
+    * quality is already 4-dp floor-quantized (t2), so the sup ranges
+    * over the ≤ 10⁴+1 observed values; CDFs are integer micro-unit
+    * floors (cnt·10⁶ div n), and the critical line floor-quantizes to
+    * micro-units through one correctly-rounded IEEE sqrt (the p15
+    * discipline) so the reject flag is an integer compare.
+    *
+    * Shape at scale: one t2 scan + one quality-keyed conditional
+    * count (map-side partials). Everything after runs on the
+    * HISTOGRAM — a ≤ 10⁴⁺¹-row bounded artifact (the q45 discipline),
+    * so the two running-sum windows and the top-1 are artifact-sized,
+    * never row-sized. */
+  def t21KsDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val mid = docs.agg(expr("(max(doc_id) + 1) div 2")).as[Long].head()
+    val q = t2QualityScore(s, dir).select($"doc_id", $"quality")
+    val hist = q.groupBy($"quality").agg(
+      sum(when($"doc_id" < mid, 1L).otherwise(0L)).as("ca"),
+      sum(when($"doc_id" >= mid, 1L).otherwise(0L)).as("cb"))
+    val tots = hist.agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+    val w = Window.orderBy($"quality")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("fa", sum($"ca").over(w))
+      .withColumn("fb", sum($"cb").over(w))
+      .join(broadcast(tots))
+      .select($"quality".as("at_quality"), $"na", $"nb",
+        abs(expr("fa * 1000000 div na") - expr("fb * 1000000 div nb"))
+          .as("d_stat_1e6"),
+        floor(lit(1.358) * sqrt(($"na" + $"nb").cast("double") /
+          ($"na" * $"nb").cast("double")) * 1000000).cast("long")
+          .as("d_crit95_1e6"))
+      .withColumn("reject_95", $"d_stat_1e6" > $"d_crit95_1e6")
+      .orderBy($"d_stat_1e6".desc, $"at_quality").limit(1)
+  }
+
+  private[graft] def ksDriftOracleSql: String =
+    """WITH mx AS (SELECT (max(doc_id) + 1) // 2 AS mid FROM documents),
+       base AS (
+         SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+             / greatest(len(string_split(text, ' ')), 1) AS swr,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:''"()]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS pr
+         FROM documents),
+       scored AS (
+         SELECT doc_id,
+           floor(least(greatest((least(CAST(n_tokens AS DOUBLE) / 32.0, 1.0)
+             + greatest(1.0 - abs(swr - 0.08) * 2.0, 0.0)
+             + greatest(1.0 - pr * 4.0, 0.0)) / 3.0, 0.0), 1.0) * 10000) / 10000.0 AS quality
+         FROM base),
+       hist AS (
+         SELECT quality,
+           CAST(sum(CASE WHEN doc_id < mx.mid THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(sum(CASE WHEN doc_id >= mx.mid THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         FROM scored CROSS JOIN mx GROUP BY 1),
+       tots AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                  CAST(sum(cb) AS BIGINT) AS nb FROM hist),
+       cdf AS (
+         SELECT quality,
+           sum(ca) OVER (ORDER BY quality) AS fa,
+           sum(cb) OVER (ORDER BY quality) AS fb
+         FROM hist)
+       SELECT quality AS at_quality, na, nb,
+         CAST(abs((fa * 1000000) // na - (fb * 1000000) // nb) AS BIGINT)
+           AS d_stat_1e6,
+         CAST(floor(1.358 * sqrt(CAST(na + nb AS DOUBLE)
+           / CAST(na * nb AS DOUBLE)) * 1000000) AS BIGINT) AS d_crit95_1e6,
+         CAST(abs((fa * 1000000) // na - (fb * 1000000) // nb) AS BIGINT)
+           > CAST(floor(1.358 * sqrt(CAST(na + nb AS DOUBLE)
+             / CAST(na * nb AS DOUBLE)) * 1000000) AS BIGINT) AS reject_95
+       FROM cdf CROSS JOIN tots
+       ORDER BY d_stat_1e6 DESC, at_quality LIMIT 1"""
+
   /** t14 oracle: the same regex algebra in DuckDB (RE2). */
   private[graft] def codeDetectOracleSql: String =
     raw"""SELECT doc_id,

@@ -140,6 +140,76 @@ class Round10Spec extends GraftSpecBase {
     info(s"hybridProbesFor(0.9) = $k90 of $K")
   }
 
+  // ------------- t20 BM25 retrieval -------------
+
+  test("t20: BM25 == exact local replay (integer micro-unit scores); top-k plan is TakeOrdered, no explode") {
+    val got = operators.TextAnalysis.t20Bm25(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    val tks = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).filter(_.nonEmpty) }
+    val n = tks.length.toLong
+    val totalTok = tks.map(_._2.length.toLong).sum
+    val avgdl = totalTok.toDouble / n.toDouble
+    def log2(x: Double) = StrictMath.log(x) / StrictMath.log(2.0)
+    val k1 = operators.TextAnalysis.Bm25K1
+    val b = operators.TextAnalysis.Bm25B
+    val dfq = operators.TextAnalysis.Bm25Query.map(q =>
+      q -> tks.count(_._2.contains(q)).toLong).toMap
+    val want = tks.map { case (id, tk) =>
+      val dl = tk.length.toLong
+      val s = operators.TextAnalysis.Bm25Query.map { q =>
+        val tf = tk.count(_ == q).toDouble
+        val nq = dfq(q).toDouble
+        val idf = log2(1.0 + (n.toDouble - nq + 0.5) / (nq + 0.5))
+        math.floor(idf * (tf * (k1 + 1.0)) /
+          (tf + k1 * (1.0 - b + b * dl.toDouble / avgdl)) * 10000).toLong
+      }.sum
+      (id, dl, s)
+    }.filter(_._3 > 0).sortBy(r => (-r._3, r._1))
+      .take(operators.TextAnalysis.Bm25TopK).toSeq
+    assert(got == want,
+      s"got ${got.take(3)}...\nwant ${want.take(3)}...")
+    // plan shape: scan-local tf (no Generate/explode), top-k as
+    // TakeOrderedAndProject, stats as a broadcast one-row join
+    val p = operators.TextAnalysis.t20Bm25(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Generate"), "explode in the scoring path")
+  }
+
+  // ------------- t21 KS quality drift -------------
+
+  test("t21: KS statistic == exact local replay over the full CDF; sup attained; critical line arithmetic") {
+    val got = operators.TextAnalysis.t21KsDrift(spark, sf)
+      .as[(Double, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.size == 1)
+    val (atQ, na, nb, d, crit, reject) = got.head
+    // local replay from t2's scores (t2 itself is oracle-gated)
+    val mid = Tables.documents(spark, sf)
+      .agg(expr("(max(doc_id) + 1) div 2")).as[Long].head()
+    val qs = operators.TextAnalysis.t2QualityScore(spark, sf)
+      .select($"doc_id", $"quality").as[(Long, Double)].collect()
+    val a = qs.filter(_._1 < mid).map(_._2).sorted
+    val b = qs.filter(_._1 >= mid).map(_._2).sorted
+    assert(na == a.length.toLong && nb == b.length.toLong)
+    val values = (a ++ b).distinct.sorted
+    val ds = values.map { x =>
+      val fa = a.count(_ <= x).toLong * 1000000L / na
+      val fb = b.count(_ <= x).toLong * 1000000L / nb
+      (x, math.abs(fa - fb))
+    }
+    val dMax = ds.map(_._2).max
+    assert(d == dMax, s"D $d vs local sup $dMax")
+    assert(atQ == ds.filter(_._2 == dMax).map(_._1).min,
+      "sup not attained at the min such quality value")
+    val critWant = math.floor(1.358 *
+      math.sqrt((na + nb).toDouble / (na * nb).toDouble) * 1000000).toLong
+    assert(crit == critWant && reject == (d > crit))
+    info(s"KS D=$d crit95=$crit reject=$reject at quality $atQ")
+  }
+
   // ------------- q97 lgK accuracy/wire knob -------------
 
   test("q97: lgK knob — error vs the exact neighborhood function shrinks with lgK, sketch bytes grow") {
