@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q84 schedule accounting on the 20× densified probe graph: times
+  * the Luby coloring pre-pass separately from the full entry and
+  * reports rounds/colors — the split that says where the q84 20×
+  * wall-clock actually goes (coloring rounds vs colors × LPA sweeps).
+  * `runMain graft.LpaProbe [dir]`.
+  */
+object LpaProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft-scale-x20")
+    val spark = GraftSession.builder(s"local[${GraftSession.defaultCpus}]")
+      .config("spark.sql.shuffle.partitions", GraftSession.defaultCpus.toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val prs = operators.Analytics.copurchasePairs(spark, dir)
+      .filter($"n_orders" >= 2)
+    val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
+      .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
+      .cache()
+    println(s"== directed edges: ${edges.count()}")
+    val t0 = System.nanoTime()
+    val (col, rounds) = operators.Graph.lubyColoring(edges,
+      operators.Graph.SemiColoringRounds)
+    val nColors = col.agg(max($"color")).as[Int].head()
+    val colSec = (System.nanoTime() - t0) / 1e9
+    println(f"== luby coloring        $colSec%7.1f s  ($rounds rounds, $nColors colors)")
+    val t1 = System.nanoTime()
+    val lbl = operators.Graph.semiSyncLabels(edges)
+    val n = lbl.count()
+    val allSec = (System.nanoTime() - t1) / 1e9
+    println(f"== full semi-sync       $allSec%7.1f s  ($n nodes; sweeps ≈ ${allSec - colSec}%.1f s over ≤ ${operators.Graph.SemiLpaRounds} rounds × $nColors colors)")
+    spark.stop()
+  }
+}

@@ -158,6 +158,7 @@ object SparkEntry {
     "q63_holt_forecast"  -> (Analytics.q63HoltForecast _),
     "q64_cusum"          -> (Analytics.q64Cusum _),
     "q65_ab_test"        -> (Analytics.q65AbTest _),
+    "q65_cuped"          -> (Analytics.q65Cuped _),
     "q66_kcore"          -> ((s: SparkSession, d: String) => Graph.q66Kcore(s, d)),
     "q67_clustering_coef" -> (Graph.q67ClusteringCoef _),
     "q76_core_numbers"   -> ((s: SparkSession, d: String) => Graph.q76CoreNumbers(s, d)),
@@ -1952,6 +1953,7 @@ object SparkEntry {
     "t18_cross_surprisal" -> operators.TextAnalysis.crossSurprisalOracleSql,
     "t20_bm25" -> operators.TextAnalysis.bm25OracleSql,
     "t21_ks_drift" -> operators.TextAnalysis.ksDriftOracleSql,
+    "q65_cuped" -> operators.Analytics.cupedOracleSql,
     "p16_source_cap" -> operators.Sampling.sourceCapOracleSql,
     "q87_seq_rules" ->
       """WITH cp AS (

@@ -923,6 +923,121 @@ object Analytics {
             (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")))).as("z_stat"))
   }
 
+  /** Q65 CUPED: variance-reduced A/B readout (Deng, Xu, Kohavi &
+    * Walker WSDM'13 — the industry-standard experimentation upgrade):
+    * each user's PRE-period activity predicts their post-period
+    * outcome, so Y_adj = Y − θ(X − X̄) removes the predictable
+    * between-user variance and the same experiment reads with tighter
+    * error bars. X = pre-midpoint purchase count, Y = post-midpoint
+    * purchase count (corpus time midpoint — a deterministic stand-in
+    * for the experiment start), θ = cov(X,Y)/var(X) POOLED (the
+    * assignment-independent covariate rule that keeps the adjustment
+    * unbiased), arms by id parity (q65's convention).
+    *
+    * Exactness: the ENTIRE readout derives from six BIGINT sufficient
+    * statistics per arm (n, Σx, Σy, Σx², Σy², Σxy — exact integer
+    * aggregates); every double (θ, adjusted means, lift, the ρ²
+    * variance-reduction share) is computed from those integers in the
+    * same IEEE sequence both engines replay, then floor-quantized to
+    * 1e6 micro-units (floor, not div — θ and lifts go negative).
+    * n·Σx²-class products stay exact below ~9·10¹⁸ (at web scale the
+    * one product line promotes to DECIMAL(38,0), no plan change).
+    * Degenerate var(X) = 0 → θ = 0 (the q65 degenerate-pool
+    * convention). ρ² = cov²/(var(X)·var(Y)) is the measured share of
+    * outcome variance CUPED removes.
+    *
+    * Shape at scale: one events scan → one user-grain aggregate
+    * (map-side partials) → a 2-row arm frame + 1-row pooled totals;
+    * everything after is constant-sized driver-scale algebra. */
+  def q65Cuped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.eventsWithMs(s, dir)
+      .select($"user_id", $"ms",
+        ($"event_type" === "purchase").cast("long").as("p"))
+    val mid = e.agg(expr("(min(ms) + max(ms)) div 2")).as[Long].head()
+    val perUser = e.groupBy($"user_id")
+      .agg(sum(when($"ms" < mid, $"p").otherwise(0L)).as("x"),
+        sum(when($"ms" >= mid, $"p").otherwise(0L)).as("y"))
+      .select(pmod($"user_id", lit(2L)).as("arm"), $"x", $"y")
+    def stats(df: DataFrame) = df.agg(
+      count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+      sum($"x" * $"y").as("sxy"))
+    val pooled = stats(perUser)
+    val a = stats(perUser.filter($"arm" === 0))
+      .select($"n".as("n_a"), $"sx".as("sx_a"), $"sy".as("sy_a"))
+    val b = stats(perUser.filter($"arm" === 1))
+      .select($"n".as("n_b"), $"sx".as("sx_b"), $"sy".as("sy_b"))
+    val num = ($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+    val denX = ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+    val denY = ($"n" * $"syy" - $"sy" * $"sy").cast("double")
+    val theta = when(denX === 0.0, 0.0).otherwise(num / denX)
+    val rho2 = when(denX === 0.0 || denY === 0.0, 0.0)
+      .otherwise(num * num / (denX * denY))
+    val xbar = $"sx".cast("double") / $"n".cast("double")
+    def m(sc: org.apache.spark.sql.Column,
+        nc: org.apache.spark.sql.Column) = sc.cast("double") / nc.cast("double")
+    val adjA = m($"sy_a", $"n_a") - theta * (m($"sx_a", $"n_a") - xbar)
+    val adjB = m($"sy_b", $"n_b") - theta * (m($"sx_b", $"n_b") - xbar)
+    val q6 = (c: org.apache.spark.sql.Column) =>
+      floor(c * 1000000).cast("long")
+    a.crossJoin(b).crossJoin(broadcast(pooled))
+      .select($"n_a", $"n_b",
+        q6(theta).as("theta_1e6"),
+        q6(m($"sy_b", $"n_b") - m($"sy_a", $"n_a")).as("lift_raw_1e6"),
+        q6(adjB - adjA).as("lift_adj_1e6"),
+        q6(rho2).as("var_red_1e6"))
+  }
+
+  private[graft] def cupedOracleSql: String =
+    """WITH e AS (
+         SELECT user_id, epoch_ms(ts) AS ms,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+         FROM events),
+       mx AS (SELECT (min(ms) + max(ms)) // 2 AS mid FROM e),
+       pu AS (
+         SELECT user_id % 2 AS arm,
+           CAST(sum(CASE WHEN ms < mx.mid THEN p ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN ms >= mx.mid THEN p ELSE 0 END) AS BIGINT) AS y
+         FROM e CROSS JOIN mx GROUP BY user_id),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(x * y) AS BIGINT) AS sxy
+         FROM pu),
+       sa AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+           CAST(sum(x) AS BIGINT) AS sx_a, CAST(sum(y) AS BIGINT) AS sy_a
+         FROM pu WHERE arm = 0),
+       sb AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+           CAST(sum(x) AS BIGINT) AS sx_b, CAST(sum(y) AS BIGINT) AS sy_b
+         FROM pu WHERE arm = 1),
+       alg AS (
+         SELECT n_a, n_b,
+           CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+           CAST(n * sxx - sx * sx AS DOUBLE) AS den_x,
+           CAST(n * syy - sy * sy AS DOUBLE) AS den_y,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+           CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS my_a,
+           CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS my_b,
+           CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mx_a,
+           CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mx_b
+         FROM sa CROSS JOIN sb CROSS JOIN st),
+       th AS (
+         SELECT *, CASE WHEN den_x = 0.0 THEN 0.0
+             ELSE num / den_x END AS theta,
+           CASE WHEN den_x = 0.0 OR den_y = 0.0 THEN 0.0
+             ELSE num * num / (den_x * den_y) END AS rho2
+         FROM alg)
+       SELECT n_a, n_b,
+         CAST(floor(theta * 1000000) AS BIGINT) AS theta_1e6,
+         CAST(floor((my_b - my_a) * 1000000) AS BIGINT) AS lift_raw_1e6,
+         CAST(floor(((my_b - theta * (mx_b - xbar))
+           - (my_a - theta * (mx_a - xbar))) * 1000000) AS BIGINT)
+           AS lift_adj_1e6,
+         CAST(floor(rho2 * 1000000) AS BIGINT) AS var_red_1e6
+       FROM th"""
+
   /** Q64: CUSUM changepoint scan over the daily-revenue series — the
     * classic mean-shift detector (Page 1954): S_t = Σ_{i≤t}(x_i − μ̂),
     * and the day maximizing |S_t| is the changepoint estimate. Exact

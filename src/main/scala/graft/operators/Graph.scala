@@ -1237,40 +1237,46 @@ object Graph {
     out
   }
 
-  /** q84's engine over a symmetric edge list: returns (node, lbl)
-    * at the stable labeling. Separated so specs can drive constructed
-    * graphs (the 2-cycle graphs q81 oscillates on). */
-  private[graft] def semiSyncLabels(edges: DataFrame,
-      coloringRounds: Int = SemiColoringRounds,
-      rounds: Int = SemiLpaRounds): DataFrame = {
+  /** The Luby-schedule greedy coloring — colors to COMPLETION: every
+    * node must land in some class or the sweeps would never update
+    * it. `coloringRounds` sizes the ORACLE's unrolled replay (rounds
+    * past completion are the identity — no uncolored nodes, nothing
+    * newly colored — so a completion that beats the unroll keeps
+    * Spark ≡ oracle). The ceiling is ONLY a runaway guard: MIS-based
+    * coloring needs ≥ clique-number rounds (one clique member per
+    * independent set). Re-randomized priorities keep the expected
+    * schedule near that lower bound — fixed-priority JP needed
+    * 39/13/5 rounds at sf0.001/0.01/0.1 and 374 on the 20× densified
+    * probe (degeneracy 84); the Luby schedule's measured rounds live
+    * in the spec and §6.15. Returns (colored nodes, rounds used) —
+    * separated from the sweeps so LpaProbe can time/count it. */
+  private[graft] def lubyColoring(edges: DataFrame,
+      coloringRounds: Int): (DataFrame, Int) = {
     val s = edges.sparkSession
     import s.implicits._
     val nodes = edges.select($"src".as("node")).distinct()
       .checkpointFresh
-    // ---- Luby-schedule greedy coloring ----
     var col = nodes.select($"node", lit(0).as("color")).filter(lit(false))
       .checkpointFresh
     var unc = nodes
     var uncCnt = unc.count()
     var r = 0
-    // color to COMPLETION: every node must land in some class or it
-    // would never be updated. `coloringRounds` sizes the ORACLE's
-    // unrolled replay (rounds past completion are the identity — no
-    // uncolored nodes, nothing newly colored — so a completion that
-    // beats the unroll keeps Spark ≡ oracle). The ceiling is ONLY a
-    // runaway guard: MIS-based coloring needs ≥ clique-number rounds
-    // (one clique member per independent set). Re-randomized
-    // priorities keep the expected schedule near that lower bound —
-    // fixed-priority JP needed 39/13/5 rounds at sf0.001/0.01/0.1 and
-    // 374 on the 20× densified probe (degeneracy 84); the Luby
-    // schedule's measured rounds live in the spec and §6.15.
     val ceiling = math.max(coloringRounds, 4096)
     while (r < ceiling && uncCnt > 0) {
       // round-r priorities (re-randomized each round — Luby)
       val prio = ($"node" * semiPrioA(r)) % SemiPrioM
       val uncP = unc.withColumn("prio", prio)
-      // max (prio, id) among UNCOLORED neighbors, per uncolored node
+      // max (prio, id) among UNCOLORED neighbors, per uncolored node.
+      // BOTH per-round edge joins are FRONTIER-RESTRICTED (round 10,
+      // result-identical — the dropped rows were discarded by the
+      // downstream unc/eligible joins anyway): without the semi-joins
+      // every round shuffles the FULL edge set, and `usedColors`
+      // GROWS with the colored set as the coloring completes — the
+      // late-round pathology that made the 20× coloring 624 s of
+      // q84's 664 (134 rounds, LpaProbe §6.15). With the restriction,
+      // round cost tracks the shrinking uncolored frontier.
       val uncNbrMax = edges
+        .join(unc.select($"node".as("src")), Seq("src"), "left_semi")
         .join(uncP.select($"node".as("dst"),
           struct($"prio".as("p"), $"node".as("n")).as("up")), "dst")
         .groupBy($"src").agg(max($"up").as("mx"))
@@ -1279,26 +1285,66 @@ object Graph {
         .filter($"mx".isNull ||
           $"mx" < struct($"prio".as("p"), $"node".as("n")))
         .select($"node")
-      // smallest color no colored neighbor uses (mex, 1-based)
+        .cache()
+      // smallest color no colored neighbor uses (mex, 1-based) —
+      // computed for the ELIGIBLE nodes only
       val usedColors = edges
+        .join(eligible.select($"node".as("src")), Seq("src"), "left_semi")
         .join(col.select($"node".as("dst"), $"color"), "dst")
         .groupBy($"src").agg(collect_set($"color").as("used"))
+      // newly is read TWICE (col union + unc anti-join): cache it so
+      // the two per-round checkpoints don't each recompute the whole
+      // round's join chain, and its count gives the uncolored-residue
+      // bookkeeping for free (one action instead of a separate
+      // unc.count job — at 134 rounds on the 20× graph, per-round job
+      // count IS the wall-clock)
       val newly = eligible
         .join(usedColors.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select($"node",
           array_min(array_except(
             sequence(lit(1), coalesce(size($"used"), lit(0)) + 1),
             coalesce($"used", array().cast("array<int>")))).as("color"))
+        .cache()
+      val nNew = newly.count()
+      // the max-priority uncolored node is always eligible (strict
+      // total order on (prio, id)), so an empty round with uncolored
+      // residue is impossible — guard loudly rather than spin
+      require(nNew > 0 || uncCnt == 0,
+        s"q84 coloring round $r made no progress with $uncCnt uncolored")
       col = col.unionAll(newly).checkpointFresh
       unc = unc.join(newly.select($"node"), Seq("node"), "left_anti")
         .checkpointFresh
-      uncCnt = unc.count()
+      eligible.unpersist()
+      newly.unpersist()
+      uncCnt -= nNew
       r += 1
     }
     require(uncCnt == 0,
       s"q84 coloring ceiling $ceiling left $uncCnt uncolored nodes")
+    (col, r)
+  }
+
+  /** q84's engine over a symmetric edge list: returns (node, lbl)
+    * at the stable labeling. Separated so specs can drive constructed
+    * graphs (the 2-cycle graphs q81 oscillates on). */
+  private[graft] def semiSyncLabels(edges: DataFrame,
+      coloringRounds: Int = SemiColoringRounds,
+      rounds: Int = SemiLpaRounds): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val (col, _) = lubyColoring(edges, coloringRounds)
     val nColors = col.agg(max($"color")).as[Int].head()
     // ---- per-color LPA sweeps, keep-current-if-argmax ----
+    // NOTE a frontier-pruned sweep schedule (evaluate only nodes with
+    // a changed neighbor since their last evaluation — the q85
+    // discipline) was built, oracle-verified result-identical, and
+    // MEASURED SLOWER at 20× (868 vs 664 s): at local[32] the
+    // schedule is JOB-COUNT-bound (20k-node frames, ~0.15 s/job), so
+    // the 2–3 extra bookkeeping actions per sweep cost more than the
+    // smaller joins save. The full-sweep form stays; revisit the
+    // frontier only where per-sweep DATA dominates per-job overhead
+    // (billion-node frames on a real cluster). §6.15 records the
+    // experiment.
     var lbl = col.select($"node", $"color", $"node".as("lbl"))
       .checkpointFresh
     var stable = false

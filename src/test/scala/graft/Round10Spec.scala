@@ -179,6 +179,66 @@ class Round10Spec extends GraftSpecBase {
     assert(!p.contains("Generate"), "explode in the scoring path")
   }
 
+  // ------------- q65 CUPED -------------
+
+  test("q65_cuped: sufficient-statistic replay; theta zeroes the covariate axis; rho2 in [0,1]") {
+    val got = operators.Analytics.q65Cuped(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 1)
+    val (na, nb, th, raw, adj, rho2) = got.head
+    // local replay from the same per-user pre/post purchase counts
+    val e = Tables.eventsWithMs(spark, sf)
+      .select($"user_id", $"ms",
+        ($"event_type" === "purchase").cast("long").as("p"))
+      .as[(Long, Long, Long)].collect()
+    val mid = {
+      val ms = e.map(_._2); (ms.min + ms.max) / 2
+    }
+    val pu = e.groupBy(_._1).map { case (u, rows) =>
+      (u % 2,
+        rows.filter(_._2 < mid).map(_._3).sum,
+        rows.filter(_._2 >= mid).map(_._3).sum)
+    }.toSeq
+    val n = pu.size.toLong
+    val (sx, sy) = (pu.map(_._2).sum, pu.map(_._3).sum)
+    val sxx = pu.map(r => r._2 * r._2).sum
+    val syy = pu.map(r => r._3 * r._3).sum
+    val sxy = pu.map(r => r._2 * r._3).sum
+    val num = (n * sxy - sx * sy).toDouble
+    val denX = (n * sxx - sx * sx).toDouble
+    val denY = (n * syy - sy * sy).toDouble
+    val theta = if (denX == 0.0) 0.0 else num / denX
+    val rho2W = if (denX == 0.0 || denY == 0.0) 0.0
+      else num * num / (denX * denY)
+    val xbar = sx.toDouble / n.toDouble
+    def arm(k: Long) = pu.filter(_._1 == k)
+    def mN(rs: Seq[(Long, Long, Long)]) = rs.size.toLong
+    def mS(rs: Seq[(Long, Long, Long)], f: ((Long, Long, Long)) => Long) =
+      rs.map(f).sum
+    val (ra, rb) = (arm(0), arm(1))
+    val (nA, nB) = (mN(ra), mN(rb))
+    val myA = mS(ra, _._3).toDouble / nA.toDouble
+    val myB = mS(rb, _._3).toDouble / nB.toDouble
+    val mxA = mS(ra, _._2).toDouble / nA.toDouble
+    val mxB = mS(rb, _._2).toDouble / nB.toDouble
+    assert((na, nb) == (nA, nB))
+    assert(th == math.floor(theta * 1000000).toLong)
+    assert(raw == math.floor((myB - myA) * 1000000).toLong)
+    assert(adj == math.floor(((myB - theta * (mxB - xbar))
+      - (myA - theta * (mxA - xbar))) * 1000000).toLong)
+    assert(rho2 == math.floor(rho2W * 1000000).toLong)
+    assert(rho2 >= 0L && rho2 <= 1000000L, s"rho2 $rho2 out of [0,1]")
+    info(s"CUPED theta=$th raw_lift=$raw adj_lift=$adj var_red=$rho2")
+    // the structural CUPED identity: adjusting by theta removes the
+    // covariate axis — re-running the adjustment on (x, x) data must
+    // yield exactly zero adjusted lift (theta == 1, means cancel)
+    val numXX = (n * sxx - sx * sx).toDouble
+    val thetaXX = if (numXX == 0.0) 0.0 else numXX / numXX
+    val adjXX = ((mxB - thetaXX * (mxB - xbar))
+      - (mxA - thetaXX * (mxA - xbar)))
+    assert(math.abs(adjXX) < 1e-12, s"x-on-x adjustment not zero: $adjXX")
+  }
+
   // ------------- t21 KS quality drift -------------
 
   test("t21: KS statistic == exact local replay over the full CDF; sup attained; critical line arithmetic") {
