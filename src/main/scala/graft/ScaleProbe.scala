@@ -126,7 +126,8 @@ object ScaleProbe {
                   "q89_assortativity", "q90_markov_attrib", "s10_mmr",
                   "t16_novelty", "q91_conversion_lag", "m13_slate_diversity",
                   "z3_bloom_skip", "p15_temperature_mix",
-                  "i7_schema_evolution", "t17_heavy_change",
+                  "i7_schema_evolution", "i8_corrupt_ingest",
+                  "t17_heavy_change",
                   "s11_filtered_ann", "s12_rrf", "q92_reliability",
                   "q93_trend_slope", "p16_source_cap", "q94_robustness",
                   "q95_degree_dist", "t18_cross_surprisal",

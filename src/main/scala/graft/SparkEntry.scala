@@ -185,6 +185,7 @@ object SparkEntry {
     "z3_bloom_skip"      -> (Layout.z3BloomSkip _),
     "p15_temperature_mix" -> (Sampling.p15TemperatureMix _),
     "i7_schema_evolution" -> (Ingest.i7SchemaEvolution _),
+    "i8_corrupt_ingest"  -> (Ingest.i8CorruptIngest _),
     "t17_heavy_change"   -> (TextAnalysis.t17HeavyChange _),
     "s11_filtered_ann"   -> (Similarity.s11FilteredAnn _),
     "s14_jl_projection"  -> (Similarity.s14JlProjection _),
@@ -682,6 +683,10 @@ object SparkEntry {
          ORDER BY n_nationkey""",
     "i2_json_ingest" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+         ORDER BY s_suppkey""",
+    "i8_corrupt_ingest" ->
+      s"""SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+         WHERE s_suppkey % ${operators.Ingest.CorruptMod} <> 0
          ORDER BY s_suppkey""",
     "d6_dup_groups" ->
       """WITH RECURSIVE sh AS (

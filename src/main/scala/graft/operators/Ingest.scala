@@ -189,4 +189,47 @@ object Ingest {
       .parquet(path + "/v1", path + "/v2")
       .orderBy($"s_suppkey")
   }
+
+  /** I8: MALFORMED-RECORD ingest — the robustness surface real feeds
+    * force: a JSONL drop where every s_suppkey ≡ 0 (mod 7) line is
+    * TRUNCATED mid-record (deterministic corruption, so the oracle
+    * knows exactly which rows are gone). The entry reads with
+    * `DROPMALFORMED` — the production switch for "quarantine later,
+    * don't poison the batch" — and the oracle (the original parquet
+    * minus the corrupted keys) hash-proves the reader drops EXACTLY
+    * the malformed lines and parses every survivor value-exactly.
+    * The spec drives the other two modes on the same drop:
+    * PERMISSIVE + columnNameOfCorruptRecord counts the quarantine
+    * (== the staged corruption count, raw lines preserved verbatim),
+    * FAILFAST raises. Per-row parsing — scan speed at 100 TB; mode
+    * choice changes error handling, never the plan shape. */
+  def i8CorruptIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = corruptStage(s, dir)
+    s.read.schema(SupplierJsonSchema)
+      .option("mode", "DROPMALFORMED")
+      .json(path)
+      .orderBy($"s_suppkey")
+  }
+
+  /** The staged corrupt JSONL drop (shared by the entry and the
+    * mode-surface specs): supplier rows as JSON lines, every
+    * suppkey ≡ 0 (mod `CorruptMod`) line truncated by 5 chars. */
+  val CorruptMod = 7L
+  private[graft] def corruptStage(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    stage("supplier_corrupt_json", dir) { tmp =>
+      Tables.supplier(s, dir)
+        .select($"s_suppkey",
+          org.apache.spark.sql.functions.to_json(
+            org.apache.spark.sql.functions.struct(
+              $"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")).as("j"))
+        .select(org.apache.spark.sql.functions.when(
+            $"s_suppkey" % CorruptMod === 0L,
+            org.apache.spark.sql.functions.expr(
+              "substring(j, 1, length(j) - 5)"))
+          .otherwise($"j").as("value"))
+        .write.mode("overwrite").text(tmp)
+    }
+  }
 }

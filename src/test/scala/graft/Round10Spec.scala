@@ -179,6 +179,48 @@ class Round10Spec extends GraftSpecBase {
     assert(!p.contains("Generate"), "explode in the scoring path")
   }
 
+  // ------------- i8 malformed-record ingest -------------
+
+  test("i8: DROPMALFORMED drops exactly the corrupted keys; PERMISSIVE quarantines them verbatim; FAILFAST raises") {
+    val mod = operators.Ingest.CorruptMod
+    val sup = Tables.supplier(spark, sf)
+      .select($"s_suppkey").as[Long].collect().toSet
+    val corrupted = sup.filter(_ % mod == 0)
+    // entry path: survivors only, every value parsed
+    val got = operators.Ingest.i8CorruptIngest(spark, sf)
+      .select($"s_suppkey").as[Long].collect().toSet
+    assert(got == sup -- corrupted,
+      s"DROPMALFORMED kept/dropped wrong keys")
+    // PERMISSIVE + corrupt column: quarantine count == staged count,
+    // and the raw line survives VERBATIM (truncated json text)
+    val path = operators.Ingest.corruptStage(spark, sf)
+    val schema = operators.Ingest.SupplierJsonSchema
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val raw = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // required to query the corrupt column (SPARK-21610)
+    raw.count()
+    val quarantine = raw.filter($"_corrupt_record".isNotNull)
+      .select($"_corrupt_record").as[String].collect()
+    assert(quarantine.length == corrupted.size)
+    assert(quarantine.forall(l => l.startsWith("{") && !l.endsWith("}")),
+      "quarantined lines must be the raw truncated text")
+    // good rows parse with null corrupt col
+    assert(raw.filter($"_corrupt_record".isNull).count() ==
+      (sup.size - corrupted.size).toLong)
+    raw.unpersist()
+    // FAILFAST raises on the first malformed line
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.schema(operators.Ingest.SupplierJsonSchema)
+        .option("mode", "FAILFAST").json(path).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("malformed")
+      || Option(ex.getCause).exists(_.getMessage.toLowerCase.contains("malformed")),
+      ex.getMessage.take(300))
+  }
+
   // ------------- q65 CUPED -------------
 
   test("q65_cuped: sufficient-statistic replay; theta zeroes the covariate axis; rho2 in [0,1]") {
