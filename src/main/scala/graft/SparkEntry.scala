@@ -95,6 +95,7 @@ object SparkEntry {
     "t7_bigram_freq"     -> (TextAnalysis.t7BigramFreq _),
     "t8_pii_scrub"       -> (TextAnalysis.t8PiiScrub _),
     "p3_decontaminate"   -> (Dedup.p3Decontaminate _),
+    "p19_contamination"  -> (Dedup.p19ContaminationReport _),
     "p4_chunk_docs"      -> (TextAnalysis.p4ChunkDocs _),
     "q36_grouping_sets"  -> (Analytics.q36GroupingSets _),
     "q38_window_suite"   -> (Analytics.q38WindowSuite _),
@@ -1959,6 +1960,7 @@ object SparkEntry {
     "t20_bm25" -> operators.TextAnalysis.bm25OracleSql,
     "t21_ks_drift" -> operators.TextAnalysis.ksDriftOracleSql,
     "q65_cuped" -> operators.Analytics.cupedOracleSql,
+    "p19_contamination" -> operators.Dedup.contaminationReportOracleSql,
     "p16_source_cap" -> operators.Sampling.sourceCapOracleSql,
     "q87_seq_rules" ->
       """WITH cp AS (

@@ -359,6 +359,77 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Flag line for p19's contamination report, in ppm of a doc's
+    * distinct shingles: 10% overlap with the benchmark flags the doc
+    * (the GPT-3 appendix-C report regime — p3 DROPS on any hit; the
+    * report GRADES, so curation can choose its own line). */
+  val ContamFlagPpm = 100000L
+
+  /** P19: per-doc CONTAMINATION-FRACTION report — the graded view p3's
+    * binary drop can't give (GPT-3 appendix C's overlap accounting):
+    * for every training doc with ≥ 1 shingle, the fraction of its
+    * DISTINCT 8-token shingles present in the benchmark set, exact
+    * integer micro-units (hits·10⁶ div shingles) + the ≥ 10% flag.
+    * Zero-hit docs are reported (fraction 0) — a report that only
+    * lists offenders can't prove the rest were checked. Docs shorter
+    * than 8 tokens carry no shingle and no row (nothing to grade — the
+    * oracle's unnest drops them identically).
+    *
+    * Scale shape: p3's inverted-index equi-join (benchmark side
+    * distinct, orders smaller) + one per-doc size aggregate + one
+    * per-doc hit aggregate + a doc-keyed left join — d2-class
+    * exchanges, no window, no all-pairs; d9's bloom prefilter slots
+    * in front of the hit join unchanged at 100 TB. */
+  def p19ContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id", explode(shinglesFromTokens($"w", 8)).as("sh8"))
+    val bench = sh.filter($"doc_id" % DecontamMod === 0)
+      .select($"sh8").distinct()
+    val train = sh.filter($"doc_id" % DecontamMod =!= 0)
+    val sizes = train.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val hits = train.join(bench, "sh8")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_sh",
+        coalesce($"n_hits", lit(0L)).as("n_hits"))
+      .withColumn("frac_1e6", expr("n_hits * 1000000 div n_sh"))
+      .withColumn("flagged", $"frac_1e6" >= ContamFlagPpm)
+      .orderBy($"doc_id")
+  }
+
+  private[graft] def contaminationReportOracleSql: String =
+    s"""WITH sh AS (
+           SELECT doc_id, unnest(list_distinct(list_filter(
+             list_transform(string_split(text, ' '), (x, i) ->
+               CASE WHEN i + 7 <= len(string_split(text, ' '))
+                    THEN x || ' ' || string_split(text, ' ')[i+1]
+                           || ' ' || string_split(text, ' ')[i+2]
+                           || ' ' || string_split(text, ' ')[i+3]
+                           || ' ' || string_split(text, ' ')[i+4]
+                           || ' ' || string_split(text, ' ')[i+5]
+                           || ' ' || string_split(text, ' ')[i+6]
+                           || ' ' || string_split(text, ' ')[i+7] END),
+             g -> g IS NOT NULL))) AS sh8
+           FROM documents),
+         bench AS (SELECT DISTINCT sh8 FROM sh
+                   WHERE doc_id % $DecontamMod = 0),
+         train AS (SELECT doc_id, sh8 FROM sh
+                   WHERE doc_id % $DecontamMod <> 0),
+         sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+                   FROM train GROUP BY 1),
+         hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                  FROM train t JOIN bench b ON t.sh8 = b.sh8 GROUP BY 1)
+         SELECT s.doc_id, s.n_sh,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST((coalesce(h.n_hits, 0) * 1000000) // s.n_sh AS BIGINT)
+             AS frac_1e6,
+           (coalesce(h.n_hits, 0) * 1000000) // s.n_sh >= $ContamFlagPpm
+             AS flagged
+         FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+         ORDER BY s.doc_id"""
+
   /** D9: p3's decontamination behind a BLOOM-FILTER prefilter — the
     * 100 TB first pass. p3's inverted-index equi-join is exact but
     * ships every corpus shingle into the join shuffle; at lake scale

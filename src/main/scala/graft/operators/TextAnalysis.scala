@@ -832,19 +832,30 @@ object TextAnalysis {
     * explode, no token shuffle), and the top-25 plans as
     * TakeOrderedAndProject. Two scans, zero data-sized shuffles —
     * the 100 TB shape a posting-list engine needs an index for. */
-  def t20Bm25(s: SparkSession, dir: String): DataFrame = {
+  def t20Bm25(s: SparkSession, dir: String): DataFrame =
+    bm25For(s, dir, Bm25Query, Bm25TopK)
+
+  /** The reusable retrieval primitive behind t20 — BM25 top-k for ANY
+    * token query (the §8c.4 parameterization): same exact-integer
+    * micro-unit scoring, same two-scan zero-shuffle shape for any
+    * query length (per-term df columns ride the one broadcast stats
+    * row; the scoring expression unrolls per term into codegen). */
+  def bm25For(s: SparkSession, dir: String, query: Seq[String],
+      topK: Int): DataFrame = {
     import s.implicits._
+    require(query.nonEmpty && query.distinct == query,
+      s"bm25 query must be distinct non-empty tokens: $query")
     val toks = Tables.documents(s, dir)
       .select($"doc_id", filter(tokens($"text"), t => t =!= "").as("tk"))
       .withColumn("dl", size($"tk").cast("long"))
     val aggs = count(lit(1)).as("n_docs") +:
       sum($"dl").as("total_tok") +:
-      Bm25Query.zipWithIndex.map { case (q, i) =>
+      query.zipWithIndex.map { case (q, i) =>
         sum(when(array_contains($"tk", q), 1L).otherwise(0L)).as(s"df_$i") }
     val stats = toks.agg(aggs.head, aggs.tail: _*)
     val nD = $"n_docs".cast("double")
     val avgdl = $"total_tok".cast("double") / nD
-    val score = Bm25Query.zipWithIndex.map { case (q, i) =>
+    val score = query.zipWithIndex.map { case (q, i) =>
       val tf = size(filter($"tk", t => t === q)).cast("double")
       val nq = col(s"df_$i").cast("double")
       val idf = log2(lit(1.0) + (nD - nq + lit(0.5)) / (nq + lit(0.5)))
@@ -856,11 +867,17 @@ object TextAnalysis {
     toks.join(broadcast(stats))
       .select($"doc_id", $"dl", score.as("score_1e4"))
       .filter($"score_1e4" > 0)
-      .orderBy($"score_1e4".desc, $"doc_id").limit(Bm25TopK)
+      .orderBy($"score_1e4".desc, $"doc_id").limit(topK)
   }
 
-  private[graft] def bm25OracleSql: String = {
-    val terms = Bm25Query.zipWithIndex
+  private[graft] def bm25OracleSql: String =
+    bm25OracleSqlFor(Bm25Query, Bm25TopK)
+
+  /** Oracle generator for any query (the spec cross-checks a second
+    * query through it, so the parameterized path is oracle-grade). */
+  private[graft] def bm25OracleSqlFor(query: Seq[String],
+      topK: Int): String = {
+    val terms = query.zipWithIndex
     val dfSel = terms.map { case (q, i) =>
       s"sum(CASE WHEN list_contains(tk, '$q') THEN 1 ELSE 0 END) AS df_$i"
     }.mkString(", ")
@@ -886,7 +903,7 @@ object TextAnalysis {
            SELECT doc_id, dl, $scoreExpr AS score_1e4
            FROM dd CROSS JOIN st)
          WHERE score_1e4 > 0
-         ORDER BY score_1e4 DESC, doc_id LIMIT $Bm25TopK"""
+         ORDER BY score_1e4 DESC, doc_id LIMIT $topK"""
   }
 
   /** T21: two-sample KOLMOGOROV–SMIRNOV quality drift between corpus

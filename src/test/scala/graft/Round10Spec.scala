@@ -142,9 +142,8 @@ class Round10Spec extends GraftSpecBase {
 
   // ------------- t20 BM25 retrieval -------------
 
-  test("t20: BM25 == exact local replay (integer micro-unit scores); top-k plan is TakeOrdered, no explode") {
-    val got = operators.TextAnalysis.t20Bm25(spark, sf)
-      .as[(Long, Long, Long)].collect().toSeq
+  /** Local BM25 replay with the engine's exact double sequence. */
+  private def bm25Replay(query: Seq[String], topK: Int): Seq[(Long, Long, Long)] = {
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
       .as[(Long, String)].collect()
     val tks = docs.map { case (id, t) =>
@@ -155,11 +154,11 @@ class Round10Spec extends GraftSpecBase {
     def log2(x: Double) = StrictMath.log(x) / StrictMath.log(2.0)
     val k1 = operators.TextAnalysis.Bm25K1
     val b = operators.TextAnalysis.Bm25B
-    val dfq = operators.TextAnalysis.Bm25Query.map(q =>
+    val dfq = query.map(q =>
       q -> tks.count(_._2.contains(q)).toLong).toMap
-    val want = tks.map { case (id, tk) =>
+    tks.map { case (id, tk) =>
       val dl = tk.length.toLong
-      val s = operators.TextAnalysis.Bm25Query.map { q =>
+      val s = query.map { q =>
         val tf = tk.count(_ == q).toDouble
         val nq = dfq(q).toDouble
         val idf = log2(1.0 + (n.toDouble - nq + 0.5) / (nq + 0.5))
@@ -167,8 +166,14 @@ class Round10Spec extends GraftSpecBase {
           (tf + k1 * (1.0 - b + b * dl.toDouble / avgdl)) * 10000).toLong
       }.sum
       (id, dl, s)
-    }.filter(_._3 > 0).sortBy(r => (-r._3, r._1))
-      .take(operators.TextAnalysis.Bm25TopK).toSeq
+    }.filter(_._3 > 0).sortBy(r => (-r._3, r._1)).take(topK).toSeq
+  }
+
+  test("t20: BM25 == exact local replay (integer micro-unit scores); top-k plan is TakeOrdered, no explode") {
+    val got = operators.TextAnalysis.t20Bm25(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = bm25Replay(operators.TextAnalysis.Bm25Query,
+      operators.TextAnalysis.Bm25TopK)
     assert(got == want,
       s"got ${got.take(3)}...\nwant ${want.take(3)}...")
     // plan shape: scan-local tf (no Generate/explode), top-k as
@@ -177,6 +182,52 @@ class Round10Spec extends GraftSpecBase {
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
     assert(!p.contains("Generate"), "explode in the scoring path")
+  }
+
+  test("bm25For: the parameterized primitive is replay-exact on a different query and k") {
+    val query = Seq("vector", "hash", "slow", "spark")
+    val got = operators.TextAnalysis.bm25For(spark, sf, query, 40)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == bm25Replay(query, 40))
+    assert(got.nonEmpty)
+    // degenerate guard: duplicate query tokens are refused loudly
+    intercept[IllegalArgumentException] {
+      operators.TextAnalysis.bm25For(spark, sf, Seq("a", "a"), 5)
+    }
+  }
+
+  // ------------- p19 contamination report -------------
+
+  test("p19: fractions == exact local replay; zero-hit docs reported; consistent with p3's drop set") {
+    val got = operators.Dedup.p19ContaminationReport(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    // local replay: distinct 8-shingles, benchmark = doc_id % 7 == 0
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    val mod = operators.Dedup.DecontamMod
+    // RAW split tokens (no empty filter) — shinglesFromTokens and the
+    // oracle's string_split both shingle the unfiltered token stream
+    def sh8(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 8) Set.empty
+      else w.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val all = docs.map { case (id, t) => id -> sh8(t) }
+    val bench = all.filter(_._1 % mod == 0).flatMap(_._2).toSet
+    val want = all.filter(r => r._1 % mod != 0 && r._2.nonEmpty)
+      .map { case (id, s) =>
+        val hits = s.count(bench).toLong
+        val frac = hits * 1000000L / s.size
+        (id, s.size.toLong, hits, frac,
+          frac >= operators.Dedup.ContamFlagPpm)
+      }.sortBy(_._1).toSeq
+    assert(got == want, s"diff sample: ${got.diff(want).take(2)} / ${want.diff(got).take(2)}")
+    // zero-hit docs present (the report proves the clean ones were checked)
+    assert(got.exists(_._3 == 0L))
+    // consistency with p3: identical positive-hit doc sets and counts
+    val p3 = operators.Dedup.p3Decontaminate(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got.filter(_._3 > 0).map(r => r._1 -> r._3).toMap == p3)
   }
 
   // ------------- i8 malformed-record ingest -------------
