@@ -196,6 +196,37 @@ class Round10Spec extends GraftSpecBase {
     }
   }
 
+  // ------------- q98 thinned: dense-fixture recall pin -------------
+
+  test("q98 thinned: support-SURPLUS fixture keeps high recall at p=0.5 (the screen's win regime, pinned)") {
+    // 40 disjoint K10 cliques: every edge has support 8 = 4x the k=3
+    // threshold, so the screen survives w.p. ~1-(0.75)^8 ~ 0.90 per
+    // edge and the peel's cascade has surplus to absorb losses — the
+    // regime where the thinned screen is actually usable, pinned so
+    // kernel drift can't silently change the trade. Deterministic
+    // (seeded coin over fixed ids).
+    val pairs = (0 until 40).flatMap { c =>
+      val base = c * 10L
+      for (a <- 0L to 9L; b <- (a + 1) to 9L) yield (base + a, base + b)
+    }
+    val e = pairs.toDF("pa", "pb")
+    val exact = operators.Graph.trussPeel(e, 3, 8, 64)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.size == pairs.size, "K10s must fully survive a 3-truss")
+    val screened = operators.Graph.thinnedSupport(e, 500L)
+      .filter($"cnt" * 1000000L >= lit(1L) * 500L * 500L)
+      .select($"pa", $"pb")
+    val approx = operators.Graph.trussPeel(screened, 3, 8, 64)
+      .as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exact), "precision must stay structural")
+    val recall = approx.size.toDouble / exact.size
+    info(f"dense-fixture recall at p=0.5: $recall%.3f (${approx.size}/${exact.size})")
+    // measured 2026-08 on this fixture; pinned with slack — the
+    // sparse-corpus collapse (0.665 at the 20x probe) must not be
+    // mistaken for the kernel regressing in its OWN regime
+    assert(recall >= 0.60, f"win-regime recall collapsed: $recall%.3f")
+  }
+
   // ------------- p19 contamination report -------------
 
   test("p19: fractions == exact local replay; zero-hit docs reported; consistent with p3's drop set") {
