@@ -1267,16 +1267,19 @@ object Graph {
       val prio = ($"node" * semiPrioA(r)) % SemiPrioM
       val uncP = unc.withColumn("prio", prio)
       // max (prio, id) among UNCOLORED neighbors, per uncolored node.
-      // BOTH per-round edge joins are FRONTIER-RESTRICTED (round 10,
-      // result-identical — the dropped rows were discarded by the
-      // downstream unc/eligible joins anyway): without the semi-joins
-      // every round shuffles the FULL edge set, and `usedColors`
-      // GROWS with the colored set as the coloring completes — the
-      // late-round pathology that made the 20× coloring 624 s of
-      // q84's 664 (134 rounds, LpaProbe §6.15). With the restriction,
-      // round cost tracks the shrinking uncolored frontier.
+      // MEASURED AND KEPT SIMPLE (round 10, §6.15): frontier semi-
+      // joins restricting both edge joins to the uncolored/eligible
+      // sets were built (result-identical) and measured — 624 → 514 s
+      // at 20× in one run but 569 s in another (inside the ±10% host
+      // band), while at sf0.1 they COST 54% (6.9 → 10.6 s median:
+      // two extra shuffle stages per round dominate on a 2.5k-edge
+      // graph). In-plan batching of k steps per Spark round was also
+      // tried and fails structurally: each lazy step references the
+      // previous state frame TWICE, so the composed subplan tree
+      // duplicates ~2^k and execution work MULTIPLIES instead of
+      // amortizing. The plain per-round form ships; the schedule is
+      // round-count bound and q81 is the cheap twin by design.
       val uncNbrMax = edges
-        .join(unc.select($"node".as("src")), Seq("src"), "left_semi")
         .join(uncP.select($"node".as("dst"),
           struct($"prio".as("p"), $"node".as("n")).as("up")), "dst")
         .groupBy($"src").agg(max($"up").as("mx"))
@@ -1286,10 +1289,8 @@ object Graph {
           $"mx" < struct($"prio".as("p"), $"node".as("n")))
         .select($"node")
         .cache()
-      // smallest color no colored neighbor uses (mex, 1-based) —
-      // computed for the ELIGIBLE nodes only
+      // smallest color no colored neighbor uses (mex, 1-based)
       val usedColors = edges
-        .join(eligible.select($"node".as("src")), Seq("src"), "left_semi")
         .join(col.select($"node".as("dst"), $"color"), "dst")
         .groupBy($"src").agg(collect_set($"color").as("used"))
       // newly is read TWICE (col union + unc anti-join): cache it so
