@@ -79,6 +79,19 @@ object Bench {
     val coldTotal = cold.map(_._2).sum
     val medianTotal = medians.map(_._2).sum
     val warmTotals = warms.map(_.values.sum)
+    // SWEEP SANITY GUARD (round-10 lesson: one 459.9 s sweep next to
+    // 249/287 s poisoned every median in the archived record): any
+    // warm sweep whose total exceeds 1.5× the fastest warm sweep is
+    // host contention, not plan cost. Flag it in the JSON so a
+    // contaminated archive can never silently become the round's
+    // number, and say so on stderr for a human watching the run.
+    val minWarmTotal = warmTotals.min
+    val contaminated = warmTotals.zipWithIndex
+      .filter { case (t, _) => t > 1.5 * minWarmTotal }
+    contaminated.foreach { case (t, i) =>
+      System.err.println(f"bench: WARNING sweep ${i + 1} total $t%.1f s " +
+        f"> 1.5x fastest warm sweep ($minWarmTotal%.1f s) - host " +
+        "contention; treat this archive's medians as suspect") }
     // queries_cold discloses each query's first-sweep time (one-time
     // model fits / index builds / JIT included) next to the best-of-N
     // headline, so no per-query cost is hidden by the methodology
@@ -86,6 +99,7 @@ object Bench {
       s""""iterations":${nWarm + 1},"cold_total":$coldTotal,""" +
       s""""median_total":$medianTotal,""" +
       s""""warm_totals":${warmTotals.mkString("[", ",", "]")},""" +
+      s""""contaminated_sweeps":${contaminated.map(_._2 + 1).mkString("[", ",", "]")},""" +
       s""""queries_median":${jmap(medians)},""" +
       s""""queries_spread":${jmap(spreads)},""" +
       s""""queries_cold":${jmap(cold)},"sf":"$sfDir"}"""
@@ -109,6 +123,7 @@ object Bench {
       s""""median_total":${r4(medianTotal)},""" +
       s""""queries":$topBands,"iterations":${nWarm + 1},""" +
       s""""cold_total":${r4(coldTotal)},""" +
+      s""""contaminated_sweeps":${contaminated.map(_._2 + 1).mkString("[", ",", "]")},""" +
       s""""n_queries":${results.size},""" +
       s""""queries_note":"top12 of ${results.size} by median; [min,median,spread] over $nWarm warm sweeps; full maps in BENCH.json",""" +
       s""""sf":"$sfDir"}"""

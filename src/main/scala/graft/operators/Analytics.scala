@@ -358,9 +358,17 @@ object Analytics {
     * run of partitions and every partition holds sorted group
     * segments, so a per-(partition, group) row_number plus exclusive
     * per-group offsets over the (partition, group) COUNTS — a bounded
-    * artifact, ≤ shuffle-partitions + |groups| rows — reassembles the
+    * artifact, ≤ shuffle-partitions · |groups| rows — reassembles the
     * exact per-group rank. Offsets broadcast back; the offset window
-    * partitions BY GROUP over the artifact frame (bounded). */
+    * partitions BY GROUP over the artifact frame (bounded).
+    *
+    * CONTRACT: `group` must be driver-bounded cardinality (≲10⁵ —
+    * sources, arms, buckets), because the offsets frame is collected
+    * for broadcast. For high-cardinality groups use a plain
+    * `row_number().over(partitionBy(group))` instead — with many
+    * groups the per-group populations are small and the window does
+    * NOT funnel the data through one task; this helper exists for the
+    * OPPOSITE regime (few groups, data-sized populations). */
   private[graft] def withGroupRank(df: DataFrame, group: String,
       out: String,
       scaffolding: scala.collection.mutable.ListBuffer[DataFrame],
@@ -940,8 +948,9 @@ object Analytics {
     * variance-reduction share) is computed from those integers in the
     * same IEEE sequence both engines replay, then floor-quantized to
     * 1e6 micro-units (floor, not div — θ and lifts go negative).
-    * n·Σx²-class products stay exact below ~9·10¹⁸ (at web scale the
-    * one product line promotes to DECIMAL(38,0), no plan change).
+    * n·Σx²-class products run in DECIMAL(38,0) — exact for any pair
+    * of in-range BIGINT counters (≤38 digits), so no silent wrap at
+    * web scale where the DuckDB oracle can't replay the check.
     * Degenerate var(X) = 0 → θ = 0 (the q65 degenerate-pool
     * convention). ρ² = cov²/(var(X)·var(Y)) is the measured share of
     * outcome variance CUPED removes.
@@ -968,9 +977,17 @@ object Analytics {
       .select($"n".as("n_a"), $"sx".as("sx_a"), $"sy".as("sy_a"))
     val b = stats(perUser.filter($"arm" === 1))
       .select($"n".as("n_b"), $"sx".as("sx_b"), $"sy".as("sy_b"))
-    val num = ($"n" * $"sxy" - $"sx" * $"sy").cast("double")
-    val denX = ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
-    val denY = ($"n" * $"syy" - $"sy" * $"sy").cast("double")
+    // n·Σxy-class products in DECIMAL(38,0): two ≤19-digit longs fit
+    // a 38-digit product EXACTLY, so no silent BIGINT wrap at any
+    // scale the counters themselves can reach (Spark nulls on
+    // decimal overflow rather than wrapping; DuckDB raises).
+    // decimal→double is correctly rounded, same IEEE value as the
+    // long→double path for every in-range input, so the oracle hash
+    // is unchanged.
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val num = (d38($"n") * d38($"sxy") - d38($"sx") * d38($"sy")).cast("double")
+    val denX = (d38($"n") * d38($"sxx") - d38($"sx") * d38($"sx")).cast("double")
+    val denY = (d38($"n") * d38($"syy") - d38($"sy") * d38($"sy")).cast("double")
     val theta = when(denX === 0.0, 0.0).otherwise(num / denX)
     val rho2 = when(denX === 0.0 || denY === 0.0, 0.0)
       .otherwise(num * num / (denX * denY))

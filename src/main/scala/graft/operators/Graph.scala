@@ -96,7 +96,15 @@ object Graph {
     * then aggregates on the (a, b) pair key those rows carry. Degrees
     * ride in on a catalog-sized broadcast, existing edges anti-join
     * out on the pair key, and the final rank is a TakeOrdered top-50,
-    * never a global sort. */
+    * never a global sort.
+    *
+    * ROUTING (SURVEY §6.15): this exact path recounts each candidate
+    * pair once PER COMMON NEIGHBOR — fan-out Σ C(deg,2), measured
+    * 132–253 s single-shot at 20× — so it is the ORACLE BASELINE, not
+    * the production path. At scale route to `q62LinkLsh` (the MinHash
+    * band-join twin below): same output surface, exact Jaccard on
+    * every reported pair, each pair pays |N(a)|+|N(b)| exactly once.
+    * Ship this exact path only at wedge counts you have budgeted. */
   def q62LinkPredict(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)

@@ -845,6 +845,11 @@ object TextAnalysis {
     import s.implicits._
     require(query.nonEmpty && query.distinct == query,
       s"bm25 query must be distinct non-empty tokens: $query")
+    // Tokens are interpolated into the generated oracle SQL as
+    // string literals; restrict to a quote-free charset so a token
+    // can never break out of the literal.
+    require(query.forall(_.matches("^[\\w-]+$")),
+      s"bm25 query tokens must match ^[\\w-]+$$ (SQL-literal-safe): $query")
     val toks = Tables.documents(s, dir)
       .select($"doc_id", filter(tokens($"text"), t => t =!= "").as("tk"))
       .withColumn("dl", size($"tk").cast("long"))
@@ -916,7 +921,11 @@ object TextAnalysis {
     * over the ≤ 10⁴+1 observed values; CDFs are integer micro-unit
     * floors (cnt·10⁶ div n), and the critical line floor-quantizes to
     * micro-units through one correctly-rounded IEEE sqrt (the p15
-    * discipline) so the reject flag is an integer compare.
+    * discipline) so the reject flag is an integer compare. The n_A·n_B
+    * denominator multiplies AFTER each side casts to double (both
+    * engines replay the identical IEEE sequence) — a BIGINT product
+    * would silently wrap past ~3·10⁹ docs per side in Spark while the
+    * oracle raised.
     *
     * Shape at scale: one t2 scan + one quality-keyed conditional
     * count (map-side partials). Everything after runs on the
@@ -942,8 +951,8 @@ object TextAnalysis {
         abs(expr("fa * 1000000 div na") - expr("fb * 1000000 div nb"))
           .as("d_stat_1e6"),
         floor(lit(1.358) * sqrt(($"na" + $"nb").cast("double") /
-          ($"na" * $"nb").cast("double")) * 1000000).cast("long")
-          .as("d_crit95_1e6"))
+          ($"na".cast("double") * $"nb".cast("double"))) * 1000000)
+          .cast("long").as("d_crit95_1e6"))
       .withColumn("reject_95", $"d_stat_1e6" > $"d_crit95_1e6")
       .orderBy($"d_stat_1e6".desc, $"at_quality").limit(1)
   }
@@ -981,10 +990,10 @@ object TextAnalysis {
          CAST(abs((fa * 1000000) // na - (fb * 1000000) // nb) AS BIGINT)
            AS d_stat_1e6,
          CAST(floor(1.358 * sqrt(CAST(na + nb AS DOUBLE)
-           / CAST(na * nb AS DOUBLE)) * 1000000) AS BIGINT) AS d_crit95_1e6,
+           / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) * 1000000) AS BIGINT) AS d_crit95_1e6,
          CAST(abs((fa * 1000000) // na - (fb * 1000000) // nb) AS BIGINT)
            > CAST(floor(1.358 * sqrt(CAST(na + nb AS DOUBLE)
-             / CAST(na * nb AS DOUBLE)) * 1000000) AS BIGINT) AS reject_95
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) * 1000000) AS BIGINT) AS reject_95
        FROM cdf CROSS JOIN tots
        ORDER BY d_stat_1e6 DESC, at_quality LIMIT 1"""
 

@@ -420,7 +420,7 @@ class Round10Spec extends GraftSpecBase {
       .select($"pa".as("src"), $"pb".as("dst"))
       .unionAll(prs.toSeq.toDF("pa", "pb")
         .select($"pb".as("src"), $"pa".as("dst")))
-    val rows = Seq(6, 10, 12).map { lgK =>
+    val rows = Seq(6, 8, 10, 12).map { lgK =>
       val (state, totals) = operators.Graph.anfLoop(sym, 12, lgK)
       val maxRel = totals.zipWithIndex.map { case (est, hop) =>
         math.abs(est - exact(hop)).toDouble / exact(hop) }.max
@@ -430,12 +430,13 @@ class Round10Spec extends GraftSpecBase {
     }
     // accuracy: more registers never measured worse here, and the
     // lgK=12 run sits inside a tight band (RSE ~1.6% per sketch)
-    assert(rows(2)._2 <= rows(0)._2,
-      s"lgK=12 error ${rows(2)._2} worse than lgK=6 ${rows(0)._2}")
-    assert(rows(2)._2 <= 0.05, s"lgK=12 drifted ${rows(2)._2}")
-    assert(rows(1)._2 <= 0.10, s"lgK=10 drifted ${rows(1)._2}")
+    assert(rows(3)._2 <= rows(0)._2,
+      s"lgK=12 error ${rows(3)._2} worse than lgK=6 ${rows(0)._2}")
+    assert(rows(3)._2 <= 0.05, s"lgK=12 drifted ${rows(3)._2}")
+    assert(rows(2)._2 <= 0.10, s"lgK=10 drifted ${rows(2)._2}")
+    assert(rows(1)._2 <= 0.15, s"lgK=8 drifted ${rows(1)._2}")
     // wire: serialized sketches strictly grow with the register file
-    assert(rows(0)._3 < rows(1)._3 && rows(1)._3 < rows(2)._3,
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) < p(1)),
       s"sketch sizes not monotone: ${rows.map(_._3)}")
   }
 
