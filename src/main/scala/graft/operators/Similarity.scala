@@ -1193,21 +1193,10 @@ object Similarity {
   val JlInDim  = 64
   val JlOutDim = 16
 
-  /** The seeded Rademacher sign matrix: sign(i→j) = +1 iff the first
-    * hex char of md5("jl:i:j") < '8' — deterministic, engine-neutral
-    * (md5 is identical everywhere; the oracle rebuilds the same
-    * matrix in SQL), and balanced by construction (8 of 16 hex chars
-    * each side). */
-  private[graft] def jlSigns: Seq[Seq[Int]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until JlOutDim).map { j =>
-      (0 until JlInDim).map { i =>
-        val hex = md.digest(s"jl:$i:$j".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        if (hex.head < '8') 1 else -1
-      }
-    }
-  }
+  /** The seeded Rademacher sign matrix (see functions.JlProject.signs
+    * — md5-seeded, engine-neutral, balanced by construction). */
+  private[graft] def jlSigns: Seq[Seq[Int]] =
+    graft.functions.JlProject.signs(JlInDim, JlOutDim)
 
   /** S14: Johnson–Lindenstrauss RANDOM PROJECTION of the embedding
     * corpus to 16 dims (Achlioptas 2003's database-friendly ±1
@@ -1224,30 +1213,29 @@ object Similarity {
     * full projected table hash-oracles.
     *
     * Shape at scale: ZERO shuffles — one scan, and the sign matrix is
-    * UNROLLED INTO THE PLAN: each output dim is a static 64-term
-    * add/subtract chain over GetArrayItem (whole-stage codegen
-    * straight-line arithmetic). The higher-order-function form
-    * (transform ∘ aggregate over a literal matrix) computes the same
-    * thing but evaluates ~20M interpreted lambda closures per 20k
-    * vectors — measured 17.4 s vs 4.5 s at 20× for the unrolled form.
-    * No explode either (the naive relational form explodes 64
-    * rows/vector and re-aggregates — a 64× shuffle for nothing; the
-    * oracle replays THAT form since DuckDB has no row to widen, but
-    * the Spark plan keeps the vector in the row). Output long-form
-    * (vec_id, dim, value) for the hash gate; production keeps the
-    * 16-wide array column. */
+    * a plan-time CONSTANT driven by the native `jl_project` loop
+    * expression (functions.JlProject): all 16 output dims in one
+    * O(64×16) generated loop over a referenced int[][], inside
+    * whole-stage codegen. The loop replaced round 10's UNROLLED form
+    * (16 static 64-term add/subtract chains) after the unroll blew
+    * janino's 64 KB method limit in the Generate stage's
+    * generate_doConsume and silently dropped the stage to interpreted
+    * execution — same arithmetic, ~30 generated lines, compiles. The
+    * higher-order-function form (transform ∘ aggregate over a literal
+    * matrix) evaluates ~20M interpreted lambda closures per 20k
+    * vectors — measured 17.4 s vs 4.5 s at 20× for codegen'd
+    * arithmetic. No explode-and-reaggregate either (a 64× shuffle for
+    * nothing; the oracle replays THAT form since DuckDB has no row to
+    * widen, but the Spark plan keeps the vector in the row). Output
+    * long-form (vec_id, dim, value) for the hash gate; production
+    * keeps the 16-wide array column. */
   def s14JlProjection(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val projCols = jlSigns.map { row =>
-      row.zipWithIndex.map { case (sgn, i) =>
-        val term = col("q").getItem(i)
-        if (sgn > 0) term else -term
-      }.reduce(_ + _)
-    }
     Tables.embeddings(s, dir)
       .withColumn("q", expr(
         "transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))"))
-      .select($"vec_id", posexplode(array(projCols: _*)))
+      .select($"vec_id", posexplode(
+        call_function("jl_project", $"q", lit(JlInDim), lit(JlOutDim))))
       .select($"vec_id", $"pos".cast("int").as("dim"), $"col".as("value"))
       .orderBy($"vec_id", $"dim")
   }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayDot, DotTopK, MaxRunLength, MinHashAgg, MisraGriesAgg, PqAdcTopK, PqEncode, SimHashAgg, SortedDot, SortedIntersectSize, TopKAgg}
+import graft.functions.{ArrayDot, DotTopK, JlProject, MaxRunLength, MinHashAgg, MisraGriesAgg, PqAdcTopK, PqEncode, SimHashAgg, SortedDot, SortedIntersectSize, TopKAgg}
 
 /** Session extensions: registers graft's native Catalyst expressions
   * so they resolve in both the Column DSL (`call_function`) and SQL.
@@ -37,6 +37,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArrayDot(children(0), children(1))))
+    // jl_project(arr, inDim, outDim): seeded ±1 projection as ONE
+    // loop-codegen expression (the s14 64 KB-fallback fix); dims must
+    // be int literals — the md5 sign matrix is built at plan time.
+    ext.injectFunction((
+      FunctionIdentifier("jl_project"),
+      new ExpressionInfo(classOf[JlProject].getName, "jl_project"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        JlProject(children(0), JlProject.signs(
+          children(1).eval().asInstanceOf[Int],
+          children(2).eval().asInstanceOf[Int]))))
     ext.injectFunction((
       FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
