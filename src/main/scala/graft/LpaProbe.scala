@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** q84 schedule accounting on the 20× densified probe graph: times
-  * the Luby coloring pre-pass separately from the full entry and
+  * the trial-coloring pre-pass separately from the full entry and
   * reports rounds/colors — the split that says where the q84 20×
   * wall-clock actually goes (coloring rounds vs colors × LPA sweeps).
   * `runMain graft.LpaProbe [dir]`.
@@ -24,11 +24,11 @@ object LpaProbe {
       .cache()
     println(s"== directed edges: ${edges.count()}")
     val t0 = System.nanoTime()
-    val (col, rounds) = operators.Graph.lubyColoring(edges,
+    val (col, rounds) = operators.Graph.trialColoring(edges,
       operators.Graph.SemiColoringRounds)
     val nColors = col.agg(max($"color")).as[Int].head()
     val colSec = (System.nanoTime() - t0) / 1e9
-    println(f"== luby coloring        $colSec%7.1f s  ($rounds rounds, $nColors colors)")
+    println(f"== trial coloring       $colSec%7.1f s  ($rounds rounds, $nColors colors)")
     val t1 = System.nanoTime()
     val lbl = operators.Graph.semiSyncLabels(edges)
     val n = lbl.count()

@@ -1133,22 +1133,40 @@ object Graph {
          GROUP BY 1 ORDER BY l_partkey"""
   }
 
-  /** Coloring-round budget for q84's Luby-schedule pre-pass —
-    * re-randomized per-round priorities (see `semiPrioA`) cut
-    * fixed-priority JP's measured 39/13/5 rounds (sf0.001/0.01/0.1)
-    * to 29/9/4 (the sf0.001 graph is the dense one — its clique
-    * number lower-bounds ANY MIS schedule); 36 is 1.25× the worst.
-    * The loop early-exits when every node is colored; extra oracle
-    * rounds are the identity (no uncolored nodes ⟹ nothing newly
-    * colored). */
-  val SemiColoringRounds = 36
+  /** Coloring-round budget for q84's trial-coloring pre-pass. The
+    * round-11 schedule change: windowed random TRIAL coloring
+    * (Johansson 1999's O(log n) randomized Δ+1-coloring shape) drains
+    * a CONSTANT FRACTION of uncolored nodes per round regardless of
+    * density, where the previous Luby-MIS greedy schedule drained
+    * ~n/(deg+1) per round and paid 134 rounds × ~4 s of per-round job
+    * scheduling on the 20× densified probe (the round-10 verdict's
+    * one perf-weak entry). Exact local replays (tools in §6.15):
+    * Luby 29/9/4 rounds at sf0.001/0.01/0.1 and 134 at 20× → trial
+    * 6/4/3 and 14. Budget 8 covers every oracle-reachable SF with
+    * 1.33× slack; the loop early-exits when every node is colored;
+    * extra oracle rounds are the identity (no uncolored nodes ⟹
+    * nothing picked, nothing newly colored). */
+  val SemiColoringRounds = 8
 
-  /** Color-class budget for q84's oracle unroll — greedy min-free
-    * coloring uses ≤ Δ+1 colors but measured max is 13 (sf0.001),
-    * 5 (sf0.01), 4 (sf0.1); 16 covers with slack. Spark iterates the
-    * ACTUAL color count; oracle subrounds for empty classes are the
-    * identity. The spec pins actual ≤ budget at the test SFs. */
-  val SemiColors = 16
+  /** Trial-pick window: each uncolored node picks deterministically
+    * pseudo-randomly among the W SMALLEST free palette colors (free =
+    * [1..deg+1] minus colored-neighbor colors). W trades colors for
+    * rounds: W=1 is greedy mex (minimum colors, Luby-slow on dense
+    * graphs — every same-palette neighbor pair collides), W=deg+1 is
+    * classic trial coloring (fastest drain, ~Δ colors — each extra
+    * color is a whole extra per-LPA-round sweep step downstream).
+    * Measured on the real graphs: W=4 → 6/4/3 rounds and 19/9/5
+    * colors (sf0.001/0.01/0.1), 14 rounds / 48 colors at 20×; W=8
+    * saves 0–4 more rounds but pays +3..+13 colors. */
+  val SemiPickWindow = 4
+
+  /** Color-class budget for q84's oracle unroll — windowed trial
+    * coloring uses ≤ shell-used+W colors per node; measured max is
+    * 19 (sf0.001), 9 (sf0.01), 5 (sf0.1) at W=4; 24 covers with
+    * slack. Spark iterates the ACTUAL color count; oracle subrounds
+    * for empty classes are the identity. The spec pins actual ≤
+    * budget at the test SFs. */
+  val SemiColors = 24
 
   /** Full-round budget for q84's per-color LPA sweeps — measured
     * stable (a full round changes nothing) after 4 rounds at
@@ -1190,16 +1208,26 @@ object Graph {
     * bipartite-ish structure (measured: not stable under +1 round at
     * either SF); this entry fixes it with the literature's schedule:
     *
-    *  1. COLORING PRE-PASS: a proper greedy coloring on Luby's MIS
-    *     schedule (Luby 1986) — each round, every uncolored node that
-    *     beats all its uncolored neighbors on (prio_r, id) takes the
-    *     smallest color its colored neighbors don't use, with
-    *     priorities RE-RANDOMIZED each round (`semiPrioA`'s
-    *     deterministic pairwise-independent multipliers): O(ω+log n)
-    *     expected rounds where fixed-priority Jones–Plassmann pays
-    *     its longest-decreasing-path bound (measured rounds
-    *     39/13/5 → 29/9/4 at sf0.001/0.01/0.1; the 20× densified
-    *     probe — JP's 374-round pathology — is the win case, §6.15).
+    *  1. COLORING PRE-PASS: a proper coloring by windowed random
+    *     TRIAL coloring (Johansson 1999's randomized Δ+1-coloring,
+    *     windowed to stay color-frugal) — each round, every uncolored
+    *     node picks deterministically pseudo-randomly among the
+    *     `SemiPickWindow` smallest colors its colored neighbors don't
+    *     use, and KEEPS the pick unless a same-pick uncolored
+    *     neighbor outranks it on (prio_r, id); priorities and picks
+    *     re-randomize each round (`semiPrioA`'s deterministic
+    *     pairwise-independent multipliers). A constant fraction of
+    *     nodes succeeds per round INDEPENDENT OF DENSITY — the
+    *     lineage Luby-MIS greedy (round ≤ 10) and fixed-priority
+    *     Jones–Plassmann (rounds ≤ 8) both drain dense graphs a
+    *     priority-peak at a time: measured rounds on the 20×
+    *     densified probe 374 (JP) → 134 (Luby) → 14 (trial W=4), and
+    *     29/9/4 → 6/4/3 at sf0.001/0.01/0.1 (§6.15). Progress is
+    *     GUARANTEED (the globally max-(prio, id) uncolored node keeps
+    *     its pick unconditionally), and kept picks are proper by
+    *     construction: picks exclude colored-neighbor colors, and of
+    *     two adjacent same-round same-pick nodes only the higher
+    *     (prio, id) keeps.
     *  2. PER-COLOR SWEEPS: each LPA round updates one color class at
     *     a time. Classes are independent sets, so the simultaneous
     *     within-class update equals a sequential schedule — and
@@ -1214,13 +1242,16 @@ object Graph {
     * DuckDB oracle unrolls it CTE-for-subround.
     *
     * Shape at scale: the coloring is 2 node-keyed aggregates per
-    * round (max uncolored-neighbor priority; colored-neighbor color
-    * sets, bounded by degree); each sweep is one edge-keyed join +
-    * one (node, label) count + one agg-only argmax restricted to the
-    * active class (classes hold ~n/colors nodes — bulk parallelism
-    * survives the schedule; colors ≤ Δ+1 and measured 4–13). Rounds ×
-    * colors driver-synchronized steps vs q81's plain rounds is the
-    * price of guaranteed convergence. */
+    * round (colored-neighbor color sets, bounded by degree; the
+    * same-pick conflict max over uncolored neighbors); each sweep is
+    * one edge-keyed join + one (node, label) count + one agg-only
+    * argmax restricted to the active class (classes hold ~n/colors
+    * nodes — bulk parallelism survives the schedule; colors ≤ Δ+1
+    * and measured 5–19, 48 at 20×). Rounds × colors
+    * driver-synchronized steps vs q81's plain rounds is the price of
+    * guaranteed convergence — and the trial schedule keeps ROUNDS
+    * near the O(log n) floor where job-scheduling latency, not data,
+    * is the per-round cost. */
   def q84LpaSemisync(s: SparkSession, dir: String,
       coloringRounds: Int = SemiColoringRounds,
       rounds: Int = SemiLpaRounds): DataFrame =
@@ -1245,24 +1276,39 @@ object Graph {
     out
   }
 
-  /** The Luby-schedule greedy coloring — colors to COMPLETION: every
-    * node must land in some class or the sweeps would never update
-    * it. `coloringRounds` sizes the ORACLE's unrolled replay (rounds
-    * past completion are the identity — no uncolored nodes, nothing
-    * newly colored — so a completion that beats the unroll keeps
-    * Spark ≡ oracle). The ceiling is ONLY a runaway guard: MIS-based
-    * coloring needs ≥ clique-number rounds (one clique member per
-    * independent set). Re-randomized priorities keep the expected
-    * schedule near that lower bound — fixed-priority JP needed
-    * 39/13/5 rounds at sf0.001/0.01/0.1 and 374 on the 20× densified
-    * probe (degeneracy 84); the Luby schedule's measured rounds live
-    * in the spec and §6.15. Returns (colored nodes, rounds used) —
-    * separated from the sweeps so LpaProbe can time/count it. */
-  private[graft] def lubyColoring(edges: DataFrame,
+  /** The windowed-trial-coloring schedule — colors to COMPLETION:
+    * every node must land in some class or the sweeps would never
+    * update it. `coloringRounds` sizes the ORACLE's unrolled replay
+    * (rounds past completion are the identity — no uncolored nodes,
+    * nothing picked, nothing newly colored — so a completion that
+    * beats the unroll keeps Spark ≡ oracle). The ceiling is ONLY a
+    * runaway guard: the globally max-(prio, id) uncolored node keeps
+    * its pick every round, so ≥ 1 node colors per round worst-case,
+    * and in expectation a constant fraction succeeds (a node's pick
+    * collides with each same-window uncolored neighbor w.p. ~1/W and
+    * the higher priority keeps) — measured 6/4/3 rounds at
+    * sf0.001/0.01/0.1 and 14 at 20× vs the replaced Luby-MIS greedy
+    * schedule's 29/9/4 and 134 (§6.15; per-round Spark job scheduling
+    * is the 20× wall-clock, so rounds ARE the cost). Returns (colored
+    * nodes, rounds used) — separated from the sweeps so LpaProbe can
+    * time/count it.
+    *
+    * Per-round history kept from the Luby-era experiments (§6.15):
+    * frontier semi-joins restricting the edge joins to active sets
+    * measured inside host noise at 20× and COST 54% at sf0.1 (extra
+    * shuffle stages dominate on small graphs); in-plan batching of k
+    * steps per Spark round fails structurally (each lazy step
+    * references the previous state frame twice — the composed subplan
+    * duplicates ~2^k). The per-round form stays simple; the round
+    * COUNT is where the 20× win came from. */
+  private[graft] def trialColoring(edges: DataFrame,
       coloringRounds: Int): (DataFrame, Int) = {
     val s = edges.sparkSession
     import s.implicits._
-    val nodes = edges.select($"src".as("node")).distinct()
+    // undirected degree (edges is symmetric, simple): sizes each
+    // node's palette [1..deg+1] — a free color always exists
+    val nodes = edges.groupBy($"src".as("node"))
+      .agg(count(lit(1)).as("deg"))
       .checkpointFresh
     var col = nodes.select($"node", lit(0).as("color")).filter(lit(false))
       .checkpointFresh
@@ -1271,51 +1317,45 @@ object Graph {
     var r = 0
     val ceiling = math.max(coloringRounds, 4096)
     while (r < ceiling && uncCnt > 0) {
-      // round-r priorities (re-randomized each round — Luby)
+      // round-r priorities (re-randomized each round; the same prio
+      // drives the windowed pick index — a pairwise-independent
+      // permutation, so adjacent nodes' picks decorrelate)
       val prio = ($"node" * semiPrioA(r)) % SemiPrioM
-      val uncP = unc.withColumn("prio", prio)
-      // max (prio, id) among UNCOLORED neighbors, per uncolored node.
-      // MEASURED AND KEPT SIMPLE (round 10, §6.15): frontier semi-
-      // joins restricting both edge joins to the uncolored/eligible
-      // sets were built (result-identical) and measured — 624 → 514 s
-      // at 20× in one run but 569 s in another (inside the ±10% host
-      // band), while at sf0.1 they COST 54% (6.9 → 10.6 s median:
-      // two extra shuffle stages per round dominate on a 2.5k-edge
-      // graph). In-plan batching of k steps per Spark round was also
-      // tried and fails structurally: each lazy step references the
-      // previous state frame TWICE, so the composed subplan tree
-      // duplicates ~2^k and execution work MULTIPLIES instead of
-      // amortizing. The plain per-round form ships; the schedule is
-      // round-count bound and q81 is the cheap twin by design.
-      val uncNbrMax = edges
-        .join(uncP.select($"node".as("dst"),
-          struct($"prio".as("p"), $"node".as("n")).as("up")), "dst")
-        .groupBy($"src").agg(max($"up").as("mx"))
-      val eligible = uncP
-        .join(uncNbrMax.withColumnRenamed("src", "node"), Seq("node"), "left")
-        .filter($"mx".isNull ||
-          $"mx" < struct($"prio".as("p"), $"node".as("n")))
-        .select($"node")
-        .cache()
-      // smallest color no colored neighbor uses (mex, 1-based)
-      val usedColors = edges
+      // colors used by COLORED neighbors (bounded by degree)
+      val used = edges
         .join(col.select($"node".as("dst"), $"color"), "dst")
-        .groupBy($"src").agg(collect_set($"color").as("used"))
+        .groupBy($"src").agg(collect_set($"color".cast("long")).as("used"))
+      // free palette (ascending) and the windowed pick
+      val picks = unc
+        .join(used.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .withColumn("prio", prio)
+        .withColumn("free", array_except(
+          sequence(lit(1L), $"deg" + 1L),
+          coalesce($"used", array().cast("array<long>"))))
+        .withColumn("pick", element_at($"free",
+          (($"prio" % least(size($"free"), lit(SemiPickWindow))) + 1)
+            .cast("int")))
+        .select($"node", $"prio", $"pick")
+        .cache()
+      // keep a pick unless a same-pick uncolored neighbor outranks it
+      val conflictMax = edges
+        .join(picks.select($"node".as("dst"), $"pick".as("dp"),
+          struct($"prio".as("p"), $"node".as("n")).as("ds")), "dst")
+        .join(picks.select($"node".as("src"), $"pick".as("sp")), "src")
+        .filter($"dp" === $"sp")
+        .groupBy($"src").agg(max($"ds").as("mx"))
       // newly is read TWICE (col union + unc anti-join): cache it so
       // the two per-round checkpoints don't each recompute the whole
       // round's join chain, and its count gives the uncolored-residue
-      // bookkeeping for free (one action instead of a separate
-      // unc.count job — at 134 rounds on the 20× graph, per-round job
-      // count IS the wall-clock)
-      val newly = eligible
-        .join(usedColors.withColumnRenamed("src", "node"), Seq("node"), "left")
-        .select($"node",
-          array_min(array_except(
-            sequence(lit(1), coalesce(size($"used"), lit(0)) + 1),
-            coalesce($"used", array().cast("array<int>")))).as("color"))
+      // bookkeeping for free (per-round JOB COUNT is the wall-clock)
+      val newly = picks
+        .join(conflictMax.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .filter($"mx".isNull ||
+          $"mx" < struct($"prio".as("p"), $"node".as("n")))
+        .select($"node", $"pick".cast("int").as("color"))
         .cache()
       val nNew = newly.count()
-      // the max-priority uncolored node is always eligible (strict
+      // the max-priority uncolored node always keeps its pick (strict
       // total order on (prio, id)), so an empty round with uncolored
       // residue is impossible — guard loudly rather than spin
       require(nNew > 0 || uncCnt == 0,
@@ -1323,14 +1363,14 @@ object Graph {
       col = col.unionAll(newly).checkpointFresh
       unc = unc.join(newly.select($"node"), Seq("node"), "left_anti")
         .checkpointFresh
-      eligible.unpersist()
+      picks.unpersist()
       newly.unpersist()
       uncCnt -= nNew
       r += 1
     }
     require(uncCnt == 0,
       s"q84 coloring ceiling $ceiling left $uncCnt uncolored nodes")
-    (col, r)
+    (col.select($"node", $"color"), r)
   }
 
   /** q84's engine over a symmetric edge list: returns (node, lbl)
@@ -1341,7 +1381,7 @@ object Graph {
       rounds: Int = SemiLpaRounds): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val (col, _) = lubyColoring(edges, coloringRounds)
+    val (col, _) = trialColoring(edges, coloringRounds)
     val nColors = col.agg(max($"color")).as[Int].head()
     // ---- per-color LPA sweeps, keep-current-if-argmax ----
     // NOTE a frontier-pruned sweep schedule (evaluate only nodes with
@@ -1384,13 +1424,17 @@ object Graph {
     lbl.select($"node", $"lbl")
   }
 
-  /** Q84 oracle: the coloring rounds and every per-color sweep
+  /** Q84 oracle: the trial-coloring rounds and every per-color sweep
     * unrolled as materialized CTEs (the q76 discipline — DuckDB can't
     * iterate-with-replacement, a fixed unroll with identity tails
-    * replays the early-exiting Spark loop exactly). The argmax window
-    * ORDER BY (cnt DESC, is-current DESC, label ASC) IS
-    * keep-current-if-argmax. 48 + 6×16 = 144 materialized CTEs,
-    * comfortably under the 374 q76 ships. */
+    * replays the early-exiting Spark loop exactly). Each coloring
+    * round is a pick CTE (windowed pseudo-random pick from the free
+    * palette, the same (node·a_r) mod M arithmetic Spark runs) plus a
+    * col CTE (keep unless a same-pick neighbor outranks — the NOT
+    * EXISTS). The sweep argmax window ORDER BY (cnt DESC, is-current
+    * DESC, label ASC) IS keep-current-if-argmax. 2×8 coloring +
+    * 6×24 sweep ≈ 161 materialized CTEs, comfortably under the 374
+    * q76 ships. */
   private[graft] def lpaSemiSyncOracleSql(
       coloringRounds: Int = SemiColoringRounds,
       colors: Int = SemiColors,
@@ -1405,33 +1449,43 @@ object Graph {
                UNION ALL SELECT pb, pa FROM prs),
          nd AS MATERIALIZED (
            SELECT DISTINCT src AS node FROM e),
+         dg AS MATERIALIZED (
+           SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+           FROM e GROUP BY 1),
          col_0 AS (SELECT node, CAST(NULL AS INTEGER) AS color
                    FROM nd WHERE 1 = 0)"""
     val coloring = (1 to coloringRounds).map { i =>
-      // Luby: SQL round i replays Spark round r = i-1's multiplier
+      // SQL round i replays Spark round r = i-1's multiplier
       val a = semiPrioA(i - 1)
       s""",
+         pick_$i AS MATERIALIZED (
+           -- free palette = [1..deg+1] minus colored-neighbor colors
+           -- (ascending; a free color ALWAYS exists), pick = the
+           -- ((node*a) mod M) mod min(len, W)-th smallest free color
+           SELECT v.node, v.prio,
+             v.fr[1 + CAST(v.prio % least(len(v.fr), $SemiPickWindow)
+                           AS INTEGER)] AS pick
+           FROM (
+             SELECT d.node, ((d.node * $a) % $SemiPrioM) AS prio,
+               list_filter(generate_series(1, d.deg + 1),
+                 c -> NOT list_contains(
+                   coalesce(u.used, CAST([] AS BIGINT[])), c)) AS fr
+             FROM dg d
+             LEFT JOIN (
+               SELECT e.src AS node,
+                 list(DISTINCT CAST(cc.color AS BIGINT)) AS used
+               FROM e JOIN col_${i - 1} cc ON e.dst = cc.node
+               GROUP BY 1) u ON u.node = d.node
+             WHERE d.node NOT IN (SELECT node FROM col_${i - 1})) v),
          col_$i AS MATERIALIZED (
            SELECT node, color FROM col_${i - 1}
            UNION ALL
-           SELECT v.node, CAST((
-               -- mex bound = degree+1 (a free color ALWAYS exists in
-               -- 1..deg+1), so a denser-than-expected graph can never
-               -- run the series dry and return a silent NULL color —
-               -- any drift breaks the hash loudly instead
-               SELECT min(s.c) FROM (SELECT unnest(generate_series(1,
-                 (SELECT count(*) FROM e WHERE e.src = v.node) + 1)) AS c) s
-               WHERE s.c NOT IN (
-                 SELECT cc.color FROM e JOIN col_${i - 1} cc ON e.dst = cc.node
-                 WHERE e.src = v.node)) AS INTEGER) AS color
-           FROM nd v
-           WHERE v.node NOT IN (SELECT node FROM col_${i - 1})
-             AND NOT EXISTS (
-               SELECT 1 FROM e
-               WHERE e.src = v.node
-                 AND e.dst NOT IN (SELECT node FROM col_${i - 1})
-                 AND ((e.dst * $a) % $SemiPrioM, e.dst)
-                   > ((v.node * $a) % $SemiPrioM, v.node)))"""
+           SELECT p.node, CAST(p.pick AS INTEGER) AS color
+           FROM pick_$i p
+           WHERE NOT EXISTS (
+             SELECT 1 FROM e JOIN pick_$i q ON e.dst = q.node
+             WHERE e.src = p.node AND q.pick = p.pick
+               AND (q.prio, q.node) > (p.prio, p.node)))"""
     }.mkString
     val init = s""",
          l_0_$colors AS MATERIALIZED (

@@ -155,28 +155,33 @@ class Round8Spec extends GraftSpecBase {
         adj.getOrElseUpdate(b, collection.mutable.Set.empty) += a
       }
       import scala.math.Ordering.Implicits._
+      val W = operators.Graph.SemiPickWindow
       val color = collection.mutable.Map.empty[Long, Int]
-      var lubyRounds = 0
+      var trialRounds = 0
       while (color.size < adj.size) {
-        // Luby schedule: priorities re-randomize per round (round
-        // index 0-based, matching the Spark loop's r)
-        val a = operators.Graph.semiPrioA(lubyRounds)
+        // trial schedule: priorities AND windowed picks re-randomize
+        // per round (round index 0-based, matching the Spark loop's r)
+        val a = operators.Graph.semiPrioA(trialRounds)
         def prio(v: Long) = ((v * a) % operators.Graph.SemiPrioM, v)
-        lubyRounds += 1
-        val newly = adj.keys.filter(v => !color.contains(v) &&
-          adj(v).forall(u => color.contains(u) || prio(u) < prio(v)))
-        newly.foreach { v =>
+        trialRounds += 1
+        val picks = adj.keys.filterNot(color.contains).map { v =>
           val used = adj(v).flatMap(color.get)
-          color(v) = (1 to used.size + 1).find(c => !used.contains(c)).get
+          val free = (1 to adj(v).size + 1).filterNot(used.contains)
+          v -> free((prio(v)._1 % math.min(free.size, W)).toInt)
+        }.toMap
+        picks.foreach { case (v, p) =>
+          if (adj(v).forall(u => picks.get(u).forall(_ != p) ||
+              prio(u) < prio(v)))
+            color(v) = p
         }
       }
-      info(s"$dir: ${color.values.max} colors, $lubyRounds Luby rounds")
+      info(s"$dir: ${color.values.max} colors, $trialRounds trial rounds")
       assert(color.values.max <= operators.Graph.SemiColors,
         s"$dir needs ${color.values.max} colors > budget")
       // oracle parity: the unrolled coloring must COMPLETE at every
       // SF the oracle could run on (identity tails after)
-      assert(lubyRounds <= operators.Graph.SemiColoringRounds,
-        s"$dir coloring completes in $lubyRounds rounds > oracle unroll")
+      assert(trialRounds <= operators.Graph.SemiColoringRounds,
+        s"$dir coloring completes in $trialRounds rounds > oracle unroll")
     }
   }
 
