@@ -83,6 +83,7 @@ object SparkEntry {
     "q28_unpivot"        -> (Advanced.q28Unpivot _),
     "q29_funnel"         -> (Advanced.q29Funnel _),
     "mm4_phash"          -> (graft.multimodal.Multimodal.mm4Phash _),
+    "mm5_phash_pairs"    -> (graft.multimodal.Multimodal.mm5PhashPairs _),
     "i3_orc_ingest"      -> (Ingest.i3OrcIngest _),
     "q30_ewma"           -> (Advanced.q30Ewma _),
     "q31_string_agg"     -> (Advanced.q31StringAgg _),

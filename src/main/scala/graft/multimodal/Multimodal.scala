@@ -200,6 +200,86 @@ object Multimodal {
       .orderBy($"id_a", $"id_b")
   }
 
+  // ---- mm5: perceptual pairs on byte-local-edit payloads -------------
+
+  val Mm5GroupSize = 4       // docs per near-duplicate cluster
+  val Mm5PayloadBytes = 1024 // fixed geometry, like a decoded raster
+  val Mm5EditBytes = 3       // byte-LOCAL edit width per variant
+
+  /** splitmix64 finalizer (Steele et al., JDK SplittableRandom) — the
+    * q96 lesson: counter-derived seeds must be avalanche-mixed. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic synthetic "decoded image": a seeded byte grid per
+    * GROUP (docs in one group share the base raster), with each
+    * non-zero group member differing by one Mm5EditBytes-wide LOCAL
+    * byte edit at a member-seeded offset. This is the honesty
+    * boundary mm2's FakeCodec draws, applied to the INPUT side: real
+    * codecs are container-blocked, but the property perceptual dedup
+    * actually exploits — near-duplicates differ in a few bytes at
+    * fixed geometry (a pixel edit), not in a global byte shift (a
+    * word edit in text) — is synthesizable exactly. Swap this for
+    * real decoded rasters and nothing downstream changes. */
+  private[graft] def mm5Payload(group: Long, member: Int): Array[Byte] = {
+    val b = new Array[Byte](Mm5PayloadBytes)
+    var j = 0
+    while (j < Mm5PayloadBytes) {
+      b(j) = (mix64(group * Mm5PayloadBytes + j) & 0xFF).toByte
+      j += 1
+    }
+    if (member > 0) {
+      val off = math.floorMod(
+        mix64(group ^ (member.toLong * 0x5851F42D4C957F2DL)),
+        (Mm5PayloadBytes - Mm5EditBytes).toLong).toInt
+      var k = 0
+      // +64 shifts the local brightness enough to be a real edit but
+      // keeps the bucket average move small (≤ 3 bytes of ≤ 16/bucket)
+      while (k < Mm5EditBytes) {
+        b(off + k) = ((b(off + k) & 0xFF) + 64).toByte
+        k += 1
+      }
+    }
+    b
+  }
+
+  /** MM5: perceptual near-duplicate PAIRS over the synthesized
+    * byte-local-edit corpus — mm4's dHash + the 4×16-bit pigeonhole
+    * pair-finder (`phashPairs`, hamming ≤ 3 via equi-join on hash
+    * chunks, never an all-pairs product), driven end-to-end on
+    * payloads whose near-duplicates actually differ byte-locally
+    * (groups of Mm5GroupSize per base raster). Output is every
+    * detected pair with its hamming distance plus the ground-truth
+    * same-group flag, so recall/precision are auditable downstream;
+    * the spec pins the measured recall band and cross-group false
+    * pairs. Seeded-payload hashing isn't SQL-replicable → rows-only.
+    *
+    * Shape at scale: payload synthesis + phash are one map-only pass
+    * (codec init amortizes at the same mapPartitions boundary as
+    * mm2); the pair-finder is the d4 pigeonhole equi-join — bucket-
+    * keyed, linear in collisions, no quadratic stage anywhere. */
+  def mm5PhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ph = Tables.documents(s, dir)
+      .select($"doc_id").as[Long]
+      .mapPartitions { ids =>
+        // a real codec would init here, once per partition
+        ids.map { id =>
+          val payload = mm5Payload(id / Mm5GroupSize,
+            (id % Mm5GroupSize).toInt)
+          PhashRow(id, perceptualHash(payload))
+        }
+      }
+      .toDF()
+    phashPairs(ph)
+      .withColumn("same_group",
+        expr(s"id_a div $Mm5GroupSize") === expr(s"id_b div $Mm5GroupSize"))
+  }
+
   /** MM2: partition-batched decode + every-Nth frame sampling. The
     * mapPartitions boundary is where codec init amortizes; everything
     * before/after stays columnar. */

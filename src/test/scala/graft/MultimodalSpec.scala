@@ -88,6 +88,36 @@ class MultimodalSpec extends GraftSpecBase {
     assert(a.size == Tables.documents(spark, sf).count())
   }
 
+  test("mm5: byte-local-edit corpus — pair recall/precision and real hash movement") {
+    import spark.implicits._
+    val ids = Tables.documents(spark, sf).select($"doc_id").as[Long]
+      .collect().toSet
+    val truth = (for {
+      a <- ids; b <- ids
+      if a < b && a / Multimodal.Mm5GroupSize == b / Multimodal.Mm5GroupSize
+    } yield (a, b)).toSet
+    val rows = Multimodal.mm5PhashPairs(spark, sf)
+      .select($"id_a", $"id_b", $"hamming", $"same_group")
+      .as[(Long, Long, Int, Boolean)].collect().toSeq
+    val found = rows.map(r => (r._1, r._2)).toSet
+    // every detected pair is a true near-duplicate (the seeded base
+    // rasters of different groups are hamming-far by construction)
+    assert(rows.forall(_._4), s"cross-group pairs: ${rows.filterNot(_._4)}")
+    // recall band (measured 1.000 at sf0.001/sf0.01 — the 3-byte +64
+    // local edit moves ≤ 2 bucket averages, ≤ 3 comparator bits)
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.95, s"pair recall $recall")
+    // the corpus genuinely exercises the tolerance: a good share of
+    // true pairs differ in ≥ 1 hash bit yet are still caught
+    assert(rows.count(_._3 >= 1) >= truth.size / 10,
+      s"only ${rows.count(_._3 >= 1)} caught pairs moved any hash bit")
+    // determinism
+    val again = Multimodal.mm5PhashPairs(spark, sf)
+      .select($"id_a", $"id_b", $"hamming", $"same_group")
+      .as[(Long, Long, Int, Boolean)].collect().toSeq
+    assert(rows.sorted == again.sorted)
+  }
+
   test("phash pigeonhole pairs equal brute-force hamming<=3 (constructed hashes)") {
     import spark.implicits._
     // copies and k-bit variants of a base hash — exactly what decoded
