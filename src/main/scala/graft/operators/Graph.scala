@@ -2044,7 +2044,12 @@ object Graph {
     * HIGH-SUPPORT BACKBONE extraction at aggressive p (2–8× faster,
     * keeps the heavy core, precision structural: output ⊆ exact
     * truss), NOT full-truss recovery. Seeded coin → rows-only by
-    * design. */
+    * design. The recall-vs-p ORDER and the precision contract are
+    * SUITE-PINNED on a mid-size mixed-support graph (Round11Spec:
+    * 17.4k edges across K3/K4/K6/K10 components, measured
+    * 0.029/0.339/0.690 at p=0.1/0.3/0.5 — the same shape as the 20×
+    * probe's 0.108/0.278/0.665), so the probe table can't silently
+    * rot. */
   def q98TrussThinned(s: SparkSession, dir: String, k: Int = TrussK,
       p1000: Long = TrussThinP1000): DataFrame = {
     import s.implicits._
