@@ -209,6 +209,7 @@ object SparkEntry {
     "q98_truss_thinned"  -> ((s: SparkSession, d: String) => Graph.q98TrussThinned(s, d)),
     "q99_hits"           -> (Graph.q99Hits _),
     "t18_cross_surprisal" -> (TextAnalysis.t18CrossSurprisal _),
+    "t19_nb_langid"      -> (TextAnalysis.t19NbLangId _),
     "t20_bm25"           -> (TextAnalysis.t20Bm25 _),
     "t21_ks_drift"       -> (TextAnalysis.t21KsDrift _),
     "p16_source_cap"     -> (Sampling.p16SourceCap _),

@@ -54,4 +54,69 @@ class Round11Spec extends GraftSpecBase {
       s"(${recalls(0)}) — screen is not screening")
     e.unpersist()
   }
+
+  // ------------- t19 trained NB lang-id -------------
+
+  test("t19: NB == exact local replay (quantized integer scores) and beats the majority baseline by a real margin") {
+    import operators.TextAnalysis._
+    val got = t19NbLangId(spark, sf)
+      .select($"doc_id", $"labeled_lang", $"pred_lang", $"score_q")
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // ---- local replay: same mix64 enrichment, same add-one NB with
+    // 1e6-floor-quantized logs, same (score desc, lang asc) argmax
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect()
+    val enriched = docs.map { case (id, lang, text) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val k = 1 + toks.length / 8
+      val markers = (0 until k).map { i =>
+        val h = mix(id * 1000003L + i)
+        val srcLang =
+          if (math.floorMod(h, T19NoiseDen.toLong) == 0L)
+            T19Langs(math.floorMod(h >>> 2, T19Langs.size.toLong).toInt)
+          else lang
+        val ws = T19Markers(srcLang)
+        ws(math.floorMod(h >>> 5, ws.size.toLong).toInt)
+      }
+      (id, lang, toks.toSeq ++ markers)
+    }
+    val train = enriched.filter(_._1 % 2 == 0)
+    val test = enriched.filter(_._1 % 2 == 1)
+    val cnt = collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    val tot = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    train.foreach { case (_, l, ts) =>
+      ts.foreach { t => cnt((l, t)) += 1; tot(l) += 1 } }
+    val v = train.flatMap(_._3).distinct.size
+    val nd = train.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val priorQ = nd.map { case (l, n) =>
+      l -> math.floor(math.log(n.toDouble / train.size) * 1e6).toLong }
+    def llQ(l: String, t: String): Long = math.floor(math.log(
+      (cnt((l, t)) + 1).toDouble / (tot(l) + v)) * 1e6).toLong
+    // argmax with (score desc, lang asc): max score, min lang on ties
+    val want2 = test.map { case (id, lang, ts) =>
+      val scoresByLang = T19Langs.map(l => l -> (ts.map(llQ(l, _)).sum + priorQ(l)))
+      val mx = scoresByLang.map(_._2).max
+      val pick = scoresByLang.filter(_._2 == mx).map(_._1).min
+      (id, lang, pick, mx)
+    }.sortBy(_._1).toSeq
+    assert(got == want2, s"diff: ${got.diff(want2).take(2)} vs ${want2.diff(got).take(2)}")
+    // ---- the de-vacuation margin: raw-text NB measured 36.8% vs the
+    // 43.6% majority baseline (round 8); the enriched mechanism must
+    // clear the baseline by a wide, pinned margin
+    val acc = got.count(r => r._2 == r._3).toDouble / got.size
+    val majority = got.groupBy(_._2).values.map(_.size).max.toDouble / got.size
+    info(f"t19 accuracy $acc%.3f vs majority $majority%.3f")
+    assert(acc >= majority + 0.2, f"margin vacuous: $acc%.3f vs $majority%.3f")
+    assert(acc >= 0.85 && acc < 1.0,
+      f"accuracy $acc%.3f outside the designed band (noise makes 1.0 impossible-by-design)")
+  }
 }
