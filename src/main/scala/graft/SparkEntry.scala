@@ -44,6 +44,7 @@ object SparkEntry {
     "s5_radius_search"   -> (Similarity.s5RadiusSearch _),
     "d4_simhash"         -> (Dedup.d4Simhash _),
     "d5_embedding_dedup" -> (Similarity.d5EmbeddingDedup _),
+    "d10_semdedup"       -> (Similarity.d10SemDedup _),
     "s1_knn_brute"       -> (Similarity.s1KnnBrute _),
     "s2_ann_ivf"         -> ((s: SparkSession, d: String) => Similarity.s2AnnIvf(s, d)),
     // the deterministic IVF configuration: probing every cluster makes

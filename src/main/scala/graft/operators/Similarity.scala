@@ -150,6 +150,68 @@ object Similarity {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** d10's duplicate threshold — d5's τ, so the exact pair list IS
+    * the audit surface for the approximation. */
+  val SemDedupTau = 0.5
+
+  /** The SemDeDup keep/drop rule over EXPLICIT cluster assignments —
+    * factored out so the spec can drive constructed corpora without
+    * an MLlib fit. Within each cluster, order members by (sim-to-
+    * centroid asc, vec_id asc) quantized to 1e6 micro-units; a vector
+    * DROPS iff some cluster-mate EARLIER in that order is τ-close
+    * (the reference implementation's semantics: the drop test runs
+    * against every earlier example, kept or not — low-centroid-sim
+    * representatives survive, preserving diversity per the paper's
+    * finding). Pairwise work is Σ|cluster|²/2 — SemDeDup's trade:
+    * no cross-cluster pairs are ever considered (d5's admissible-
+    * cluster-pair join IS complete; this is the cheaper, published
+    * approximation whose loss the spec measures against d5). */
+  private[graft] def semDedupCore(assigned: DataFrame,
+      centers: Array[Array[Double]], tau: Double): DataFrame = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    val centDf = centers.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "cv")
+    val base = assigned
+      .join(broadcast(centDf), "cluster")
+      .withColumn("simc_q", floor(cosine($"v", $"cv") * 1e6).cast("long"))
+      .select($"cluster", $"vec_id", $"v", $"simc_q")
+    val l = base.select($"cluster", $"vec_id".as("a"), $"v".as("va"),
+      $"simc_q".as("sa"))
+    val r = base.select($"cluster", $"vec_id".as("b"), $"v".as("vb"),
+      $"simc_q".as("sb"))
+    // cluster-keyed equi-join (the partition key at scale), dominance
+    // prefilter BEFORE the cosine so only ordered pairs pay the dot
+    val dropped = l.join(r, Seq("cluster"))
+      .filter(struct($"sb", $"b") < struct($"sa", $"a"))
+      .filter(cosine($"va", $"vb") >= tau)
+      .select($"a".as("vec_id")).distinct()
+    base
+      .join(dropped.withColumn("d", lit(true)), Seq("vec_id"), "left")
+      .select($"vec_id", $"cluster", $"simc_q",
+        coalesce($"d", lit(false)).as("dropped"))
+      .orderBy($"vec_id")
+  }
+
+  /** D10: SEMANTIC DEDUPLICATION (SemDeDup, Abbas et al. 2023) — the
+    * web-scale published recipe: k-means the embedding space (the IVF
+    * coarse quantizer — an index is an artifact, reused), then drop
+    * τ-near duplicates WITHIN each cluster, keeping the member least
+    * similar to its centroid (diversity-preserving representative).
+    * d5 remains the EXACT near-dup baseline (admissible cluster-PAIR
+    * join, completeness-guaranteed): d10 is its linear-partitioned
+    * approximation — candidate work collapses from admissible cluster
+    * pairs to Σ|cluster|²/2 disjoint blocks, the shape that holds at
+    * 100 TB where each cluster is a partition — and its loss is
+    * exactly the cross-cluster pairs, which the spec AUDITS against
+    * d5's exact list (soundness: every drop has a true τ-pair;
+    * within-cluster completeness: no surviving intra-cluster pair).
+    * Seeded k-means fit → rows-only by design. */
+  def d10SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, centers) = ivfIndex(s, dir)
+    semDedupCore(assigned, centers, SemDedupTau)
+  }
+
   // per-dataset registry of the d5 pruning artifacts: the norm-extended
   // index frame, the admissible cluster-pair table, and the per-cluster
   // unit-space (pivot, radius) maps — K-bounded artifacts shared with

@@ -119,4 +119,90 @@ class Round11Spec extends GraftSpecBase {
     assert(acc >= 0.85 && acc < 1.0,
       f"accuracy $acc%.3f outside the designed band (noise makes 1.0 impossible-by-design)")
   }
+
+  // ------------- d10 SemDeDup -------------
+
+  test("d10 core: constructed clusters — dominance rule exact (keeps the least-centroid-similar of each dup set, drop-vs-any-earlier)") {
+    import operators.Similarity
+    // cluster 0: a 3-clique of near-identical vectors (v0,v1,v2) plus
+    // a far singleton v3; cluster 1: a CHAIN a-b, b-c where cos(a,c)
+    // < tau — the reference-impl subtlety: c drops against b even
+    // though b itself dropped (drop tests run against every earlier
+    // example, kept or not)
+    def n(v: Seq[Double]): Seq[Double] = {
+      val m = math.sqrt(v.map(x => x * x).sum); v.map(_ / m)
+    }
+    val c0 = Seq(1.0, 0.0, 0.0, 0.0)
+    // chain-cluster centroid sits near c so the centroid-sim order is
+    // a < b < c: a (earliest) survives, b drops vs a, and c drops vs
+    // the ALREADY-DROPPED b — the kept-or-not subtlety under test
+    val c1 = Seq(0.2, 0.0, 0.0, 1.0)
+    val vecs = Seq(
+      (0L, n(Seq(1.0, 0.04, 0.0, 0.0)), 0),   // clique
+      (1L, n(Seq(1.0, 0.05, 0.0, 0.0)), 0),   // clique
+      (2L, n(Seq(1.0, 0.06, 0.0, 0.0)), 0),   // clique
+      (3L, n(Seq(0.1, 0.0, 1.0, 0.0)), 0),    // far singleton
+      (10L, n(Seq(1.0, 0.0, 0.0, 0.0)), 1),   // chain a (x-axis)
+      (11L, n(Seq(1.0, 0.0, 0.0, 1.0)), 1),   // chain b (between)
+      (12L, n(Seq(0.0, 0.0, 0.0, 1.0)), 1))   // chain c (w-axis)
+    def cos(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum /
+        (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(p => p * p).sum))
+    // sanity of the construction
+    assert(cos(vecs(4)._2, vecs(5)._2) >= 0.5 && cos(vecs(5)._2, vecs(6)._2) >= 0.5)
+    assert(cos(vecs(4)._2, vecs(6)._2) < 0.5, "chain must not be a clique")
+    val assigned = vecs.toDF("vec_id", "v", "cluster")
+    val centers = Array(c0.toArray, c1.toArray)
+    val got = Similarity.semDedupCore(assigned, centers, 0.5)
+      .as[(Long, Int, Long, Boolean)].collect().toSeq
+    // local replay of the published rule
+    val simq = vecs.map { case (id, v, c) =>
+      id -> math.floor(cos(v, Seq(c0, c1)(c).map(identity)) * 1e6).toLong }.toMap
+    import scala.math.Ordering.Implicits._
+    val want = vecs.map { case (id, v, c) =>
+      val dropped = vecs.exists { case (b, vb, cb) =>
+        cb == c && Ordering[(Long, Long)].lt((simq(b), b), (simq(id), id)) &&
+          cos(v, vb) >= 0.5 }
+      (id, c, simq(id), dropped)
+    }.sortBy(_._1)
+    assert(got == want, s"got $got\nwant $want")
+    // the semantics the construction pins
+    val droppedIds = got.filter(_._4).map(_._1).toSet
+    assert(!droppedIds.contains(3L), "far singleton must survive")
+    assert(droppedIds.intersect(Set(0L, 1L, 2L)).size == 2,
+      "clique keeps exactly its least-centroid-similar member")
+    assert(vecs.count(v => v._3 == 1 && droppedIds(v._1)) == 2,
+      "chain keeps exactly one (drop-vs-any-earlier, kept or not)")
+  }
+
+  test("d10 vs d5: every drop is a true τ-pair member, and no intra-cluster exact pair survives whole") {
+    import operators.Similarity
+    // sf0.01 is the SF where d5's exact pair list is non-empty, so
+    // the audit actually bites (sf0.001 has zero τ-pairs)
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val out = Similarity.d10SemDedup(spark, dir)
+        .as[(Long, Int, Long, Boolean)].collect().toSeq
+      assert(out.nonEmpty)
+      val again = Similarity.d10SemDedup(spark, dir)
+        .as[(Long, Int, Long, Boolean)].collect().toSeq
+      assert(out == again, "rerun-identical")
+      val cluster = out.map(r => r._1 -> r._2).toMap
+      val dropped = out.filter(_._4).map(_._1).toSet
+      // d5 = the EXACT τ=0.5 pair list (oracle-checked elsewhere)
+      val exactPairs = Similarity.d5EmbeddingDedup(spark, dir)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+      val inPair = exactPairs.flatMap(p => Seq(p._1, p._2)).toSet
+      // soundness: d10 never drops a vector without a true duplicate
+      assert(dropped.subsetOf(inPair),
+        s"$dir: dropped without any exact τ-pair: ${dropped.diff(inPair)}")
+      // within-cluster completeness: an exact pair inside one cluster
+      // cannot survive whole (the dominance rule drops its higher side)
+      val survivors = exactPairs.filter { case (a, b) =>
+        cluster(a) == cluster(b) && !dropped(a) && !dropped(b) }
+      assert(survivors.isEmpty, s"$dir: intra-cluster pairs survived: $survivors")
+      info(s"d10 at $dir: ${dropped.size} dropped of ${out.size}; " +
+        s"${exactPairs.size} exact pairs, " +
+        s"${exactPairs.count(p => cluster(p._1) == cluster(p._2))} intra-cluster")
+    }
+  }
 }
