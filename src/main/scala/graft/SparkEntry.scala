@@ -158,6 +158,7 @@ object SparkEntry {
     "p11_repeat_epochs"  -> (Sampling.p11RepeatEpochs _),
     "i6_binary_ingest"   -> (Ingest.i6BinaryIngest _),
     "d9_bloom_decontaminate" -> (Dedup.d9BloomDecontaminate _),
+    "d11_incremental_dedup" -> (Dedup.d11IncrementalDedup _),
     "q63_holt_forecast"  -> (Analytics.q63HoltForecast _),
     "q64_cusum"          -> (Analytics.q64Cusum _),
     "q65_ab_test"        -> (Analytics.q65AbTest _),

@@ -816,6 +816,100 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  // ---- incremental dedup against a prebuilt index ---------------------
+
+  /** d11's serving artifact: (per-doc MinHash signature + sorted
+    * 64-bit shingle-hash array; band→doc posting table) for the OLD
+    * corpus half. A production pipeline PERSISTS this and dedups each
+    * new crawl against it — the old side is scanned once per dataset,
+    * never per query (the ivfIndex registry pattern; Bench keeps
+    * index artifacts warm across sweeps deliberately). */
+  private val incIndexReg = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame)]
+  private[graft] val incIndexBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Signature + sorted shingle-hash frame for an arbitrary doc set:
+    * x31 (the 2³¹−1 domain MinHashAgg permutes) drives the signature,
+    * the RAW xxhash64 drives the exact-verify set (collision odds
+    * n²/2⁶⁴ — the standard fingerprint-dedup trade, documented). */
+  private[graft] def incSigFrame(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    shingleIndexOf(docs)
+      .select($"doc_id", xxhash64($"shingle").as("x64"))
+      .withColumn("x31", pmod($"x64", lit(MersennePrime)))
+      .groupBy($"doc_id")
+      .agg(call_function("minhash_agg", $"x31").as("sig"),
+        sort_array(collect_set($"x64")).as("sh"))
+  }
+
+  private def bandsOf(sigs: DataFrame, idCol: String): DataFrame = {
+    import sigs.sparkSession.implicits._
+    val rowsPerBand = NumHashes / NumBands
+    sigs.select(col(idCol), explode(array((0 until NumBands).map { j =>
+        struct(lit(j).as("band"),
+          xxhash64(lit(j), slice($"sig", j * rowsPerBand + 1, rowsPerBand))
+            .as("bh"))
+      }: _*)).as("b"))
+      .select(col(idCol), $"b.band", $"b.bh")
+  }
+
+  private[graft] def d11Index(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    incIndexReg.getOrElseUpdate(dir, {
+      import s.implicits._
+      incIndexBuilds.incrementAndGet()
+      val docIdx = incSigFrame(
+        Tables.documents(s, dir).filter($"doc_id" % 2 === 0)).cache()
+      val bandIdx = bandsOf(docIdx, "doc_id")
+        .withColumnRenamed("doc_id", "old_id").cache()
+      docIdx.count(); bandIdx.count()
+      (docIdx, bandIdx)
+    })
+
+  /** D11: INCREMENTAL dedup of a new snapshot against a PREBUILT
+    * index — the shape every production corpus actually runs (dedup
+    * the new crawl against what's already curated, d3's within-corpus
+    * pass only bootstraps): old half (even doc_ids) lives in the
+    * d11Index artifact (signatures + band postings + sorted
+    * shingle-hash sets, built once per dataset); the new half (odd
+    * doc_ids) pays ONLY new-side work — its own signatures, a band
+    * equi-join against the posting table, and one exact
+    * `sorted_intersect_size` verify per surviving candidate. The
+    * J ≥ 1/2 gate is exact integer algebra (3·|∩| ≥ |A|+|B|), and the
+    * reported jaccard floor-quantizes to 1e4. Banding recall at the
+    * threshold follows d3's S-curve (1−(1−J⁴)¹⁶); the spec measures
+    * it against a local brute-force truth and pins precision EXACT
+    * (every reported pair re-verified). Seeded hashing → rows-only.
+    *
+    * Shape at scale: the index is the partition layout (band, bh) —
+    * a new crawl shuffles once on its own band keys, joins postings,
+    * and touches old-corpus rows only for verified candidates. Old
+    * data volume prices in at zero per increment. */
+  def d11IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("d11_pairs", dir) {
+      val (docIdx, bandIdx) = d11Index(s, dir)
+      val newIdx = incSigFrame(
+        Tables.documents(s, dir).filter($"doc_id" % 2 === 1)).cache()
+      scaffolding += newIdx
+      val cand = bandsOf(newIdx, "doc_id").withColumnRenamed("doc_id", "new_id")
+        .join(bandIdx, Seq("band", "bh"))
+        .select($"new_id", $"old_id").distinct()
+      cand
+        .join(newIdx.select($"doc_id".as("new_id"), $"sh".as("sa")), "new_id")
+        .join(docIdx.select($"doc_id".as("old_id"), $"sh".as("sb")), "old_id")
+        .withColumn("n_both",
+          call_function("sorted_intersect_size", $"sa", $"sb"))
+        .withColumn("na", size($"sa").cast("long"))
+        .withColumn("nb", size($"sb").cast("long"))
+        .filter($"n_both" * 3L >= $"na" + $"nb")
+        .select($"new_id", $"old_id",
+          (floor($"n_both" * 10000L / ($"na" + $"nb" - $"n_both")) / 10000.0)
+            .as("jaccard"))
+    } { scaffolding.foreach(_.unpersist()) }
+      .orderBy($"new_id", $"old_id")
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash per doc from token hashes: bit b is set when the
