@@ -472,4 +472,50 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("s14: projection is the single jl_project loop expression — no unrolled Generate tree") {
+    val df = operators.Similarity.s14JlProjection(spark, sf)
+    df.collect() // force AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("jl_project"), p.take(2000))
+    // the Generate stage must sit inside a whole-stage-codegen span
+    // (the `*(n)` marker) — the unrolled form silently interpreted it
+    assert(p.linesIterator.exists(l =>
+      l.contains("Generate") && l.contains("*(")), p.take(2000))
+  }
+
+  test("d10: within-cluster pairing is a cluster-keyed equi-join; no cartesian anywhere") {
+    val df = operators.Similarity.d10SemDedup(spark, sf)
+    df.collect() // force AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("array_dot"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d11: candidate generation is a (band, bh) equi-join with sorted-merge verify; no cartesian") {
+    val df = operators.Dedup.d11IncrementalDedup(spark, sf)
+    df.collect() // force AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("sorted_intersect_size"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("mm5: pair-finding is the pigeonhole chunk equi-join; no cartesian") {
+    val df = graft.multimodal.Multimodal.mm5PhashPairs(spark, sf)
+    df.collect() // force AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t19: model join is a hash equi-join; the only nested-loop joins are the bounded broadcast widenings") {
+    val df = operators.TextAnalysis.t19NbLangId(spark, sf)
+    df.collect() // force AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    // (lang, tok) model lookup must hash, never loop
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
