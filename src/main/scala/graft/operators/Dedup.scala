@@ -892,22 +892,32 @@ object Dedup {
       val newIdx = incSigFrame(
         Tables.documents(s, dir).filter($"doc_id" % 2 === 1)).cache()
       scaffolding += newIdx
-      val cand = bandsOf(newIdx, "doc_id").withColumnRenamed("doc_id", "new_id")
-        .join(bandIdx, Seq("band", "bh"))
-        .select($"new_id", $"old_id").distinct()
-      cand
-        .join(newIdx.select($"doc_id".as("new_id"), $"sh".as("sa")), "new_id")
-        .join(docIdx.select($"doc_id".as("old_id"), $"sh".as("sb")), "old_id")
-        .withColumn("n_both",
-          call_function("sorted_intersect_size", $"sa", $"sb"))
-        .withColumn("na", size($"sa").cast("long"))
-        .withColumn("nb", size($"sb").cast("long"))
-        .filter($"n_both" * 3L >= $"na" + $"nb")
-        .select($"new_id", $"old_id",
-          (floor($"n_both" * 10000L / ($"na" + $"nb" - $"n_both")) / 10000.0)
-            .as("jaccard"))
+      d11Match(newIdx, docIdx, bandIdx)
     } { scaffolding.foreach(_.unpersist()) }
       .orderBy($"new_id", $"old_id")
+  }
+
+  /** The d11 query path over an arbitrary batch of NEW signatures —
+    * shared by the batch entry and the `DedupStream` twin (a stream's
+    * micro-batch is exactly "a new snapshot increment"). */
+  private[graft] def d11Match(newIdx: DataFrame, docIdx: DataFrame,
+      bandIdx: DataFrame): DataFrame = {
+    val s = newIdx.sparkSession
+    import s.implicits._
+    val cand = bandsOf(newIdx, "doc_id").withColumnRenamed("doc_id", "new_id")
+      .join(bandIdx, Seq("band", "bh"))
+      .select($"new_id", $"old_id").distinct()
+    cand
+      .join(newIdx.select($"doc_id".as("new_id"), $"sh".as("sa")), "new_id")
+      .join(docIdx.select($"doc_id".as("old_id"), $"sh".as("sb")), "old_id")
+      .withColumn("n_both",
+        call_function("sorted_intersect_size", $"sa", $"sb"))
+      .withColumn("na", size($"sa").cast("long"))
+      .withColumn("nb", size($"sb").cast("long"))
+      .filter($"n_both" * 3L >= $"na" + $"nb")
+      .select($"new_id", $"old_id",
+        (floor($"n_both" * 10000L / ($"na" + $"nb" - $"n_both")) / 10000.0)
+          .as("jaccard"))
   }
 
   // ---- SimHash -------------------------------------------------------

@@ -248,4 +248,36 @@ class Round11Spec extends GraftSpecBase {
     info(f"d11 at $dir: ${got.size}/${truth.size} truth pairs (recall $recall%.3f)")
     assert(truth.nonEmpty && recall >= 0.7, f"recall $recall%.3f")
   }
+
+  test("d11 streaming twin: chunked arrival against the static index equals batch d11 exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d11s").toString
+    val newDocs = Tables.documents(spark, dir)
+      .filter($"doc_id" % 2 === 1)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+      .sortBy(_._1)
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.DedupStream.start(
+      stream.toDF().toDF("doc_id", "text"), dir,
+      s"$tmp/out", s"$tmp/ckpt")
+    try {
+      // three micro-batches — each is "a new snapshot increment"
+      newDocs.grouped((newDocs.size + 2) / 3).foreach { chunk =>
+        stream.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.read.parquet(s"$tmp/out")
+      .select($"new_id", $"old_id", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val want = operators.Dedup.d11IncrementalDedup(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(got == want, s"stream ${got.size} rows vs batch ${want.size}")
+    // per-batch output dirs are the idempotence unit (replayed batch
+    // ids overwrite their own directory)
+    val dirs = new java.io.File(s"$tmp/out").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(dirs.length == 3, dirs.mkString(","))
+  }
 }
