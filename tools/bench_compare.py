@@ -39,6 +39,12 @@ def load(path):
 def _maps(d):
     if "parsed" in d and d["parsed"]:
         d = d["parsed"]
+    # round-11 Bench flags host-contaminated sweeps (> 1.5x the
+    # fastest warm sweep); a flagged archive's medians are suspect
+    # (the round-10 459.9 s sweep poisoned every median silently)
+    if d.get("contaminated_sweeps"):
+        print(f"== WARNING: archive has contaminated sweeps "
+              f"{d['contaminated_sweeps']} - treat its medians as suspect")
     mins = d.get("queries", {})
     meds = d.get("queries_median", {})
     # band-shaped queries ([min, median, spread]) also carry medians
