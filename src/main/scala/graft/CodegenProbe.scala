@@ -22,8 +22,10 @@ object CodegenProbe {
         // markers go to stderr so they interleave with log4j's stream
         System.err.println(s">> $name")
         System.err.flush()
+        // NonFatal only: an OOM/fatal JVM error means later probe
+        // results would come from a corrupted JVM — abort instead.
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s">> $name FAILED: ${e.getMessage}") }
       }
     System.err.println(">> done")

@@ -981,13 +981,26 @@ object Analytics {
     // a 38-digit product EXACTLY, so no silent BIGINT wrap at any
     // scale the counters themselves can reach (Spark nulls on
     // decimal overflow rather than wrapping; DuckDB raises).
+    // Edge: the SUBTRACTION is also decimal(38,0)-capped — if both
+    // products near 10^38, |n·sxy − sx·sy| can itself overflow and
+    // Spark nulls THAT too (a silent null lift instead of a wrapped
+    // one). That needs ~10^19 user-rows with ~10^19-scale counters —
+    // beyond any real deployment — but a web-scale run should fail
+    // visibly, so each difference is null-guarded with raise_error
+    // below rather than flowing a null into theta/rho2/lifts.
     // decimal→double is correctly rounded, same IEEE value as the
     // long→double path for every in-range input, so the oracle hash
     // is unchanged.
     def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    val num = (d38($"n") * d38($"sxy") - d38($"sx") * d38($"sy")).cast("double")
-    val denX = (d38($"n") * d38($"sxx") - d38($"sx") * d38($"sx")).cast("double")
-    val denY = (d38($"n") * d38($"syy") - d38($"sy") * d38($"sy")).cast("double")
+    def loud(c: org.apache.spark.sql.Column, what: String) = when(c.isNull,
+      raise_error(lit(s"q65_cuped: decimal(38,0) overflow in $what — " +
+        "counter magnitudes exceed the exact range"))).otherwise(c)
+    val num = loud((d38($"n") * d38($"sxy") - d38($"sx") * d38($"sy"))
+      .cast("double"), "n*sxy - sx*sy")
+    val denX = loud((d38($"n") * d38($"sxx") - d38($"sx") * d38($"sx"))
+      .cast("double"), "n*sxx - sx*sx")
+    val denY = loud((d38($"n") * d38($"syy") - d38($"sy") * d38($"sy"))
+      .cast("double"), "n*syy - sy*sy")
     val theta = when(denX === 0.0, 0.0).otherwise(num / denX)
     val rho2 = when(denX === 0.0 || denY === 0.0, 0.0)
       .otherwise(num * num / (denX * denY))

@@ -781,7 +781,6 @@ object Dedup {
     import s.implicits._
     val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
     graft.Caches.memo("d3_pairs", dir) {
-      val rowsPerBand = NumHashes / NumBands
       // cached: the joins below would recompute the signature
       // aggregation (the expensive part) for every use
       val sigs = minhashSignatures(s, dir).cache()
@@ -792,12 +791,9 @@ object Dedup {
           lit(1.0).as("est_jaccard"))
       val distinctSigs = sigs.select($"sig").distinct().cache()
       scaffolding += distinctSigs
-      val bands = distinctSigs.select($"sig",
-        explode(array((0 until NumBands).map { j =>
-          struct(lit(j).as("band"),
-            xxhash64(lit(j), slice($"sig", j * rowsPerBand + 1, rowsPerBand)).as("bh"))
-        }: _*)).as("b"))
-        .select($"sig", $"b.band", $"b.bh")
+      // shared band-explode with d11 (bandsOf) — one place owns the
+      // NumBands/band-hash recipe so the two keys can't drift apart
+      val bands = bandsOf(distinctSigs, "sig")
       val est = size(filter(zip_with($"sa", $"sb", (p, q) => p === q), v => v))
         .cast("double") / lit(NumHashes.toDouble)
       val sigPairs = bands.as("x").join(bands.as("y"),

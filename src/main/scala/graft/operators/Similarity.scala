@@ -1290,7 +1290,16 @@ object Similarity {
     * nothing; the oracle replays THAT form since DuckDB has no row to
     * widen, but the Spark plan keeps the vector in the row). Output
     * long-form (vec_id, dim, value) for the hash gate; production
-    * keeps the 16-wide array column. */
+    * keeps the 16-wide array column.
+    *
+    * Null semantics: jl_project poisons the WHOLE output array to
+    * null on a dim-mismatched or null-element input, and posexplode
+    * then emits ZERO rows for that vec_id — a malformed embedding
+    * disappears from the output entirely (the old unrolled form
+    * emitted per-dim rows). The hash oracle flags any such divergence
+    * (row-count + hash both shift); a consumer that needs per-vector
+    * presence should posexplode_outer and handle the null marker
+    * row instead. */
   def s14JlProjection(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)

@@ -39,14 +39,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayDot(children(0), children(1))))
     // jl_project(arr, inDim, outDim): seeded ±1 projection as ONE
     // loop-codegen expression (the s14 64 KB-fallback fix); dims must
-    // be int literals — the md5 sign matrix is built at plan time.
+    // be int literals — the md5 sign matrix is built at plan time, so
+    // the builder validates arity/foldability/type up front rather
+    // than letting eval() throw an opaque ClassCastException.
     ext.injectFunction((
       FunctionIdentifier("jl_project"),
       new ExpressionInfo(classOf[JlProject].getName, "jl_project"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        JlProject(children(0), JlProject.signs(
-          children(1).eval().asInstanceOf[Int],
-          children(2).eval().asInstanceOf[Int]))))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.AnalysisException
+        import org.apache.spark.sql.types.IntegerType
+        def fail(msg: String): Nothing = throw new AnalysisException(
+          "_LEGACY_ERROR_TEMP_2273", Map("message" -> msg))
+        if (children.length != 3)
+          fail(s"jl_project(arr, inDim, outDim) takes 3 arguments, got ${children.length}")
+        def dim(i: Int, name: String): Int = {
+          val c = children(i)
+          if (!c.foldable || c.dataType != IntegerType)
+            fail(s"jl_project: $name must be an INT literal (the sign matrix " +
+              s"is built at plan time), got ${c.sql}: ${c.dataType.sql}")
+          c.eval().asInstanceOf[Int]
+        }
+        JlProject(children(0), JlProject.signs(dim(1, "inDim"), dim(2, "outDim")))
+      }))
     ext.injectFunction((
       FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
