@@ -61,7 +61,34 @@ object Bench {
     val nWarm = math.max(1,
       sys.env.get("SPARK_GRAFT_WARM_SWEEPS").map(_.toInt).getOrElse(3))
     val cold = sweep()
-    val warms = (1 to nWarm).map { _ => Caches.clear(); sweep().toMap }
+    // CONTAMINATION AUTO-RETRY (round-12): labeling a poisoned sweep
+    // (round 11's archive shipped `contaminated_sweeps: [2]` with the
+    // 3.3-min d6 burst still in every median) is not enough — re-run
+    // it. Any warm sweep whose total exceeds 1.5× the fastest warm
+    // sweep is host contention, not plan cost; replace it (bounded
+    // retries — a busy host must not loop forever). A retried sweep
+    // can itself come back faster and re-expose another as
+    // contaminated; the loop re-evaluates until clean or the budget
+    // is spent, and whatever remains is still flagged below.
+    def contaminatedIdx(ws: Seq[Map[String, Double]]): Seq[Int] = {
+      val totals = ws.map(_.values.sum)
+      val mn = totals.min
+      totals.zipWithIndex.filter(_._1 > 1.5 * mn).map(_._2)
+    }
+    val maxRetries = 3
+    var retried = 0
+    var warms: Seq[Map[String, Double]] =
+      (1 to nWarm).map { _ => Caches.clear(); sweep().toMap }
+    while (contaminatedIdx(warms).nonEmpty && retried < maxRetries) {
+      val i = contaminatedIdx(warms).head
+      retried += 1
+      System.err.println(f"bench: warm sweep ${i + 1} total " +
+        f"${warms(i).values.sum}%.1f s > 1.5x fastest " +
+        f"(${warms.map(_.values.sum).min}%.1f s) - re-running it " +
+        s"(retry $retried/$maxRetries)")
+      Caches.clear()
+      warms = warms.updated(i, sweep().toMap)
+    }
     def samples(k: String): Seq[Double] = warms.map(_(k)).sorted
     def median(xs: Seq[Double]): Double =
       if (xs.size % 2 == 1) xs(xs.size / 2)
@@ -79,12 +106,10 @@ object Bench {
     val coldTotal = cold.map(_._2).sum
     val medianTotal = medians.map(_._2).sum
     val warmTotals = warms.map(_.values.sum)
-    // SWEEP SANITY GUARD (round-10 lesson: one 459.9 s sweep next to
-    // 249/287 s poisoned every median in the archived record): any
-    // warm sweep whose total exceeds 1.5× the fastest warm sweep is
-    // host contention, not plan cost. Flag it in the JSON so a
-    // contaminated archive can never silently become the round's
-    // number, and say so on stderr for a human watching the run.
+    // RESIDUAL CONTAMINATION FLAG (after the bounded auto-retry above
+    // ran out of budget): flag it in the JSON so a contaminated
+    // archive can never silently become the round's number, and say
+    // so on stderr for a human watching the run.
     val minWarmTotal = warmTotals.min
     val contaminated = warmTotals.zipWithIndex
       .filter { case (t, _) => t > 1.5 * minWarmTotal }
@@ -99,6 +124,7 @@ object Bench {
       s""""iterations":${nWarm + 1},"cold_total":$coldTotal,""" +
       s""""median_total":$medianTotal,""" +
       s""""warm_totals":${warmTotals.mkString("[", ",", "]")},""" +
+      s""""retried_sweeps":$retried,""" +
       s""""contaminated_sweeps":${contaminated.map(_._2 + 1).mkString("[", ",", "]")},""" +
       s""""queries_median":${jmap(medians)},""" +
       s""""queries_spread":${jmap(spreads)},""" +

@@ -30,10 +30,12 @@ object LpaProbe {
     val colSec = (System.nanoTime() - t0) / 1e9
     println(f"== trial coloring       $colSec%7.1f s  ($rounds rounds, $nColors colors)")
     val t1 = System.nanoTime()
+    val steps0 = operators.Graph.lpaSweepSteps.get()
     val lbl = operators.Graph.semiSyncLabels(edges)
     val n = lbl.count()
+    val steps = operators.Graph.lpaSweepSteps.get() - steps0
     val allSec = (System.nanoTime() - t1) / 1e9
-    println(f"== full semi-sync       $allSec%7.1f s  ($n nodes; sweeps ≈ ${allSec - colSec}%.1f s over ≤ ${operators.Graph.SemiLpaRounds} rounds × $nColors colors)")
+    println(f"== full semi-sync       $allSec%7.1f s  ($n nodes; sweeps ≈ ${allSec - colSec}%.1f s, $steps executed of ≤ ${operators.Graph.SemiLpaRounds} rounds × $nColors colors = ${operators.Graph.SemiLpaRounds * nColors})")
     spark.stop()
   }
 }

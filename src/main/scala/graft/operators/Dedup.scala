@@ -816,13 +816,33 @@ object Dedup {
 
   /** d11's serving artifact: (per-doc MinHash signature + sorted
     * 64-bit shingle-hash array; band→doc posting table) for the OLD
-    * corpus half. A production pipeline PERSISTS this and dedups each
-    * new crawl against it — the old side is scanned once per dataset,
-    * never per query (the ivfIndex registry pattern; Bench keeps
-    * index artifacts warm across sweeps deliberately). */
+    * corpus half — PERSISTED as a parquet layout (postings partitioned
+    * by `band`) and memoized per session on top (the ivfIndex registry
+    * pattern; Bench keeps index artifacts warm across sweeps
+    * deliberately). A restart — new JVM or cleared registry — RELOADS
+    * the layout instead of re-scanning the old corpus: the production
+    * contract where old-data volume prices in at zero per increment
+    * (Round12Spec pins reload-without-rebuild). The layout key hashes
+    * the dataset dir AND the source table's mtime, so regenerated
+    * testdata can never serve a stale index. */
   private val incIndexReg = scala.collection.concurrent.TrieMap
     .empty[String, (DataFrame, DataFrame)]
   private[graft] val incIndexBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drop the in-session memo WITHOUT touching the on-disk layout —
+    * the restart shape Round12Spec drives. */
+  private[graft] def evictIncIndexMemo(): Unit = {
+    incIndexReg.values.foreach { case (a, b) => a.unpersist(); b.unpersist() }
+    incIndexReg.clear()
+  }
+
+  /** On-disk home of the d11 layout for a dataset. */
+  private[graft] def d11LayoutDir(dir: String): java.io.File = {
+    val src = new java.io.File(dir, "documents.parquet")
+    val token = Integer.toHexString((dir + ":" + src.lastModified).hashCode)
+    new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-d11-index/$token")
+  }
 
   /** Signature + sorted shingle-hash frame for an arbitrary doc set:
     * x31 (the 2³¹−1 domain MinHashAgg permutes) drives the signature,
@@ -852,11 +872,26 @@ object Dedup {
   private[graft] def d11Index(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     incIndexReg.getOrElseUpdate(dir, {
       import s.implicits._
-      incIndexBuilds.incrementAndGet()
-      val docIdx = incSigFrame(
-        Tables.documents(s, dir).filter($"doc_id" % 2 === 0)).cache()
-      val bandIdx = bandsOf(docIdx, "doc_id")
-        .withColumnRenamed("doc_id", "old_id").cache()
+      val root = d11LayoutDir(dir)
+      // _COMPLETE is written LAST: a crashed build leaves no marker
+      // and the next session rebuilds rather than serving a torn layout
+      val marker = new java.io.File(root, "_COMPLETE")
+      if (!marker.exists()) {
+        incIndexBuilds.incrementAndGet()
+        incSigFrame(Tables.documents(s, dir).filter($"doc_id" % 2 === 0))
+          .write.mode("overwrite")
+          .parquet(new java.io.File(root, "sigs").getPath)
+        // postings partitioned BY BAND: the layout IS the join
+        // partitioning a new crawl's band keys land on
+        bandsOf(s.read.parquet(new java.io.File(root, "sigs").getPath), "doc_id")
+          .withColumnRenamed("doc_id", "old_id")
+          .write.mode("overwrite").partitionBy("band")
+          .parquet(new java.io.File(root, "bands").getPath)
+        marker.createNewFile()
+      }
+      val docIdx = s.read.parquet(new java.io.File(root, "sigs").getPath).cache()
+      val bandIdx = s.read.parquet(new java.io.File(root, "bands").getPath)
+        .select($"old_id", $"band", $"bh").cache()
       docIdx.count(); bandIdx.count()
       (docIdx, bandIdx)
     })

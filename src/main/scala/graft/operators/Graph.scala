@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Caches.FreshCheckpoint
@@ -1301,6 +1301,25 @@ object Graph {
     * references the previous state frame twice — the composed subplan
     * duplicates ~2^k). The per-round form stays simple; the round
     * COUNT is where the 20× win came from. */
+  /** The windowed pick's free palette, HUB-SAFE: the pick only ever
+    * reads the min(|free|, W) smallest free colors, and the k-th
+    * smallest free color is ≤ |used| + k (at most |used| exclusions
+    * below it), so truncating the candidate sequence at
+    * |used| + SemiPickWindow preserves (a) ALL free colors when
+    * |free| ≤ W — the |free|-th is ≤ |used| + W — and (b) the first W
+    * otherwise; either way both the modulus min(|free|, W) and the
+    * indexed element are unchanged → the pick is BIT-IDENTICAL to the
+    * full [1..deg+1] palette the oracle replays. The row cost drops
+    * from O(deg) to O(|used| + W) ≤ O(colors-so-far): a 10⁶-degree
+    * hub on a power-law graph allocates a ≤ ~50-element array per
+    * round instead of a 10⁶-element one (executor-memory scale
+    * guard; Round12Spec pins both the bound and pick equality). */
+  private[graft] def freePalette(deg: Column, used: Column): Column =
+    array_except(
+      sequence(lit(1L),
+        least(deg + 1L, size(used).cast("long") + lit(SemiPickWindow.toLong))),
+      used)
+
   private[graft] def trialColoring(edges: DataFrame,
       coloringRounds: Int): (DataFrame, Int) = {
     val s = edges.sparkSession
@@ -1329,8 +1348,7 @@ object Graph {
       val picks = unc
         .join(used.withColumnRenamed("src", "node"), Seq("node"), "left")
         .withColumn("prio", prio)
-        .withColumn("free", array_except(
-          sequence(lit(1L), $"deg" + 1L),
+        .withColumn("free", freePalette($"deg",
           coalesce($"used", array().cast("array<long>"))))
         .withColumn("pick", element_at($"free",
           (($"prio" % least(size($"free"), lit(SemiPickWindow))) + 1)
@@ -1373,6 +1391,11 @@ object Graph {
     (col.select($"node", $"color"), r)
   }
 
+  /** Executed (non-skipped) sweep steps across all semiSyncLabels
+    * runs — observability for the pending-class skip (Round12Spec
+    * asserts skipping actually happens; LpaProbe reports it). */
+  private[graft] val lpaSweepSteps = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** q84's engine over a symmetric edge list: returns (node, lbl)
     * at the stable labeling. Separated so specs can drive constructed
     * graphs (the 2-cycle graphs q81 oscillates on). */
@@ -1383,24 +1406,41 @@ object Graph {
     import s.implicits._
     val (col, _) = trialColoring(edges, coloringRounds)
     val nColors = col.agg(max($"color")).as[Int].head()
-    // ---- per-color LPA sweeps, keep-current-if-argmax ----
-    // NOTE a frontier-pruned sweep schedule (evaluate only nodes with
-    // a changed neighbor since their last evaluation — the q85
-    // discipline) was built, oracle-verified result-identical, and
-    // MEASURED SLOWER at 20× (868 vs 664 s): at local[32] the
-    // schedule is JOB-COUNT-bound (20k-node frames, ~0.15 s/job), so
-    // the 2–3 extra bookkeeping actions per sweep cost more than the
-    // smaller joins save. The full-sweep form stays; revisit the
-    // frontier only where per-sweep DATA dominates per-job overhead
-    // (billion-node frames on a real cluster). §6.15 records the
-    // experiment.
+    // ---- per-color LPA sweeps, keep-current-if-argmax, with a ----
+    // ---- driver-side PENDING-CLASS skip (round-12)            ----
+    // A class's sweep is the IDENTITY when no member has a neighbor
+    // whose label changed since the class was last evaluated (the
+    // argmax inputs — neighbor-label counts and the member's own
+    // label, which only moves at its own evaluation — are unchanged,
+    // and keep-current-if-argmax re-picks the current label). So
+    // skipping exactly those classes replays the full schedule
+    // BIT-IDENTICALLY — the oracle still unrolls every sweep.
+    //
+    // Bookkeeping is ONE bounded job per LPA ROUND (not per class
+    // step — the per-sweep form lost twice at local[32], §6.15): the
+    // distinct (changer color, touched neighbor color) pairs of the
+    // round's label changes, ≤ |colors|² rows. Sweeps run in class
+    // order c = 1..K, so a change by class cc at position cc is SEEN
+    // by a same-round sweep of class tc iff tc > cc; the driver
+    // replays that order on the collected pairs:
+    //   pending'(tc) = ∃(cc, tc) with cc > tc          if tc swept
+    //                = pending(tc) ∨ ∃(cc, tc) any cc   if tc skipped
+    // (classes are independent sets, so cc ≠ tc for adjacent pairs).
+    // pending all-false ⟺ every class saw all adjacent changes at
+    // its last evaluation ⟺ the labeling is a fixed point — the same
+    // stability the old before/after check detected one round later,
+    // and this job REPLACES that one, so rounds 2+ get strictly
+    // cheaper: most classes stabilize after round 1 (the measured
+    // majority cost at 20× was 6 rounds × 48 near-identity sweeps).
     var lbl = col.select($"node", $"color", $"node".as("lbl"))
       .checkpointFresh
-    var stable = false
+    var pending = Array.fill(nColors + 1)(true) // round 1 sweeps all
     var round = 0
-    while (round < rounds && !stable) {
+    while (round < rounds && pending.exists(identity)) {
       val before = lbl
-      for (c <- 1 to nColors) {
+      val swept = pending.clone()
+      for (c <- 1 to nColors if swept(c)) {
+        lpaSweepSteps.incrementAndGet()
         val cls = lbl.filter($"color" === c)
           .select($"node".as("src"), $"lbl".as("cur"))
         val upd = edges
@@ -1417,8 +1457,21 @@ object Graph {
           .select($"node", $"color", coalesce($"newLbl", $"lbl").as("lbl"))
           .checkpointFresh
       }
-      stable = lbl.join(before.select($"node", $"lbl".as("prevLbl")), "node")
-        .filter($"lbl" =!= $"prevLbl").isEmpty
+      // the round's one bounded job: colors are a ≤ Δ+1 driver-scale
+      // artifact, so the distinct pair set is ≤ |colors|² rows
+      val touched = lbl
+        .join(before.select($"node", $"lbl".as("prevLbl")), "node")
+        .filter($"lbl" =!= $"prevLbl")
+        .select($"node".as("src"), $"color".as("cc"))
+        .join(edges, "src")
+        .join(col.select($"node".as("dst"), $"color".as("tc")), "dst")
+        .select($"cc", $"tc").distinct()
+        .as[(Int, Int)].collect()
+      pending = Array.tabulate(nColors + 1) { tc =>
+        if (tc == 0) false
+        else if (swept(tc)) touched.exists { case (cc, t) => t == tc && cc > tc }
+        else pending(tc) || touched.exists { case (_, t) => t == tc }
+      }
       round += 1
     }
     lbl.select($"node", $"lbl")

@@ -154,6 +154,13 @@ object Similarity {
     * the audit surface for the approximation. */
   val SemDedupTau = 0.5
 
+  /** Largest DISTINCT-vector cluster the within-cluster pair join will
+    * accept: 64Ki distinct members ≈ 2³¹ ordered pairs in one
+    * partition — past that the published recipe's remedy is
+    * re-clustering (a larger K, or a recursive fit inside the
+    * offender), not silently letting one partition go quadratic. */
+  val SemDedupClusterCap = 65536
+
   /** The SemDeDup keep/drop rule over EXPLICIT cluster assignments —
     * factored out so the spec can drive constructed corpora without
     * an MLlib fit. Within each cluster, order members by (sim-to-
@@ -162,34 +169,81 @@ object Similarity {
     * (the reference implementation's semantics: the drop test runs
     * against every earlier example, kept or not — low-centroid-sim
     * representatives survive, preserving diversity per the paper's
-    * finding). Pairwise work is Σ|cluster|²/2 — SemDeDup's trade:
-    * no cross-cluster pairs are ever considered (d5's admissible-
-    * cluster-pair join IS complete; this is the cheaper, published
-    * approximation whose loss the spec measures against d5). */
+    * finding). Pairwise work is Σ|cluster|²/2 over DISTINCT vectors —
+    * SemDeDup's trade: no cross-cluster pairs are ever considered
+    * (d5's admissible-cluster-pair join IS complete; this is the
+    * cheaper, published approximation whose loss the spec measures
+    * against d5).
+    *
+    * MEGA-CLUSTER GUARDS (round 12): the usual way a quantizer
+    * collapses is mass duplication, and bit-identical vectors are
+    * DUPLICATE-COMPRESSED before any pairwise work — within a
+    * (cluster, v) group only the min-id representative enters the
+    * pair join; every later twin drops unconditionally (its
+    * representative is earlier in the (simc, id) order — same simc,
+    * smaller id — and cos(v, v) ≈ 1 ≥ τ), and a non-representative b
+    * can never be some a's only dropper, because b's representative
+    * b′ precedes b with the identical cosine. ZERO vectors are exempt
+    * (cosine() defines cos(0, ·) = 0 < τ, so zero twins all survive,
+    * exactly as the uncompressed join would keep them). The result is
+    * BIT-IDENTICAL to the uncompressed form (Round12Spec sweeps it
+    * against a local pairwise reference) while a 10⁹-copy corpus
+    * costs one groupBy. The residual risk — a mega-cluster of
+    * DISTINCT near-twins — raises LOUDLY at `cap` distinct members
+    * (K-bounded size check, one tiny job) naming the escalation
+    * instead of letting a single partition go quadratic. */
   private[graft] def semDedupCore(assigned: DataFrame,
-      centers: Array[Array[Double]], tau: Double): DataFrame = {
+      centers: Array[Array[Double]], tau: Double,
+      cap: Int = SemDedupClusterCap,
+      scaffolding: scala.collection.mutable.ListBuffer[DataFrame] =
+        scala.collection.mutable.ListBuffer.empty): DataFrame = {
     val s = assigned.sparkSession
     import s.implicits._
+    // identical-compression needs cos(identical nonzero pair) ≥ τ;
+    // that cosine is 1 within one ulp of the norm product, so any
+    // τ ≤ 1 − 1e-9 is safe (and τ > 1 would drop nothing anyway)
+    require(tau <= 1.0 - 1e-9,
+      s"semDedupCore: tau=$tau too close to 1 for duplicate compression")
     val centDf = centers.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }.toDF("cluster", "cv")
     val base = assigned
       .join(broadcast(centDf), "cluster")
       .withColumn("simc_q", floor(cosine($"v", $"cv") * 1e6).cast("long"))
       .select($"cluster", $"vec_id", $"v", $"simc_q")
-    val l = base.select($"cluster", $"vec_id".as("a"), $"v".as("va"),
+      .cache()
+    scaffolding += base
+    // one representative per (cluster, vector value): min id — the
+    // earliest twin in the (simc, id) order (simc is a function of
+    // (cluster, v), constant within the group)
+    val rep = base.groupBy($"cluster", $"v")
+      .agg(min($"vec_id").as("vec_id"), min($"simc_q").as("simc_q"))
+      .cache()
+    scaffolding += rep
+    val sizes = rep.groupBy($"cluster").agg(count(lit(1)).as("n"))
+      .agg(max($"n")).as[Long].head()
+    if (sizes > cap)
+      throw new IllegalStateException(
+        s"d10: a cluster holds $sizes DISTINCT vectors (> cap $cap): the " +
+        "quantizer collapsed semantically — re-cluster with a larger K or " +
+        "recursively re-fit inside the oversized cluster (SemDeDup §3) " +
+        "before running the within-cluster pass")
+    val l = rep.select($"cluster", $"vec_id".as("a"), $"v".as("va"),
       $"simc_q".as("sa"))
-    val r = base.select($"cluster", $"vec_id".as("b"), $"v".as("vb"),
+    val r = rep.select($"cluster", $"vec_id".as("b"), $"v".as("vb"),
       $"simc_q".as("sb"))
     // cluster-keyed equi-join (the partition key at scale), dominance
     // prefilter BEFORE the cosine so only ordered pairs pay the dot
-    val dropped = l.join(r, Seq("cluster"))
+    val droppedReps = l.join(r, Seq("cluster"))
       .filter(struct($"sb", $"b") < struct($"sa", $"a"))
       .filter(cosine($"va", $"vb") >= tau)
-      .select($"a".as("vec_id")).distinct()
+      .select($"a".as("rep_id")).distinct()
     base
-      .join(dropped.withColumn("d", lit(true)), Seq("vec_id"), "left")
+      .join(rep.select($"cluster", $"v", $"vec_id".as("rep_id")),
+        Seq("cluster", "v"))
+      .join(droppedReps.withColumn("d", lit(true)), Seq("rep_id"), "left")
       .select($"vec_id", $"cluster", $"simc_q",
-        coalesce($"d", lit(false)).as("dropped"))
+        (coalesce($"d", lit(false)) ||
+          ($"vec_id" =!= $"rep_id" && dot($"v", $"v") > 0.0)).as("dropped"))
       .orderBy($"vec_id")
   }
 
@@ -208,8 +262,12 @@ object Similarity {
     * within-cluster completeness: no surviving intra-cluster pair).
     * Seeded k-means fit → rows-only by design. */
   def d10SemDedup(s: SparkSession, dir: String): DataFrame = {
-    val (assigned, centers) = ivfIndex(s, dir)
-    semDedupCore(assigned, centers, SemDedupTau)
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("d10_semdedup", dir) {
+      val (assigned, centers) = ivfIndex(s, dir)
+      semDedupCore(assigned, centers, SemDedupTau,
+        SemDedupClusterCap, scaffolding)
+    } { scaffolding.foreach(_.unpersist()) }
   }
 
   // per-dataset registry of the d5 pruning artifacts: the norm-extended

@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 hardening: the hub-safe trial-coloring palette and the
+  * pending-class sweep skip — both must be BIT-IDENTICAL to the full
+  * forms the DuckDB oracle replays. */
+class Round12Spec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def symmetric(pairs: Seq[(Long, Long)]) = {
+    val df = pairs.toDF("pa", "pb")
+    df.select($"pa".as("src"), $"pb".as("dst"))
+      .unionAll(df.select($"pb".as("src"), $"pa".as("dst")))
+  }
+
+  // ------------- hub-safe free palette -------------
+
+  test("freePalette: a 1M-degree hub's palette row stays O(|used| + W), not O(deg)") {
+    // the scale guard itself: with deg = 1e6 the OLD sequence(1, deg+1)
+    // materialized a million-element array per round; the bounded form
+    // must stay |used| + W elements and still start at the same colors
+    val w = operators.Graph.SemiPickWindow
+    val row = Seq((1000000L, Seq(1L, 2L, 3L))).toDF("deg", "used")
+      .select(operators.Graph.freePalette($"deg", $"used").as("free"))
+      .select(size($"free").as("n"), $"free")
+      .as[(Int, Seq[Long])].head()
+    assert(row._1 <= 3 + w, s"palette row has ${row._1} elements")
+    assert(row._2 == (4L to (3 + w).toLong), s"unexpected palette ${row._2}")
+  }
+
+  test("freePalette: windowed pick identical to the full [1..deg+1] palette (sweep)") {
+    // exhaustive over small degrees x used-subsets x all prios mod W:
+    // the truncation must never change min(|free|, W) or the indexed
+    // element — this is the bit-identity the oracle replay rests on
+    val w = operators.Graph.SemiPickWindow
+    val cases = for {
+      deg <- 1 to 9
+      usedBits <- 0 until (1 << deg) // any subset of [1..deg] used
+    } yield (deg.toLong, (1 to deg).filter(i => (usedBits & (1 << (i - 1))) != 0).map(_.toLong))
+    val df = cases.toDF("deg", "used")
+      .select($"deg", $"used",
+        operators.Graph.freePalette($"deg", $"used").as("trunc"),
+        array_except(sequence(lit(1L), $"deg" + 1L), $"used").as("full"))
+    val bad = df.filter(
+      // picks diverge iff the modulus differs or any of the first
+      // min(|full|, W) elements differ
+      least(size($"trunc"), lit(w)) =!= least(size($"full"), lit(w)) ||
+      slice($"trunc", 1, w) =!= slice($"full", 1, w))
+    assert(bad.isEmpty, s"pick-divergent cases: ${bad.take(3).mkString(", ")}")
+  }
+
+  // ------------- pending-class sweep skip -------------
+
+  /** Full-schedule reference: every class swept every round (what the
+    * DuckDB oracle unrolls), replayed locally from Spark's own
+    * coloring. Keep-current-if-argmax, min-label ties, classes in
+    * ascending color order, simultaneous within a class (classes are
+    * independent sets, so simultaneous == sequential). */
+  private def fullScheduleLpa(edges: Seq[(Long, Long)],
+      color: Map[Long, Int], rounds: Int): Map[Long, Long] = {
+    val adj = edges.flatMap(e => Seq(e, e.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nColors = color.values.max
+    val lbl = collection.mutable.Map(adj.keys.toSeq.map(v => v -> v): _*)
+    var round = 0
+    var stable = false
+    while (round < rounds && !stable) {
+      val before = lbl.toMap
+      for (c <- 1 to nColors) {
+        val upd = adj.keys.filter(color(_) == c).flatMap { v =>
+          val cnt = adj(v).groupBy(lbl).view.mapValues(_.size).toMap
+          val best = cnt.keys.maxBy(l =>
+            (cnt(l), if (l == lbl(v)) 1 else 0, -l))
+          Some(v -> best)
+        }
+        upd.foreach { case (v, l) => lbl(v) = l }
+      }
+      stable = lbl.toMap == before
+      round += 1
+    }
+    lbl.toMap
+  }
+
+  test("q84 engine: skip schedule == full schedule on constructed graphs") {
+    // graphs chosen to exercise the skip paths: K_{2,3} (the 2-cycle
+    // graph), two cliques joined by a bridge (classes stabilize at
+    // different rounds), and a seeded 40-node random graph (mixed
+    // degrees, multiple components)
+    val rnd = new scala.util.Random(42)
+    val random = (for (_ <- 1 to 120) yield {
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+      if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+    }).flatten.distinct
+    val graphs = Seq(
+      "K23" -> Seq((10L, 3L), (10L, 7L), (10L, 11L), (20L, 3L), (20L, 7L), (20L, 11L)),
+      "bridged cliques" -> (
+        (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)) ++
+        (for { a <- 11L to 14L; b <- 11L to 14L if a < b } yield (a, b)) ++
+        Seq((4L, 11L))),
+      "seeded random" -> random)
+    for ((name, pairs) <- graphs) {
+      val edges = symmetric(pairs).cache()
+      val got = operators.Graph.semiSyncLabels(edges)
+        .as[(Long, Long)].collect().toMap
+      val (colDf, _) = operators.Graph.trialColoring(
+        edges, operators.Graph.SemiColoringRounds)
+      val color = colDf.as[(Long, Int)].collect().toMap
+      val want = fullScheduleLpa(pairs, color, operators.Graph.SemiLpaRounds)
+      assert(got == want, s"$name: skip schedule diverged from full schedule")
+      edges.unpersist()
+    }
+  }
+
+  test("q84 engine: classes are actually skipped after stabilization") {
+    // two disjoint triangles: every node labels to its triangle min in
+    // round 1; every later sweep is identity, so the pending skip must
+    // execute strictly fewer steps than rounds x colors
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (11L, 12L), (12L, 13L), (11L, 13L))
+    val edges = symmetric(pairs).cache()
+    val (colDf, _) = operators.Graph.trialColoring(
+      edges, operators.Graph.SemiColoringRounds)
+    val nColors = colDf.agg(max($"color")).as[Int].head()
+    val before = operators.Graph.lpaSweepSteps.get()
+    val lbl = operators.Graph.semiSyncLabels(edges)
+      .as[(Long, Long)].collect().toMap
+    val steps = operators.Graph.lpaSweepSteps.get() - before
+    assert(lbl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L))
+    // full schedule would run >= 2 full rounds (one to change, one to
+    // observe stability) = 2 * nColors steps minimum; the skip form
+    // pays the full first round plus only the touched tail
+    assert(steps < 2 * nColors,
+      s"$steps sweep steps with $nColors colors — nothing was skipped")
+    edges.unpersist()
+  }
+
+  // ------------- persisted d11 index layout -------------
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete()
+  }
+
+  test("d11 index: a restart serves from the persisted layout with zero rebuilds") {
+    import operators.Dedup
+    val dir = sf
+    // cold start: no layout on disk, no in-session memo
+    deleteRec(Dedup.d11LayoutDir(dir))
+    Dedup.evictIncIndexMemo()
+    val newIdx = Dedup.incSigFrame(
+      Tables.documents(spark, dir).filter($"doc_id" % 2 === 1)).cache()
+    val b0 = Dedup.incIndexBuilds.get()
+    val (docIdx1, bandIdx1) = Dedup.d11Index(spark, dir)
+    val rows1 = Dedup.d11Match(newIdx, docIdx1, bandIdx1)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(Dedup.incIndexBuilds.get() == b0 + 1, "cold start must build once")
+    assert(new java.io.File(Dedup.d11LayoutDir(dir), "_COMPLETE").exists(),
+      "layout marker missing after build")
+    // restart shape: the session memo is gone, the layout survives —
+    // serving must RELOAD, not rebuild (incIndexBuilds unchanged)
+    Dedup.evictIncIndexMemo()
+    val (docIdx2, bandIdx2) = Dedup.d11Index(spark, dir)
+    val rows2 = Dedup.d11Match(newIdx, docIdx2, bandIdx2)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(Dedup.incIndexBuilds.get() == b0 + 1,
+      "restart re-scanned the old corpus instead of reloading the layout")
+    assert(rows1 == rows2, "reloaded index served different pairs")
+    assert(rows1.nonEmpty, "vacuous restart check — no pairs at all")
+    newIdx.unpersist()
+  }
+
+  // ------------- d10 mega-cluster guards -------------
+
+  /** The UNCOMPRESSED SemDeDup semantics, replayed locally: order by
+    * (floor(cos-to-centroid * 1e6), id); drop iff some earlier
+    * cluster-mate is τ-close (cos(0, ·) = 0, the cosine() contract). */
+  private def localSemDedup(rows: Seq[(Long, Array[Double], Int)],
+      centers: Array[Array[Double]], tau: Double): Map[Long, Boolean] = {
+    def dotp(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val nn = math.sqrt(dotp(a, a)) * math.sqrt(dotp(b, b))
+      if (nn == 0.0) 0.0 else dotp(a, b) / nn
+    }
+    val withS = rows.map { case (id, v, c) =>
+      (id, v, c, math.floor(cos(v, centers(c)) * 1e6).toLong) }
+    withS.map { case (a, va, ca, sa) =>
+      a -> withS.exists { case (b, vb, cb, sb) =>
+        cb == ca && (sb < sa || (sb == sa && b < a)) && cos(va, vb) >= tau }
+    }.toMap
+  }
+
+  test("d10 core: duplicate compression bit-identical to the uncompressed rule") {
+    // a collapsed corpus: 300 bit-identical copies (the mass-duplication
+    // mega-cluster), 4 zero vectors (must ALL survive — cos(0,·)=0),
+    // and a seeded scatter of distinct vectors across 2 clusters
+    val rnd = new scala.util.Random(7)
+    val dup = Array(1.0, 0.5, 0.25)
+    val rows: Seq[(Long, Array[Double], Int)] =
+      (1L to 300L).map(i => (i, dup.clone(), 0)) ++
+      (301L to 304L).map(i => (i, Array(0.0, 0.0, 0.0), 0)) ++
+      (305L to 340L).map { i =>
+        (i, Array.fill(3)(rnd.nextDouble() * 2 - 1), rnd.nextInt(2)) }
+    val centers = Array(Array(1.0, 0.4, 0.2), Array(-1.0, 0.3, 0.1))
+    val assigned = rows.map { case (id, v, c) => (id, v.toSeq, c) }
+      .toDF("vec_id", "v", "cluster")
+    val got = operators.Similarity
+      .semDedupCore(assigned, centers, operators.Similarity.SemDedupTau)
+      .select($"vec_id", $"dropped").as[(Long, Boolean)].collect().toMap
+    val want = localSemDedup(rows, centers, operators.Similarity.SemDedupTau)
+    assert(got == want,
+      s"diverged at ${got.keys.filter(k => got(k) != want(k)).toSeq.sorted.take(5)}")
+    // the collapse really is handled: every non-representative twin
+    // drops (the representative's own fate rides on the earlier
+    // distinct vectors — covered by the parity assert above), and all
+    // four zero vectors survive
+    assert((2L to 300L).forall(got(_)), "twin group mishandled")
+    assert((301L to 304L).forall(id => !got(id)), "zero vectors must survive")
+  }
+
+  test("d10 core: a cluster of too many DISTINCT vectors raises loudly") {
+    // 20 distinct vectors in one cluster with cap 10: the semantic
+    // collapse duplicate compression can NOT absorb — must raise, not
+    // run a quadratic partition
+    val rows = (1L to 20L).map(i => (i, Seq(i.toDouble, 1.0), 0))
+    val assigned = rows.toDF("vec_id", "v", "cluster")
+    val e = intercept[IllegalStateException] {
+      operators.Similarity.semDedupCore(assigned,
+        Array(Array(1.0, 0.0)), operators.Similarity.SemDedupTau, cap = 10)
+        .collect()
+    }
+    assert(e.getMessage.contains("re-cluster"), s"unhelpful message: ${e.getMessage}")
+  }
+}
