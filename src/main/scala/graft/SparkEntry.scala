@@ -218,6 +218,9 @@ object SparkEntry {
     "p17_temperature_tau4" -> (Sampling.p17TemperatureTau4 _),
     "p17_temperature_pow" -> (Sampling.p17TemperaturePow _),
     "p18_curate"         -> (Sampling.p18Curate _),
+    // rows-only: the semantic stage rides d10's seeded k-means fit;
+    // composition invariants spec-pinned (Round12Spec)
+    "p20_curate"         -> (Sampling.p20CurateSemantic _),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "p13_weighted_sample" -> (Sampling.p13WeightedSample _),

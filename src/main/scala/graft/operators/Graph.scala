@@ -1457,22 +1457,26 @@ object Graph {
           .select($"node", $"color", coalesce($"newLbl", $"lbl").as("lbl"))
           .checkpointFresh
       }
-      // the round's one bounded job: colors are a ≤ Δ+1 driver-scale
-      // artifact, so the distinct pair set is ≤ |colors|² rows
-      val touched = lbl
-        .join(before.select($"node", $"lbl".as("prevLbl")), "node")
-        .filter($"lbl" =!= $"prevLbl")
-        .select($"node".as("src"), $"color".as("cc"))
-        .join(edges, "src")
-        .join(col.select($"node".as("dst"), $"color".as("tc")), "dst")
-        .select($"cc", $"tc").distinct()
-        .as[(Int, Int)].collect()
-      pending = Array.tabulate(nColors + 1) { tc =>
-        if (tc == 0) false
-        else if (swept(tc)) touched.exists { case (cc, t) => t == tc && cc > tc }
-        else pending(tc) || touched.exists { case (_, t) => t == tc }
-      }
       round += 1
+      if (round < rounds) {
+        // the round's one bounded job: colors are a ≤ Δ+1 driver-scale
+        // artifact, so the distinct pair set is ≤ |colors|² rows.
+        // Skipped entirely after the LAST budgeted round — pending
+        // only schedules a next round that will never run.
+        val touched = lbl
+          .join(before.select($"node", $"lbl".as("prevLbl")), "node")
+          .filter($"lbl" =!= $"prevLbl")
+          .select($"node".as("src"), $"color".as("cc"))
+          .join(edges, "src")
+          .join(col.select($"node".as("dst"), $"color".as("tc")), "dst")
+          .select($"cc", $"tc").distinct()
+          .as[(Int, Int)].collect()
+        pending = Array.tabulate(nColors + 1) { tc =>
+          if (tc == 0) false
+          else if (swept(tc)) touched.exists { case (cc, t) => t == tc && cc > tc }
+          else pending(tc) || touched.exists { case (_, t) => t == tc }
+        }
+      }
     }
     lbl.select($"node", $"lbl")
   }

@@ -136,6 +136,46 @@ object Sampling {
       .orderBy($"doc_id")
   }
 
+  /** P20: p18's curation chain EXTENDED WITH THE SEMANTIC STAGE — the
+    * full modern recipe (quality gate → exact/near-dup → decontam →
+    * source cap → SemDeDup): after the lexical stages, drop survivors
+    * whose EMBEDDING is τ-close to an earlier cluster-mate among the
+    * SURVIVORS (semantic near-dups that share no 8-shingle — republished
+    * rewrites, translations-of-boilerplate — are exactly what the
+    * lexical stages cannot see; Abbas et al. 2023 run this order for
+    * the same reason). The embedding table rides the 1:1
+    * vec_id == doc_id companion contract (TESTDATA.md).
+    *
+    * Stage composition: the coarse quantizer is the DATASET's ivfIndex
+    * artifact (built once, shared with d10/s2/d5 — a production
+    * pipeline reuses the fitted quantizer rather than re-fitting per
+    * stage), and the SemDeDup pass runs over only the surviving
+    * vectors — cluster sizes only shrink vs d10's full-corpus run, so
+    * the mega-cluster cap inherits d10's guarantee. Seeded k-means fit
+    * → rows-only (d10's honesty); Round12Spec pins the composition
+    * invariants: p20 ⊆ p18, within-cluster completeness among
+    * survivors, soundness of every semantic drop, rerun determinism.
+    *
+    * Shape at scale: p18's chain (memoized artifacts) + one
+    * cluster-keyed equi-join over surviving DISTINCT vectors — the
+    * d10 duplicate-compressed plan on a smaller frame. */
+  def p20CurateSemantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("p20_curate_semantic", dir) {
+      val kept = p18Curate(s, dir)
+      val (assigned, centers) = Similarity.ivfIndex(s, dir)
+      val surviving = assigned
+        .join(kept.select($"doc_id".as("vec_id")), "vec_id")
+      val verdicts = Similarity.semDedupCore(surviving, centers,
+        Similarity.SemDedupTau, Similarity.SemDedupClusterCap, scaffolding)
+      kept.join(verdicts.filter(!$"dropped")
+          .select($"vec_id".as("doc_id")), "doc_id")
+        .select($"doc_id", $"lang", $"source")
+    } { scaffolding.foreach(_.unpersist()) }
+      .orderBy($"doc_id")
+  }
+
   /** P17: the GENERAL-τ temperature knob (§8b.2, closed) — p15 pins
     * τ = 2 because one IEEE sqrt is correctly rounded; this entry
     * ships the rest of the family with honesty matched to what each

@@ -233,4 +233,35 @@ class Round12Spec extends GraftSpecBase {
     }
     assert(e.getMessage.contains("re-cluster"), s"unhelpful message: ${e.getMessage}")
   }
+
+  // ------------- p20: curation with the semantic stage -------------
+
+  test("p20: semantic stage composes p18 exactly — subset, soundness, completeness, determinism") {
+    import operators.{Dedup, Sampling, Similarity}
+    val dir = "/root/testdata/sf0.01"
+    val p18 = Sampling.p18Curate(spark, dir)
+      .as[(Long, String, String)].collect().map(_._1).toSet
+    val p20rows = Sampling.p20CurateSemantic(spark, dir)
+      .as[(Long, String, String)].collect()
+    val p20 = p20rows.map(_._1).toSet
+    // stage survival: the semantic stage only ever REMOVES documents
+    assert(p20.subsetOf(p18), s"p20 grew docs: ${(p20 -- p18).take(5)}")
+    // replay the verdicts locally over the surviving embeddings using
+    // the dataset's own quantizer (same assignment, same centers)
+    val (assigned, centers) = Similarity.ivfIndex(spark, dir)
+    val rows = assigned.filter($"vec_id".isin(p18.toSeq: _*))
+      .select($"vec_id", $"v", $"cluster")
+      .as[(Long, Seq[Double], Int)].collect()
+      .map { case (id, v, c) => (id, v.toArray, c) }.toSeq
+    val want = localSemDedup(rows, centers, Similarity.SemDedupTau)
+    val wantKept = p18.filter(id => !want(id))
+    assert(p20 == wantKept,
+      s"semantic verdicts diverge: extra=${(p20 -- wantKept).take(5)} missing=${(wantKept -- p20).take(5)}")
+    // determinism: the memoized entry must replay identically
+    val again = Sampling.p20CurateSemantic(spark, dir)
+      .as[(Long, String, String)].collect()
+    assert(p20rows.toSeq == again.toSeq, "p20 not rerun-identical")
+    assert(p20.nonEmpty && p20.size < p18.size || p20 == p18,
+      "vacuous composition")
+  }
 }
