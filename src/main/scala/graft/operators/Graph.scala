@@ -1340,8 +1340,15 @@ object Graph {
       // drives the windowed pick index — a pairwise-independent
       // permutation, so adjacent nodes' picks decorrelate)
       val prio = ($"node" * semiPrioA(r)) % SemiPrioM
-      // colors used by COLORED neighbors (bounded by degree)
+      // colors used by COLORED neighbors (bounded by degree) — only
+      // UNCOLORED srcs are ever read (picks left-joins from unc), so
+      // the semi-join prefilter shrinks the aggregation input by the
+      // constant per-round drain instead of re-aggregating every
+      // colored node's neighborhood each round (round 12; pure plan
+      // cut, bit-identical — the frontier here is the shrinking unc
+      // set itself, no bookkeeping jobs added)
       val used = edges
+        .join(unc.select($"node".as("src")), Seq("src"), "left_semi")
         .join(col.select($"node".as("dst"), $"color"), "dst")
         .groupBy($"src").agg(collect_set($"color".cast("long")).as("used"))
       // free palette (ascending) and the windowed pick
