@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
   * the trial-coloring pre-pass separately from the full entry and
   * reports rounds/colors — the split that says where the q84 20×
   * wall-clock actually goes (coloring rounds vs colors × LPA sweeps).
-  * `runMain graft.LpaProbe [dir]`.
+  * `runMain graft.LpaProbe [dir] [window]` — the optional window arg
+  * drives the §8e.1(b) rounds-for-colors experiment (W=8/W=16) now
+  * that skip-gated sweep steps make extra colors nearly free.
   */
 object LpaProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft-scale-x20")
+    val window = args.drop(1).headOption.map(_.toInt)
+      .getOrElse(operators.Graph.SemiPickWindow)
     val spark = GraftSession.builder(s"local[${GraftSession.defaultCpus}]")
       .config("spark.sql.shuffle.partitions", GraftSession.defaultCpus.toString)
       .getOrCreate()
@@ -25,13 +29,13 @@ object LpaProbe {
     println(s"== directed edges: ${edges.count()}")
     val t0 = System.nanoTime()
     val (col, rounds) = operators.Graph.trialColoring(edges,
-      operators.Graph.SemiColoringRounds)
+      operators.Graph.SemiColoringRounds, window)
     val nColors = col.agg(max($"color")).as[Int].head()
     val colSec = (System.nanoTime() - t0) / 1e9
-    println(f"== trial coloring       $colSec%7.1f s  ($rounds rounds, $nColors colors)")
+    println(f"== trial coloring W=$window  $colSec%7.1f s  ($rounds rounds, $nColors colors)")
     val t1 = System.nanoTime()
     val steps0 = operators.Graph.lpaSweepSteps.get()
-    val lbl = operators.Graph.semiSyncLabels(edges)
+    val lbl = operators.Graph.semiSyncLabels(edges, window = window)
     val n = lbl.count()
     val steps = operators.Graph.lpaSweepSteps.get() - steps0
     val allSec = (System.nanoTime() - t1) / 1e9

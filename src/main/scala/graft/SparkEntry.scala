@@ -210,6 +210,8 @@ object SparkEntry {
     "q98_ktruss"         -> ((s: SparkSession, d: String) => Graph.q98Ktruss(s, d)),
     "q98_truss_thinned"  -> ((s: SparkSession, d: String) => Graph.q98TrussThinned(s, d)),
     "q99_hits"           -> (Graph.q99Hits _),
+    "q100_modularity"    -> (Graph.q100Modularity _),
+    "s15_graph_ann"      -> ((s: SparkSession, d: String) => Similarity.s15GraphAnn(s, d)),
     "t18_cross_surprisal" -> (TextAnalysis.t18CrossSurprisal _),
     "t19_nb_langid"      -> (TextAnalysis.t19NbLangId _),
     "t20_bm25"           -> (TextAnalysis.t20Bm25 _),
@@ -1911,6 +1913,8 @@ object SparkEntry {
     "q81_label_prop" -> operators.Graph.labelPropOracleSql(),
     "q82_harmonic" -> operators.Graph.harmonicOracleSql(),
     "q84_lpa_semisync" -> operators.Graph.lpaSemiSyncOracleSql(),
+    // q100 re-runs the q84 unroll (shared CTE body) + modularity algebra
+    "q100_modularity" -> operators.Graph.modularityOracleSql(),
     "t14_code_detect" -> operators.TextAnalysis.codeDetectOracleSql,
     "q83_top_paths" ->
       """WITH e AS (

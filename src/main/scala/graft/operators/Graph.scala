@@ -1142,8 +1142,9 @@ object Graph {
     * scheduling on the 20× densified probe (the round-10 verdict's
     * one perf-weak entry). Exact local replays (tools in §6.15):
     * Luby 29/9/4 rounds at sf0.001/0.01/0.1 and 134 at 20× → trial
-    * 6/4/3 and 14. Budget 8 covers every oracle-reachable SF with
-    * 1.33× slack; the loop early-exits when every node is colored;
+    * 6/4/3 and 14 at W=4, 4/3/3 and 10 at the round-12 W=8. Budget 8
+    * covers every oracle-reachable SF with
+    * 2× slack; the loop early-exits when every node is colored;
     * extra oracle rounds are the identity (no uncolored nodes ⟹
     * nothing picked, nothing newly colored). */
   val SemiColoringRounds = 8
@@ -1153,19 +1154,25 @@ object Graph {
     * [1..deg+1] minus colored-neighbor colors). W trades colors for
     * rounds: W=1 is greedy mex (minimum colors, Luby-slow on dense
     * graphs — every same-palette neighbor pair collides), W=deg+1 is
-    * classic trial coloring (fastest drain, ~Δ colors — each extra
-    * color is a whole extra per-LPA-round sweep step downstream).
-    * Measured on the real graphs: W=4 → 6/4/3 rounds and 19/9/5
-    * colors (sf0.001/0.01/0.1), 14 rounds / 48 colors at 20×; W=8
-    * saves 0–4 more rounds but pays +3..+13 colors. */
-  val SemiPickWindow = 4
+    * classic trial coloring (fastest drain, ~Δ colors). Extra colors
+    * used to cost a whole sweep step per LPA round downstream, which
+    * is why round 11 shipped W=4 (6/4/3 rounds, 19/9/5 colors at
+    * sf0.001/0.01/0.1; 14 rounds / 48 colors at 20×) — but the
+    * round-12 pending-class skip makes stabilized classes nearly
+    * free, flipping the trade (§8e.1b): W=8 measures 4/3/3 rounds
+    * and 22/11/5 colors at the SFs, 10 rounds / 61 colors at 20×,
+    * and the 20× full entry drops 125.9 → 113.0 s same-box (sweeps
+    * 39.5 → 21.5 s — more, smaller classes skip better), with sf0.1
+    * inside noise (11.9 vs 11.7 s — the small graph never opens the
+    * window). Colors stay inside the SemiColors=24 oracle budget. */
+  val SemiPickWindow = 8
 
   /** Color-class budget for q84's oracle unroll — windowed trial
     * coloring uses ≤ shell-used+W colors per node; measured max is
-    * 19 (sf0.001), 9 (sf0.01), 5 (sf0.1) at W=4; 24 covers with
-    * slack. Spark iterates the ACTUAL color count; oracle subrounds
-    * for empty classes are the identity. The spec pins actual ≤
-    * budget at the test SFs. */
+    * 22 (sf0.001), 11 (sf0.01), 5 (sf0.1) at W=8 (19/9/5 at the
+    * round-11 W=4); 24 covers. Spark iterates the ACTUAL color
+    * count; oracle subrounds for empty classes are the identity. The
+    * spec pins actual ≤ budget at the test SFs. */
   val SemiColors = 24
 
   /** Full-round budget for q84's per-color LPA sweeps — measured
@@ -1221,8 +1228,11 @@ object Graph {
     *     lineage Luby-MIS greedy (round ≤ 10) and fixed-priority
     *     Jones–Plassmann (rounds ≤ 8) both drain dense graphs a
     *     priority-peak at a time: measured rounds on the 20×
-    *     densified probe 374 (JP) → 134 (Luby) → 14 (trial W=4), and
-    *     29/9/4 → 6/4/3 at sf0.001/0.01/0.1 (§6.15). Progress is
+    *     densified probe 374 (JP) → 134 (Luby) → 14 (trial W=4) →
+    *     10 (W=8, the round-12 window — affordable once the
+    *     pending-class skip made extra color classes nearly free),
+    *     and 29/9/4 → 6/4/3 → 4/3/3 at sf0.001/0.01/0.1 (§6.15,
+    *     §8e.1b). Progress is
     *     GUARANTEED (the globally max-(prio, id) uncolored node keeps
     *     its pick unconditionally), and kept picks are proper by
     *     construction: picks exclude colored-neighbor colors, and of
@@ -1314,14 +1324,16 @@ object Graph {
     * hub on a power-law graph allocates a ≤ ~50-element array per
     * round instead of a 10⁶-element one (executor-memory scale
     * guard; Round12Spec pins both the bound and pick equality). */
-  private[graft] def freePalette(deg: Column, used: Column): Column =
+  private[graft] def freePalette(deg: Column, used: Column,
+      window: Int = SemiPickWindow): Column =
     array_except(
       sequence(lit(1L),
-        least(deg + 1L, size(used).cast("long") + lit(SemiPickWindow.toLong))),
+        least(deg + 1L, size(used).cast("long") + lit(window.toLong))),
       used)
 
   private[graft] def trialColoring(edges: DataFrame,
-      coloringRounds: Int): (DataFrame, Int) = {
+      coloringRounds: Int,
+      window: Int = SemiPickWindow): (DataFrame, Int) = {
     val s = edges.sparkSession
     import s.implicits._
     // undirected degree (edges is symmetric, simple): sizes each
@@ -1356,9 +1368,9 @@ object Graph {
         .join(used.withColumnRenamed("src", "node"), Seq("node"), "left")
         .withColumn("prio", prio)
         .withColumn("free", freePalette($"deg",
-          coalesce($"used", array().cast("array<long>"))))
+          coalesce($"used", array().cast("array<long>")), window))
         .withColumn("pick", element_at($"free",
-          (($"prio" % least(size($"free"), lit(SemiPickWindow))) + 1)
+          (($"prio" % least(size($"free"), lit(window))) + 1)
             .cast("int")))
         .select($"node", $"prio", $"pick")
         .cache()
@@ -1408,10 +1420,11 @@ object Graph {
     * graphs (the 2-cycle graphs q81 oscillates on). */
   private[graft] def semiSyncLabels(edges: DataFrame,
       coloringRounds: Int = SemiColoringRounds,
-      rounds: Int = SemiLpaRounds): DataFrame = {
+      rounds: Int = SemiLpaRounds,
+      window: Int = SemiPickWindow): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val (col, _) = trialColoring(edges, coloringRounds)
+    val (col, _) = trialColoring(edges, coloringRounds, window)
     val nColors = col.agg(max($"color")).as[Int].head()
     // ---- per-color LPA sweeps, keep-current-if-argmax, with a ----
     // ---- driver-side PENDING-CLASS skip (round-12)            ----
@@ -1502,6 +1515,19 @@ object Graph {
   private[graft] def lpaSemiSyncOracleSql(
       coloringRounds: Int = SemiColoringRounds,
       colors: Int = SemiColors,
+      rounds: Int = SemiLpaRounds): String =
+    lpaSemiSyncOracleBody(coloringRounds, colors, rounds) + s"""
+         SELECT l.node AS l_partkey, l.lbl AS community, c.community_size
+         FROM l_${rounds}_$colors l JOIN (
+           SELECT lbl, count(*) AS community_size
+           FROM l_${rounds}_$colors GROUP BY 1) c USING (lbl)
+         ORDER BY l_partkey"""
+
+  /** The q84 unroll WITHOUT the final select — shared by the q84 and
+    * q100 oracles so the labeling both score is one CTE chain. */
+  private[graft] def lpaSemiSyncOracleBody(
+      coloringRounds: Int = SemiColoringRounds,
+      colors: Int = SemiColors,
       rounds: Int = SemiLpaRounds): String = {
     val base = """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          prs AS (
@@ -1577,12 +1603,109 @@ object Graph {
              ON u.node = p.node)"""
       }
     }.mkString
-    base + coloring + init + sweeps + s"""
-         SELECT l.node AS l_partkey, l.lbl AS community, c.community_size
-         FROM l_${rounds}_$colors l JOIN (
-           SELECT lbl, count(*) AS community_size
-           FROM l_${rounds}_$colors GROUP BY 1) c USING (lbl)
-         ORDER BY l_partkey"""
+    base + coloring + init + sweeps
+  }
+
+  /** Q100 oracle: the full q84 unroll (same CTE chain — the labeling
+    * being scored must be bit-identical to the q84 entry's) followed
+    * by the modularity algebra: per community c, intra_deg (directed
+    * edges inside c), total_deg (Σ degree), and the exact numerator
+    * q_num = intra_deg·2m − total_deg² of Q_c = intra/2m − (deg/2m)².
+    * Products route through HUGEINT (DuckDB's int128 ≡ Spark's
+    * DECIMAL(38,0) path — both exact, final value BIGINT-checked). */
+  private[graft] def modularityOracleSql(
+      coloringRounds: Int = SemiColoringRounds,
+      colors: Int = SemiColors,
+      rounds: Int = SemiLpaRounds): String = {
+    val labels = s"l_${rounds}_$colors"
+    lpaSemiSyncOracleBody(coloringRounds, colors, rounds) + s""",
+         m2t AS MATERIALIZED (SELECT count(*) AS m2 FROM e),
+         degc AS (SELECT l.lbl AS community, count(*) AS community_size,
+                    CAST(sum(d.deg) AS BIGINT) AS total_deg
+                  FROM $labels l JOIN dg d USING (node) GROUP BY 1),
+         intra AS (SELECT la.lbl AS community, count(*) AS intra_deg
+                   FROM e JOIN $labels la ON la.node = e.src
+                          JOIN $labels lb ON lb.node = e.dst
+                   WHERE la.lbl = lb.lbl GROUP BY 1)
+         SELECT d.community, d.community_size,
+           CAST(coalesce(i.intra_deg, 0) AS BIGINT) AS intra_deg,
+           d.total_deg, m.m2,
+           CAST(CAST(coalesce(i.intra_deg, 0) AS HUGEINT) * m.m2
+                - CAST(d.total_deg AS HUGEINT) * d.total_deg
+             AS BIGINT) AS q_num
+         FROM degc d LEFT JOIN intra i USING (community)
+         CROSS JOIN m2t m
+         ORDER BY community"""
+  }
+
+  /** Q100: NEWMAN MODULARITY of the q84 community labeling (Newman &
+    * Girvan 2004; Q = Σ_c [e_c/2m − (d_c/2m)²]) — the quality metric
+    * that closes the community-detection loop: q81/q84 EMIT labelings,
+    * this entry SCORES one, per community, in exact integer algebra.
+    * Per community c over the symmetric directed edge list (|e| = 2m):
+    * `intra_deg` = directed edges with both endpoints in c (= 2× the
+    * undirected internal edges), `total_deg` = Σ member degrees, and
+    * the exact numerator `q_num = intra_deg·2m − total_deg²` of
+    * Q_c·(2m)² — integers, so the oracle hash gates every community's
+    * contribution bit-for-bit (Q itself = Σ q_num / m2², one driver
+    * division away; doubles never enter the checked surface).
+    *
+    * Exactness at scale: both products route through DECIMAL(38,0)
+    * (the q65_cuped discipline — two ≤19-digit longs multiply
+    * EXACTLY), and the final BIGINT cast is loud-guarded: a corpus
+    * where total_deg² outgrows int64 (total_deg > 3·10⁹ — a single
+    * community holding that many edge endpoints) fails visibly
+    * instead of wrapping or nulling.
+    *
+    * Shape at 100 TB: reuses q84's memoized labeling; then one
+    * node-keyed degree aggregate, two edge-keyed label joins (the
+    * same bucketing the LPA sweeps themselves use), and one
+    * community-keyed aggregate with map-side partials — linear in
+    * edges, no per-community fan-out, output ≤ |communities| rows. */
+  def q100Modularity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lab = q84LpaSemisync(s, dir)
+      .select($"l_partkey".as("node"), $"community".as("lbl"))
+    val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+    val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
+      .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
+    modularityOf(edges, lab).orderBy($"community")
+  }
+
+  /** The q100 kernel over an arbitrary symmetric edge list and a
+    * (node, lbl) labeling — separated so the spec can replay graphs
+    * with hand-computable modularity (two disjoint triangles → Q =
+    * 1/2) and pin the Σ-invariants (Σ total_deg = 2m = |e|;
+    * Σ community_size = |V|; Σ intra_deg = 2m − cut edges). */
+  private[graft] def modularityOf(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.cache()
+    val m2 = e.count() // |e| = 2m: one scalar, the only driver value
+    val lab = labels.select($"node", $"lbl")
+    val degc = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      .join(lab, "node")
+      .groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("community_size"),
+        sum($"deg").as("total_deg"))
+    val intra = e
+      .join(lab.select($"node".as("src"), $"lbl".as("ls")), "src")
+      .join(lab.select($"node".as("dst"), $"lbl".as("ld")), "dst")
+      .filter($"ls" === $"ld")
+      .groupBy($"ls".as("community")).agg(count(lit(1)).as("intra_deg"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    def loud(c: Column, what: String) = when(c.isNull,
+      raise_error(lit(s"q100_modularity: exact-integer overflow in " +
+        s"$what — community mass exceeds the int64 surface"))).otherwise(c)
+    val qn = d38($"intra_deg") * lit(m2) - d38($"total_deg") * $"total_deg"
+    degc.join(intra, Seq("community"), "left")
+      .select($"community", $"community_size",
+        coalesce($"intra_deg", lit(0L)).as("intra_deg"), $"total_deg")
+      .select($"community", $"community_size", $"intra_deg", $"total_deg",
+        lit(m2).as("m2"),
+        loud(loud(qn, "intra·2m − deg² (decimal)").cast("long"),
+          "q_num (int64 range)").as("q_num"))
   }
 
   // ----------------------------------------------------------------

@@ -518,4 +518,32 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q100: label joins are equi-joins and the community agg is map-side partial") {
+    val df = operators.Graph.q100Modularity(spark, sf)
+    df.collect() // force AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    // edge×label scoring must key on the node ids, never loop
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("s15: the serve stage runs topk_agg off the checkpointed beam; the graph build never loops") {
+    val df = operators.Similarity.s15GraphAnn(spark, sf)
+    df.collect() // force AQE final plan
+    // the hops themselves execute at checkpoint time (checkpointFresh
+    // truncates lineage per hop); the final serve stage must be the
+    // bounded-slate agg, with no join re-materialization
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("topk_agg"), p)
+    // the serving-graph artifact: candidate generation is the
+    // cluster-keyed equi-join (s9's shape), never an all-pairs loop
+    val g = operators.Similarity.knnGraphIndex(spark, sf)
+    val gp = g.queryExecution.executedPlan.toString
+    assert(!gp.contains("BroadcastNestedLoopJoin"), gp)
+    assert(!gp.contains("CartesianProduct"), gp)
+  }
 }

@@ -264,4 +264,112 @@ class Round12Spec extends GraftSpecBase {
     assert(p20.nonEmpty && p20.size < p18.size || p20 == p18,
       "vacuous composition")
   }
+
+  // ------------- q100: Newman modularity -------------
+
+  test("q100: two disjoint triangles with component labels score Q = 1/2 exactly") {
+    // the textbook handcheck: each triangle has intra_deg = 6 directed
+    // edges and total_deg = 6 over m2 = 12, so q_num = 6·12 − 36 = 36
+    // per community and Q = (36 + 36) / 12² = 1/2
+    val edges = symmetric(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)))
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("node", "lbl")
+    val rows = operators.Graph.modularityOf(edges, labels)
+      .orderBy($"community")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((10L, 3L, 6L, 6L, 12L, 36L),
+      (20L, 3L, 6L, 6L, 12L, 36L)), s"got $rows")
+  }
+
+  test("q100: a community with zero internal edges keeps a row (negative q_num)") {
+    // 4-cycle with ANTI-communities (each label holds the two opposite,
+    // non-adjacent nodes): intra_deg = 0 for both, q_num = −16 each —
+    // the left-join + coalesce path, and Q = −32/64 = −1/2, the lower
+    // bound, exactly
+    val edges = symmetric(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    val labels = Seq((1L, 1L), (3L, 1L), (2L, 2L), (4L, 2L))
+      .toDF("node", "lbl")
+    val rows = operators.Graph.modularityOf(edges, labels)
+      .orderBy($"community")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 2L, 0L, 4L, 8L, -16L),
+      (2L, 2L, 0L, 4L, 8L, -16L)), s"got $rows")
+  }
+
+  test("q100: sf0.001 invariants — masses conserve, q_num is its own algebra, q84 beats arbitrary labels") {
+    val q = operators.Graph.q100Modularity(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(q.nonEmpty)
+    val m2 = q.head._5
+    assert(q.forall(_._5 == m2), "m2 differs across rows")
+    // Σ total_deg = |e| = 2m and Σ intra_deg ≤ 2m (cut edges excluded)
+    assert(q.map(_._4).sum == m2, "degree mass not conserved")
+    assert(q.map(_._3).sum <= m2, "intra mass exceeds edge mass")
+    // every row's q_num re-derives from its own columns
+    assert(q.forall(r => r._6 == r._3 * m2 - r._4 * r._4),
+      "q_num diverges from intra·2m − deg²")
+    // node mass = q84's own community sizes
+    val nNodes = operators.Graph.q84LpaSemisync(spark, sf).count()
+    assert(q.map(_._2).sum == nNodes, "node mass not conserved")
+    // Q ∈ [−1/2, 1] and the LPA labeling beats an arbitrary node%5
+    // bucketing (LPA monotonically grows monochromatic edges from the
+    // identity labeling; node%5 is label noise) — both exact integers
+    // compared on the common (2m)² denominator
+    val qSum = q.map(_._6).sum
+    assert(qSum >= -m2 * m2 / 2 && qSum <= m2 * m2, s"Q out of range: $qSum")
+    val prs = operators.Analytics.copurchasePairs(spark, sf)
+      .filter($"n_orders" >= 2)
+    val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
+      .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
+    val noise = edges.select($"src".as("node")).distinct()
+      .select($"node", pmod($"node", lit(5L)).as("lbl"))
+    val qNoise = operators.Graph.modularityOf(edges, noise)
+      .agg(sum($"q_num")).as[Long].head()
+    assert(qSum > qNoise,
+      s"q84 labeling ($qSum) does not beat node%%5 noise ($qNoise)")
+  }
+
+  // ------------- s15: graph-based ANN -------------
+
+  test("s15: beam search recalls the exact top-3, is hop-converged and rerun-identical") {
+    import operators.Similarity
+    val exact = Similarity.s1KnnBrute(spark, sf, 5)
+      .select($"q_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.s15GraphAnn(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val byQ = got.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSet).toMap
+    assert(byQ.keySet == exact.keySet, "query set diverges from s1")
+    val hit = exact.toSeq.map { case (q, want) =>
+      (want & byQ(q)).size }.sum
+    val recall = hit.toDouble / exact.values.map(_.size).sum
+    // measured 1.0 at sf0.001 AND sf0.01 (beam 32 over the symmetrized
+    // degree-~20 graph finds all five queries' true slates); pin a
+    // floor with slack for future index re-fits, not the point value
+    assert(recall >= 0.9, s"recall@3 = $recall")
+    // hop budget past beam convergence is the identity (the fixed-
+    // budget purity discipline: q66/q78 rounds, q79 hIters)
+    val more = Similarity.s15GraphAnn(spark, sf,
+      Similarity.GraphAnnBeam, Similarity.GraphAnnHops + 1)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(more == got, "beam not converged within the hop budget")
+    // determinism: medoid entries, graph artifact, and beam are all
+    // seeded/tie-broken — a rerun must replay bit-identically
+    val again = Similarity.s15GraphAnn(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(again == got, "s15 not rerun-identical")
+  }
+
+  test("s15: the serving graph is symmetric and an artifact (built once per dataset)") {
+    import operators.Similarity
+    val g = Similarity.knnGraphIndex(spark, sf)
+    val asym = g.select($"src", $"dst")
+      .exceptAll(g.select($"dst".as("src"), $"src".as("dst")))
+    assert(asym.isEmpty, "graph has one-way links")
+    // artifact identity: same DataFrame instance served back
+    assert(Similarity.knnGraphIndex(spark, sf) eq g, "index rebuilt")
+  }
 }
