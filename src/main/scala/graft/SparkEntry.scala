@@ -223,6 +223,7 @@ object SparkEntry {
     // rows-only: the semantic stage rides d10's seeded k-means fit;
     // composition invariants spec-pinned (Round12Spec)
     "p20_curate"         -> (Sampling.p20CurateSemantic _),
+    "p21_curate_incremental" -> (Sampling.p21CurateIncremental _),
     "q68_spend_deciles"  -> (Analytics.q68SpendConcentration _),
     "p12_stratified_sample" -> (Sampling.p12StratifiedSample _),
     "p13_weighted_sample" -> (Sampling.p13WeightedSample _),

@@ -176,6 +176,67 @@ object Sampling {
       .orderBy($"doc_id")
   }
 
+  /** P21: INCREMENTAL curation — the ARRIVAL shape of the pipeline
+    * (§8e.2, round 12): a new crawl (odd doc_ids — d11's new half)
+    * lands on an already-curated corpus (even doc_ids — d11's
+    * prebuilt index) and pays ONLY new-side work: quality gate →
+    * within-batch exact dedup (keep-first) → d11 incremental
+    * near-dup against the curated index → benchmark decontamination.
+    * p18/p20 prove the BOOTSTRAP composition (curate a whole corpus);
+    * this entry proves the STEADY-STATE one (curate what arrives) —
+    * the form a production pipeline runs per crawl, where old-corpus
+    * volume prices at zero per increment (d11's contract).
+    *
+    * Stage-scope notes: exact duplicates OF THE CURATED CORPUS need
+    * no stage of their own — J=1 matches every band, so the d11
+    * posting join catches them with CERTAINTY (the S-curve is 1 at
+    * J=1); the within-batch exact stage only minimizes the batch
+    * itself (keep-first among its quality survivors). Within-batch
+    * NEAR-dup is d3's bootstrap pass applied to the batch and
+    * deliberately not re-proven here — the entry isolates the
+    * cross-corpus stage that makes arrival different. The source cap
+    * is corpus-level maintenance (p16/p18), not per-arrival work.
+    *
+    * Shape at scale: the quality and decontamination restrictions
+    * filter on each frame's GROUPING key (doc_id), so Catalyst pushes
+    * the batch predicate through those aggregates into the scans —
+    * the shared t2/p3 logic is reused, and the executed plan still
+    * only pays batch-sized stage work where the stage is per-doc;
+    * the exact stage is one fingerprint aggregate over the batch; the
+    * near-dup stage is d11's band-partitioned posting join (new-side
+    * signatures only). Seeded MinHash under d11 → rows-only;
+    * Round12Spec pins the stage-survival set algebra and determinism. */
+  def p21CurateIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("p21_curate_incremental", dir) {
+      val docs = Tables.documents(s, dir)
+      val newQuality = TextAnalysis.t2QualityScore(s, dir)
+        .filter($"doc_id" % 2 === 1)
+        .filter($"quality" >= 0.5)
+        .select($"doc_id")
+      // within-batch exact dedup: keep the min doc_id per fingerprint
+      // among the batch's quality survivors
+      val fp = newQuality.join(docs, "doc_id")
+        .select($"doc_id",
+          graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+        .cache()
+      scaffolding += fp
+      val keepFirst = fp.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      // cross-corpus near-dup: any verified d11 pair drops the arrival
+      val nearIndex = Dedup.d11IncrementalDedup(s, dir)
+        .select($"new_id".as("doc_id")).distinct()
+      val contaminated = Dedup.p3Decontaminate(s, dir)
+        .filter($"doc_id" % 2 === 1).select($"doc_id")
+      keepFirst
+        .join(nearIndex, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(docs.select($"doc_id", $"lang", $"source"), "doc_id")
+    } { scaffolding.foreach(_.unpersist()) }
+      .orderBy($"doc_id")
+  }
+
   /** P17: the GENERAL-τ temperature knob (§8b.2, closed) — p15 pins
     * τ = 2 because one IEEE sqrt is correctly rounded; this entry
     * ships the rest of the family with honesty matched to what each

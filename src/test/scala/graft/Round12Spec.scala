@@ -265,6 +265,68 @@ class Round12Spec extends GraftSpecBase {
       "vacuous composition")
   }
 
+  test("p21: incremental arrival — batch-only ids, stage-survival set algebra, determinism") {
+    import operators.{Dedup, Sampling, TextAnalysis}
+    val dir = "/root/testdata/sf0.01"
+    val rows = Sampling.p21CurateIncremental(spark, dir)
+      .as[(Long, String, String)].collect()
+    val kept = rows.map(_._1).toSet
+    assert(kept.nonEmpty)
+    assert(kept.forall(_ % 2 == 1),
+      "a curated-corpus (even) doc leaked into the arrival batch")
+    // replay the chain as set algebra over the stage primitives (each
+    // primitive is verified on its own: t2/p3 oracle-checked, d11
+    // precision-exact — this spec checks the CHAINING, p18-style)
+    val q = TextAnalysis.t2QualityScore(spark, dir)
+      .filter($"doc_id" % 2 === 1 && $"quality" >= 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    val fpKeep = q.toSeq.toDF("doc_id")
+      .join(graft.Tables.documents(spark, dir), "doc_id")
+      .select($"doc_id", functions.TextFunctions.fingerprint($"text").as("fp"))
+      .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id").as[Long].collect().toSet
+    val d11Hit = Dedup.d11IncrementalDedup(spark, dir)
+      .select($"new_id").as[Long].collect().toSet
+    val contam = Dedup.p3Decontaminate(spark, dir)
+      .filter($"doc_id" % 2 === 1)
+      .select($"doc_id").as[Long].collect().toSet
+    val expected = fpKeep -- d11Hit -- contam
+    assert(kept == expected,
+      s"chain diverges: extra=${(kept -- expected).take(5)} missing=${(expected -- kept).take(5)}")
+    // stage binding, honestly measured: sf0.01's documents carry no
+    // exact duplicates AT ALL (checked vs the raw parquet), so the
+    // within-batch stage is the identity here (fpKeep == q) — its
+    // keep-first rule is d1's oracle-checked semantics; the stages
+    // that CAN bind at this SF must
+    assert(fpKeep == q, "unexpected within-batch exact duplicates")
+    assert((fpKeep & d11Hit).nonEmpty, "near-dup stage vacuous")
+    assert((fpKeep & contam).nonEmpty, "decontamination stage vacuous")
+    // determinism: the memoized entry replays identically
+    val again = Sampling.p21CurateIncremental(spark, dir)
+      .as[(Long, String, String)].collect()
+    assert(rows.toSeq == again.toSeq, "p21 not rerun-identical")
+  }
+
+  test("p21: cross-parity exact twins are caught by the d11 join with certainty (J=1)") {
+    import operators.Dedup
+    // exact duplicates exist only at sf0.1 in this testdata (8 groups,
+    // 4 spanning parities — checked vs the raw parquet); the p21
+    // docstring's claim is that an arrival doc exactly duplicating a
+    // CURATED doc needs no exact stage because J=1 matches all 16
+    // bands, so the d11 posting join reports it with certainty
+    val dir = "/root/testdata/sf0.1"
+    val fps = graft.Tables.documents(spark, dir)
+      .select($"doc_id", functions.TextFunctions.fingerprint($"text").as("fp"))
+    val crossTwins = fps.filter($"doc_id" % 2 === 1)
+      .join(fps.filter($"doc_id" % 2 === 0).select($"fp"), "fp")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(crossTwins.nonEmpty, "no cross-parity exact twins to test")
+    val d11Hit = Dedup.d11IncrementalDedup(spark, dir)
+      .select($"new_id").as[Long].collect().toSet
+    assert(crossTwins.subsetOf(d11Hit),
+      s"J=1 certainty violated: ${(crossTwins -- d11Hit).take(5)}")
+  }
+
   // ------------- q100: Newman modularity -------------
 
   test("q100: two disjoint triangles with component labels score Q = 1/2 exactly") {
