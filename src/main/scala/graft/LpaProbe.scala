@@ -15,6 +15,9 @@ object LpaProbe {
     val dir = args.headOption.getOrElse("/tmp/graft-scale-x20")
     val window = args.drop(1).headOption.map(_.toInt)
       .getOrElse(operators.Graph.SemiPickWindow)
+    // arg 3: "full" re-aggregates colored neighborhoods per round
+    // (the pre-round-12 form) instead of the incremental used state
+    val inc = !args.drop(2).headOption.contains("full")
     val spark = GraftSession.builder(s"local[${GraftSession.defaultCpus}]")
       .config("spark.sql.shuffle.partitions", GraftSession.defaultCpus.toString)
       .getOrCreate()
@@ -29,10 +32,10 @@ object LpaProbe {
     println(s"== directed edges: ${edges.count()}")
     val t0 = System.nanoTime()
     val (col, rounds) = operators.Graph.trialColoring(edges,
-      operators.Graph.SemiColoringRounds, window)
+      operators.Graph.SemiColoringRounds, window, inc)
     val nColors = col.agg(max($"color")).as[Int].head()
     val colSec = (System.nanoTime() - t0) / 1e9
-    println(f"== trial coloring W=$window  $colSec%7.1f s  ($rounds rounds, $nColors colors)")
+    println(f"== trial coloring W=$window inc=$inc  $colSec%7.1f s  ($rounds rounds, $nColors colors)")
     val t1 = System.nanoTime()
     val steps0 = operators.Graph.lpaSweepSteps.get()
     val lbl = operators.Graph.semiSyncLabels(edges, window = window)

@@ -112,6 +112,40 @@ class Round12Spec extends GraftSpecBase {
     }
   }
 
+  test("q84 coloring: incremental used-state is bit-identical to full recomputation") {
+    // the round-12 O(E)-total state maintenance must produce the SAME
+    // coloring as re-aggregating colored neighborhoods every round
+    // (the form the oracle replays): membership-equal used sets give
+    // identical picks. Swept on the skip test's graphs (2-cycle,
+    // staggered-stabilization, seeded random) and the real sf graph.
+    val rnd = new scala.util.Random(7)
+    val random = (for (_ <- 1 to 150) yield {
+      val a = rnd.nextInt(50).toLong; val b = rnd.nextInt(50).toLong
+      if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+    }).flatten.distinct
+    val prs = operators.Analytics.copurchasePairs(spark, sf)
+      .filter($"n_orders" >= 2).select($"pa", $"pb")
+      .as[(Long, Long)].collect().toSeq
+    val graphs = Seq(
+      "K23" -> Seq((10L, 3L), (10L, 7L), (10L, 11L), (20L, 3L), (20L, 7L), (20L, 11L)),
+      "bridged cliques" -> (
+        (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)) ++
+        (for { a <- 11L to 14L; b <- 11L to 14L if a < b } yield (a, b)) ++
+        Seq((4L, 11L))),
+      "seeded random" -> random,
+      "sf0.001 co-purchase" -> prs)
+    for ((name, pairs) <- graphs) {
+      val edges = symmetric(pairs).cache()
+      def run(inc: Boolean) = operators.Graph.trialColoring(
+        edges, operators.Graph.SemiColoringRounds,
+        operators.Graph.SemiPickWindow, inc)._1
+        .as[(Long, Int)].collect().sortBy(_._1).toSeq
+      assert(run(inc = true) == run(inc = false),
+        s"$name: incremental used-state diverged from recomputation")
+      edges.unpersist()
+    }
+  }
+
   test("q84 engine: classes are actually skipped after stabilization") {
     // two disjoint triangles: every node labels to its triangle min in
     // round 1; every later sweep is identity, so the pending skip must
