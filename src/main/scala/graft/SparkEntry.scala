@@ -211,6 +211,7 @@ object SparkEntry {
     "q98_truss_thinned"  -> ((s: SparkSession, d: String) => Graph.q98TrussThinned(s, d)),
     "q99_hits"           -> (Graph.q99Hits _),
     "q100_modularity"    -> (Graph.q100Modularity _),
+    "q101_louvain"       -> (Graph.q101Louvain _),
     "s15_graph_ann"      -> ((s: SparkSession, d: String) => Similarity.s15GraphAnn(s, d)),
     "t18_cross_surprisal" -> (TextAnalysis.t18CrossSurprisal _),
     "t19_nb_langid"      -> (TextAnalysis.t19NbLangId _),
@@ -230,6 +231,7 @@ object SparkEntry {
     "p14_keep_best"      -> (Dedup.p14KeepBest _),
     "t15_heavy_sketch"   -> (TextAnalysis.t15HeavySketch _),
     "z2_zonemap_prune"   -> ((s: SparkSession, d: String) => Layout.z2ZonemapPrune(s, d)),
+    "z4_hilbert"         -> (Layout.z4HilbertStats _),
     "q69_holt_winters"   -> (Analytics.q69HoltWinters _),
     "q70_triangle_sample" -> ((s: SparkSession, d: String) => Graph.q70TriangleSample(s, d)),
     "q71_lcc_sample"     -> ((s: SparkSession, d: String) => Graph.q71LccSample(s, d)),
@@ -1916,6 +1918,8 @@ object SparkEntry {
     "q84_lpa_semisync" -> operators.Graph.lpaSemiSyncOracleSql(),
     // q100 re-runs the q84 unroll (shared CTE body) + modularity algebra
     "q100_modularity" -> operators.Graph.modularityOracleSql(),
+    // q101 extends the q84 unroll with the Louvain move rounds
+    "q101_louvain" -> operators.Graph.louvainOracleSql(),
     "t14_code_detect" -> operators.TextAnalysis.codeDetectOracleSql,
     "q83_top_paths" ->
       """WITH e AS (
@@ -1952,6 +1956,8 @@ object SparkEntry {
     "t16_novelty" -> operators.TextAnalysis.noveltyOracleSql,
     "q91_conversion_lag" -> operators.Analytics.conversionLagOracleSql,
     "z3_bloom_skip" -> operators.Layout.z3OracleSql(),
+    // z4 replays the Hilbert xy->d loop as one CTE per bit level
+    "z4_hilbert" -> operators.Layout.z4OracleSql(),
     "p15_temperature_mix" -> operators.Sampling.temperatureMixOracleSql,
     "p17_temperature_tau4" -> operators.Sampling.tau4OracleSql,
     "p18_curate" -> operators.Sampling.p18OracleSql,

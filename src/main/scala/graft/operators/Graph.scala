@@ -1266,22 +1266,55 @@ object Graph {
       coloringRounds: Int = SemiColoringRounds,
       rounds: Int = SemiLpaRounds): DataFrame =
     if (coloringRounds == SemiColoringRounds && rounds == SemiLpaRounds)
-      graft.Caches.memo("q84_semi", dir)(q84Compute(s, dir, coloringRounds, rounds))()
+      graft.Caches.memo("q84_semi", dir)(
+        q84Summarize(s, semiLabeled(s, dir).select(col("node"), col("lbl"))))()
     else q84Compute(s, dir, coloringRounds, rounds)
 
-  private def q84Compute(s: SparkSession, dir: String,
-      coloringRounds: Int, rounds: Int): DataFrame = {
+  /** The copurchase graph's symmetric edge list (q84/q100/q101's
+    * shared input). Lazy plan — callers cache around their loops. */
+  private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
-    val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
+    prs.select($"pa".as("src"), $"pb".as("dst"))
       .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
-      .cache()
-    val colored = semiSyncLabels(edges, coloringRounds, rounds)
+  }
+
+  /** The memoized proper-coloring artifact — ONE trial-coloring run
+    * per dataset schedules BOTH q84's LPA sweeps and q101's Louvain
+    * move passes (the d2/d7 artifact pattern: the expensive loop runs
+    * once, every downstream schedule reads it). */
+  private[graft] def semiColoredMemo(s: SparkSession, dir: String): DataFrame = {
+    var edges: DataFrame = null
+    graft.Caches.memo("q84_coloring", dir) {
+      edges = copurchaseEdges(s, dir).cache()
+      trialColoring(edges, SemiColoringRounds)._1
+    }(if (edges != null) edges.unpersist())
+  }
+
+  /** The memoized (node, color, lbl) labeling artifact — built over
+    * the shared coloring; serves q84 (labels) and q100 (score). */
+  private[graft] def semiLabeled(s: SparkSession, dir: String): DataFrame = {
+    var edges: DataFrame = null
+    graft.Caches.memo("q84_semi_labeled", dir) {
+      edges = copurchaseEdges(s, dir).cache()
+      semiSweeps(edges, semiColoredMemo(s, dir))
+    }(if (edges != null) edges.unpersist())
+  }
+
+  private def q84Summarize(s: SparkSession, colored: DataFrame): DataFrame = {
+    import s.implicits._
     val sizes = colored.groupBy($"lbl").agg(count(lit(1)).as("community_size"))
-    val out = colored.join(sizes, "lbl")
+    colored.join(sizes, "lbl")
       .select($"node".as("l_partkey"), $"lbl".as("community"),
         $"community_size")
       .orderBy($"l_partkey")
+  }
+
+  private def q84Compute(s: SparkSession, dir: String,
+      coloringRounds: Int, rounds: Int): DataFrame = {
+    val edges = copurchaseEdges(s, dir).cache()
+    val colored = semiSyncLabels(edges, coloringRounds, rounds)
+    val out = q84Summarize(s, colored)
     edges.unpersist()
     out
   }
@@ -1459,10 +1492,24 @@ object Graph {
   private[graft] def semiSyncLabels(edges: DataFrame,
       coloringRounds: Int = SemiColoringRounds,
       rounds: Int = SemiLpaRounds,
-      window: Int = SemiPickWindow): DataFrame = {
+      window: Int = SemiPickWindow): DataFrame =
+    semiSyncLabeled(edges, coloringRounds, rounds, window)
+      .select(col("node"), col("lbl"))
+
+  /** The full (node, color, lbl) frame behind `semiSyncLabels`. */
+  private[graft] def semiSyncLabeled(edges: DataFrame,
+      coloringRounds: Int = SemiColoringRounds,
+      rounds: Int = SemiLpaRounds,
+      window: Int = SemiPickWindow): DataFrame =
+    semiSweeps(edges, trialColoring(edges, coloringRounds, window)._1, rounds)
+
+  /** The per-color LPA sweep schedule over a PREBUILT proper coloring
+    * — separated so the coloring artifact can be shared with q101's
+    * Louvain schedule (`semiColoredMemo`). */
+  private[graft] def semiSweeps(edges: DataFrame, col: DataFrame,
+      rounds: Int = SemiLpaRounds): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val (col, _) = trialColoring(edges, coloringRounds, window)
     val nColors = col.agg(max($"color")).as[Int].head()
     // ---- per-color LPA sweeps, keep-current-if-argmax, with a ----
     // ---- driver-side PENDING-CLASS skip (round-12)            ----
@@ -1536,7 +1583,7 @@ object Graph {
         }
       }
     }
-    lbl.select($"node", $"lbl")
+    lbl
   }
 
   /** Q84 oracle: the trial-coloring rounds and every per-color sweep
@@ -1566,7 +1613,14 @@ object Graph {
   private[graft] def lpaSemiSyncOracleBody(
       coloringRounds: Int = SemiColoringRounds,
       colors: Int = SemiColors,
-      rounds: Int = SemiLpaRounds): String = {
+      rounds: Int = SemiLpaRounds): String =
+    coloringOracleBody(coloringRounds) + lpaSweepOracleCtes(coloringRounds, colors, rounds)
+
+  /** Graph + trial-coloring prefix of the unroll (base tables, edges,
+    * degrees, the coloring rounds) — shared by the q84/q100 chain and
+    * q101's Louvain chain, which schedules over the SAME coloring. */
+  private[graft] def coloringOracleBody(
+      coloringRounds: Int = SemiColoringRounds): String = {
     val base = """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          prs AS (
            SELECT a.l_partkey AS pa, b.l_partkey AS pb
@@ -1615,6 +1669,15 @@ object Graph {
              WHERE e.src = p.node AND q.pick = p.pick
                AND (q.prio, q.node) > (p.prio, p.node)))"""
     }.mkString
+    base + coloring
+  }
+
+  /** The LPA singleton-init + per-color sweep CTEs (the suffix of the
+    * q84 chain over `coloringOracleBody`'s prefix). */
+  private[graft] def lpaSweepOracleCtes(
+      coloringRounds: Int = SemiColoringRounds,
+      colors: Int = SemiColors,
+      rounds: Int = SemiLpaRounds): String = {
     val init = s""",
          l_0_$colors AS MATERIALIZED (
            SELECT node, color, node AS lbl FROM col_$coloringRounds)"""
@@ -1641,7 +1704,7 @@ object Graph {
              ON u.node = p.node)"""
       }
     }.mkString
-    base + coloring + init + sweeps
+    init + sweeps
   }
 
   /** Q100 oracle: the full q84 unroll (same CTE chain — the labeling
@@ -1744,6 +1807,193 @@ object Graph {
         lit(m2).as("m2"),
         loud(loud(qn, "intra·2m − deg² (decimal)").cast("long"),
           "q_num (int64 range)").as("q_num"))
+  }
+
+  // ----------------------------------------------------------------
+  // Q101: Louvain-style modularity local moves
+  // ----------------------------------------------------------------
+
+  /** Louvain move passes from the singleton init — fixed (not
+    * until-convergence) so the operator is a pure function of its
+    * input and the oracle can replay it unrolled (the q84/q66
+    * discipline). */
+  val LouvainRounds = 3
+
+  /** One Louvain "phase 1" move engine (Blondel et al. 2008),
+    * DISTRIBUTED with the semi-synchronous schedule the repo's LPA
+    * already runs (the published distributed-Louvain shape — Ghosh et
+    * al., IPDPS 2018): color classes are swept in ascending order,
+    * and within a class every node simultaneously moves to the
+    * neighbor community with the best strictly-positive modularity
+    * gain (ties → min label; no positive gain → stay). Classes are
+    * independent sets, so a member's neighbor-community edge counts
+    * k_{v,C} are EXACT under simultaneous within-class moves; the
+    * community volumes Σ_C deg are FROZEN AT ROUND START (refreshed
+    * once per outer round — the distributed-Louvain approximation;
+    * two same-class movers into one community interact only through
+    * the second-order volume penalty, documented rather than hidden).
+    *
+    * The gain is Newman modularity's exact integer numerator: moving
+    * v (degree k_v) from community A to C changes Q·(2m)²/2 by
+    *   gain = 2m·(k_{v,C} − k_{v,A}) − k_v·(tot_C − (tot_A − k_v))
+    * — every term a counter, so the whole schedule is replayable
+    * algebra (products in DECIMAL(38,0) ↔ the oracle's HUGEINT,
+    * loud-guarded: a corpus whose products outgrow 38 digits fails
+    * visibly, never drops a candidate to a silent null).
+    *
+    * Shape at scale: per class step, one edge-keyed join restricted
+    * to the class (left_semi on the shrinking member set) + one
+    * (node, community) count + a broadcast-scale volume join + one
+    * agg-only argmax — the q84 sweep shape with a volumes join. The
+    * volumes frame is |communities|-sized and refreshed once per
+    * round. Rounds × colors driver-synchronized steps is the q84
+    * price; the pending-skip lever applies here too if a workload
+    * ever needs round counts past the fixed budget. */
+  private[graft] def louvainMoves(edges: DataFrame, labeled: DataFrame,
+      rounds: Int = LouvainRounds,
+      stepProbe: (Int, Int, DataFrame) => Unit = null,
+      gainProbe: (Int, Int, DataFrame) => Unit = null): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val deg = edges.groupBy($"src".as("node"))
+      .agg(count(lit(1)).as("deg")).cache()
+    val m2 = edges.count() // |e| = 2m: one scalar, the only driver value
+    val nColors = labeled.agg(max($"color")).as[Int].head()
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    def loud(c: Column) = when(c.isNull,
+      raise_error(lit("q101_louvain: exact-integer overflow in the " +
+        "gain product — graph mass exceeds the decimal(38,0) surface")))
+      .otherwise(c)
+    var lbl = labeled.select($"node", $"color", $"lbl").checkpointFresh
+    var round = 0
+    while (round < rounds) {
+      // round-frozen community volumes (one aggregate per round)
+      val tot = lbl.join(deg, "node")
+        .groupBy($"lbl".as("c_lbl")).agg(sum($"deg").as("tot"))
+        .cache()
+      for (c <- 1 to nColors) {
+        val cls = lbl.filter($"color" === c)
+          .select($"node".as("src"), $"lbl".as("cur"))
+        val kv = edges
+          .join(cls.select($"src"), Seq("src"), "left_semi")
+          .join(lbl.select($"node".as("dst"), $"lbl".as("nl")), "dst")
+          .groupBy($"src", $"nl").agg(count(lit(1)).as("k"))
+          .join(cls, "src")
+        val ka = kv.filter($"nl" === $"cur").select($"src", $"k".as("ka"))
+        val gain =
+          d38(lit(m2)) * (d38($"k") - d38(coalesce($"ka", lit(0L)))) -
+            d38($"deg") * (d38($"totC") - d38($"totA") + d38($"deg"))
+        val gains = kv.filter($"nl" =!= $"cur")
+          .join(ka, Seq("src"), "left")
+          .join(deg.select($"node".as("src"), $"deg"), "src")
+          .join(tot.select($"c_lbl".as("nl"), $"tot".as("totC")), "nl")
+          .join(tot.select($"c_lbl".as("cur"), $"tot".as("totA")), "cur")
+        if (gainProbe != null) gainProbe(round, c, gains)
+        val mv = gains
+          .select($"src", $"nl", loud(gain).as("gain"))
+          .filter($"gain" > 0)
+          .groupBy($"src")
+          .agg(max(struct($"gain", (-$"nl").as("neg"))).as("m"))
+          .select($"src", (-$"m.neg").as("newLbl"))
+        lbl = lbl.join(mv, $"node" === $"src", "left")
+          .select($"node", $"color", coalesce($"newLbl", $"lbl").as("lbl"))
+          .checkpointFresh
+        if (stepProbe != null) stepProbe(round, c, lbl)
+      }
+      tot.unpersist()
+      round += 1
+    }
+    deg.unpersist()
+    lbl.select($"node", $"lbl")
+  }
+
+  /** Q101: LOUVAIN COMMUNITY DETECTION (phase 1) — the modularity-
+    * optimizing detector next to q84's LPA, closing the community
+    * loop: q84 DETECTS by label frequency, q100 SCORES, q101 detects
+    * by the score itself. Starts from SINGLETONS (the published
+    * init — Blondel et al. 2008; a local move can merge but never
+    * split, so starting from a coarse labeling would freeze its
+    * mistakes: measured, q84 glues dense sf0.001 into ONE community
+    * with Q = 0 exactly, and no move sequence can leave it) and runs
+    * `LouvainRounds` semi-synchronous move passes over the SHARED
+    * coloring artifact (`semiColoredMemo` — one coloring schedules
+    * both detectors). Output mirrors q84 (per node: community + size)
+    * so the labeling itself is the hash-checked surface; the oracle
+    * replays the coloring + every move round CTE-for-step. */
+  def q101Louvain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = copurchaseEdges(s, dir).cache()
+    val init = semiColoredMemo(s, dir)
+      .select($"node", $"color", $"node".as("lbl"))
+    val refined = louvainMoves(edges, init)
+    val out = q84Summarize(s, refined)
+    edges.unpersist()
+    out
+  }
+
+  /** Q101 oracle: the shared coloring CTE prefix, a singleton init
+    * `lv_0`, then per move round r: a volumes CTE `lt_r` frozen at
+    * round start, and per class step c a `kv_r_c` (per-member
+    * neighbor-community counts) + `lv_r_c` (apply the best
+    * strictly-positive-gain move, ties → min label). HUGEINT products
+    * ≡ Spark's DECIMAL(38,0) — both exact. ~17 coloring +
+    * 3×(1+2×24) move CTEs ≈ 165, under the 374 precedent. */
+  private[graft] def louvainOracleSql(
+      coloringRounds: Int = SemiColoringRounds,
+      colors: Int = SemiColors,
+      moveRounds: Int = LouvainRounds): String = {
+    val steps = (1 to moveRounds).map { r =>
+      val roundStart = if (r == 1) "lv_0" else s"lv_${r - 1}_$colors"
+      val tot = s""",
+         lt_$r AS MATERIALIZED (
+           SELECT l.lbl AS c_lbl, CAST(sum(d.deg) AS BIGINT) AS tot
+           FROM $roundStart l JOIN dg d ON d.node = l.node GROUP BY 1)"""
+      val classes = (1 to colors).map { c =>
+        val prev = if (c == 1) roundStart else s"lv_${r}_${c - 1}"
+        s""",
+         kv_${r}_$c AS MATERIALIZED (
+           SELECT e.src, q.lbl AS nl, count(*) AS k,
+             any_value(me.lbl) AS cur
+           FROM e JOIN $prev me ON me.node = e.src AND me.color = $c
+                  JOIN $prev q ON q.node = e.dst
+           GROUP BY 1, 2),
+         lv_${r}_$c AS MATERIALIZED (
+           SELECT p.node, p.color,
+             CASE WHEN p.color = $c THEN coalesce(u.newlbl, p.lbl)
+                  ELSE p.lbl END AS lbl
+           FROM $prev p LEFT JOIN (
+             SELECT src AS node, nl AS newlbl FROM (
+               SELECT v.src, v.nl,
+                 row_number() OVER (PARTITION BY v.src
+                   ORDER BY v.gain DESC, v.nl) AS rn
+               FROM (
+                 SELECT kv.src, kv.nl,
+                   CAST(m.m2 AS HUGEINT) * (kv.k - coalesce(ka.ka, 0))
+                     - CAST(d.deg AS HUGEINT)
+                       * (tc.tot - ta.tot + d.deg) AS gain
+                 FROM kv_${r}_$c kv
+                 LEFT JOIN (SELECT src, k AS ka FROM kv_${r}_$c
+                            WHERE nl = cur) ka ON ka.src = kv.src
+                 JOIN dg d ON d.node = kv.src
+                 JOIN lt_$r tc ON tc.c_lbl = kv.nl
+                 JOIN lt_$r ta ON ta.c_lbl = kv.cur
+                 CROSS JOIN m2t m
+                 WHERE kv.nl <> kv.cur) v
+               WHERE v.gain > 0) z WHERE z.rn = 1) u
+             ON u.node = p.node)"""
+      }.mkString
+      tot + classes
+    }.mkString
+    val last = s"lv_${moveRounds}_$colors"
+    coloringOracleBody(coloringRounds) + s""",
+         m2t AS MATERIALIZED (SELECT count(*) AS m2 FROM e),
+         lv_0 AS MATERIALIZED (
+           SELECT node, color, node AS lbl FROM col_$coloringRounds)""" + steps + s"""
+         SELECT l.node AS l_partkey, l.lbl AS community, c.community_size
+         FROM $last l JOIN (
+           SELECT lbl, count(*) AS community_size
+           FROM $last GROUP BY 1) c USING (lbl)
+         ORDER BY l_partkey"""
   }
 
   // ----------------------------------------------------------------

@@ -169,6 +169,82 @@ object Layout {
       .orderBy($"zbucket")
   }
 
+  /** Hilbert key domain: 21 bits per dimension — the same catalog-key
+    * bound as `zorderKey` (keys < 2^21, index < 2^42), so the two
+    * layouts are directly comparable on the same columns. */
+  val HilbertBits = 21
+
+  /** 2-D HILBERT index column: position of (a, b) along the Hilbert
+    * curve through the 2^21 × 2^21 grid — `zorderKey`'s locality
+    * upgrade. One native loop-codegen expression
+    * (functions/HilbertIndex.scala): consecutive key values are
+    * Manhattan-adjacent cells (the property Morton order loses at
+    * every power-of-two boundary), so contiguous key ranges — the
+    * file cuts an OPTIMIZE rewrite produces — cover strictly tighter
+    * bounding boxes for min-max pruning. */
+  def hilbertKey(a: Column, b: Column): Column =
+    call_function("hilbert_xy2d", a.cast("long"), b.cast("long"),
+      lit(HilbertBits))
+
+  /** Z4: Hilbert-curve layout audit — z1's twin under the Hilbert
+    * key, same surface (per coarse curve bucket: row count + bounding
+    * box in both dimensions) so the two curves' locality is
+    * hash-checked AND comparable row-for-row. Each 4096-cell bucket
+    * of a Hilbert curve is a CONNECTED region of (part, supp) space
+    * (curve continuity), where a Z bucket at the same granularity can
+    * straddle a discontinuity jump; Round12Spec measures the
+    * aggregate bounding-box area of both layouts on this corpus and
+    * pins the Hilbert ≤ Morton direction. Same shape as z1: one scan
+    * + one hash aggregation on the bucket key, output
+    * bucket-count-sized. */
+  def z4HilbertStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey",
+        hilbertKey($"l_partkey", $"l_suppkey").as("hkey"))
+      .groupBy(shiftright($"hkey", 12).as("hbucket"))
+      .agg(count(lit(1)).as("n"),
+        min($"l_partkey").as("min_part"), max($"l_partkey").as("max_part"),
+        min($"l_suppkey").as("min_supp"), max($"l_suppkey").as("max_supp"))
+      .orderBy($"hbucket")
+  }
+
+  /** Z4 oracle: the Hilbert xy→d loop unrolled — one CTE per bit
+    * level (21 steps), each replaying exactly the expression's
+    * arithmetic: quadrant bits from the CURRENT (x, y), the s²-scaled
+    * Gray-code increment, then the conditional reflect + swap. DuckDB
+    * `xor` on the {0,1,3} operands ≡ the generated `^`. */
+  private[graft] def z4OracleSql(): String = {
+    val steps = (HilbertBits - 1 to 0 by -1).map { i =>
+      val s = 1L << i
+      s""",
+         h_$i AS (
+           SELECT l_partkey, l_suppkey,
+             d + ${s * s} * xor(3 * rx, ry) AS d,
+             CASE WHEN ry = 0
+               THEN (CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END)
+               ELSE x END AS x,
+             CASE WHEN ry = 0
+               THEN (CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END)
+               ELSE y END AS y
+           FROM (
+             SELECT *,
+               CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+             FROM h_${i + 1}))"""
+    }.mkString
+    s"""WITH h_$HilbertBits AS (
+           SELECT l_partkey, l_suppkey,
+             CAST(l_partkey AS BIGINT) AS x,
+             CAST(l_suppkey AS BIGINT) AS y,
+             CAST(0 AS BIGINT) AS d
+           FROM lineitem)$steps
+         SELECT d >> 12 AS hbucket, count(*) AS n,
+           min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+           min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+         FROM h_0 GROUP BY 1 ORDER BY 1"""
+  }
+
   /** The z2 predicate box — a rectangular filter on BOTH interleaved
     * dimensions, the workload z-ordering exists for. */
   val Z2PartLo = 1000L; val Z2PartHi = 1500L

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayDot, DotTopK, JlProject, MaxRunLength, MinHashAgg, MisraGriesAgg, PqAdcTopK, PqEncode, SimHashAgg, SortedDot, SortedIntersectSize, TopKAgg}
+import graft.functions.{ArrayDot, DotTopK, HilbertIndex, JlProject, MaxRunLength, MinHashAgg, MisraGriesAgg, PqAdcTopK, PqEncode, SimHashAgg, SortedDot, SortedIntersectSize, TopKAgg}
 
 /** Session extensions: registers graft's native Catalyst expressions
   * so they resolve in both the Column DSL (`call_function`) and SQL.
@@ -60,6 +60,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           c.eval().asInstanceOf[Int]
         }
         JlProject(children(0), JlProject.signs(dim(1, "inDim"), dim(2, "outDim")))
+      }))
+    // hilbert_xy2d(x, y, bits): 2-D Hilbert-curve index as one
+    // loop-codegen expression (z4's layout key); bits must be an int
+    // literal — it sizes the generated loop at plan time, so the
+    // builder validates up front (the jl_project discipline).
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_xy2d"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_xy2d"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.AnalysisException
+        import org.apache.spark.sql.types.IntegerType
+        def fail(msg: String): Nothing = throw new AnalysisException(
+          "_LEGACY_ERROR_TEMP_2273", Map("message" -> msg))
+        if (children.length != 3)
+          fail(s"hilbert_xy2d(x, y, bits) takes 3 arguments, got ${children.length}")
+        val b = children(2)
+        if (!b.foldable || b.dataType != IntegerType)
+          fail("hilbert_xy2d: bits must be an INT literal (it sizes the " +
+            s"generated loop at plan time), got ${b.sql}: ${b.dataType.sql}")
+        val bits = b.eval().asInstanceOf[Int]
+        if (bits < 1 || bits > 31)
+          fail(s"hilbert_xy2d: bits must be in [1, 31], got $bits")
+        HilbertIndex(children(0), children(1), bits)
       }))
     ext.injectFunction((
       FunctionIdentifier("simhash_agg"),

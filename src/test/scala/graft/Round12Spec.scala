@@ -468,4 +468,167 @@ class Round12Spec extends GraftSpecBase {
     // artifact identity: same DataFrame instance served back
     assert(Similarity.knnGraphIndex(spark, sf) eq g, "index rebuilt")
   }
+
+  // ------------- z4: Hilbert-curve layout -------------
+
+  test("hilbert_xy2d: bijective and Manhattan-continuous on the full 32x32 grid") {
+    // THE Hilbert property, exhaustively: d is a bijection onto
+    // [0, 4^bits) and consecutive curve positions are adjacent cells
+    // (|dx| + |dy| = 1). Any arithmetic slip in the rotate/reflect
+    // steps breaks one of the two — this is the spec the oracle's
+    // unrolled replay leans on.
+    val grid = for { x <- 0 until 32; y <- 0 until 32 } yield (x.toLong, y.toLong)
+    val got = grid.toDF("x", "y")
+      .select($"x", $"y",
+        call_function("hilbert_xy2d", $"x", $"y", lit(5)).as("d"))
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(got.map(_._3).toSeq == (0L until 1024L), "d not a bijection onto [0, 1024)")
+    got.sliding(2).foreach { case Array((x0, y0, d0), (x1, y1, _)) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1L,
+        s"curve jumps from ($x0,$y0) to ($x1,$y1) after d=$d0")
+    }
+    // anchor the orientation so both engines' replays can't drift:
+    // the canonical curve starts (0,0) -> (0,1) -> (1,1) -> (1,0)
+    val first4 = got.take(4).map(t => (t._1, t._2)).toSeq
+    assert(first4 == Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)), s"orientation $first4")
+  }
+
+  test("hilbert_xy2d: out-of-domain coordinates raise loudly, never fold") {
+    val e = intercept[Exception] {
+      Seq((1L << 21, 3L)).toDF("x", "y")
+        .select(operators.Layout.hilbertKey($"x", $"y")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(c => c.getMessage != null && c.getMessage.contains("hilbert_xy2d")),
+      s"unexpected error: $e")
+  }
+
+  // ------------- q101: Louvain local moves -------------
+
+  /** Local reference of the q101 move schedule: classes ascending,
+    * within-class simultaneous best-positive-gain moves (ties → min
+    * label), community volumes frozen at round start — exactly what
+    * the engine and the oracle run, in BigInt algebra. */
+  private def louvainReference(edges: Seq[(Long, Long)],
+      color: Map[Long, Int], init: Map[Long, Long],
+      rounds: Int): Map[Long, Long] = {
+    val adj = edges.flatMap(e => Seq(e, e.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val m2 = BigInt(adj.values.map(_.size).sum)
+    val lbl = collection.mutable.Map(init.toSeq: _*)
+    for (_ <- 1 to rounds) {
+      // iterator.map, NOT Set.map: mapping member nodes to degrees
+      // through a Set DEDUPES equal degree values before the sum
+      val tot = lbl.keys.groupBy(lbl).view
+        .mapValues(vs => BigInt(vs.iterator.map(deg).sum)).toMap
+      for (c <- 1 to color.values.max) {
+        val upd = adj.keys.filter(color(_) == c).flatMap { v =>
+          val cnt = adj(v).groupBy(lbl).view
+            .mapValues(us => BigInt(us.size)).toMap
+          val cur = lbl(v)
+          val ka = cnt.getOrElse(cur, BigInt(0))
+          val kvDeg = BigInt(deg(v))
+          val cand = cnt.keys.filter(_ != cur).map { nl =>
+            (nl, m2 * (cnt(nl) - ka) -
+              kvDeg * (tot(nl) - tot(cur) + kvDeg))
+          }.filter(_._2 > 0)
+          if (cand.isEmpty) None
+          else Some(v -> cand.maxBy { case (nl, g) => (g, -nl) }._1)
+        }.toSeq
+        upd.foreach { case (v, l) => lbl(v) = l }
+      }
+    }
+    lbl.toMap
+  }
+
+  test("q101 engine: distributed moves == local reference on constructed + real graphs") {
+    val rnd = new scala.util.Random(13)
+    val random = (for (_ <- 1 to 150) yield {
+      val a = rnd.nextInt(50).toLong; val b = rnd.nextInt(50).toLong
+      if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+    }).flatten.distinct
+    val prs = operators.Analytics.copurchasePairs(spark, sf)
+      .filter($"n_orders" >= 2).select($"pa", $"pb")
+      .as[(Long, Long)].collect().toSeq
+    val graphs = Seq(
+      "bridged triangles" -> Seq((1L, 2L), (2L, 3L), (1L, 3L),
+        (11L, 12L), (12L, 13L), (11L, 13L), (3L, 11L)),
+      "K23" -> Seq((10L, 3L), (10L, 7L), (10L, 11L), (20L, 3L), (20L, 7L), (20L, 11L)),
+      "seeded random" -> random,
+      "sf0.001 co-purchase" -> prs)
+    for ((name, pairs) <- graphs) {
+      val edges = symmetric(pairs).cache()
+      val colored = operators.Graph.trialColoring(
+        edges, operators.Graph.SemiColoringRounds)._1
+      val init = colored.select($"node", $"color", $"node".as("lbl"))
+      val got = operators.Graph.louvainMoves(edges, init)
+        .as[(Long, Long)].collect().toMap
+      val color = colored.as[(Long, Int)].collect().toMap
+      val want = louvainReference(pairs, color,
+        color.keys.map(v => v -> v).toMap,
+        operators.Graph.LouvainRounds)
+      assert(got == want, s"$name: distributed moves diverged from reference")
+      edges.unpersist()
+    }
+  }
+
+  test("q101: modularity strictly improves on the q84 labeling at sf0.001") {
+    // the reason the entry exists: q84's LPA optimizes monochromatic
+    // edges with no volume penalty and glues the dense sf0.001 graph
+    // into ONE community (Σ q_num = 0 exactly — measured); the
+    // Louvain gain is the score itself, so its labeling must buy
+    // measurable Q. Σ q_num is Q·(2m)³ up to the constant — exact
+    // integers, so "improves" is a bit-exact comparison.
+    def qSum(labels: org.apache.spark.sql.DataFrame): BigInt = {
+      val edges = operators.Graph.copurchaseEdges(spark, sf)
+      BigInt(operators.Graph.modularityOf(edges, labels)
+        .agg(sum($"q_num")).as[Long].head())
+    }
+    val before = qSum(operators.Graph.q84LpaSemisync(spark, sf)
+      .select($"l_partkey".as("node"), $"community".as("lbl")))
+    val after = qSum(operators.Graph.q101Louvain(spark, sf)
+      .select($"l_partkey".as("node"), $"community".as("lbl")))
+    assert(after > before, s"q_num sum $before -> $after (no improvement)")
+  }
+
+  test("q101: refined labeling conserves the node set and community sizes") {
+    val got = operators.Graph.q101Louvain(spark, sf)
+    val q84 = operators.Graph.q84LpaSemisync(spark, sf)
+    assert(got.count() == q84.count(), "node set changed")
+    // sizes consistent: per-community size == the count of its rows
+    val bad = got.groupBy($"community", $"community_size")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" =!= $"community_size")
+    assert(bad.isEmpty, "community_size column inconsistent with row counts")
+  }
+
+  test("z4: equal-row-count file cuts cover tighter boxes under Hilbert than Morton") {
+    // the operational comparison: OPTIMIZE writes fixed-ROW-COUNT
+    // files (compactFrame's balanced cuts at arbitrary rank
+    // boundaries), NOT bit-aligned tiles. At dyadic granularities the
+    // two curves produce the IDENTICAL power-of-4 blocks (measured:
+    // mean box area ties exactly at the >>12 bucket cut — a Morton
+    // bucket is always a perfect rectangle), so the published Hilbert
+    // advantage only shows at arbitrary boundaries, where a Morton
+    // interval straddles a Z-jump and its box explodes.
+    def meanChunkArea(keyed: org.apache.spark.sql.DataFrame): Double = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"key", $"p", $"s")
+      keyed.withColumn("chunk", ntile(64).over(w))
+        .groupBy($"chunk")
+        .agg((((max($"p") - min($"p") + 1L) *
+               (max($"s") - min($"s") + 1L)).cast("double")).as("area"))
+        .agg(avg($"area")).as[Double].head()
+    }
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s"))
+    val hil = meanChunkArea(
+      li.withColumn("key", operators.Layout.hilbertKey($"p", $"s")))
+    val mor = meanChunkArea(
+      li.withColumn("key", operators.Layout.zorderKey($"p", $"s")))
+    assert(hil < mor, s"hilbert mean file box area $hil !< morton $mor")
+  }
 }
