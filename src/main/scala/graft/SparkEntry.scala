@@ -212,6 +212,7 @@ object SparkEntry {
     "q99_hits"           -> (Graph.q99Hits _),
     "q100_modularity"    -> (Graph.q100Modularity _),
     "q101_louvain"       -> (Graph.q101Louvain _),
+    "q102_louvain_coarse" -> (Graph.q102LouvainCoarse _),
     "s15_graph_ann"      -> ((s: SparkSession, d: String) => Similarity.s15GraphAnn(s, d)),
     "t18_cross_surprisal" -> (TextAnalysis.t18CrossSurprisal _),
     "t19_nb_langid"      -> (TextAnalysis.t19NbLangId _),
@@ -1918,8 +1919,10 @@ object SparkEntry {
     "q84_lpa_semisync" -> operators.Graph.lpaSemiSyncOracleSql(),
     // q100 re-runs the q84 unroll (shared CTE body) + modularity algebra
     "q100_modularity" -> operators.Graph.modularityOracleSql(),
-    // q101 extends the q84 unroll with the Louvain move rounds
+    // q101 extends the q84 coloring with the Louvain move rounds;
+    // q102 adds the contraction + supergraph coloring + weighted moves
     "q101_louvain" -> operators.Graph.louvainOracleSql(),
+    "q102_louvain_coarse" -> operators.Graph.louvainCoarseOracleSql(),
     "t14_code_detect" -> operators.TextAnalysis.codeDetectOracleSql,
     "q83_top_paths" ->
       """WITH e AS (

@@ -1636,11 +1636,20 @@ object Graph {
            FROM e GROUP BY 1),
          col_0 AS (SELECT node, CAST(NULL AS INTEGER) AS color
                    FROM nd WHERE 1 = 0)"""
-    val coloring = (1 to coloringRounds).map { i =>
+    base + coloringCtes("e", "dg", "", coloringRounds)
+  }
+
+  /** The trial-coloring CTE rounds over arbitrary edge/degree table
+    * names — ONE recipe for the base graph ("" tag: pick_i/col_i, the
+    * q84/q100/q101 chain) and q102's supergraph ("2" tag). The caller
+    * supplies the empty `col{tag}_0` seed CTE. */
+  private[graft] def coloringCtes(e: String, dg: String, tag: String,
+      coloringRounds: Int): String =
+    (1 to coloringRounds).map { i =>
       // SQL round i replays Spark round r = i-1's multiplier
       val a = semiPrioA(i - 1)
       s""",
-         pick_$i AS MATERIALIZED (
+         pick${tag}_$i AS MATERIALIZED (
            -- free palette = [1..deg+1] minus colored-neighbor colors
            -- (ascending; a free color ALWAYS exists), pick = the
            -- ((node*a) mod M) mod min(len, W)-th smallest free color
@@ -1652,25 +1661,23 @@ object Graph {
                list_filter(generate_series(1, d.deg + 1),
                  c -> NOT list_contains(
                    coalesce(u.used, CAST([] AS BIGINT[])), c)) AS fr
-             FROM dg d
+             FROM $dg d
              LEFT JOIN (
                SELECT e.src AS node,
                  list(DISTINCT CAST(cc.color AS BIGINT)) AS used
-               FROM e JOIN col_${i - 1} cc ON e.dst = cc.node
+               FROM $e e JOIN col${tag}_${i - 1} cc ON e.dst = cc.node
                GROUP BY 1) u ON u.node = d.node
-             WHERE d.node NOT IN (SELECT node FROM col_${i - 1})) v),
-         col_$i AS MATERIALIZED (
-           SELECT node, color FROM col_${i - 1}
+             WHERE d.node NOT IN (SELECT node FROM col${tag}_${i - 1})) v),
+         col${tag}_$i AS MATERIALIZED (
+           SELECT node, color FROM col${tag}_${i - 1}
            UNION ALL
            SELECT p.node, CAST(p.pick AS INTEGER) AS color
-           FROM pick_$i p
+           FROM pick${tag}_$i p
            WHERE NOT EXISTS (
-             SELECT 1 FROM e JOIN pick_$i q ON e.dst = q.node
+             SELECT 1 FROM $e e JOIN pick${tag}_$i q ON e.dst = q.node
              WHERE e.src = p.node AND q.pick = p.pick
                AND (q.prio, q.node) > (p.prio, p.node)))"""
     }.mkString
-    base + coloring
-  }
 
   /** The LPA singleton-init + per-color sweep CTEs (the suffix of the
     * q84 chain over `coloringOracleBody`'s prefix). */
@@ -1856,36 +1863,69 @@ object Graph {
     val s = edges.sparkSession
     import s.implicits._
     val deg = edges.groupBy($"src".as("node"))
-      .agg(count(lit(1)).as("deg")).cache()
+      .agg(count(lit(1)).as("s")).cache()
     val m2 = edges.count() // |e| = 2m: one scalar, the only driver value
-    val nColors = labeled.agg(max($"color")).as[Int].head()
+    val out = louvainMovesW(edges.withColumn("w", lit(1L)), deg, m2,
+      labeled, rounds, freshTot = false, stepProbe, gainProbe)
+    deg.unpersist()
+    out
+  }
+
+  /** The weighted move core (one recipe for both phases — the bandsOf
+    * discipline): `edges` carry a weight column `w` (phase 1 passes
+    * w = 1, where sum ≡ count), `strength` is the per-node weighted
+    * degree INCLUDING self-loop mass (phase 1: the plain degree;
+    * phase 2: Σ cross-community weights + the community's internal
+    * directed count — the standard Σw + 2·loops), and `m2w` = Σ
+    * strength, which coarsening leaves INVARIANT (= the base graph's
+    * |e| — the property that makes phase-2 gains the same global Q
+    * algebra as phase 1's). */
+  private[graft] def louvainMovesW(edges: DataFrame, strength: DataFrame,
+      m2w: Long, labeled: DataFrame, rounds: Int,
+      freshTot: Boolean = false,
+      stepProbe: (Int, Int, DataFrame) => Unit = null,
+      gainProbe: (Int, Int, DataFrame) => Unit = null): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val nColors = labeled.agg(coalesce(max($"color"), lit(0))).as[Int].head()
     def d38(c: Column) = c.cast("decimal(38,0)")
     def loud(c: Column) = when(c.isNull,
-      raise_error(lit("q101_louvain: exact-integer overflow in the " +
+      raise_error(lit("louvain: exact-integer overflow in the " +
         "gain product — graph mass exceeds the decimal(38,0) surface")))
       .otherwise(c)
     var lbl = labeled.select($"node", $"color", $"lbl").checkpointFresh
     var round = 0
     while (round < rounds) {
-      // round-frozen community volumes (one aggregate per round)
-      val tot = lbl.join(deg, "node")
-        .groupBy($"lbl".as("c_lbl")).agg(sum($"deg").as("tot"))
+      // Community volumes: phase 1 freezes them at ROUND start (one
+      // aggregate per round — singleton strengths are tiny next to
+      // 2m, so staleness is second-order); phase 2 refreshes PER
+      // CLASS STEP (freshTot) — supernode strengths are community-
+      // scale, and measured at sf0.001 the frozen policy SNOWBALLS
+      // (9 supernodes / 8 colors ⟹ nearly-sequential steps against
+      // fully stale volumes: Q·(2m)² 569,980 → 3,104 collapse),
+      // while per-step volumes improve and converge (→ 779,378,
+      // stable from round 1). The supergraph is community-count-
+      // sized, so the extra per-step aggregate is metadata-scale.
+      def volumes() = lbl.join(strength, "node")
+        .groupBy($"lbl".as("c_lbl")).agg(sum($"s").as("tot"))
         .cache()
+      var tot = volumes()
       for (c <- 1 to nColors) {
+        if (freshTot && c > 1) { tot.unpersist(); tot = volumes() }
         val cls = lbl.filter($"color" === c)
           .select($"node".as("src"), $"lbl".as("cur"))
         val kv = edges
           .join(cls.select($"src"), Seq("src"), "left_semi")
           .join(lbl.select($"node".as("dst"), $"lbl".as("nl")), "dst")
-          .groupBy($"src", $"nl").agg(count(lit(1)).as("k"))
+          .groupBy($"src", $"nl").agg(sum($"w").as("k"))
           .join(cls, "src")
         val ka = kv.filter($"nl" === $"cur").select($"src", $"k".as("ka"))
         val gain =
-          d38(lit(m2)) * (d38($"k") - d38(coalesce($"ka", lit(0L)))) -
-            d38($"deg") * (d38($"totC") - d38($"totA") + d38($"deg"))
+          d38(lit(m2w)) * (d38($"k") - d38(coalesce($"ka", lit(0L)))) -
+            d38($"s") * (d38($"totC") - d38($"totA") + d38($"s"))
         val gains = kv.filter($"nl" =!= $"cur")
           .join(ka, Seq("src"), "left")
-          .join(deg.select($"node".as("src"), $"deg"), "src")
+          .join(strength.select($"node".as("src"), $"s"), "src")
           .join(tot.select($"c_lbl".as("nl"), $"tot".as("totC")), "nl")
           .join(tot.select($"c_lbl".as("cur"), $"tot".as("totA")), "cur")
         if (gainProbe != null) gainProbe(round, c, gains)
@@ -1903,7 +1943,6 @@ object Graph {
       tot.unpersist()
       round += 1
     }
-    deg.unpersist()
     lbl.select($"node", $"lbl")
   }
 
@@ -1920,14 +1959,78 @@ object Graph {
     * both detectors). Output mirrors q84 (per node: community + size)
     * so the labeling itself is the hash-checked surface; the oracle
     * replays the coloring + every move round CTE-for-step. */
-  def q101Louvain(s: SparkSession, dir: String): DataFrame = {
+  def q101Louvain(s: SparkSession, dir: String): DataFrame =
+    q84Summarize(s, louvainLabels(s, dir))
+
+  /** The memoized phase-1 labeling artifact — serves q101's summary
+    * AND q102's coarsening (the semiLabeled pattern). */
+  private[graft] def louvainLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var edges: DataFrame = null
+    graft.Caches.memo("q101_labels", dir) {
+      edges = copurchaseEdges(s, dir).cache()
+      louvainMoves(edges, semiColoredMemo(s, dir)
+        .select($"node", $"color", $"node".as("lbl")))
+    }(if (edges != null) edges.unpersist())
+  }
+
+  /** Phase-2 move passes over the coarsened supergraph — its own
+    * budget so the oracle unroll and the spec convergence pins are
+    * independent of phase 1's. */
+  val LouvainP2Rounds = 3
+
+  /** Q102: LOUVAIN PHASE 2 (coarsening) — the step that makes Louvain
+    * MULTI-LEVEL (Blondel et al. 2008 §2): contract each phase-1
+    * community to one supernode (cross-community directed weights
+    * aggregated; internal mass becomes the supernode's self-loop,
+    * carried inside its STRENGTH), color the supergraph with the same
+    * trial-coloring schedule, and run weighted move passes. The total
+    * weight 2m is INVARIANT under contraction (Σ strength = base |e|),
+    * so phase-2 gains optimize the SAME global Q in the same integer
+    * units — the projected labeling's per-community q_num on the BASE
+    * graph is exactly the supergraph algebra's (spec-pinned), and
+    * merges phase 1 could only reach through a chain of individually
+    * negative node moves happen in one supernode move (measured: Σ
+    * q_num strictly improves over q101 at sf0.001). Volumes refresh
+    * PER CLASS STEP here (`freshTot` — see louvainMovesW: with
+    * community-scale strengths the round-frozen policy measurably
+    * snowballs into a near-total collapse; per-step volumes improve
+    * and converge).
+    *
+    * Shape at scale: the contraction is ONE (label, label) aggregate
+    * over the edge list; everything after runs on a graph whose node
+    * count is the COMMUNITY count — the move-pass bill that dominates
+    * phase 1 at 20× shrinks with the contraction ratio (the published
+    * reason multi-level Louvain scales). Isolated supernodes (no
+    * cross edges) can't move and are projected through unchanged. */
+  def q102LouvainCoarse(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val edges = copurchaseEdges(s, dir).cache()
-    val init = semiColoredMemo(s, dir)
-      .select($"node", $"color", $"node".as("lbl"))
-    val refined = louvainMoves(edges, init)
-    val out = q84Summarize(s, refined)
-    edges.unpersist()
+    val l1 = louvainLabels(s, dir)
+    val le = edges
+      .join(l1.select($"node".as("src"), $"lbl".as("la")), "src")
+      .join(l1.select($"node".as("dst"), $"lbl".as("lb")), "dst")
+      .groupBy($"la", $"lb").agg(count(lit(1)).as("w"))
+      .cache()
+    val cross = le.filter($"la" =!= $"lb")
+      .select($"la".as("src"), $"lb".as("dst"), $"w")
+    // strength(c) = Σ_b w(c,b) over ALL b (self term included) =
+    // Σ member degrees; Σ strength = |e| = the invariant 2m
+    val strength = le.groupBy($"la".as("node"))
+      .agg(sum($"w").as("s")).cache()
+    val m2w = edges.count()
+    val (col2, _) = trialColoring(cross.select($"src", $"dst"),
+      SemiColoringRounds)
+    val init2 = col2.select($"node", $"color", $"node".as("lbl"))
+    val l2 = louvainMovesW(cross, strength, m2w, init2, LouvainP2Rounds,
+      freshTot = true)
+    // isolated supernodes never entered the cross graph: keep their
+    // phase-1 label (they have no neighbors to move toward)
+    val projected = l1
+      .join(l2.select($"node".as("lbl"), $"lbl".as("lbl2")), Seq("lbl"), "left")
+      .select($"node", coalesce($"lbl2", $"lbl").as("lbl"))
+    val out = q84Summarize(s, projected)
+    le.unpersist(); strength.unpersist(); edges.unpersist()
     out
   }
 
@@ -1938,26 +2041,36 @@ object Graph {
     * strictly-positive-gain move, ties → min label). HUGEINT products
     * ≡ Spark's DECIMAL(38,0) — both exact. ~17 coloring +
     * 3×(1+2×24) move CTEs ≈ 165, under the 374 precedent. */
-  private[graft] def louvainOracleSql(
-      coloringRounds: Int = SemiColoringRounds,
-      colors: Int = SemiColors,
-      moveRounds: Int = LouvainRounds): String = {
-    val steps = (1 to moveRounds).map { r =>
-      val roundStart = if (r == 1) "lv_0" else s"lv_${r - 1}_$colors"
-      val tot = s""",
-         lt_$r AS MATERIALIZED (
-           SELECT l.lbl AS c_lbl, CAST(sum(d.deg) AS BIGINT) AS tot
-           FROM $roundStart l JOIN dg d ON d.node = l.node GROUP BY 1)"""
+  /** The Louvain move-round CTEs over arbitrary table names — ONE
+    * recipe for both phases: phase 1 reads (e, dg.deg, k = count(*));
+    * phase 2 reads (e2, st2.s, k = sum of edge weights). `tag`
+    * suffixes the lt/kv/lv names; `init` is the singleton CTE. */
+  private[graft] def louvainMoveCtes(e: String, st: String, sCol: String,
+      kAgg: String, init: String, tag: String,
+      colors: Int, moveRounds: Int,
+      freshTot: Boolean = false): String =
+    (1 to moveRounds).map { r =>
+      val roundStart = if (r == 1) init else s"lv${tag}_${r - 1}_$colors"
+      def totCte(name: String, from: String) = s""",
+         $name AS MATERIALIZED (
+           SELECT l.lbl AS c_lbl, CAST(sum(d.$sCol) AS BIGINT) AS tot
+           FROM $from l JOIN $st d ON d.node = l.node GROUP BY 1)"""
+      val roundTot =
+        if (freshTot) "" else totCte(s"lt${tag}_$r", roundStart)
       val classes = (1 to colors).map { c =>
-        val prev = if (c == 1) roundStart else s"lv_${r}_${c - 1}"
-        s""",
-         kv_${r}_$c AS MATERIALIZED (
-           SELECT e.src, q.lbl AS nl, count(*) AS k,
+        val prev = if (c == 1) roundStart else s"lv${tag}_${r}_${c - 1}"
+        // phase 2 (freshTot): volumes recomputed from the CURRENT
+        // labeling before every class step — the anti-snowball policy
+        val ltName = if (freshTot) s"lt${tag}_${r}_$c" else s"lt${tag}_$r"
+        val stepTot = if (freshTot) totCte(ltName, prev) else ""
+        s"""$stepTot,
+         kv${tag}_${r}_$c AS MATERIALIZED (
+           SELECT e.src, q.lbl AS nl, $kAgg AS k,
              any_value(me.lbl) AS cur
-           FROM e JOIN $prev me ON me.node = e.src AND me.color = $c
+           FROM $e e JOIN $prev me ON me.node = e.src AND me.color = $c
                   JOIN $prev q ON q.node = e.dst
            GROUP BY 1, 2),
-         lv_${r}_$c AS MATERIALIZED (
+         lv${tag}_${r}_$c AS MATERIALIZED (
            SELECT p.node, p.color,
              CASE WHEN p.color = $c THEN coalesce(u.newlbl, p.lbl)
                   ELSE p.lbl END AS lbl
@@ -1969,30 +2082,95 @@ object Graph {
                FROM (
                  SELECT kv.src, kv.nl,
                    CAST(m.m2 AS HUGEINT) * (kv.k - coalesce(ka.ka, 0))
-                     - CAST(d.deg AS HUGEINT)
-                       * (tc.tot - ta.tot + d.deg) AS gain
-                 FROM kv_${r}_$c kv
-                 LEFT JOIN (SELECT src, k AS ka FROM kv_${r}_$c
+                     - CAST(d.$sCol AS HUGEINT)
+                       * (tc.tot - ta.tot + d.$sCol) AS gain
+                 FROM kv${tag}_${r}_$c kv
+                 LEFT JOIN (SELECT src, k AS ka FROM kv${tag}_${r}_$c
                             WHERE nl = cur) ka ON ka.src = kv.src
-                 JOIN dg d ON d.node = kv.src
-                 JOIN lt_$r tc ON tc.c_lbl = kv.nl
-                 JOIN lt_$r ta ON ta.c_lbl = kv.cur
+                 JOIN $st d ON d.node = kv.src
+                 JOIN $ltName tc ON tc.c_lbl = kv.nl
+                 JOIN $ltName ta ON ta.c_lbl = kv.cur
                  CROSS JOIN m2t m
                  WHERE kv.nl <> kv.cur) v
                WHERE v.gain > 0) z WHERE z.rn = 1) u
              ON u.node = p.node)"""
       }.mkString
-      tot + classes
+      roundTot + classes
     }.mkString
-    val last = s"lv_${moveRounds}_$colors"
+
+  /** The q101 chain WITHOUT the final select (coloring prefix + m2t +
+    * singleton init + phase-1 move rounds) — shared with q102. */
+  private[graft] def louvainOracleBody(
+      coloringRounds: Int = SemiColoringRounds,
+      colors: Int = SemiColors,
+      moveRounds: Int = LouvainRounds): String =
     coloringOracleBody(coloringRounds) + s""",
          m2t AS MATERIALIZED (SELECT count(*) AS m2 FROM e),
          lv_0 AS MATERIALIZED (
-           SELECT node, color, node AS lbl FROM col_$coloringRounds)""" + steps + s"""
+           SELECT node, color, node AS lbl FROM col_$coloringRounds)""" +
+      louvainMoveCtes("e", "dg", "deg", "count(*)", "lv_0", "",
+        colors, moveRounds)
+
+  private[graft] def louvainOracleSql(
+      coloringRounds: Int = SemiColoringRounds,
+      colors: Int = SemiColors,
+      moveRounds: Int = LouvainRounds): String = {
+    val last = s"lv_${moveRounds}_$colors"
+    louvainOracleBody(coloringRounds, colors, moveRounds) + s"""
          SELECT l.node AS l_partkey, l.lbl AS community, c.community_size
          FROM $last l JOIN (
            SELECT lbl, count(*) AS community_size
            FROM $last GROUP BY 1) c USING (lbl)
+         ORDER BY l_partkey"""
+  }
+
+  /** Supergraph colors budget for q102's oracle unroll — the
+    * coarsened graph's trial coloring at W=8; measured and pinned ≤
+    * budget by the spec at both oracle SFs. */
+  val LouvainP2Colors = 24
+
+  /** Q102 oracle: the full q101 chain, then the contraction (le2 →
+    * e2 cross edges + st2 strengths + dg2 degrees), the supergraph's
+    * own coloring rounds, the weighted move rounds, and the
+    * projection (isolated supernodes keep their phase-1 label). */
+  private[graft] def louvainCoarseOracleSql(
+      coloringRounds: Int = SemiColoringRounds,
+      colors: Int = SemiColors,
+      moveRounds: Int = LouvainRounds,
+      p2Colors: Int = LouvainP2Colors,
+      p2Rounds: Int = LouvainP2Rounds): String = {
+    val l1 = s"lv_${moveRounds}_$colors"
+    val last = s"lv2_${p2Rounds}_$p2Colors"
+    louvainOracleBody(coloringRounds, colors, moveRounds) + s""",
+         le2 AS MATERIALIZED (
+           SELECT a.lbl AS la, b.lbl AS lb, count(*) AS w
+           FROM e JOIN $l1 a ON a.node = e.src
+                  JOIN $l1 b ON b.node = e.dst
+           GROUP BY 1, 2),
+         e2 AS MATERIALIZED (
+           SELECT la AS src, lb AS dst, w FROM le2 WHERE la <> lb),
+         st2 AS MATERIALIZED (
+           SELECT la AS node, CAST(sum(w) AS BIGINT) AS s
+           FROM le2 GROUP BY 1),
+         dg2 AS MATERIALIZED (
+           SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+           FROM e2 GROUP BY 1),
+         col2_0 AS (SELECT CAST(NULL AS BIGINT) AS node,
+                      CAST(NULL AS INTEGER) AS color WHERE 1 = 0)""" +
+      coloringCtes("e2", "dg2", "2", coloringRounds) + s""",
+         lv2_0 AS MATERIALIZED (
+           SELECT node, color, node AS lbl FROM col2_$coloringRounds)""" +
+      louvainMoveCtes("e2", "st2", "s", "CAST(sum(e.w) AS BIGINT)",
+        "lv2_0", "2", p2Colors, p2Rounds, freshTot = true) + s"""
+         SELECT l.node AS l_partkey,
+           coalesce(p.lbl, l.lbl) AS community, c.community_size
+         FROM $l1 l
+         LEFT JOIN $last p ON p.node = l.lbl
+         JOIN (
+           SELECT coalesce(p.lbl, l.lbl) AS community,
+             count(*) AS community_size
+           FROM $l1 l LEFT JOIN $last p ON p.node = l.lbl
+           GROUP BY 1) c ON c.community = coalesce(p.lbl, l.lbl)
          ORDER BY l_partkey"""
   }
 
