@@ -213,6 +213,7 @@ object SparkEntry {
     "q100_modularity"    -> (Graph.q100Modularity _),
     "q101_louvain"       -> (Graph.q101Louvain _),
     "q102_louvain_coarse" -> (Graph.q102LouvainCoarse _),
+    "q103_conductance"   -> (Graph.q103Conductance _),
     "s15_graph_ann"      -> ((s: SparkSession, d: String) => Similarity.s15GraphAnn(s, d)),
     "t18_cross_surprisal" -> (TextAnalysis.t18CrossSurprisal _),
     "t19_nb_langid"      -> (TextAnalysis.t19NbLangId _),
@@ -1923,6 +1924,8 @@ object SparkEntry {
     // q102 adds the contraction + supergraph coloring + weighted moves
     "q101_louvain" -> operators.Graph.louvainOracleSql(),
     "q102_louvain_coarse" -> operators.Graph.louvainCoarseOracleSql(),
+    // q103 shares the q101 chain (the labeling scored is verified)
+    "q103_conductance" -> operators.Graph.conductanceOracleSql(),
     "t14_code_detect" -> operators.TextAnalysis.codeDetectOracleSql,
     "q83_top_paths" ->
       """WITH e AS (

@@ -2175,6 +2175,83 @@ object Graph {
   }
 
   // ----------------------------------------------------------------
+  // Q103: per-community conductance
+  // ----------------------------------------------------------------
+
+  /** Q103: CONDUCTANCE of the q101 communities — the second standard
+    * community-quality metric next to modularity (Kannan, Vempala &
+    * Vetta, JACM 2004; the LFR/partitioning-benchmark yardstick):
+    * q100 scores density against the null model, conductance
+    * certifies BOUNDARY sparsity — φ(c) = cut(c) / min(vol(c),
+    * 2m − vol(c)). The checked surface is exact integers (cut =
+    * boundary edge count, vol = Σ member degrees, denom = the min) —
+    * φ itself is one driver division away; doubles never enter. Zero-
+    * cut communities keep their rows (the q100 zero-intra
+    * discipline). Oracle = the q101 chain (the labeling scored is the
+    * labeling verified) + two linear label joins.
+    *
+    * Shape at 100 TB: reuses the memoized q101 labels; one node-keyed
+    * degree aggregate + two edge-keyed label joins (the same
+    * bucketing the move steps use) + community-keyed aggregates with
+    * map-side partials — linear in edges, output ≤ |communities|. */
+  def q103Conductance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = copurchaseEdges(s, dir).cache()
+    val out = conductanceOf(edges, louvainLabels(s, dir))
+      .orderBy($"community")
+    edges.unpersist()
+    out
+  }
+
+  /** The q103 kernel over an arbitrary symmetric edge list and a
+    * (node, lbl) labeling — separated so the spec can replay graphs
+    * with hand-computable conductance (two triangles + a bridge →
+    * cut 1, vol 7, denom 7 each) and pin the Σ-invariants. */
+  private[graft] def conductanceOf(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.cache()
+    val m2 = e.count() // Σ degrees = |directed e|: the only driver value
+    val lab = labels.select($"node", $"lbl")
+    val volc = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      .join(lab, "node")
+      .groupBy($"lbl".as("community"))
+      .agg(count(lit(1)).as("community_size"), sum($"deg").as("volume"))
+    val cut = e
+      .join(lab.select($"node".as("src"), $"lbl".as("la")), "src")
+      .join(lab.select($"node".as("dst"), $"lbl".as("lb")), "dst")
+      .filter($"la" =!= $"lb")
+      .groupBy($"la".as("community")).agg(count(lit(1)).as("cut_edges"))
+    volc.join(cut, Seq("community"), "left")
+      .select($"community", $"community_size",
+        coalesce($"cut_edges", lit(0L)).as("cut_edges"), $"volume",
+        least($"volume", lit(m2) - $"volume").as("denom"))
+  }
+
+  /** Q103 oracle: the q101 chain + the conductance algebra. */
+  private[graft] def conductanceOracleSql(
+      coloringRounds: Int = SemiColoringRounds,
+      colors: Int = SemiColors,
+      moveRounds: Int = LouvainRounds): String = {
+    val labels = s"lv_${moveRounds}_$colors"
+    louvainOracleBody(coloringRounds, colors, moveRounds) + s""",
+         volc AS (SELECT l.lbl AS community, count(*) AS community_size,
+                    CAST(sum(d.deg) AS BIGINT) AS volume
+                  FROM $labels l JOIN dg d ON d.node = l.node GROUP BY 1),
+         cutc AS (SELECT a.lbl AS community, count(*) AS cut_edges
+                  FROM e JOIN $labels a ON a.node = e.src
+                         JOIN $labels b ON b.node = e.dst
+                  WHERE a.lbl <> b.lbl GROUP BY 1)
+         SELECT v.community, v.community_size,
+           CAST(coalesce(c.cut_edges, 0) AS BIGINT) AS cut_edges,
+           v.volume, least(v.volume, m.m2 - v.volume) AS denom
+         FROM volc v LEFT JOIN cutc c USING (community)
+         CROSS JOIN m2t m
+         ORDER BY community"""
+  }
+
+  // ----------------------------------------------------------------
   // Q85: weighted single-source shortest paths
   // ----------------------------------------------------------------
 

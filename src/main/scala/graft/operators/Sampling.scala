@@ -163,7 +163,14 @@ object Sampling {
     import s.implicits._
     val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
     graft.Caches.memo("p20_curate_semantic", dir) {
-      val kept = p18Curate(s, dir)
+      // checkpointFresh, not just the memo cache: p18's frame carries
+      // a ~536-node logical plan, and this stage references it in
+      // SEVERAL actions and self-joining subtrees — caching cuts
+      // execution but every action still re-analyzes the composed
+      // tree (measured: the final join alone 119.8 s raw vs 0.93 s
+      // checkpointed — the q84 inherited-stats lesson at the
+      // pipeline-composition layer)
+      val kept = graft.Caches.checkpointFresh(p18Curate(s, dir))
       val (assigned, centers) = Similarity.ivfIndex(s, dir)
       val surviving = assigned
         .join(kept.select($"doc_id".as("vec_id")), "vec_id")

@@ -718,6 +718,78 @@ class Round12Spec extends GraftSpecBase {
     le.unpersist(); edges.unpersist()
   }
 
+  test("q103: textbook conductance values and sf invariants") {
+    // two triangles joined by one bridge, component labels: each side
+    // has cut 1 (the bridge), vol 7 (3 degree-2 nodes + one endpoint
+    // degree 3), denom min(7, 14-7) = 7 -> phi = 1/7
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (11L, 12L), (12L, 13L), (11L, 13L), (3L, 11L))
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (11L, 11L), (12L, 11L), (13L, 11L)).toDF("node", "lbl")
+    val got = operators.Graph.conductanceOf(symmetric(pairs), labels)
+      .orderBy($"community")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 1L, 7L, 7L), (11L, 3L, 1L, 7L, 7L)), got.toString)
+    // perfect communities (no bridge): zero-cut rows are KEPT
+    val perfect = operators.Graph.conductanceOf(
+      symmetric(pairs.dropRight(1)), labels)
+      .orderBy($"community")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(perfect == Seq((1L, 3L, 0L, 6L, 6L), (11L, 3L, 0L, 6L, 6L)), perfect.toString)
+    // sf0.001 invariants over the real q101 labeling: volumes sum to
+    // |e|, cuts sum to the directed cross-edge count, denom <= volume
+    val edges = operators.Graph.copurchaseEdges(spark, sf).cache()
+    val lab = operators.Graph.louvainLabels(spark, sf)
+    val df = operators.Graph.conductanceOf(edges, lab).cache()
+    val (volSum, cutSum) = df.agg(sum($"volume"), sum($"cut_edges"))
+      .as[(Long, Long)].head()
+    assert(volSum === edges.count(), "volumes must sum to |e|")
+    val cross = edges
+      .join(lab.select($"node".as("src"), $"lbl".as("la")), "src")
+      .join(lab.select($"node".as("dst"), $"lbl".as("lb")), "dst")
+      .filter($"la" =!= $"lb").count()
+    assert(cutSum === cross, "cuts must sum to the cross-edge count")
+    assert(df.filter($"denom" > $"volume").isEmpty, "denom > volume")
+    df.unpersist(); edges.unpersist()
+  }
+
+  test("optimizeHilbert: exact file count, content identity, non-overlapping curve ranges, pruning") {
+    val src = java.nio.file.Files.createTempDirectory("hopt-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("hopt-dst").toString
+    val base = Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_suppkey", $"l_orderkey")
+    base.repartition(16).write.mode("overwrite").parquet(src)
+    val n = base.count()
+    val parts = operators.Layout.optimizeHilbert(spark, src, dst,
+      (n + 3) / 4, "l_partkey", "l_suppkey")
+    assert(parts == 4)
+    val out = spark.read.parquet(dst)
+    assert(out.count() == n)
+    assert(out.exceptAll(base).isEmpty && base.exceptAll(out).isEmpty)
+    // contiguous rank cuts of the Hilbert total order -> per-file
+    // curve intervals are non-overlapping (boundary equality allowed)
+    val hf = out.select(input_file_name().as("f"),
+        operators.Layout.hilbertKey($"l_partkey", $"l_suppkey").as("h"))
+      .groupBy($"f").agg(min($"h").as("lo"), max($"h").as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    hf.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._2, s"$a overlaps $b")
+      case _ =>
+    }
+    // footer-stat pruning on the z2-style box: the fragmented source
+    // admits every file; the Hilbert rewrite admits strictly fewer
+    def candFiles(dir: String): Long =
+      spark.read.parquet(dir)
+        .select(input_file_name().as("f"), $"l_partkey", $"l_suppkey")
+        .groupBy($"f").agg(
+          min($"l_partkey").as("p0"), max($"l_partkey").as("p1"),
+          min($"l_suppkey").as("s0"), max($"l_suppkey").as("s1"))
+        .filter($"p1" >= 10 && $"p0" <= 40 && $"s1" >= 1 && $"s0" <= 6)
+        .count()
+    assert(candFiles(src) == 16, "fragmented layout should admit every file")
+    assert(candFiles(dst) < 4, s"hilbert layout must prune: ${candFiles(dst)}")
+  }
+
   test("q101: refined labeling conserves the node set and community sizes") {
     val got = operators.Graph.q101Louvain(spark, sf)
     val q84 = operators.Graph.q84LpaSemisync(spark, sf)
