@@ -37,10 +37,29 @@ object Bench {
     // without the full 61-entry sweep (e.g. `runMain graft.Bench d6.*`)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.headOption.forall(n.matches) }
-    def sweep(): Seq[(String, Double)] = names.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { exec(fn(spark, sfDir)) } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+    // ARTIFACT-BUILD ATTRIBUTION (round 13): Caches.memo logs each
+    // artifact's exclusive build seconds; draining the ledger after
+    // every entry charges the build to the entry that TRIGGERED it.
+    // Without this, within a sweep the alphabetically-first family
+    // member silently pays the whole shared chain (round 12's
+    // q84 0.04 s / q100 15.6 s mis-attribution: q100 runs first and
+    // builds the shared labeling). Raw per-entry times stay what they
+    // were (sweep totals honest); `queries_self_median` below is the
+    // like-for-like clock (raw − builds paid), and `artifact_builds`
+    // names who paid for what.
+    def sweep(): (Seq[(String, Double)], Map[String, Seq[(String, Double)]]) = {
+      val builds = scala.collection.mutable.Map
+        .empty[String, Seq[(String, Double)]]
+      val times = names.map { case (name, fn) =>
+        Caches.drainBuildLog() // drop strays (warmup, prior failures)
+        val t0 = System.nanoTime()
+        try { exec(fn(spark, sfDir)) } catch { case _: Throwable => }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val b = Caches.drainBuildLog()
+        if (b.nonEmpty) builds(name) = b
+        name -> sec
+      }
+      (times, builds.toMap)
     }
     // one cold sweep + N warm sweeps (default 3, SPARK_GRAFT_WARM_SWEEPS
     // to override). The cold sweep pays every one-time artifact cost
@@ -60,7 +79,7 @@ object Bench {
     // plan cost. Regression triage reads the MEDIAN, not the min.
     val nWarm = math.max(1,
       sys.env.get("SPARK_GRAFT_WARM_SWEEPS").map(_.toInt).getOrElse(3))
-    val cold = sweep()
+    val coldRun = sweep()
     // CONTAMINATION AUTO-RETRY (round-12): labeling a poisoned sweep
     // (round 11's archive shipped `contaminated_sweeps: [2]` with the
     // 3.3-min d6 burst still in every median) is not enough — re-run
@@ -77,8 +96,12 @@ object Bench {
     }
     val maxRetries = 3
     var retried = 0
-    var warms: Seq[Map[String, Double]] =
-      (1 to nWarm).map { _ => Caches.clear(); sweep().toMap }
+    val cold = coldRun._1
+    var warmRuns: Seq[(Map[String, Double], Map[String, Seq[(String, Double)]])] =
+      (1 to nWarm).map { _ =>
+        Caches.clear(); val (t, b) = sweep(); (t.toMap, b)
+      }
+    def warms: Seq[Map[String, Double]] = warmRuns.map(_._1)
     while (contaminatedIdx(warms).nonEmpty && retried < maxRetries) {
       val i = contaminatedIdx(warms).head
       retried += 1
@@ -87,7 +110,8 @@ object Bench {
         f"(${warms.map(_.values.sum).min}%.1f s) - re-running it " +
         s"(retry $retried/$maxRetries)")
       Caches.clear()
-      warms = warms.updated(i, sweep().toMap)
+      val (t, b) = sweep()
+      warmRuns = warmRuns.updated(i, (t.toMap, b))
     }
     def samples(k: String): Seq[Double] = warms.map(_(k)).sorted
     def median(xs: Seq[Double]): Double =
@@ -99,6 +123,22 @@ object Bench {
     val medians = cold.map { case (k, _) => k -> median(samples(k)) }
     val spreads = cold.map { case (k, _) =>
       k -> (samples(k).max - samples(k).min) }
+    // like-for-like clock: raw − the artifact builds this entry paid
+    // in that sweep. Cross-round regression triage reads THIS (the
+    // memo chain moving between family members no longer reads as a
+    // regression); sweep totals and raw medians stay as before.
+    def selfSamples(k: String): Seq[Double] = warmRuns.map { case (t, b) =>
+      t(k) - b.getOrElse(k, Nil).map(_._2).sum
+    }.sorted
+    val selfMedians = cold.map { case (k, _) => k -> median(selfSamples(k)) }
+    // the ledger itself: artifact → [paying entry, median exclusive
+    // build seconds over the warm sweeps that built it]
+    val artifactRows = warmRuns
+      .flatMap { case (_, b) => b.toSeq.flatMap { case (entry, bs) =>
+        bs.map { case (art, sec) => (art, entry, sec) } } }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (art, xs) =>
+        art -> (xs.head._2, median(xs.map(_._3).sorted)) }
     def jmap(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results)
@@ -128,6 +168,10 @@ object Bench {
       s""""contaminated_sweeps":${contaminated.map(_._2 + 1).mkString("[", ",", "]")},""" +
       s""""queries_median":${jmap(medians)},""" +
       s""""queries_spread":${jmap(spreads)},""" +
+      s""""queries_self_median":${jmap(selfMedians)},""" +
+      s""""artifact_builds":${artifactRows.map { case (a, (e, v)) =>
+        s"\"" + a + "\":[\"" + e + "\"," + v + "]"
+      }.mkString("{", ",", "}")},""" +
       s""""queries_cold":${jmap(cold)},"sf":"$sfDir"}"""
     // The driver records only a ~2000-char stdout TAIL, and the full
     // per-query line (131 entries × 4 maps) overflows it — four rounds

@@ -46,15 +46,48 @@ object Caches {
     def checkpointFresh: DataFrame = Caches.checkpointFresh(df)
   }
 
+  /** Build-time ledger for memoized artifacts: (artifact key,
+    * seconds) appended once per actual build. Bench drains it after
+    * each entry to CHARGE the build to the entry that triggered it —
+    * without this, within a sweep the alphabetically-first family
+    * member silently pays the whole shared chain (the round-12
+    * q84 0.04 s / q100 15.6 s mis-attribution). */
+  private val buildLog =
+    scala.collection.mutable.ListBuffer.empty[(String, Double)]
+
+  // memo builds NEST (q101_labels builds semiColoredMemo inside its
+  // own build): each frame on this per-thread stack accumulates the
+  // wall seconds of DIRECT child builds, so every artifact logs its
+  // EXCLUSIVE time and the drained sum equals the outermost wall —
+  // an entry's self time is then raw − Σ drained, with nothing
+  // double-subtracted.
+  private val childSec = new ThreadLocal[java.util.ArrayDeque[Double]] {
+    override def initialValue() = new java.util.ArrayDeque[Double]()
+  }
+
+  /** Return and clear the builds logged since the last drain. */
+  def drainBuildLog(): Seq[(String, Double)] = buildLog.synchronized {
+    val out = buildLog.toList
+    buildLog.clear()
+    out
+  }
+
   /** Memoized cached frame for (op key, dataset dir). `build` runs at
     * most once per key; its result is cached and materialized before
     * `cleanup` runs (safe point to unpersist intermediates). */
   def memo(key: String, dir: String)(build: => DataFrame)(
       cleanup: => Unit = ()): DataFrame =
     frames.getOrElseUpdate((key, dir), {
+      val stack = childSec.get()
+      stack.push(0.0)
+      val t0 = System.nanoTime()
       val df = build.cache()
       df.count() // materialize so cleanup can't force a recompute
       cleanup
+      val wall = (System.nanoTime() - t0) / 1e9
+      val children = stack.pop()
+      if (!stack.isEmpty) stack.push(stack.pop() + wall)
+      buildLog.synchronized { buildLog += key -> (wall - children) }
       df
     })
 

@@ -139,7 +139,7 @@ object ScaleProbe {
                   "q65_cuped", "p19_contamination", "p20_curate",
                   "q100_modularity", "s15_graph_ann",
                   "p21_curate_incremental", "z4_hilbert", "q101_louvain",
-                  "q102_louvain_coarse")
+                  "q102_louvain_coarse", "q103_conductance")
     // optional arg 2: regex to probe a subset (factor stays arg 1)
     val picked = args.drop(1).headOption
       .map(re => all.filter(_.matches(re))).getOrElse(all)

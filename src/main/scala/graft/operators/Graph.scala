@@ -1297,7 +1297,7 @@ object Graph {
     var edges: DataFrame = null
     graft.Caches.memo("q84_semi_labeled", dir) {
       edges = copurchaseEdges(s, dir).cache()
-      semiSweeps(edges, semiColoredMemo(s, dir))
+      semiSweeps(edges, semiColoredMemo(s, dir), colorBudget = SemiColors)
     }(if (edges != null) edges.unpersist())
   }
 
@@ -1370,6 +1370,20 @@ object Graph {
       incrementalUsed: Boolean = true): (DataFrame, Int) = {
     val s = edges.sparkSession
     import s.implicits._
+    // GRAPH-SIZED LOOP WIDTH (round 13 — the d6/louvainMovesW
+    // discipline): every round runs a ~6-job pick/keep/merge chain;
+    // at session width on a small graph each job is 32 near-empty
+    // task startups × stages — measured sf0.1 (7,146 directed edges)
+    // coloring 13.3 → ~3 s. Picks are MEMBERSHIP algebra
+    // (array_except/size — order-free) and the conflict keep is an
+    // order-free max(struct), so results are partition-count-
+    // independent; a billion-edge graph keeps full width.
+    val loopParts = math.max(1L, math.min(
+      s.sessionState.conf.numShufflePartitions.toLong,
+      edges.count() / 100000L)).toInt
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
     // undirected degree (edges is symmetric, simple): sizes each
     // node's palette [1..deg+1] — a free color always exists
     val nodes = edges.groupBy($"src".as("node"))
@@ -1479,6 +1493,7 @@ object Graph {
     require(uncCnt == 0,
       s"q84 coloring ceiling $ceiling left $uncCnt uncolored nodes")
     (col.select($"node", $"color"), r)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Executed (non-skipped) sweep steps across all semiSyncLabels
@@ -1507,10 +1522,29 @@ object Graph {
     * — separated so the coloring artifact can be shared with q101's
     * Louvain schedule (`semiColoredMemo`). */
   private[graft] def semiSweeps(edges: DataFrame, col: DataFrame,
-      rounds: Int = SemiLpaRounds): DataFrame = {
+      rounds: Int = SemiLpaRounds, colorBudget: Int = 0): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val nColors = col.agg(max($"color")).as[Int].head()
+    // same loud guard as louvainMovesW: the oracle unrolls a fixed
+    // class budget; sweeping past it would diverge silently. Entry
+    // paths pass their oracle's budget; constructed-graph spec calls
+    // leave it unchecked (0).
+    require(colorBudget == 0 || nColors <= colorBudget,
+      s"q84: coloring used $nColors classes > the oracle's unroll " +
+        s"budget $colorBudget — raise the budget (and the unrolled " +
+        "oracle with it) rather than diverge silently")
+    // graph-sized loop width (round 13 — see trialColoring): each
+    // sweep step is one class-restricted join chain + checkpoint;
+    // the argmax is an order-free max(struct), the pending artifact
+    // a distinct set — partition-count-independent. Measured sf0.1:
+    // sweeps 15.8 → ~4 s. Restored in finally.
+    val loopParts = math.max(1L, math.min(
+      s.sessionState.conf.numShufflePartitions.toLong,
+      edges.count() / 100000L)).toInt
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
     // ---- per-color LPA sweeps, keep-current-if-argmax, with a ----
     // ---- driver-side PENDING-CLASS skip (round-12)            ----
     // A class's sweep is the IDENTITY when no member has a neighbor
@@ -1584,6 +1618,7 @@ object Graph {
       }
     }
     lbl
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Q84 oracle: the trial-coloring rounds and every per-color sweep
@@ -1854,22 +1889,40 @@ object Graph {
     * agg-only argmax — the q84 sweep shape with a volumes join. The
     * volumes frame is |communities|-sized and refreshed once per
     * round. Rounds × colors driver-synchronized steps is the q84
-    * price; the pending-skip lever applies here too if a workload
-    * ever needs round counts past the fixed budget. */
+    * price, bounded by the ZERO-MOVE ROUND EARLY EXIT (round 13):
+    * a round that applies no move is a fixed point, and the fixed
+    * point is ABSORBING — volumes are a pure function of the (now
+    * frozen) labeling, so every later round replays the same gains
+    * and moves nothing — so exiting is result-identical to running
+    * the remaining budget (the oracle still unrolls every round;
+    * its tail rounds are identity CTEs). The per-round move count
+    * rides the class steps' own checkpoint jobs as an observed
+    * metric (the d6 convergence-count discipline) — zero extra
+    * jobs. */
   private[graft] def louvainMoves(edges: DataFrame, labeled: DataFrame,
       rounds: Int = LouvainRounds,
       stepProbe: (Int, Int, DataFrame) => Unit = null,
-      gainProbe: (Int, Int, DataFrame) => Unit = null): DataFrame = {
+      gainProbe: (Int, Int, DataFrame) => Unit = null,
+      colorBudget: Int = 0,
+      earlyExit: Boolean = true,
+      movedProbe: (Int, Int, Long) => Unit = null): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val deg = edges.groupBy($"src".as("node"))
       .agg(count(lit(1)).as("s")).cache()
     val m2 = edges.count() // |e| = 2m: one scalar, the only driver value
     val out = louvainMovesW(edges.withColumn("w", lit(1L)), deg, m2,
-      labeled, rounds, freshTot = false, stepProbe, gainProbe)
+      labeled, rounds, freshTot = false, stepProbe, gainProbe,
+      colorBudget, earlyExit, movedProbe)
     deg.unpersist()
     out
   }
+
+  /** Executed (non-skipped) Louvain class steps across all
+    * louvainMovesW runs — observability for the zero-move early exit
+    * (Round13Spec asserts exiting actually happens; probes report
+    * it), the lpaSweepSteps pattern. */
+  private[graft] val louvainMoveSteps = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The weighted move core (one recipe for both phases — the bandsOf
     * discipline): `edges` carry a weight column `w` (phase 1 passes
@@ -1884,10 +1937,40 @@ object Graph {
       m2w: Long, labeled: DataFrame, rounds: Int,
       freshTot: Boolean = false,
       stepProbe: (Int, Int, DataFrame) => Unit = null,
-      gainProbe: (Int, Int, DataFrame) => Unit = null): DataFrame = {
+      gainProbe: (Int, Int, DataFrame) => Unit = null,
+      colorBudget: Int = 0,
+      earlyExit: Boolean = true,
+      movedProbe: (Int, Int, Long) => Unit = null): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val nColors = labeled.agg(coalesce(max($"color"), lit(0))).as[Int].head()
+    // LOUD budget guard (the decimal-overflow discipline): the engine
+    // sweeps the coloring's data-dependent class count while the
+    // oracle unrolls a FIXED budget of class CTEs — a corpus whose
+    // coloring exceeds the budget would make the engine run steps the
+    // oracle never replays, a silent divergence at non-oracle SFs.
+    // nColors is already computed above, so the guard costs nothing.
+    require(colorBudget == 0 || nColors <= colorBudget,
+      s"louvain: coloring used $nColors classes > the oracle's unroll " +
+        s"budget $colorBudget — raise the budget (and the unrolled " +
+        "oracle with it) rather than diverge silently")
+    // GRAPH-SIZED LOOP WIDTH (round 13 — the d6 discipline): each of
+    // the rounds × colors class steps shuffles ~|E|/colors edges and
+    // |N|-scale label rows through an ~8-stage plan; at session width
+    // that is 32 tasks × 8 stages of near-empty task startup PER STEP
+    // — measured at sf0.001 (4,648 directed edges) the step cost is
+    // ~1.7 s of pure scheduling, 6 rounds = 235 s for a graph that
+    // fits in one cache line. Width follows the data (1 per 100k
+    // edges, capped at the session width a billion-edge graph keeps);
+    // results are partition-count-independent (exact integer algebra,
+    // partition-agnostic aggregates). Restored in finally.
+    val eCnt = edges.count()
+    val loopParts = math.max(1L, math.min(
+      s.sessionState.conf.numShufflePartitions.toLong,
+      eCnt / 100000L)).toInt
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
     def d38(c: Column) = c.cast("decimal(38,0)")
     def loud(c: Column) = when(c.isNull,
       raise_error(lit("louvain: exact-integer overflow in the " +
@@ -1895,7 +1978,9 @@ object Graph {
       .otherwise(c)
     var lbl = labeled.select($"node", $"color", $"lbl").checkpointFresh
     var round = 0
-    while (round < rounds) {
+    var fixedPoint = false
+    while (round < rounds && !(earlyExit && fixedPoint)) {
+      var movedInRound = 0L
       // Community volumes: phase 1 freezes them at ROUND start (one
       // aggregate per round — singleton strengths are tiny next to
       // 2m, so staleness is second-order); phase 2 refreshes PER
@@ -1911,6 +1996,7 @@ object Graph {
         .cache()
       var tot = volumes()
       for (c <- 1 to nColors) {
+        louvainMoveSteps.incrementAndGet()
         if (freshTot && c > 1) { tot.unpersist(); tot = volumes() }
         val cls = lbl.filter($"color" === c)
           .select($"node".as("src"), $"lbl".as("cur"))
@@ -1935,15 +2021,32 @@ object Graph {
           .groupBy($"src")
           .agg(max(struct($"gain", (-$"nl").as("neg"))).as("m"))
           .select($"src", (-$"m.neg").as("newLbl"))
+        // the per-step move count rides the checkpoint's own job as
+        // an observed metric (mv rows always carry newLbl ≠ the
+        // current label — gains filter nl ≠ cur): one job per step,
+        // same as before, and the round's Σ drives the early exit
+        val obs = org.apache.spark.sql.Observation(
+          s"lv_moves_${round}_${c}_${louvainMoveSteps.get}")
         lbl = lbl.join(mv, $"node" === $"src", "left")
+          .observe(obs, sum(when($"newLbl".isNotNull, 1L).otherwise(0L))
+            .as("moved"))
           .select($"node", $"color", coalesce($"newLbl", $"lbl").as("lbl"))
           .checkpointFresh
+        val stepMoved =
+          Option(obs.get("moved")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        movedInRound += stepMoved
+        if (movedProbe != null) movedProbe(round, c, stepMoved)
         if (stepProbe != null) stepProbe(round, c, lbl)
       }
       tot.unpersist()
       round += 1
+      // zero-move round ⟹ fixed point ⟹ absorbing (volumes are a
+      // pure function of the unchanged labeling): the remaining
+      // budget replays as the identity, so exit is result-identical
+      fixedPoint = movedInRound == 0L
     }
     lbl.select($"node", $"lbl")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Q101: LOUVAIN COMMUNITY DETECTION (phase 1) — the modularity-
@@ -1970,7 +2073,8 @@ object Graph {
     graft.Caches.memo("q101_labels", dir) {
       edges = copurchaseEdges(s, dir).cache()
       louvainMoves(edges, semiColoredMemo(s, dir)
-        .select($"node", $"color", $"node".as("lbl")))
+        .select($"node", $"color", $"node".as("lbl")),
+        colorBudget = SemiColors)
     }(if (edges != null) edges.unpersist())
   }
 
@@ -2023,7 +2127,7 @@ object Graph {
       SemiColoringRounds)
     val init2 = col2.select($"node", $"color", $"node".as("lbl"))
     val l2 = louvainMovesW(cross, strength, m2w, init2, LouvainP2Rounds,
-      freshTot = true)
+      freshTot = true, colorBudget = LouvainP2Colors)
     // isolated supernodes never entered the cross graph: keep their
     // phase-1 label (they have no neighbors to move toward)
     val projected = l1
@@ -2197,8 +2301,11 @@ object Graph {
   def q103Conductance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val edges = copurchaseEdges(s, dir).cache()
+    // materialize BEFORE unpersisting: the kernel's result is lazy,
+    // and unpersisting first would make every downstream action
+    // recompute the co-purchase join uncached (round-12 ADVICE)
     val out = conductanceOf(edges, louvainLabels(s, dir))
-      .orderBy($"community")
+      .orderBy($"community").checkpointFresh
     edges.unpersist()
     out
   }
@@ -2206,12 +2313,17 @@ object Graph {
   /** The q103 kernel over an arbitrary symmetric edge list and a
     * (node, lbl) labeling — separated so the spec can replay graphs
     * with hand-computable conductance (two triangles + a bridge →
-    * cut 1, vol 7, denom 7 each) and pin the Σ-invariants. */
+    * cut 1, vol 7, denom 7 each) and pin the Σ-invariants. CALLERS
+    * manage `edges` caching (the kernel reads it three times: the m2
+    * count, the volume aggregate, the cut join) — caching here would
+    * leak executor storage on the frames spec callers pass, since the
+    * returned frame is lazy and no inner unpersist point is sound
+    * before the caller materializes it (round-12 ADVICE). */
   private[graft] def conductanceOf(edges: DataFrame,
       labels: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val e = edges.cache()
+    val e = edges
     val m2 = e.count() // Σ degrees = |directed e|: the only driver value
     val lab = labels.select($"node", $"lbl")
     val volc = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))

@@ -658,9 +658,32 @@ object Similarity {
   val GraphAnnDegree = 10
 
   // the navigable graph is an index ARTIFACT like ivfIndex: built once
-  // per dataset, served by every s15 query batch
+  // per dataset — and since round 13 a PERSISTED parquet layout (the
+  // d11 discipline), so a RESTARTED session reloads the adjacency
+  // instead of re-running the kNN build (the ~29 s sf0.1 cost s15's
+  // cold row used to pay per session); the registry is the in-session
+  // memo on top
   private val knnGraphReg =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private[graft] val knnGraphBuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drop the in-session memo WITHOUT touching the on-disk layout —
+    * the restart shape the reload spec drives (the d11 pattern). */
+  private[graft] def evictKnnGraphMemo(): Unit = {
+    knnGraphReg.values.foreach(_.unpersist())
+    knnGraphReg.clear()
+  }
+
+  /** On-disk home of the s15 layout for a dataset — keyed on the
+    * dataset dir AND the embeddings table's mtime, so regenerated
+    * testdata can never serve a stale graph. */
+  private[graft] def s15LayoutDir(dir: String): java.io.File = {
+    val src = new java.io.File(dir, "embeddings.parquet")
+    val token = Integer.toHexString((dir + ":" + src.lastModified).hashCode)
+    new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-s15-graph/$token")
+  }
 
   /** The s15 serving graph: `GraphAnnDegree`-NN edges (the s9 kernel)
     * SYMMETRIZED (reverse links added, NSW practice — Malkov et al.
@@ -668,14 +691,32 @@ object Similarity {
     * escape a one-way cul-de-sac) and deduplicated. Node-keyed: at
     * 100 TB `src` is the partition key and a beam expansion is one
     * equi-join touching only frontier keys — the adjacency IS the
-    * posting layout. */
+    * posting layout, persisted hash-clustered on `src` (one file per
+    * src hash bucket here; a lake deployment makes it a bucketed
+    * table on the same key). `_COMPLETE` is written LAST so a crashed
+    * build rebuilds rather than serving a torn layout (the d11
+    * discipline). */
   private[graft] def knnGraphIndex(s: SparkSession, dir: String): DataFrame =
     knnGraphReg.getOrElseUpdate(dir, {
       import s.implicits._
-      val g = knnGraphEdges(s, dir, IvfProbes, GraphAnnDegree)
-        .select($"q_id".as("src"), $"neighbor_id".as("dst"))
-      g.unionAll(g.select($"dst".as("src"), $"src".as("dst")))
-        .distinct().cache()
+      val root = s15LayoutDir(dir)
+      val marker = new java.io.File(root, "_COMPLETE")
+      if (!marker.exists()) {
+        knnGraphBuilds.incrementAndGet()
+        val g = knnGraphEdges(s, dir, IvfProbes, GraphAnnDegree)
+          .select($"q_id".as("src"), $"neighbor_id".as("dst"))
+        g.unionAll(g.select($"dst".as("src"), $"src".as("dst")))
+          .distinct()
+          .repartition(col("src"))
+          .sortWithinPartitions($"src", $"dst")
+          .write.mode("overwrite")
+          .parquet(new java.io.File(root, "edges").getPath)
+        marker.createNewFile()
+      }
+      val edges = s.read
+        .parquet(new java.io.File(root, "edges").getPath).cache()
+      edges.count()
+      edges
     })
 
   /** S15: GRAPH-BASED approximate nearest neighbors — beam search over

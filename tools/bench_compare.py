@@ -47,11 +47,16 @@ def _maps(d):
               f"{d['contaminated_sweeps']} - treat its medians as suspect")
     mins = d.get("queries", {})
     meds = d.get("queries_median", {})
+    # round-13 archives carry a self-median map: raw median minus the
+    # memoized-artifact builds the entry paid — the like-for-like
+    # clock (a shared chain moving between family members across
+    # rounds is not a regression)
+    selfs = d.get("queries_self_median", {})
     # band-shaped queries ([min, median, spread]) also carry medians
     if mins and isinstance(next(iter(mins.values())), list):
         meds = {k: v[1] for k, v in mins.items()}
         mins = {k: v[0] for k, v in mins.items()}
-    return mins, meds
+    return mins, meds, selfs
 
 
 def main():
@@ -61,31 +66,34 @@ def main():
          if re.search(r"_r(\d+)\.json$", p)),
         key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)))
     cur_path = args[1] if len(args) > 1 else "BENCH.json"
-    cmin, cmed = load(cur_path)
+    cmin, cmed, cself = load(cur_path)
     if len(args) > 0:
         prev_path = args[0]
-        pmin, pmed = load(prev_path)
+        pmin, pmed, pself = load(prev_path)
     else:
         # walk archives newest-first and SKIP any whose per-entry map
         # equals the current run's — the newest BENCH_r{N}.json is
         # usually the driver's copy of THIS round's BENCH.json, and
         # round 8's compare ran against itself (vacuous "0 regressions")
-        prev_path, pmin, pmed = None, {}, {}
+        prev_path, pmin, pmed, pself = None, {}, {}, {}
         for p in reversed(rounds):
-            a, b = load(p)
+            a, b, c = load(p)
             if (a, b) == (cmin, cmed):
                 print(f"== skipping {p}: identical to {cur_path} "
                       "(same run archived)")
                 continue
-            prev_path, pmin, pmed = p, a, b
+            prev_path, pmin, pmed, pself = p, a, b, c
             break
         if prev_path is None:
             print("== no prior-round archive distinct from current run")
             sys.exit(0)
     factor = float(args[2]) if len(args) > 2 else 1.5
-    clock = "median" if pmed and cmed else "min"
-    prev = pmed if clock == "median" else pmin
-    cur = cmed if clock == "median" else cmin
+    if pself and cself:
+        clock, prev, cur = "self-median", pself, cself
+    elif pmed and cmed:
+        clock, prev, cur = "median", pmed, cmed
+    else:
+        clock, prev, cur = "min", pmin, cmin
     common = sorted(set(prev) & set(cur))
     flagged = [(k, prev[k], cur[k]) for k in common
                if cur[k] > prev[k] * factor and cur[k] > 0.5]
