@@ -33,10 +33,12 @@ object Bench {
         }
       Caches.clear()
     } catch { case _: Throwable => }
-    // optional arg: regex over query names, for timing a subset
-    // without the full 61-entry sweep (e.g. `runMain graft.Bench d6.*`)
+    // optional args: regexes/names over query names, for timing a
+    // subset without the full sweep (e.g. `runMain graft.Bench d6.*`);
+    // several args beat one alternation — sbt's batch parser mangles
+    // pipes/parens in runMain args
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => args.headOption.forall(n.matches) }
+      .filter { case (n, _) => args.isEmpty || args.exists(n.matches) }
     // ARTIFACT-BUILD ATTRIBUTION (round 13): Caches.memo logs each
     // artifact's exclusive build seconds; draining the ledger after
     // every entry charges the build to the entry that TRIGGERED it.

@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object LouvainProbe {
   def main(args: Array[String]): Unit = {
+    sys.props("graft.oracleBudgetStrict") = "0" // engine-only probe
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val rounds = args.drop(1).headOption.map(_.toInt)
       .getOrElse(operators.Graph.LouvainRounds)

@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object LpaProbe {
   def main(args: Array[String]): Unit = {
+    sys.props("graft.oracleBudgetStrict") = "0" // engine-only probe
     val dir = args.headOption.getOrElse("/tmp/graft-scale-x20")
     val window = args.drop(1).headOption.map(_.toInt)
       .getOrElse(operators.Graph.SemiPickWindow)

@@ -49,6 +49,7 @@ object Graph {
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).cache()
     var ranks = deg.select($"src".as("node"), lit(Scale).as("rank"))
       .localCheckpoint(true)
+    withLoopWidth(s, edges.count()) {
     for (_ <- 1 to Iters) {
       val contrib = edges.join(deg, "src")
         .join(ranks, $"src" === $"node")
@@ -59,6 +60,7 @@ object Graph {
           (lit(Scale * 15 / 100) +
             expr("(85 * coalesce(c, 0L)) div 100")).as("rank"))
         .localCheckpoint(true)
+    }
     }
     edges.unpersist(); deg.unpersist()
     ranks
@@ -368,6 +370,7 @@ object Graph {
     import s.implicits._
     var e = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
       .select($"pa", $"pb").localCheckpoint(true)
+    withLoopWidth(s, e.count()) {
     for (_ <- 1 to rounds) {
       val core = e.select($"pa".as("n")).unionAll(e.select($"pb".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("deg"))
@@ -376,6 +379,7 @@ object Graph {
         .join(core.select($"n".as("pb")), Seq("pb"), "left_semi")
         .select($"pa", $"pb")
         .localCheckpoint(true)
+    }
     }
     e.select($"pa".as("n")).unionAll(e.select($"pb".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("deg_core"))
@@ -502,6 +506,7 @@ object Graph {
     var cnt = e.count()
     var clamped = false
     var levels = List.empty[DataFrame]
+    withLoopWidth(s, cnt) {
     for (k <- 1 to kMax) {
       var converged = false
       var r = 0
@@ -519,6 +524,7 @@ object Graph {
       if (cnt > 0 && !converged) clamped = true
       levels = e.select($"pa".as("n")).unionAll(e.select($"pb".as("n")))
         .distinct().withColumn("k", lit(k)) :: levels
+    }
     }
     if (cnt > 0) clamped = true
     val table = levels.reduce(_ unionAll _)
@@ -650,6 +656,7 @@ object Graph {
     var r = 0
     val byTDesc = Window.partitionBy($"src").orderBy($"t".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withLoopWidth(s, edges.count()) {
     while (r < rounds && !converged) {
       // histogram of neighbor estimates per node: (src, t) -> m rows,
       // O(1) width, map-side partial agg
@@ -665,6 +672,7 @@ object Graph {
       val t2 = c.agg(sum($"c")).as[Long].head()
       converged = t2 == tot
       tot = t2; r += 1
+    }
     }
     edges.unpersist()
     c.select($"node".as("l_partkey"), $"c".cast("int").as("core_number"))
@@ -718,6 +726,7 @@ object Graph {
     val wdeg = edges.groupBy($"src").agg(sum($"w").as("wd")).cache()
     var ranks = wdeg.select($"src".as("node"), lit(Scale).as("rank"))
       .localCheckpoint(true)
+    withLoopWidth(s, edges.count()) {
     for (_ <- 1 to Iters) {
       val contrib = edges.join(wdeg, "src")
         .join(ranks, $"src" === $"node")
@@ -728,6 +737,7 @@ object Graph {
           (lit(Scale * 15 / 100) +
             expr("(85 * coalesce(c, 0L)) div 100")).as("rank"))
         .localCheckpoint(true)
+    }
     }
     edges.unpersist(); wdeg.unpersist()
     ranks
@@ -796,6 +806,7 @@ object Graph {
     var lbls = edges.select($"src".as("node")).distinct()
       .select($"node", $"node".as("lbl"))
       .localCheckpoint(true)
+    withLoopWidth(s, edges.count()) {
     for (_ <- 1 to rounds) {
       val votes = edges
         .join(lbls.select($"node".as("dst"), $"lbl"), "dst")
@@ -804,6 +815,7 @@ object Graph {
         .agg(max(struct($"cnt", (-$"lbl").as("nl"))).as("m"))
         .select($"src".as("node"), (-$"m.nl").as("lbl"))
         .localCheckpoint(true)
+    }
     }
     edges.unpersist()
     val sizes = lbls.groupBy($"lbl").agg(count(lit(1)).as("community_size"))
@@ -884,6 +896,7 @@ object Graph {
     var ranks = deg.select($"src".as("node"),
       when($"src" === seed, lit(Scale)).otherwise(lit(0L)).as("rank"))
       .localCheckpoint(true)
+    withLoopWidth(s, edges.count()) {
     for (_ <- 1 to Iters) {
       val contrib = edges.join(deg, "src")
         .join(ranks, $"src" === $"node")
@@ -894,6 +907,7 @@ object Graph {
           (when($"node" === seed, lit(Scale * 15 / 100)).otherwise(lit(0L)) +
             expr("(85 * coalesce(c, 0L)) div 100")).as("rank"))
         .localCheckpoint(true)
+    }
     }
     edges.unpersist(); deg.unpersist()
     ranks.filter($"rank" > 0L)
@@ -932,6 +946,7 @@ object Graph {
     val seed = egoSeed(s, dir)
     var dist = Seq((seed, 0)).toDF("node", "hops").localCheckpoint(true)
     var frontier = dist
+    withLoopWidth(s, edges.count()) {
     for (h <- 1 to radius) {
       val nxt = frontier.join(edges, $"node" === $"src")
         .select($"dst".as("node")).distinct()
@@ -940,6 +955,7 @@ object Graph {
         .localCheckpoint(true)
       dist = dist.unionAll(nxt).localCheckpoint(true)
       frontier = nxt
+    }
     }
     edges.unpersist()
     dist.select($"node".as("l_partkey"), $"hops")
@@ -980,6 +996,7 @@ object Graph {
     var dist = seeds.select($"seed", $"seed".as("node"), lit(0).as("hops"))
       .localCheckpoint(true)
     var frontier = dist
+    withLoopWidth(s, edges.count()) {
     for (h <- 1 to radius) {
       val nxt = frontier.join(edges, $"node" === $"src")
         .select($"seed", $"dst".as("node")).distinct()
@@ -988,6 +1005,7 @@ object Graph {
         .localCheckpoint(true)
       dist = dist.unionAll(nxt).localCheckpoint(true)
       frontier = nxt
+    }
     }
     edges.unpersist()
     val contrib = dist.filter($"hops" > 0)
@@ -1370,20 +1388,12 @@ object Graph {
       incrementalUsed: Boolean = true): (DataFrame, Int) = {
     val s = edges.sparkSession
     import s.implicits._
-    // GRAPH-SIZED LOOP WIDTH (round 13 — the d6/louvainMovesW
-    // discipline): every round runs a ~6-job pick/keep/merge chain;
-    // at session width on a small graph each job is 32 near-empty
-    // task startups × stages — measured sf0.1 (7,146 directed edges)
-    // coloring 13.3 → ~3 s. Picks are MEMBERSHIP algebra
-    // (array_except/size — order-free) and the conflict keep is an
-    // order-free max(struct), so results are partition-count-
-    // independent; a billion-edge graph keeps full width.
-    val loopParts = math.max(1L, math.min(
-      s.sessionState.conf.numShufflePartitions.toLong,
-      edges.count() / 100000L)).toInt
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try {
+    // graph-sized loop width (see withLoopWidth): every round runs a
+    // ~6-job pick/keep/merge chain; picks are MEMBERSHIP algebra
+    // (array_except/size — order-free) and the conflict keep an
+    // order-free max(struct), so results are partition-count
+    // independent — measured sf0.1 coloring 13.3 → 9.4 s
+    withLoopWidth(s, edges.count()) {
     // undirected degree (edges is symmetric, simple): sizes each
     // node's palette [1..deg+1] — a free color always exists
     val nodes = edges.groupBy($"src".as("node"))
@@ -1493,7 +1503,7 @@ object Graph {
     require(uncCnt == 0,
       s"q84 coloring ceiling $ceiling left $uncCnt uncolored nodes")
     (col.select($"node", $"color"), r)
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Executed (non-skipped) sweep steps across all semiSyncLabels
@@ -1530,21 +1540,11 @@ object Graph {
     // class budget; sweeping past it would diverge silently. Entry
     // paths pass their oracle's budget; constructed-graph spec calls
     // leave it unchecked (0).
-    require(colorBudget == 0 || nColors <= colorBudget,
-      s"q84: coloring used $nColors classes > the oracle's unroll " +
-        s"budget $colorBudget — raise the budget (and the unrolled " +
-        "oracle with it) rather than diverge silently")
-    // graph-sized loop width (round 13 — see trialColoring): each
-    // sweep step is one class-restricted join chain + checkpoint;
-    // the argmax is an order-free max(struct), the pending artifact
-    // a distinct set — partition-count-independent. Measured sf0.1:
-    // sweeps 15.8 → ~4 s. Restored in finally.
-    val loopParts = math.max(1L, math.min(
-      s.sessionState.conf.numShufflePartitions.toLong,
-      edges.count() / 100000L)).toInt
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try {
+    checkColorBudget("q84", nColors, colorBudget)
+    // graph-sized loop width (see withLoopWidth): each sweep step is
+    // one class-restricted join chain + checkpoint; the argmax is an
+    // order-free max(struct), the pending artifact a distinct set
+    withLoopWidth(s, edges.count()) {
     // ---- per-color LPA sweeps, keep-current-if-argmax, with a ----
     // ---- driver-side PENDING-CLASS skip (round-12)            ----
     // A class's sweep is the IDENTITY when no member has a neighbor
@@ -1618,7 +1618,7 @@ object Graph {
       }
     }
     lbl
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Q84 oracle: the trial-coloring rounds and every per-color sweep
@@ -1924,6 +1924,53 @@ object Graph {
     * it), the lpaSweepSteps pattern. */
   private[graft] val louvainMoveSteps = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** GRAPH-SIZED LOOP WIDTH (round 13 — the d6 discipline, one place
+    * owns the recipe): run `body` with the shuffle width sized to the
+    * graph — 1 partition per 100k rows, capped at the session width a
+    * billion-edge graph keeps; restored in finally. The iterative
+    * operators' per-round cost on small graphs is ~8 stages × 32
+    * near-empty task startups of pure scheduling (measured: a q101
+    * class step 1.7 s against 4,648 edges; q84's sf0.1 chain 29 → 10 s
+    * under this lever); at data volumes where tasks do real work the
+    * cap keeps full width. Sound wherever results are partition-count
+    * independent — every loop in this module qualifies: exact integer
+    * algebra with commutative aggregates (sums, counts, min/max,
+    * max(struct) argmaxes, set membership), gated by the sf0.01
+    * oracle hashes. */
+  private[graft] def withLoopWidth[T](s: SparkSession, rows: Long)(
+      body: => T): T = {
+    val parts = math.max(1L, math.min(
+      s.sessionState.conf.numShufflePartitions.toLong, rows / 100000L)).toInt
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** LOUD color-budget guard (round-12 ADVICE, round 13): the engine
+    * sweeps the coloring's data-dependent class count while the
+    * UNROLLED oracle replays a fixed budget of class CTEs — a corpus
+    * whose coloring exceeds the budget would make the engine run
+    * steps the oracle never replays, a silent divergence anywhere the
+    * oracle is EVALUATED (the driver's sf0.01 gate; the spec SFs).
+    * Default is STRICT: raise. Engine-only runs beyond oracle
+    * coverage — the 20× scale probes, a production corpus — are
+    * legitimate (sweeping every class IS the operator's semantics;
+    * the oracle simply isn't replayed there) and opt out with
+    * -Dgraft.oracleBudgetStrict=0, which demotes the raise to a loud
+    * stderr warning. The check costs nothing: max(color) was already
+    * computed for the sweep schedule. */
+  private[graft] def checkColorBudget(op: String, nColors: Int,
+      colorBudget: Int): Unit =
+    if (colorBudget > 0 && nColors > colorBudget) {
+      val msg = s"$op: coloring used $nColors classes > the oracle's " +
+        s"unroll budget $colorBudget — raise the budget (and the " +
+        "unrolled oracle with it) rather than diverge silently"
+      if (sys.props.get("graft.oracleBudgetStrict").contains("0"))
+        System.err.println(s"[graft] WARNING: $msg (non-strict: " +
+          "engine-only run beyond oracle coverage, proceeding)")
+      else throw new IllegalArgumentException(msg)
+    }
+
   /** The weighted move core (one recipe for both phases — the bandsOf
     * discipline): `edges` carry a weight column `w` (phase 1 passes
     * w = 1, where sum ≡ count), `strength` is the per-node weighted
@@ -1950,27 +1997,13 @@ object Graph {
     // coloring exceeds the budget would make the engine run steps the
     // oracle never replays, a silent divergence at non-oracle SFs.
     // nColors is already computed above, so the guard costs nothing.
-    require(colorBudget == 0 || nColors <= colorBudget,
-      s"louvain: coloring used $nColors classes > the oracle's unroll " +
-        s"budget $colorBudget — raise the budget (and the unrolled " +
-        "oracle with it) rather than diverge silently")
-    // GRAPH-SIZED LOOP WIDTH (round 13 — the d6 discipline): each of
-    // the rounds × colors class steps shuffles ~|E|/colors edges and
-    // |N|-scale label rows through an ~8-stage plan; at session width
-    // that is 32 tasks × 8 stages of near-empty task startup PER STEP
-    // — measured at sf0.001 (4,648 directed edges) the step cost is
-    // ~1.7 s of pure scheduling, 6 rounds = 235 s for a graph that
-    // fits in one cache line. Width follows the data (1 per 100k
-    // edges, capped at the session width a billion-edge graph keeps);
-    // results are partition-count-independent (exact integer algebra,
-    // partition-agnostic aggregates). Restored in finally.
-    val eCnt = edges.count()
-    val loopParts = math.max(1L, math.min(
-      s.sessionState.conf.numShufflePartitions.toLong,
-      eCnt / 100000L)).toInt
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try {
+    checkColorBudget("louvain", nColors, colorBudget)
+    // graph-sized loop width (see withLoopWidth): each of the
+    // rounds × colors class steps shuffles ~|E|/colors edges and
+    // |N|-scale label rows through an ~8-stage plan — measured at
+    // sf0.001 (4,648 directed edges) ~1.7 s/step of pure scheduling
+    // at session width, halved under the data-sized width
+    withLoopWidth(s, edges.count()) {
     def d38(c: Column) = c.cast("decimal(38,0)")
     def loud(c: Column) = when(c.isNull,
       raise_error(lit("louvain: exact-integer overflow in the " +
@@ -2046,7 +2079,7 @@ object Graph {
       fixedPoint = movedInRound == 0L
     }
     lbl.select($"node", $"lbl")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Q101: LOUVAIN COMMUNITY DETECTION (phase 1) — the modularity-
@@ -2441,6 +2474,7 @@ object Graph {
     var frontier = dist
     var frontierCnt = 1L
     var r = 0
+    withLoopWidth(s, edges.count()) {
     while (r < rounds && frontierCnt > 0) {
       val relax = frontier.join(edges, $"node" === $"src")
         .select($"dst".as("node"), ($"dist" + $"w").as("cand"))
@@ -2457,6 +2491,7 @@ object Graph {
       frontier = merged.filter($"improved").select($"node", $"dist")
       frontierCnt = frontier.count()
       r += 1
+    }
     }
     dist
   }
@@ -2585,6 +2620,7 @@ object Graph {
     var frontier = settled
     val perLevel = scala.collection.mutable.ArrayBuffer(frontier)
     var sigmaMaxPrev = 1L // guard-verified max σ of the previous level
+    withLoopWidth(s, edges.count()) {
     for (h <- 1 to radius) {
       val nxtFull = frontier.join(edges, $"node" === $"src")
         .select($"seed", $"dst".as("node"), $"sigma")
@@ -2664,6 +2700,7 @@ object Graph {
       s"q86: pivot-sum of δ (≤ $nSeeds × $deltaMaxAll) could exceed Long")
     deltas.reduce(_ unionAll _)
       .groupBy($"node").agg(sum($"delta").as("bet_1e6"))
+    }
   }
 
   // ----------------------------------------------------------------
@@ -2727,6 +2764,7 @@ object Graph {
     var frontier = dist
     var cnt = 1L
     var h = 0
+    withLoopWidth(s, edges.count()) {
     while (h < rounds && cnt > 0) {
       val nxt = frontier.join(edges, $"node" === $"src")
         .select($"dst".as("node")).distinct()
@@ -2737,6 +2775,7 @@ object Graph {
       frontier = nxt
       cnt = nxt.count()
       h += 1
+    }
     }
     dist
   }
@@ -2818,6 +2857,10 @@ object Graph {
     var prev = e.count()
     var settled = prev == 0L
     var r = 0
+    // width sized to the wedge fan-out Σ C(deg⁺,2), not the edge
+    // count: round 1's triangle enumeration is the dominant cost and
+    // its rows outnumber edges by the orientation bound
+    withLoopWidth(e.sparkSession, prev * 8) {
     while (r < ceiling && !settled) {
       val keep = edgeSupport(e).filter($"support" >= k - 2)
         .select($"pa", $"pb")
@@ -2826,6 +2869,7 @@ object Graph {
       settled = cnt == prev
       prev = cnt
       r += 1
+    }
     }
     require(settled,
       s"q98 truss peel NOT settled after ceiling=$ceiling rounds " +
@@ -3075,6 +3119,7 @@ object Graph {
     val totals = scala.collection.mutable.ArrayBuffer(total(state)) // N(0)
     var t = 1
     var grew = true
+    withLoopWidth(s, edges.count()) {
     while (t <= rounds && grew) {
       val nbr = edges.join(state, $"src" === $"node")
         .select($"dst".as("node"), $"sk")
@@ -3085,6 +3130,7 @@ object Graph {
       grew = nt > totals.last
       totals += nt
       t += 1
+    }
     }
     (state, totals.toSeq)
   }
@@ -3457,6 +3503,7 @@ object Graph {
     var hub = e.select($"cust").distinct()
       .select($"cust", lit(Scale).as("hub")).checkpointFresh
     var auth: DataFrame = null
+    withLoopWidth(s, e.count()) {
     for (_ <- 1 to iters) {
       val asum = e.join(hub, "cust").groupBy($"part").agg(sum($"hub").as("a"))
       auth = asum.crossJoin(broadcast(asum.agg(max($"a").as("amax"))))
@@ -3464,6 +3511,7 @@ object Graph {
       val hsum = e.join(auth, "part").groupBy($"cust").agg(sum($"auth").as("h"))
       hub = hsum.crossJoin(broadcast(hsum.agg(max($"h").as("hmax"))))
         .select($"cust", expr(normH).as("hub")).checkpointFresh
+    }
     }
     val out = auth.orderBy($"auth".desc, $"part").limit(20)
       .select(lit("auth").as("role"), $"part".cast("long").as("node"),
