@@ -186,6 +186,8 @@ object SparkEntry {
     "t16_novelty"        -> (TextAnalysis.t16Novelty _),
     "q91_conversion_lag" -> (Analytics.q91ConversionLag _),
     "m13_slate_diversity" -> (graft.ml.Recommender.m13SlateDiversity _),
+    "m14_gram"           -> (graft.ml.Pca.m14Gram _),
+    "m15_pca"            -> ((s: SparkSession, d: String) => graft.ml.Pca.m15Pca(s, d)),
     "z3_bloom_skip"      -> (Layout.z3BloomSkip _),
     "p15_temperature_mix" -> (Sampling.p15TemperatureMix _),
     "i7_schema_evolution" -> (Ingest.i7SchemaEvolution _),
@@ -1974,6 +1976,7 @@ object SparkEntry {
     "t17_heavy_change" -> operators.TextAnalysis.heavyChangeOracleSql,
     "s11_filtered_ann" -> operators.Similarity.filteredAnnOracleSql,
     "s14_jl_projection" -> operators.Similarity.jlOracleSql(),
+    "m14_gram" -> graft.ml.Pca.gramOracleSql,
     "s13_hybrid_full" -> operators.Similarity.filteredAnnOracleSql,
     "s12_rrf" -> operators.Similarity.rrfOracleSql,
     "q92_reliability" -> operators.Analytics.reliabilityOracleSql,

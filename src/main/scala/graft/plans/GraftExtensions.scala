@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayDot, DotTopK, HilbertIndex, JlProject, MaxRunLength, MinHashAgg, MisraGriesAgg, PqAdcTopK, PqEncode, SimHashAgg, SortedDot, SortedIntersectSize, TopKAgg}
+import graft.functions.{ArrayDot, DotTopK, GramAgg, HilbertIndex, JlProject, MaxRunLength, MinHashAgg, MisraGriesAgg, PqAdcTopK, PqEncode, SimHashAgg, SortedDot, SortedIntersectSize, TopKAgg}
 
 /** Session extensions: registers graft's native Catalyst expressions
   * so they resolve in both the Column DSL (`call_function`) and SQL.
@@ -135,6 +135,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children(4).eval(null).asInstanceOf[Number].intValue(),
           children(5).eval(null).asInstanceOf[Number].intValue(),
           children(6).eval(null).asInstanceOf[Number].intValue())))
+    // gram_agg(qv, d): upper-triangular Σ q·qᵀ in one buffer; d must
+    // be an INT literal — it sizes the aggregation buffer at plan
+    // time (the jl_project discipline)
+    ext.injectFunction((
+      FunctionIdentifier("gram_agg"),
+      new ExpressionInfo(classOf[GramAgg].getName, "gram_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.AnalysisException
+        import org.apache.spark.sql.types.IntegerType
+        def fail(msg: String): Nothing = throw new AnalysisException(
+          "_LEGACY_ERROR_TEMP_2273", Map("message" -> msg))
+        if (children.length != 2)
+          fail(s"gram_agg(qv, d) takes 2 arguments, got ${children.length}")
+        val dExpr = children(1)
+        if (!dExpr.foldable || dExpr.dataType != IntegerType)
+          fail("gram_agg: d must be an INT literal (it sizes the " +
+            s"aggregation buffer at plan time), got ${dExpr.sql}: ${dExpr.dataType.sql}")
+        val d = dExpr.eval().asInstanceOf[Int]
+        if (d < 1 || d > 4096)
+          fail(s"gram_agg: d must be in [1, 4096], got $d")
+        GramAgg(children(0), d).toAggregateExpression()
+      }))
     ext.injectFunction((
       FunctionIdentifier("max_run_length"),
       new ExpressionInfo(classOf[MaxRunLength].getName, "max_run_length"),

@@ -185,6 +185,53 @@ class Round13Spec extends GraftSpecBase {
     assert(asym.isEmpty, "persisted graph lost one-way-link symmetry")
   }
 
+  // ------------- m14/m15: Gram + PCA -------------
+
+  test("m14: gram matrix == local BigInt replay of the quantization + triangle") {
+    import graft.ml.Pca
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    assert(emb.nonEmpty)
+    val q = emb.map { case (_, e) =>
+      e.map(x => math.floor(x.toDouble * Pca.QScale).toLong).toArray }
+    val d = Pca.Dim
+    val want = (for { i <- 0 until d; j <- i until d }
+      yield (i, j, q.map(v => BigInt(v(i)) * BigInt(v(j))).sum.toLong)).toSeq
+    val got = Pca.m14Gram(spark, sf).as[(Int, Int, Long)].collect().toSeq
+    assert(got == want, "distributed gram diverged from local replay")
+  }
+
+  test("m15: spectrum descending + orthonormal; projection variance ≈ eigenvalue; rerun identical") {
+    import graft.ml.Pca
+    val (evals, w, _) = Pca.principalComponents(spark, sf)
+    assert(evals.toSeq.sliding(2).forall(p => p(0) >= p(1) - 1e-9),
+      "eigenvalues not descending")
+    // the Jacobi rotations are orthogonal by construction; this pins
+    // the implementation didn't lose it (and the sign canonicalization
+    // kept unit norms)
+    for (a <- 0 until Pca.TopK; b <- a until Pca.TopK) {
+      val dotab = (0 until Pca.Dim).map(i => w(a)(i) * w(b)(i)).sum
+      val expect = if (a == b) 1.0 else 0.0
+      assert(math.abs(dotab - expect) < 1e-9, s"w($a).w($b) = $dotab")
+    }
+    // the chain tie: the population variance of each projected
+    // component must equal its eigenvalue (PCA's defining property),
+    // up to the 2^-20 input quantization and the q4 output floors
+    val pc = Pca.m15Pca(spark, sf).as[(Long, Seq[Double])].collect()
+    for (k <- 0 until Pca.TopK) {
+      val xs = pc.map(_._2(k))
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / xs.length
+      assert(math.abs(v - evals(k)) <= 1e-3 + 0.01 * math.abs(evals(k)),
+        s"component $k: projected variance $v vs eigenvalue ${evals(k)}")
+    }
+    // eigen-spectrum mass: Σ all eigenvalues == trace(C) (rotation
+    // invariant), and the kept head carries real variance
+    val again = Pca.m15Pca(spark, sf).as[(Long, Seq[Double])].collect()
+    assert(again.toSeq == pc.toSeq, "m15 not rerun-identical")
+    assert(evals.take(Pca.TopK).sum > 0.0, "degenerate spectrum")
+  }
+
   // ------------- q103 cache hygiene -------------
 
   test("q103: result is materialized before the edge cache drops (reuse-safe), values unchanged") {
