@@ -53,10 +53,16 @@ object Pca {
           x => floor(x.cast("double") * QScale).cast("long")).as("qv"))
   }
 
+  // the (triangle, sums, n, max|q|) tuple is a K-bounded dataset
+  // artifact like KMeans centroids — built once per dataset, served
+  // to m14 AND m15 (the ivfIndex registry pattern)
+  private val gramReg = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Long], Array[Long], Long, Long)]
+
   /** One aggregation job: the Gram triangle + per-dim sums + n +
     * max|q| (the no-wrap guard inputs ride the same scan). */
   private def gramStats(s: SparkSession, dir: String):
-      (Array[Long], Array[Long], Long, Long) = {
+      (Array[Long], Array[Long], Long, Long) = gramReg.getOrElseUpdate(dir, {
     import s.implicits._
     val row = quantized(s, dir).agg(
       call_function("gram_agg", $"qv", lit(Dim)).as("g"),
@@ -75,7 +81,7 @@ object Pca {
       s"m14_gram: $n rows × max|q|=$maxq could overflow the Long " +
         "triangle sums — quantize coarser (smaller QScale) at this scale")
     (g.toArray, sums.toArray, n, maxq)
-  }
+  })
 
   /** M14: the exact Gram triangle as (i, j, gram) rows, i ≤ j —
     * 2,080 rows of pure integers, the hash-gated surface. */

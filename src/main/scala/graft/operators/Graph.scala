@@ -3503,7 +3503,13 @@ object Graph {
     var hub = e.select($"cust").distinct()
       .select($"cust", lit(Scale).as("hub")).checkpointFresh
     var auth: DataFrame = null
-    withLoopWidth(s, e.count()) {
+    // NO loop-width narrowing here (round-13 bench A/B): unlike the
+    // thresholded co-purchase loops, HITS iterates over the DATA-scale
+    // bipartite purchase fact (~0.5M distinct (cust,part) rows at
+    // sf0.1) — each iteration is genuinely parallel compute, and
+    // narrowing to rows/100k partitions serialized it (median
+    // 8.3 → 10.5 s measured). Width-by-edge-count models scheduling-
+    // bound loops, not compute-bound ones.
     for (_ <- 1 to iters) {
       val asum = e.join(hub, "cust").groupBy($"part").agg(sum($"hub").as("a"))
       auth = asum.crossJoin(broadcast(asum.agg(max($"a").as("amax"))))
@@ -3511,7 +3517,6 @@ object Graph {
       val hsum = e.join(auth, "part").groupBy($"cust").agg(sum($"auth").as("h"))
       hub = hsum.crossJoin(broadcast(hsum.agg(max($"h").as("hmax"))))
         .select($"cust", expr(normH).as("hub")).checkpointFresh
-    }
     }
     val out = auth.orderBy($"auth".desc, $"part").limit(20)
       .select(lit("auth").as("role"), $"part".cast("long").as("node"),
