@@ -201,6 +201,23 @@ class Round13Spec extends GraftSpecBase {
     assert(got == want, "distributed gram diverged from local replay")
   }
 
+  test("m14: the gram pass is ONE two-phase aggregate — no Expand/Generate row blow-up") {
+    import graft.ml.Pca
+    // the scale claim gram_agg exists for: the naive SQL formulation
+    // posexplodes d(d+1)/2 rows per input row; the custom aggregate
+    // must plan as a partial-then-merge aggregation over the bare
+    // scan, with no Generate (explode) or Expand anywhere
+    val q = Tables.embeddings(spark, sf)
+      .select(transform($"embedding",
+        x => floor(x.cast("double") * Pca.QScale).cast("long")).as("qv"))
+    val df = q.agg(call_function("gram_agg", $"qv", lit(Pca.Dim)).as("g"))
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("partial_gram_agg"), p)
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
   test("m15: spectrum descending + orthonormal; projection variance ≈ eigenvalue; rerun identical") {
     import graft.ml.Pca
     val (evals, w, _) = Pca.principalComponents(spark, sf)
