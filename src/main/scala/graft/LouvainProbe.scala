@@ -45,14 +45,28 @@ object LouvainProbe {
     val roundT = scala.collection.mutable.Map.empty[Int, Long]
     var tRound = System.nanoTime()
     val t0 = System.nanoTime()
-    operators.Graph.louvainMoves(edges, init, rounds,
-      stepProbe = (r, c, lbl) => {
-        snaps(r) = lbl
-        if (c == nColors) { roundT(r) = System.nanoTime() - tRound; tRound = System.nanoTime() }
-      },
-      movedProbe = (r, c, m) => moved((r, c)) = m,
-      earlyExit = false)
-    println(f"== full run (earlyExit=false): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    // arg 3 "fresh": run phase 1 under the PER-CLASS-STEP volume
+    // policy (q102's freshTot) instead of the shipped round-frozen
+    // one — the §8f.1 convergence experiment
+    val fresh = args.drop(2).headOption.contains("fresh")
+    val stepP = (r: Int, c: Int, lbl: DataFrame) => {
+      snaps(r) = lbl
+      if (c == nColors) { roundT(r) = System.nanoTime() - tRound; tRound = System.nanoTime() }
+    }
+    val movedP = (r: Int, c: Int, m: Long) => moved((r, c)) = m
+    if (fresh) {
+      import org.apache.spark.sql.functions.{count => cnt}
+      val deg = edges.groupBy($"src".as("node"))
+        .agg(cnt(lit(1)).as("s")).cache()
+      val m2 = edges.count()
+      operators.Graph.louvainMovesW(edges.withColumn("w", lit(1L)), deg, m2,
+        init, rounds, freshTot = true, stepProbe = stepP,
+        earlyExit = false, movedProbe = movedP)
+      deg.unpersist()
+    } else
+      operators.Graph.louvainMoves(edges, init, rounds,
+        stepProbe = stepP, movedProbe = movedP, earlyExit = false)
+    println(f"== full run (earlyExit=false, freshTot=$fresh): ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     var prev = init.select($"node", $"lbl")
     for (r <- 0 until rounds if snaps.contains(r)) {
@@ -83,6 +97,12 @@ object LouvainProbe {
       movers.unpersist(); changed.unpersist()
       prev = cur
     }
+    // quality readout for the volume-policy A/B: Σ q_num of the final
+    // labeling (Q·(2m)² up to the constant — exact integers)
+    val qn = operators.Graph.modularityOf(edges, prev)
+      .agg(sum($"q_num")).as[Long].head()
+    println(s"== final labeling: Sigma q_num = $qn, communities = " +
+      prev.select($"lbl").distinct().count())
     spark.stop()
   }
 }

@@ -1870,10 +1870,17 @@ object Graph {
     * gain (ties → min label; no positive gain → stay). Classes are
     * independent sets, so a member's neighbor-community edge counts
     * k_{v,C} are EXACT under simultaneous within-class moves; the
-    * community volumes Σ_C deg are FROZEN AT ROUND START (refreshed
-    * once per outer round — the distributed-Louvain approximation;
-    * two same-class movers into one community interact only through
-    * the second-order volume penalty, documented rather than hidden).
+    * community volumes Σ_C deg refresh PER CLASS STEP (round 13 —
+    * the q102 freshTot policy adopted for phase 1 after measurement:
+    * the round-frozen form, originally shipped as "second-order
+    * staleness", OSCILLATES on the dense sf0.001 graph — moves
+    * 193/81/124/149/129/155 over 6 rounds, snowballing into 4
+    * over-merged communities at Σ q_num 727,882 — while per-step
+    * volumes CONVERGE 169/62/30/20/17/13 and land 12 communities at
+    * Σ q_num 3,588,086, 4.9× the modularity, at no wall-clock cost;
+    * §6.18. The phase-2 collapse measurement predicted this — stale
+    * volumes under-penalize the snowballing community at every
+    * scale).
     *
     * The gain is Newman modularity's exact integer numerator: moving
     * v (degree k_v) from community A to C changes Q·(2m)²/2 by
@@ -1905,14 +1912,15 @@ object Graph {
       gainProbe: (Int, Int, DataFrame) => Unit = null,
       colorBudget: Int = 0,
       earlyExit: Boolean = true,
-      movedProbe: (Int, Int, Long) => Unit = null): DataFrame = {
+      movedProbe: (Int, Int, Long) => Unit = null,
+      freshTot: Boolean = true): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val deg = edges.groupBy($"src".as("node"))
       .agg(count(lit(1)).as("s")).cache()
     val m2 = edges.count() // |e| = 2m: one scalar, the only driver value
     val out = louvainMovesW(edges.withColumn("w", lit(1L)), deg, m2,
-      labeled, rounds, freshTot = false, stepProbe, gainProbe,
+      labeled, rounds, freshTot, stepProbe, gainProbe,
       colorBudget, earlyExit, movedProbe)
     deg.unpersist()
     out
@@ -2172,12 +2180,13 @@ object Graph {
   }
 
   /** Q101 oracle: the shared coloring CTE prefix, a singleton init
-    * `lv_0`, then per move round r: a volumes CTE `lt_r` frozen at
-    * round start, and per class step c a `kv_r_c` (per-member
-    * neighbor-community counts) + `lv_r_c` (apply the best
-    * strictly-positive-gain move, ties → min label). HUGEINT products
-    * ≡ Spark's DECIMAL(38,0) — both exact. ~17 coloring +
-    * 3×(1+2×24) move CTEs ≈ 165, under the 374 precedent. */
+    * `lv_0`, then per move round r and class step c: a volumes CTE
+    * `lt_r_c` refreshed from the CURRENT labeling (round 13 — the
+    * freshTot policy adopted for phase 1, see louvainMoves), a
+    * `kv_r_c` (per-member neighbor-community counts) and `lv_r_c`
+    * (apply the best strictly-positive-gain move, ties → min label).
+    * HUGEINT products ≡ Spark's DECIMAL(38,0) — both exact. ~17
+    * coloring + 3×(3×24) move CTEs ≈ 233, under the 374 precedent. */
   /** The Louvain move-round CTEs over arbitrary table names — ONE
     * recipe for both phases: phase 1 reads (e, dg.deg, k = count(*));
     * phase 2 reads (e2, st2.s, k = sum of edge weights). `tag`
@@ -2246,7 +2255,7 @@ object Graph {
          lv_0 AS MATERIALIZED (
            SELECT node, color, node AS lbl FROM col_$coloringRounds)""" +
       louvainMoveCtes("e", "dg", "deg", "count(*)", "lv_0", "",
-        colors, moveRounds)
+        colors, moveRounds, freshTot = true)
 
   private[graft] def louvainOracleSql(
       coloringRounds: Int = SemiColoringRounds,

@@ -544,6 +544,10 @@ class Round12Spec extends GraftSpecBase {
     lbl.toMap
   }
 
+  // NOTE (round 13): this pins the KERNEL's round-frozen policy
+  // against its local reference; the SHIPPED q101 policy is now
+  // per-class-step volumes (freshTot — Round13Spec pins that one
+  // against the per-step reference). Both kernel modes stay spec'd.
   test("q101 engine: distributed moves == local reference on constructed + real graphs") {
     val rnd = new scala.util.Random(13)
     val random = (for (_ <- 1 to 150) yield {
@@ -564,7 +568,8 @@ class Round12Spec extends GraftSpecBase {
       val colored = operators.Graph.trialColoring(
         edges, operators.Graph.SemiColoringRounds)._1
       val init = colored.select($"node", $"color", $"node".as("lbl"))
-      val got = operators.Graph.louvainMoves(edges, init)
+      val got = operators.Graph.louvainMoves(edges, init,
+          freshTot = false)
         .as[(Long, Long)].collect().toMap
       val color = colored.as[(Long, Int)].collect().toMap
       val want = louvainReference(pairs, color,

@@ -149,6 +149,83 @@ class Round13Spec extends GraftSpecBase {
     edges.unpersist()
   }
 
+  // ------------- q101 phase-1 freshTot policy (round 13) -------------
+
+  /** Local reference of the SHIPPED phase-1 schedule (round 13):
+    * classes ascending, within-class simultaneous best-positive-gain
+    * moves (ties → min label), community volumes refreshed PER CLASS
+    * STEP — the q102 freshTot policy adopted for phase 1 after the
+    * §6.18 oscillation/quality measurement. BigInt algebra. */
+  private def louvainReferenceFresh(edges: Seq[(Long, Long)],
+      color: Map[Long, Int], init: Map[Long, Long],
+      rounds: Int): Map[Long, Long] = {
+    val adj = edges.flatMap(e => Seq(e, e.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val m2 = BigInt(adj.values.map(_.size).sum)
+    val lbl = collection.mutable.Map(init.toSeq: _*)
+    for (_ <- 1 to rounds; c <- 1 to color.values.max) {
+      val tot = lbl.keys.groupBy(lbl).view
+        .mapValues(vs => BigInt(vs.iterator.map(deg).sum)).toMap
+      val upd = adj.keys.filter(color(_) == c).flatMap { v =>
+        val cnt = adj(v).groupBy(lbl).view
+          .mapValues(us => BigInt(us.size)).toMap
+        val cur = lbl(v)
+        val ka = cnt.getOrElse(cur, BigInt(0))
+        val kvDeg = BigInt(deg(v))
+        val cand = cnt.keys.filter(_ != cur).map { nl =>
+          (nl, m2 * (cnt(nl) - ka) - kvDeg * (tot(nl) - tot(cur) + kvDeg))
+        }.filter(_._2 > 0)
+        if (cand.isEmpty) None
+        else Some(v -> cand.maxBy { case (nl, g) => (g, -nl) }._1)
+      }.toSeq
+      upd.foreach { case (v, l) => lbl(v) = l }
+    }
+    lbl.toMap
+  }
+
+  test("q101 shipped policy (freshTot): distributed moves == per-step local reference; quality beats frozen") {
+    val rnd = new scala.util.Random(31)
+    val random = (for (_ <- 1 to 150) yield {
+      val a = rnd.nextInt(50).toLong; val b = rnd.nextInt(50).toLong
+      if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+    }).flatten.distinct
+    val prs = operators.Analytics.copurchasePairs(spark, sf)
+      .filter($"n_orders" >= 2).select($"pa", $"pb")
+      .as[(Long, Long)].collect().toSeq
+    val graphs = Seq(
+      "bridged triangles" -> Seq((1L, 2L), (2L, 3L), (1L, 3L),
+        (11L, 12L), (12L, 13L), (11L, 13L), (3L, 11L)),
+      "seeded random" -> random,
+      "sf0.001 co-purchase" -> prs)
+    for ((name, pairs) <- graphs) {
+      val edges = symmetric(pairs).cache()
+      val colored = operators.Graph.trialColoring(
+        edges, operators.Graph.SemiColoringRounds)._1
+      val init = colored.select($"node", $"color", $"node".as("lbl"))
+      val got = operators.Graph.louvainMoves(edges, init)
+        .as[(Long, Long)].collect().toMap
+      val color = colored.as[(Long, Int)].collect().toMap
+      val want = louvainReferenceFresh(pairs, color,
+        color.keys.map(v => v -> v).toMap,
+        operators.Graph.LouvainRounds)
+      assert(got == want, s"$name: freshTot moves diverged from reference")
+      edges.unpersist()
+    }
+    // the adoption evidence (§6.18): on the dense real graph the
+    // per-step policy must land strictly higher modularity than the
+    // round-frozen one at the same budget
+    val edges = operators.Graph.copurchaseEdges(spark, sf).cache()
+    val init = operators.Graph.semiColoredMemo(spark, sf)
+      .select($"node", $"color", $"node".as("lbl"))
+    def qn(l: org.apache.spark.sql.DataFrame): Long =
+      operators.Graph.modularityOf(edges, l).agg(sum($"q_num")).as[Long].head()
+    val fresh = qn(operators.Graph.louvainMoves(edges, init))
+    val frozen = qn(operators.Graph.louvainMoves(edges, init, freshTot = false))
+    assert(fresh > frozen, s"freshTot $fresh !> frozen $frozen")
+    edges.unpersist()
+  }
+
   // ------------- s15: persisted serving-graph layout -------------
 
   private def deleteRec(f: java.io.File): Unit = {
