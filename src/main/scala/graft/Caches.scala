@@ -81,14 +81,28 @@ object Caches {
       val stack = childSec.get()
       stack.push(0.0)
       val t0 = System.nanoTime()
-      val df = build.cache()
-      df.count() // materialize so cleanup can't force a recompute
-      cleanup
-      val wall = (System.nanoTime() - t0) / 1e9
-      val children = stack.pop()
-      if (!stack.isEmpty) stack.push(stack.pop() + wall)
-      buildLog.synchronized { buildLog += key -> (wall - children) }
-      df
+      try {
+        val df = build.cache()
+        df.count() // materialize so cleanup can't force a recompute
+        cleanup
+        val wall = (System.nanoTime() - t0) / 1e9
+        val children = stack.pop()
+        if (!stack.isEmpty) stack.push(stack.pop() + wall)
+        buildLog.synchronized { buildLog += key -> (wall - children) }
+        df
+      } catch {
+        case e: Throwable =>
+          // pop the frame even on a failed build: a leaked frame makes
+          // every LATER top-level build on this thread feed its wall
+          // time into the orphan and the stack grow unbounded across
+          // failures (advisor r13). The parent (if any) still absorbs
+          // the failed build's elapsed wall; nothing is logged for the
+          // failed key itself.
+          val wall = (System.nanoTime() - t0) / 1e9
+          stack.pop()
+          if (!stack.isEmpty) stack.push(stack.pop() + wall)
+          throw e
+      }
     })
 
   /** Drop every memoized frame (unpersisting its cache). Bench calls

@@ -187,7 +187,7 @@ object SparkEntry {
     "q91_conversion_lag" -> (Analytics.q91ConversionLag _),
     "m13_slate_diversity" -> (graft.ml.Recommender.m13SlateDiversity _),
     "m14_gram"           -> (graft.ml.Pca.m14Gram _),
-    "m15_pca"            -> ((s: SparkSession, d: String) => graft.ml.Pca.m15Pca(s, d)),
+    "m15_pca"            -> (graft.ml.Pca.m15PcaLong _),
     "z3_bloom_skip"      -> (Layout.z3BloomSkip _),
     "p15_temperature_mix" -> (Sampling.p15TemperatureMix _),
     "i7_schema_evolution" -> (Ingest.i7SchemaEvolution _),

@@ -64,6 +64,9 @@ object Pca {
   private def gramStats(s: SparkSession, dir: String):
       (Array[Long], Array[Long], Long, Long) = gramReg.getOrElseUpdate(dir, {
     import s.implicits._
+    // maxq/sums decode as Option: on an EMPTY table max()/sum() are
+    // null and a bare-Long decode would die with an opaque NPE before
+    // the intended loud require below fires (advisor r13)
     val row = quantized(s, dir).agg(
       call_function("gram_agg", $"qv", lit(Dim)).as("g"),
       count(lit(1)).as("n"),
@@ -72,8 +75,11 @@ object Pca {
       array((0 until Dim).map(i =>
         sum(element_at($"qv", i + 1))): _*).as("sums"))
       .select($"g", $"n", $"maxq", $"sums")
-      .as[(Seq[Long], Long, Long, Seq[Long])].head()
-    val (g, n, maxq, sums) = row
+      .as[(Seq[Long], Long, Option[Long], Seq[Option[Long]])].head()
+    val (g, n, maxqOpt, sumsOpt) = row
+    require(n > 0, s"m14_gram: embeddings table at $dir is empty")
+    val maxq = maxqOpt.getOrElse(0L)
+    val sums = sumsOpt.map(_.getOrElse(0L))
     // q86-style no-wrap proof: every triangle sum has n terms, each
     // ≤ max|q|² — if that product fits in Long, nothing wrapped.
     // Past this bound the remedy is a coarser QScale, never silence.
@@ -100,9 +106,24 @@ object Pca {
     i * Dim - i * (i - 1) / 2 + (j - i)
 
   /** M15: project every embedding onto the top-`TopK` principal
-    * components. Returns (vec_id, pc: array<double> q4-quantized). */
+    * components. Returns (vec_id, pc: array<double> q4-quantized) —
+    * the library API keeps the wide array column. */
   def m15Pca(s: SparkSession, dir: String): DataFrame =
     m15Pca(s, dir, TopK)
+
+  /** M15 registry surface: the same projection posexploded to
+    * long-form (vec_id, dim, value) — the s14 discipline
+    * (Similarity.scala s14JlProjection): the driver's canonicalizer
+    * sorts/hashes scalar columns and cannot sort an array<double>
+    * (r13's one ERR row). Production callers use [[m15Pca]]; this
+    * form exists for the check gate. */
+  def m15PcaLong(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    m15Pca(s, dir, TopK)
+      .select($"vec_id", posexplode($"pc"))
+      .select($"vec_id", $"pos".cast("int").as("dim"), $"col".as("value"))
+      .orderBy($"vec_id", $"dim")
+  }
 
   private[graft] def m15Pca(s: SparkSession, dir: String,
       k: Int): DataFrame = {
@@ -125,7 +146,9 @@ object Pca {
   }
 
   /** The spectrum artifact: (eigenvalues desc, eigenvectors as rows,
-    * mean vector) of the SAMPLE COVARIANCE, from one gram_agg pass +
+    * mean vector) of the POPULATION covariance (divide by n, matching
+    * the spec's pinned semantics — quantization and the 1/n are both
+    * part of the operator, like q4's floors), from one gram_agg pass +
     * a driver-side deterministic cyclic Jacobi on the 64×64 matrix. */
   private[graft] def principalComponents(s: SparkSession, dir: String):
       (Array[Double], Array[Array[Double]], Array[Double]) = {

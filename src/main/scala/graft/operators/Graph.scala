@@ -1944,7 +1944,18 @@ object Graph {
     * independent — every loop in this module qualifies: exact integer
     * algebra with commutative aggregates (sums, counts, min/max,
     * max(struct) argmaxes, set membership), gated by the sf0.01
-    * oracle hashes. */
+    * oracle hashes.
+    *
+    * CONCURRENCY ASSUMPTION (advisor r13): this mutates the
+    * session-global shuffle width read-then-restore, so it assumes
+    * the engine's serial execution model (Verify/Bench run entries
+    * one at a time on one session — the suite-wide contract).
+    * Interleaved restores under concurrent queries on a shared
+    * session could strand the narrowed width on unrelated plans —
+    * a PERF-only hazard (results are partition-count independent by
+    * the soundness argument above). A multi-tenant deployment should
+    * give each stream its own session (`newSession()` clones the
+    * conf, so the width mutation scopes to the clone). */
   private[graft] def withLoopWidth[T](s: SparkSession, rows: Long)(
       body: => T): T = {
     val parts = math.max(1L, math.min(
@@ -2124,6 +2135,17 @@ object Graph {
     * independent of phase 1's. */
   val LouvainP2Rounds = 3
 
+  /** Driver gate for the phase-2 LOCAL ENDGAME (see LouvainLocal):
+    * the coarse level finishes locally when its CROSS-EDGE count — the
+    * collected payload, 24 B/edge ≈ 24 MB at the default — is at most
+    * this; beyond it the distributed weighted-move path runs (the
+    * 100 TB shape: a corpus whose phase-1 community graph is itself
+    * data-scale never collects). `-Dgraft.louvainLocalMaxEdges=0`
+    * forces the distributed path (the spec equivalence harness). */
+  def LouvainLocalMaxEdges: Long =
+    sys.props.get("graft.louvainLocalMaxEdges").map(_.toLong)
+      .getOrElse(1L << 20)
+
   /** Q102: LOUVAIN PHASE 2 (coarsening) — the step that makes Louvain
     * MULTI-LEVEL (Blondel et al. 2008 §2): contract each phase-1
     * community to one supernode (cross-community directed weights
@@ -2164,11 +2186,33 @@ object Graph {
     val strength = le.groupBy($"la".as("node"))
       .agg(sum($"w").as("s")).cache()
     val m2w = edges.count()
-    val (col2, _) = trialColoring(cross.select($"src", $"dst"),
-      SemiColoringRounds)
-    val init2 = col2.select($"node", $"color", $"node".as("lbl"))
-    val l2 = louvainMovesW(cross, strength, m2w, init2, LouvainP2Rounds,
-      freshTot = true, colorBudget = LouvainP2Colors)
+    // LOCAL ENDGAME (round 14 — see LouvainLocal): the coarse level
+    // is metadata-scale by construction (community count ≪ node
+    // count); once its cross-edge list fits the driver gate, the
+    // distributed coloring + move steps are pure scheduling (r14
+    // probe: 341 jobs / ~14.6 s at sf0.1 against 538 cross edges),
+    // so finish the level locally — the SAME schedule, BigInt-exact,
+    // spec-pinned bit-identical to the distributed path, which a
+    // corpus beyond the gate still takes.
+    val nCross = cross.count()
+    val l2 =
+      if (nCross <= LouvainLocalMaxEdges) {
+        val ce = cross.select($"src", $"dst", $"w")
+          .as[(Long, Long, Long)].collect()
+        val st = strength.select($"node", $"s")
+          .as[(Long, Long)].collect().toMap
+        val col2 = LouvainLocal.coloring(ce.map(t => (t._1, t._2)))
+        checkColorBudget("louvain",
+          if (col2.isEmpty) 0 else col2.valuesIterator.max, LouvainP2Colors)
+        val lbl2 = LouvainLocal.movesW(ce, st, m2w, col2, LouvainP2Rounds)
+        lbl2.toSeq.toDF("node", "lbl")
+      } else {
+        val (col2, _) = trialColoring(cross.select($"src", $"dst"),
+          SemiColoringRounds)
+        val init2 = col2.select($"node", $"color", $"node".as("lbl"))
+        louvainMovesW(cross, strength, m2w, init2, LouvainP2Rounds,
+          freshTot = true, colorBudget = LouvainP2Colors)
+      }
     // isolated supernodes never entered the cross graph: keep their
     // phase-1 label (they have no neighbors to move toward)
     val projected = l1

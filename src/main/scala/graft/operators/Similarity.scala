@@ -675,14 +675,33 @@ object Similarity {
     knnGraphReg.clear()
   }
 
-  /** On-disk home of the s15 layout for a dataset — keyed on the
-    * dataset dir AND the embeddings table's mtime, so regenerated
-    * testdata can never serve a stale graph. */
-  private[graft] def s15LayoutDir(dir: String): java.io.File = {
+  /** Identity of the embeddings table an s15 layout was built from:
+    * path + mtime + total byte size of its parquet parts. Written
+    * into the layout's `_COMPLETE` marker and re-verified on load —
+    * the 32-bit-hashCode keying this replaced (advisor r13) could
+    * collide across datasets in shared /tmp, or miss a regenerated
+    * table whose mtime was preserved, and silently serve the wrong
+    * adjacency. */
+  private[graft] def s15SourceIdentity(dir: String): String = {
     val src = new java.io.File(dir, "embeddings.parquet")
-    val token = Integer.toHexString((dir + ":" + src.lastModified).hashCode)
+    val size =
+      if (src.isDirectory)
+        src.listFiles().filter(_.isFile).map(_.length).sum
+      else src.length
+    s"${src.getAbsolutePath}|mtime=${src.lastModified}|bytes=$size"
+  }
+
+  /** On-disk home of the s15 layout for a dataset — named by a
+    * 256-bit digest of the source identity (collision-proof, unlike
+    * a 32-bit hashCode), with the identity string itself stored in
+    * the `_COMPLETE` marker for positive verification on load. */
+  private[graft] def s15LayoutDir(dir: String): java.io.File = {
+    val id = s15SourceIdentity(dir)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(id.getBytes("UTF-8")).map("%02x".format(_)).mkString
     new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft-s15-graph/$token")
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-s15-graph/$digest")
   }
 
   /** The s15 serving graph: `GraphAnnDegree`-NN edges (the s9 kernel)
@@ -701,7 +720,16 @@ object Similarity {
       import s.implicits._
       val root = s15LayoutDir(dir)
       val marker = new java.io.File(root, "_COMPLETE")
-      if (!marker.exists()) {
+      val identity = s15SourceIdentity(dir)
+      // positive identity check: the marker must name THIS source
+      // (path+mtime+size) — a digest collision or a marker from an
+      // older build scheme triggers a rebuild, never a silent serve
+      val markerOk = marker.exists() && {
+        val recorded = new String(java.nio.file.Files
+          .readAllBytes(marker.toPath), "UTF-8").trim
+        recorded == identity
+      }
+      if (!markerOk) {
         knnGraphBuilds.incrementAndGet()
         val g = knnGraphEdges(s, dir, IvfProbes, GraphAnnDegree)
           .select($"q_id".as("src"), $"neighbor_id".as("dst"))
@@ -711,7 +739,7 @@ object Similarity {
           .sortWithinPartitions($"src", $"dst")
           .write.mode("overwrite")
           .parquet(new java.io.File(root, "edges").getPath)
-        marker.createNewFile()
+        java.nio.file.Files.write(marker.toPath, identity.getBytes("UTF-8"))
       }
       val edges = s.read
         .parquet(new java.io.File(root, "edges").getPath).cache()
