@@ -188,6 +188,8 @@ object SparkEntry {
     "m13_slate_diversity" -> (graft.ml.Recommender.m13SlateDiversity _),
     "m14_gram"           -> (graft.ml.Pca.m14Gram _),
     "m15_pca"            -> (graft.ml.Pca.m15PcaLong _),
+    "m16_linear_probe"   -> (graft.ml.LinearProbe.m16LinearProbe _),
+    "m17_confusion"      -> (graft.ml.LinearProbe.m17Confusion _),
     "z3_bloom_skip"      -> (Layout.z3BloomSkip _),
     "p15_temperature_mix" -> (Sampling.p15TemperatureMix _),
     "i7_schema_evolution" -> (Ingest.i7SchemaEvolution _),

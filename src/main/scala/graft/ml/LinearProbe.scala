@@ -1,0 +1,160 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** LINEAR PROBE over the embeddings table — the standard supervised
+  * read-out of representation quality (ridge-regularized one-vs-rest
+  * least squares on frozen embeddings; Alain & Bengio 2016's probe,
+  * the closed-form variant), and the third head of the m14 family:
+  * m14 ships the exact Gram, m15 eigensolves it, m16 SOLVES AGAINST
+  * it — the ridge normal equations (C + λI) w_c = cov(x, y_c) need
+  * exactly the sufficient statistics the one gram pass already
+  * produced.
+  *
+  * Shape at 100 TB: sufficient statistics are ONE extra metadata-
+  * scale aggregate beyond m14's memoized gram — per-class counts and
+  * per-class quantized feature sums (C·d = 640 longs, exact integers
+  * on the m14 fixed-point grid, map-side partial like any sum) — the
+  * solve is a driver-side d×d Cholesky per class (microseconds), and
+  * scoring is C codegen `array_dot`s against literal weight vectors
+  * with a `greatest(struct(score, -label))` argmax (the m9
+  * centroid-literal shape). Nothing iterative, nothing collected
+  * beyond the 640-entry table. Float solve ⟹ rows-only (the spec
+  * pins prediction parity against a fully-local replay and the
+  * training accuracy floor; the integer sufficient statistics are
+  * hash-checked transitively through m14's oracle).
+  */
+object LinearProbe {
+
+  /** Ridge strength on the POPULATION-covariance scale — small
+    * against this corpus's per-dim variances (~2e-2, see §6.19's
+    * measured spectrum) so the probe reads representation quality,
+    * large enough to keep the Cholesky numerically safe even on a
+    * degenerate (constant-dimension) corpus. */
+  val Lambda = 1e-4
+
+  import Pca.{Dim, QScale}
+
+  // per-dataset sufficient statistics: class → (count, Σ qv) — the
+  // C·(d+1)-value bounded artifact (the gramReg pattern)
+  private val clsReg = scala.collection.concurrent.TrieMap
+    .empty[String, Array[(Int, Long, Array[Long])]]
+
+  /** One aggregation job: per class label, the row count and the
+    * per-dimension sums of the m14-quantized embeddings. */
+  private[graft] def classStats(s: SparkSession, dir: String):
+      Array[(Int, Long, Array[Long])] = clsReg.getOrElseUpdate(dir, {
+    import s.implicits._
+    Pca.quantized(s, dir)
+      .join(Tables.embeddings(s, dir).select($"vec_id", $"label"), "vec_id")
+      .groupBy($"label".cast("int").as("label"))
+      .agg(count(lit(1)).as("n"),
+        array((0 until Dim).map(i =>
+          sum(element_at($"qv", i + 1))): _*).as("sums"))
+      .orderBy($"label")
+      .as[(Int, Long, Seq[Long])].collect()
+      .map { case (l, n, ss) => (l, n, ss.toArray) }
+  })
+
+  /** The trained probe: per class (in ascending label order) the
+    * weight vector over raw double embeddings and the intercept.
+    * w_c = (C + λI)⁻¹ cov(x, y_c), b_c = p_c − μ·w_c with
+    * cov(x, y_c) = (Σ_{i∈c} x_i)/n − μ·p_c and p_c = n_c/n — all
+    * sufficient statistics exact integers from the gram scan + the
+    * classStats aggregate; the solve is a deterministic driver-side
+    * Cholesky on the shared covariance. */
+  private[graft] def probeWeights(s: SparkSession, dir: String):
+      Array[(Int, Array[Double], Double)] = {
+    val (c, mu, n) = Pca.covariance(s, dir)
+    val cls = classStats(s, dir)
+    require(cls.nonEmpty, "m16_linear_probe: no labeled vectors")
+    val a = Array.tabulate(Dim, Dim)((i, j) =>
+      c(i)(j) + (if (i == j) Lambda else 0.0))
+    val chol = cholesky(a)
+    val qs = QScale.toDouble
+    cls.map { case (label, nc, qsums) =>
+      val p = nc.toDouble / n
+      val rhs = Array.tabulate(Dim)(i => qsums(i) / qs / n - mu(i) * p)
+      val w = cholSolve(chol, rhs)
+      val b = p - mu.zip(w).map { case (m, x) => m * x }.sum
+      (label, w, b)
+    }
+  }
+
+  /** M16: every vector's true label and the probe's argmax-scored
+    * prediction (ties → min label). Rows-only: the solve is float;
+    * the spec pins exact parity with a local replay. */
+  def m16LinearProbe(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo("m16_probe", dir) {
+      import s.implicits._
+      val ws = probeWeights(s, dir)
+      val emb = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label".cast("int").as("label"),
+          toDoubles($"embedding").as("v"))
+      // score_c = w_c·v + b_c as one codegen dot per class; argmax via
+      // greatest over (score, −label) structs — lexicographic struct
+      // order gives max score, ties to the smallest label
+      val scored: Seq[Column] = ws.toSeq.map { case (label, w, b) =>
+        struct((dot($"v", array(w.map(lit): _*)) + lit(b)).as("s"),
+          lit(-label).as("neg"))
+      }
+      val best =
+        if (scored.size == 1) scored.head else greatest(scored: _*)
+      emb.select($"vec_id", $"label",
+          (-best.getField("neg")).cast("int").as("pred"))
+        .orderBy($"vec_id")
+    }()
+
+  /** M17: the probe's confusion matrix — (label, pred, n) over the
+    * training set, the C×C rollup of m16 (shares its memoized
+    * frame). Training-set accuracy is Σ diagonal / Σ n. */
+  def m17Confusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    m16LinearProbe(s, dir)
+      .groupBy($"label", $"pred").agg(count(lit(1)).as("n"))
+      .orderBy($"label", $"pred")
+  }
+
+  /** Lower-triangular Cholesky factor of a symmetric positive-
+    * definite matrix (deterministic index-ordered sums; the ridge
+    * λI keeps the pivot strictly positive — guarded loudly). */
+  private[graft] def cholesky(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = a.length
+    val l = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- 0 to i) {
+      var s = a(i)(j)
+      var k = 0
+      while (k < j) { s -= l(i)(k) * l(j)(k); k += 1 }
+      if (i == j) {
+        require(s > 0,
+          s"m16_linear_probe: covariance + λI not positive definite at $i")
+        l(i)(i) = math.sqrt(s)
+      } else l(i)(j) = s / l(j)(j)
+    }
+    l
+  }
+
+  /** Solve L Lᵀ x = b by forward + back substitution. */
+  private[graft] def cholSolve(l: Array[Array[Double]],
+      b: Array[Double]): Array[Double] = {
+    val d = l.length
+    val y = new Array[Double](d)
+    for (i <- 0 until d) {
+      var s = b(i)
+      var k = 0
+      while (k < i) { s -= l(i)(k) * y(k); k += 1 }
+      y(i) = s / l(i)(i)
+    }
+    val x = new Array[Double](d)
+    for (i <- d - 1 to 0 by -1) {
+      var s = y(i)
+      var k = i + 1
+      while (k < d) { s -= l(k)(i) * x(k); k += 1 }
+      x(i) = s / l(i)(i)
+    }
+    x
+  }
+}

@@ -44,8 +44,10 @@ object Pca {
     * compare at similar compression. */
   val TopK = 8
 
-  /** Quantized embeddings (vec_id, qv: array<long>). */
-  private def quantized(s: SparkSession, dir: String): DataFrame = {
+  /** Quantized embeddings (vec_id, qv: array<long>) — shared with the
+    * m16 linear-probe head (same fixed-point grid, so its per-class
+    * sums are exact integers on the same scale as the gram). */
+  private[graft] def quantized(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
       .select($"vec_id",
@@ -152,18 +154,7 @@ object Pca {
     * a driver-side deterministic cyclic Jacobi on the 64×64 matrix. */
   private[graft] def principalComponents(s: SparkSession, dir: String):
       (Array[Double], Array[Array[Double]], Array[Double]) = {
-    val (g, sums, n, _) = gramStats(s, dir)
-    require(n > 1, "m15_pca: needs at least 2 vectors")
-    val qs = QScale.toDouble
-    val mu = sums.map(_ / qs / n)
-    // C[i][j] = (Σ q_i q_j)/Q²/n − μ_i μ_j  (population covariance of
-    // the QUANTIZED vectors — the quantization is part of the
-    // operator's semantics, like q4's floors)
-    val c = Array.ofDim[Double](Dim, Dim)
-    for (i <- 0 until Dim; j <- i until Dim) {
-      val v = g(triIdx(i, j)) / qs / qs / n - mu(i) * mu(j)
-      c(i)(j) = v; c(j)(i) = v
-    }
+    val (c, mu, _) = covariance(s, dir)
     val (evals, evecs) = jacobiEigen(c)
     // deterministic order and sign: eigenvalue desc (index tie-break),
     // each vector flipped so its max-|component| entry is positive
@@ -176,6 +167,25 @@ object Pca {
       if (vec(mx) < 0) vec.map(-_) else vec
     }
     (sortedVals, sortedVecs, mu)
+  }
+
+  /** The population covariance of the QUANTIZED, de-scaled vectors
+    * (the quantization is part of the operator's semantics, like q4's
+    * floors): C[i][j] = (Σ q_i q_j)/Q²/n − μ_i μ_j from the one-pass
+    * exact gram stats. Shared by m15's eigensolve and m16's ridge
+    * normal equations. Returns (C, μ, n). */
+  private[graft] def covariance(s: SparkSession, dir: String):
+      (Array[Array[Double]], Array[Double], Long) = {
+    val (g, sums, n, _) = gramStats(s, dir)
+    require(n > 1, "m15_pca: needs at least 2 vectors")
+    val qs = QScale.toDouble
+    val mu = sums.map(_ / qs / n)
+    val c = Array.ofDim[Double](Dim, Dim)
+    for (i <- 0 until Dim; j <- i until Dim) {
+      val v = g(triIdx(i, j)) / qs / qs / n - mu(i) * mu(j)
+      c(i)(j) = v; c(j)(i) = v
+    }
+    (c, mu, n)
   }
 
   /** Cyclic Jacobi eigensolver for a symmetric matrix — fixed sweep

@@ -109,6 +109,68 @@ class Round14Spec extends GraftSpecBase {
     assert(got.length == n * ml.Pca.TopK)
   }
 
+  // ------------- m16/m17: linear probe head -------------
+
+  test("m16 linear probe: predictions == fully-local replay; accuracy well above chance") {
+    val rows = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect().sortBy(_._1)
+    val n = rows.length
+    val d = ml.Pca.Dim
+    val q = ml.Pca.QScale.toDouble
+    // local sufficient statistics on the same fixed-point grid —
+    // EXACT integers, recomputed independently of the gram pass
+    val xq = rows.map(_._2.map(x => math.floor(x.toDouble * q) / q).toArray)
+    val mu = Array.tabulate(d)(i => xq.map(_(i)).sum / n)
+    val cov = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- 0 until d)
+      cov(i)(j) =
+        xq.map(v => v(i) * v(j)).sum / n - mu(i) * mu(j)
+    val labels = rows.map(_._3).distinct.sorted
+    val a = Array.tabulate(d, d)((i, j) =>
+      cov(i)(j) + (if (i == j) ml.LinearProbe.Lambda else 0.0))
+    val chol = ml.LinearProbe.cholesky(a)
+    val ws = labels.map { c =>
+      val p = rows.count(_._3 == c).toDouble / n
+      val rhs = Array.tabulate(d)(i =>
+        xq.zip(rows).filter(_._2._3 == c).map(_._1(i)).sum / n - mu(i) * p)
+      val w = ml.LinearProbe.cholSolve(chol, rhs)
+      (c, w, p - mu.zip(w).map { case (m, x) => m * x }.sum)
+    }
+    val want = rows.map { case (id, emb, lbl) =>
+      val v = emb.map(_.toDouble)
+      val best = ws.map { case (c, w, b) =>
+        var s = b; var i = 0
+        while (i < d) { s += w(i) * v(i); i += 1 }
+        (s, -c)
+      }.max
+      id -> ((lbl, -best._2))
+    }.toMap
+    val got = ml.LinearProbe.m16LinearProbe(spark, sf)
+      .as[(Long, Int, Int)].collect()
+      .map { case (id, l, p) => id -> (l, p) }.toMap
+    // NOTE: the local covariance above sums doubles in row order while
+    // gram_agg sums EXACT integers — the integer path is the truth
+    // (m14's oracle pins it); parity here is on PREDICTIONS, where
+    // the ±1ulp covariance wiggle must not move any argmax
+    assert(got.keySet == want.keySet)
+    val diverged = got.count { case (id, lp) => want(id) != lp }
+    assert(diverged == 0, s"$diverged predictions diverged from local replay")
+    val acc = got.values.count { case (l, p) => l == p }.toDouble / n
+    assert(acc >= 0.3, s"probe training accuracy $acc below the 3x-chance floor")
+  }
+
+  test("m17 confusion: rows sum to class counts; total == corpus size") {
+    val conf = ml.LinearProbe.m17Confusion(spark, sf)
+      .as[(Int, Int, Long)].collect()
+    val byLabel = conf.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val want = Tables.embeddings(spark, sf)
+      .groupBy($"label".cast("int")).count()
+      .as[(Int, Long)].collect().toMap
+    assert(byLabel == want, "confusion row sums != class counts")
+    assert(conf.map(_._3).sum == want.values.sum)
+  }
+
   // ------------- Caches.memo exception safety -------------
 
   test("memo: a throwing build leaves no orphaned timing frame behind") {
