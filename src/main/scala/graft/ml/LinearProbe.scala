@@ -118,6 +118,136 @@ object LinearProbe {
       .orderBy($"label", $"pred")
   }
 
+  /** Folds for m18's cross-validated probe — deterministic
+    * assignment `vec_id % CvFolds`, so the split is a pure function
+    * of the data. */
+  val CvFolds = 5
+
+  // per-dataset CV sufficient statistics: (fold, label) →
+  // (n, Σ qv, gram triangle, max|q|) — one aggregate, 50 groups,
+  // ~104k longs collected (the bounded-artifact pattern)
+  private val cvReg = scala.collection.concurrent.TrieMap
+    .empty[String, Array[(Int, Int, Long, Array[Long], Array[Long], Long)]]
+
+  private[graft] def cvStats(s: SparkSession, dir: String):
+      Array[(Int, Int, Long, Array[Long], Array[Long], Long)] =
+    cvReg.getOrElseUpdate(dir, {
+      import s.implicits._
+      val out = Pca.quantized(s, dir)
+        .join(Tables.embeddings(s, dir).select($"vec_id", $"label"), "vec_id")
+        .groupBy(($"vec_id" % CvFolds).cast("int").as("fold"),
+          $"label".cast("int").as("label"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until Dim).map(i =>
+            sum(element_at($"qv", i + 1))): _*).as("sums"),
+          call_function("gram_agg", $"qv", lit(Dim)).as("g"),
+          max(aggregate($"qv", lit(0L),
+            (m, x) => greatest(m, abs(x)))).as("maxq"))
+        .as[(Int, Int, Long, Seq[Long], Seq[Long], Long)].collect()
+        .map { case (f, l, n, ss, g, mq) => (f, l, n, ss.toArray, g.toArray, mq) }
+      // the m14 no-wrap proof over the COMBINED totals: every train-
+      // split triangle sum has ≤ n_total terms each ≤ max|q|²
+      val nTot = out.map(_._3).sum
+      val maxq = if (out.isEmpty) 0L else out.map(_._6).max
+      require(BigInt(nTot) * BigInt(maxq) * BigInt(maxq) <= BigInt(Long.MaxValue),
+        s"m18_cv_probe: $nTot rows × max|q|=$maxq could overflow the " +
+          "Long triangle sums — quantize coarser at this scale")
+      out
+    })
+
+  /** M18: K-FOLD CROSS-VALIDATED probe accuracy in ONE data pass —
+    * the held-out read-out m16's training fit can't give. The key is
+    * that the ridge normal equations consume only ADDITIVE exact-
+    * integer sufficient statistics (per-group gram triangles, sums,
+    * counts on the m14 fixed-point grid), so every fold's TRAINING
+    * statistics are `totals − fold` — no per-fold re-scan, no second
+    * pass; at 100 TB the whole schedule is one 50-group aggregate +
+    * K·C driver Choleskys + one scoring scan whose per-row weight set
+    * is selected by `vec_id % K` (a when-chain of codegen argmaxes).
+    * Output: per fold (fold, n, n_correct, accuracy). Float solve ⟹
+    * rows-only; the spec pins parity with a fully-local replay.
+    *
+    * MEASURED on the synthetic corpus (§6.19): heldout ≈ 0.07–0.10
+    * (chance) while m16's training fit reads 0.39 — the labels carry
+    * no generalizable signal (1-NN leave-one-out = 0.07), so the CV
+    * probe correctly exposes the training fit as overfit. That gap
+    * is the operator's purpose, and the spec pins it. */
+  def m18CvProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stats = cvStats(s, dir)
+    require(stats.nonEmpty, "m18_cv_probe: no labeled vectors")
+    val qs = QScale.toDouble
+    val nTot = stats.map(_._3).sum
+    val labels = stats.map(_._2).distinct.sorted
+    val tri = Dim * (Dim + 1) / 2
+    def zeros(k: Int) = Array.fill(k)(0L)
+    // totals, then per-fold complements (train = total − fold)
+    val gTot = zeros(tri); val sTot = zeros(Dim)
+    stats.foreach { case (_, _, _, ss, g, _) =>
+      var i = 0; while (i < tri) { gTot(i) += g(i); i += 1 }
+      i = 0; while (i < Dim) { sTot(i) += ss(i); i += 1 }
+    }
+    val folds = stats.map(_._1).distinct.sorted
+    val foldWs: Map[Int, Array[(Int, Array[Double], Double)]] =
+      folds.map { f =>
+        val inF = stats.filter(_._1 == f)
+        val nTr = nTot - inF.map(_._3).sum
+        require(nTr > 1, s"m18_cv_probe: fold $f leaves ≤ 1 training row")
+        val gTr = gTot.clone(); val sTr = sTot.clone()
+        inF.foreach { case (_, _, _, ss, g, _) =>
+          var i = 0; while (i < tri) { gTr(i) -= g(i); i += 1 }
+          i = 0; while (i < Dim) { sTr(i) -= ss(i); i += 1 }
+        }
+        val mu = sTr.map(_ / qs / nTr)
+        val a = Array.ofDim[Double](Dim, Dim)
+        for (i <- 0 until Dim; j <- i until Dim) {
+          val v = gTr(Pca.triIdx(i, j)) / qs / qs / nTr - mu(i) * mu(j) +
+            (if (i == j) Lambda else 0.0)
+          a(i)(j) = v; a(j)(i) = v
+        }
+        val chol = cholesky(a)
+        val byLabel = stats.filter(s2 => s2._1 != f)
+          .groupBy(_._2).view.mapValues { g2 =>
+            val nc = g2.map(_._3).sum
+            val cs = zeros(Dim)
+            g2.foreach { case (_, _, _, ss, _, _) =>
+              var i = 0; while (i < Dim) { cs(i) += ss(i); i += 1 } }
+            (nc, cs)
+          }.toMap
+        f -> labels.map { c =>
+          val (nc, cs) = byLabel.getOrElse(c, (0L, zeros(Dim)))
+          val p = nc.toDouble / nTr
+          val rhs = Array.tabulate(Dim)(i => cs(i) / qs / nTr - mu(i) * p)
+          val w = cholSolve(chol, rhs)
+          (c, w, p - mu.zip(w).map { case (m, x) => m * x }.sum)
+        }
+      }.toMap
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label".cast("int").as("label"),
+        ($"vec_id" % CvFolds).cast("int").as("fold"),
+        toDoubles($"embedding").as("v"))
+    def argmaxFor(ws: Array[(Int, Array[Double], Double)]): Column = {
+      val scored = ws.toSeq.map { case (label, w, b) =>
+        struct((dot($"v", array(w.map(lit): _*)) + lit(b)).as("s"),
+          lit(-label).as("neg"))
+      }
+      val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+      (-best.getField("neg")).cast("int")
+    }
+    // per-row prediction by the row's OWN held-out fold's weights
+    val pred = folds.tail.foldLeft(
+      when($"fold" === folds.head, argmaxFor(foldWs(folds.head)))) {
+      (acc, f) => acc.when($"fold" === f, argmaxFor(foldWs(f)))
+    }
+    emb.select($"fold", $"label", pred.as("pred"))
+      .groupBy($"fold")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"pred" === $"label", 1L).otherwise(0L)).as("n_correct"))
+      .select($"fold", $"n", $"n_correct",
+        q4($"n_correct".cast("double") / $"n").as("accuracy"))
+      .orderBy($"fold")
+  }
+
   /** Lower-triangular Cholesky factor of a symmetric positive-
     * definite matrix (deterministic index-ordered sums; the ridge
     * λI keeps the pivot strictly positive — guarded loudly). */

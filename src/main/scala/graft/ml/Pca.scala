@@ -104,7 +104,7 @@ object Pca {
   }
 
   /** Row-major upper-triangle index of (i, j), i ≤ j. */
-  private def triIdx(i: Int, j: Int): Int =
+  private[graft] def triIdx(i: Int, j: Int): Int =
     i * Dim - i * (i - 1) / 2 + (j - i)
 
   /** M15: project every embedding onto the top-`TopK` principal

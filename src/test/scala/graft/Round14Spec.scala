@@ -140,9 +140,11 @@ class Round14Spec extends GraftSpecBase {
     val want = rows.map { case (id, emb, lbl) =>
       val v = emb.map(_.toDouble)
       val best = ws.map { case (c, w, b) =>
-        var s = b; var i = 0
-        while (i < d) { s += w(i) * v(i); i += 1 }
-        (s, -c)
+        // dot first, then + b — matches the engine's `dot(v, w) + b`
+        // fold order so the float comparison is IEEE-identical
+        var s = 0.0; var i = 0
+        while (i < d) { s += v(i) * w(i); i += 1 }
+        (s + b, -c)
       }.max
       id -> ((lbl, -best._2))
     }.toMap
@@ -169,6 +171,82 @@ class Round14Spec extends GraftSpecBase {
       .as[(Int, Long)].collect().toMap
     assert(byLabel == want, "confusion row sums != class counts")
     assert(conf.map(_._3).sum == want.values.sum)
+  }
+
+  test("m18 cv probe: per-fold heldout accuracy == direct local replay (no stats subtraction)") {
+    // independent replay: train statistics summed DIRECTLY over the
+    // training rows (the engine derives them as totals − fold — this
+    // pins the subtraction trick's algebra end to end)
+    val rows = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect().sortBy(_._1)
+    val d = ml.Pca.Dim
+    val q = ml.Pca.QScale
+    val k = ml.LinearProbe.CvFolds
+    val labels = rows.map(_._3).distinct.sorted
+    // exact integer quantization, like the engine's grid
+    val xq = rows.map(_._2.map(x =>
+      math.floor(x.toDouble * q).toLong).toArray)
+    val fold = rows.map(r => (r._1 % k).toInt)
+    val want = (0 until k).map { f =>
+      val trIdx = rows.indices.filter(fold(_) != f)
+      val nTr = trIdx.length
+      val sums = Array.fill(d)(0L)
+      val gram = Array.ofDim[Long](d, d)
+      for (i <- trIdx; a <- 0 until d) {
+        sums(a) += xq(i)(a)
+        var b = a
+        while (b < d) { gram(a)(b) += xq(i)(a) * xq(i)(b); b += 1 }
+      }
+      val qs = q.toDouble
+      val mu = sums.map(_ / qs / nTr)
+      val m = Array.tabulate(d, d) { (a, b) =>
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        gram(lo)(hi) / qs / qs / nTr - mu(a) * mu(b) +
+          (if (a == b) ml.LinearProbe.Lambda else 0.0)
+      }
+      val chol = ml.LinearProbe.cholesky(m)
+      val ws = labels.map { c =>
+        val cIdx = trIdx.filter(rows(_)._3 == c)
+        val p = cIdx.length.toDouble / nTr
+        val rhs = Array.tabulate(d)(a =>
+          cIdx.map(xq(_)(a)).sum / qs / nTr - mu(a) * p)
+        val w = ml.LinearProbe.cholSolve(chol, rhs)
+        (c, w, p - mu.zip(w).map { case (mm, x) => mm * x }.sum)
+      }
+      val test = rows.indices.filter(fold(_) == f)
+      val correct = test.count { i =>
+        val v = rows(i)._2.map(_.toDouble)
+        val best = ws.map { case (c, w, b) =>
+          // dot first, then + b — the engine's `dot(v, w) + b` order,
+          // so the float comparison is IEEE-identical
+          var sAcc = 0.0; var t = 0
+          while (t < d) { sAcc += v(t) * w(t); t += 1 }
+          (sAcc + b, -c)
+        }.max
+        -best._2 == rows(i)._3
+      }
+      (f, test.length.toLong, correct.toLong)
+    }
+    val got = ml.LinearProbe.m18CvProbe(spark, sf)
+      .select($"fold", $"n", $"n_correct")
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == want, s"cv probe diverged:\n got=$got\nwant=$want")
+    assert(got.map(_._2).sum == rows.length)
+    // the MEASURED property of this corpus (recorded §6.19): the
+    // synthetic labels carry no generalizable signal (1-NN
+    // leave-one-out reads 0.07), so the heldout read-out must sit at
+    // ~chance while the training fit (m16, 0.39) overfits — the CV
+    // probe's whole job is exposing exactly that gap
+    val heldout = got.map(_._3).sum.toDouble / rows.length
+    val training = {
+      val m16 = ml.LinearProbe.m16LinearProbe(spark, sf)
+        .as[(Long, Int, Int)].collect()
+      m16.count(t => t._2 == t._3).toDouble / m16.length
+    }
+    assert(heldout < training,
+      s"heldout $heldout should sit below the training fit $training " +
+        "on this no-signal corpus")
   }
 
   // ------------- Caches.memo exception safety -------------
