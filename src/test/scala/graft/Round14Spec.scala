@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
   * bit-identical to the distributed schedule it replays, the m15
   * registry surface is the long-form the driver can hash, and the
   * memo ledger survives a throwing build. */
+case class VecRow(vec_id: Long, embedding: Seq[Float], label: Int)
+
 class Round14Spec extends GraftSpecBase {
   import spark.implicits._
 
@@ -247,6 +249,42 @@ class Round14Spec extends GraftSpecBase {
     assert(heldout < training,
       s"heldout $heldout should sit below the training fit $training " +
         "on this no-signal corpus")
+  }
+
+  test("streaming gram: gram_agg over a memory stream of embedding batches == batch m14 triangle") {
+    // the online-sufficient-statistics twin: m14's exact fixed-point
+    // gram is an ADDITIVE integer aggregate, so a streaming complete-
+    // mode aggregation over arriving embedding batches must land on
+    // the identical 2,080-entry triangle the batch scan produces —
+    // the shape an always-on training-statistics service runs
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label".cast("int"))
+      .as[VecRow].collect().toSeq.sortBy(_.vec_id)
+    val stream = MemoryStream[VecRow]
+    val q = stream.toDF()
+      .select(transform($"embedding", x =>
+        floor(x.cast("double") * ml.Pca.QScale).cast("long")).as("qv"))
+      .agg(call_function("gram_agg", $"qv", lit(ml.Pca.Dim)).as("g"),
+        count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("gram_stream")
+      .outputMode("complete").start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.size / 2)
+      stream.addData(h1); q.processAllAvailable()
+      stream.addData(h2); q.processAllAvailable()
+      val row = spark.table("gram_stream")
+        .as[(Seq[Long], Long)].collect().head
+      assert(row._2 == rows.size)
+      val want = ml.Pca.m14Gram(spark, sf)
+        .as[(Int, Int, Long)].collect()
+        .map { case (i, j, g) => (i, j) -> g }.toMap
+      val d = ml.Pca.Dim
+      val got = (for (i <- 0 until d; j <- i until d)
+        yield (i, j) -> row._1(ml.Pca.triIdx(i, j))).toMap
+      assert(got == want, "streamed gram diverged from the batch triangle")
+    } finally q.stop()
   }
 
   // ------------- Caches.memo exception safety -------------
