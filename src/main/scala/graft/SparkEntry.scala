@@ -191,6 +191,7 @@ object SparkEntry {
     "m16_linear_probe"   -> (graft.ml.LinearProbe.m16LinearProbe _),
     "m17_confusion"      -> (graft.ml.LinearProbe.m17Confusion _),
     "m18_cv_probe"       -> (graft.ml.LinearProbe.m18CvProbe _),
+    "q104_spectral_cut"  -> (SpectralCut.q104SpectralCut _),
     "z3_bloom_skip"      -> (Layout.z3BloomSkip _),
     "p15_temperature_mix" -> (Sampling.p15TemperatureMix _),
     "i7_schema_evolution" -> (Ingest.i7SchemaEvolution _),

@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Q104: MULTILEVEL SPECTRAL BISECTION of the co-purchase graph — the
+  * graph-partitioning head next to the community family (q101 finds
+  * dense groups; q104 finds the sparsest BALANCEDish 2-way split),
+  * built exactly the way the published multilevel partitioners do it
+  * (Chaco/METIS lineage: Hendrickson & Leland 1995; Karypis & Kumar
+  * 1998): COARSEN distributed, solve the small graph exactly, project
+  * back.
+  *
+  *  1. Coarsen: q101's memoized labeling contracts the base graph to
+  *     its community supergraph (one (label, label) aggregate — the
+  *     q102 contraction; cross-edge weights and strengths are EXACT
+  *     integer masses, invariant under contraction).
+  *  2. Fiedler vector of the supergraph's normalized Laplacian,
+  *     driver-side: power iteration on M = I + D^{-1/2} W D^{-1/2}
+  *     with the trivial eigenvector D^{1/2}·1 deflated every step —
+  *     fixed iteration count, fixed deterministic init (the SemiPrio
+  *     multiplier), so the solve is a pure function of the graph (the
+  *     Jacobi discipline at supergraph scale, where cyclic Jacobi's
+  *     O(n³)-per-sweep would not be).
+  *  3. β-BALANCED CHEEGER SWEEP (the spectral partitioning
+  *     guarantee's constructive half, plus the balance constraint
+  *     every production partitioner imposes): order supernodes by
+  *     Fiedler value (id tie-break) and take the prefix cut
+  *     minimizing conductance φ = cut / min(vol, volTot − vol) among
+  *     prefixes whose lighter side carries ≥ 1/BalanceInv of the
+  *     volume (unconstrained fallback if none does — measured: the
+  *     unconstrained minimum at sf0.01 is a 5-node peninsula, a
+  *     correct Cheeger answer and a useless partition). Volumes are
+  *     FULL community strengths (intra mass included — contraction
+  *     conserves them, so φ here IS base-graph conductance); cut and
+  *     volumes are Long masses, φ compared by BigInt
+  *     cross-multiplication — exact integer algebra on top of a
+  *     float ordering.
+  *  4. Project: one distributed label join back to base nodes.
+  *
+  * Sides: 0 = the sweep prefix, 1 = the complement, −1 = isolated
+  * communities (no cross edges — they belong to no cut and are
+  * reported, not hidden). Float eigensolve ⟹ rows-only; the spec
+  * pins (a) EXACT mass conservation — the driver's supergraph
+  * cut/volumes equal a distributed recount on the base graph —
+  * (b) sweep optimality over median and seeded random cuts, and
+  * (c) determinism.
+  *
+  * At 100 TB: the contraction and projection are the scale path
+  * (edge-linear, label-bucketed); the eigensolve runs on the
+  * community-count-sized level, gated loudly by
+  * `-Dgraft.spectralLocalMaxEdges` — a corpus whose FIRST coarse
+  * level exceeds the gate takes another coarsening level first
+  * (q102's supergraph relabeling composes), exactly the published
+  * multilevel remedy.
+  */
+object SpectralCut {
+
+  val PowerIters = 300
+
+  /** Balance floor for the sweep, in tenths of the swept volume: a
+    * candidate prefix cut qualifies only if its lighter side carries
+    * ≥ 1/BalanceInv of the total — the standard β-balanced sweep
+    * (partitioners want a PARTITION; the unconstrained Cheeger
+    * minimum happily returns a 5-node peninsula, measured at sf0.01).
+    * If no prefix qualifies (a star-shaped level), the sweep falls
+    * back to the unconstrained minimum — documented, deterministic. */
+  val BalanceInv = 10L
+
+  private[graft] def spectralLocalMaxEdges: Long =
+    sys.props.get("graft.spectralLocalMaxEdges").map(_.toLong)
+      .getOrElse(1L << 20)
+
+  // (side by supernode label, cut weight, prefix volume, total volume)
+  // — the bounded driver artifact, memoized per dataset for the specs
+  // and the projection
+  private val cutReg = scala.collection.concurrent.TrieMap
+    .empty[String, (Map[Long, Int], Long, Long, Long)]
+
+  private[graft] def spectralCutArtifact(s: SparkSession, dir: String):
+      (Map[Long, Int], Long, Long, Long) = cutReg.getOrElseUpdate(dir, {
+    import s.implicits._
+    val edges = Graph.copurchaseEdges(s, dir).cache()
+    val l1 = Graph.louvainLabels(s, dir)
+    val le = edges
+      .join(l1.select($"node".as("src"), $"lbl".as("la")), "src")
+      .join(l1.select($"node".as("dst"), $"lbl".as("lb")), "dst")
+      .groupBy($"la", $"lb").agg(count(lit(1)).as("w"))
+      .cache()
+    val cross = le.filter($"la" =!= $"lb")
+      .select($"la".as("src"), $"lb".as("dst"), $"w")
+    val nCross = cross.count()
+    require(nCross > 0,
+      "q104_spectral_cut: the labeling has no cross-community edges — " +
+        "nothing to bisect")
+    require(nCross <= spectralLocalMaxEdges,
+      s"q104_spectral_cut: $nCross cross edges exceed the " +
+        s"$spectralLocalMaxEdges driver gate — run another coarsening " +
+        "level (q102) before the spectral solve, the multilevel remedy")
+    val ce = cross.as[(Long, Long, Long)].collect()
+    // FULL strengths (self term included, the q102 invariant): the
+    // sweep's volume bookkeeping must count intra-community mass so
+    // its conductance IS the base graph's — Σ strength = base |e|
+    val st = le.groupBy($"la".as("node")).agg(sum($"w").as("s"))
+      .as[(Long, Long)].collect().toMap
+    le.unpersist(); edges.unpersist()
+    val (side, cutW, volS, volT) = sweepCut(ce, st)
+    (side, cutW, volS, volT)
+  })
+
+  /** Fiedler power iteration + Cheeger sweep over a collected
+    * symmetric weighted edge list. `strength` carries each node's
+    * FULL volume (cross + internal mass) for the conductance
+    * denominators; the Laplacian and cut increments use the cross
+    * adjacency. Returns (side by node, cut weight, prefix volume,
+    * total swept volume). */
+  private[graft] def sweepCut(ce: Array[(Long, Long, Long)],
+      strength: Map[Long, Long]): (Map[Long, Int], Long, Long, Long) = {
+    val adj = ce.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).toArray).toMap
+    val nodes = adj.keys.toArray.sorted
+    val n = nodes.length
+    val idx = nodes.zipWithIndex.toMap
+    val deg = nodes.map(v => adj(v).map(_._2).sum)
+    require(deg.forall(_ > 0), "q104: cross-graph node with zero mass")
+    val vols = nodes.map(v => strength.getOrElse(v, 0L))
+    require(vols.forall(_ > 0), "q104: swept node with zero strength")
+    val volT = vols.sum
+    // deflation direction: the trivial eigenvector D^{1/2}·1
+    val u = deg.map(d => math.sqrt(d.toDouble))
+    val uN = math.sqrt(u.map(x => x * x).sum)
+    for (i <- 0 until n) u(i) /= uN
+    // deterministic init decorrelated from node order
+    var v = nodes.map(nd =>
+      ((nd * Graph.SemiPrioA0) % Graph.SemiPrioM).toDouble /
+        Graph.SemiPrioM - 0.5)
+    def orthonormalize(x: Array[Double]): Array[Double] = {
+      val p = x.zip(u).map { case (a, b) => a * b }.sum
+      val y = Array.tabulate(n)(i => x(i) - p * u(i))
+      val norm = math.sqrt(y.map(a => a * a).sum)
+      require(norm > 0, "q104: power iterate degenerated to the " +
+        "trivial eigenspace — deterministic init needs reseeding")
+      y.map(_ / norm)
+    }
+    v = orthonormalize(v)
+    var it = 0
+    while (it < PowerIters) {
+      // M v = v + D^{-1/2} W D^{-1/2} v  (psd, top non-trivial
+      // eigenpair ⟺ the Fiedler pair of the normalized Laplacian)
+      val next = new Array[Double](n)
+      for (i <- 0 until n) {
+        var acc = 0.0
+        val sq = math.sqrt(deg(i).toDouble)
+        for ((dst, w) <- adj(nodes(i)))
+          acc += w * v(idx(dst)) / math.sqrt(deg(idx(dst)).toDouble)
+        next(i) = v(i) + acc / sq
+      }
+      v = orthonormalize(next)
+      it += 1
+    }
+    // Fiedler COORDINATES are D^{-1/2} times the eigenvector of L_norm
+    val f = Array.tabulate(n)(i => v(i) / math.sqrt(deg(i).toDouble))
+    val order = (0 until n).sortBy(i => (f(i), nodes(i)))
+    // sweep: maintain cut and volume incrementally in exact integers
+    val inS = new Array[Boolean](n)
+    var cut = 0L; var vol = 0L
+    // two candidates tracked: the β-balanced minimum (preferred) and
+    // the unconstrained minimum (fallback); φ = cut/denom compared
+    // exactly via BigInt cross-multiplication
+    var balBest = (Long.MaxValue, 1L, 0L, 0L)
+    var balSet: Array[Boolean] = null
+    var anyBest = (Long.MaxValue, 1L, 0L, 0L)
+    var anySet: Array[Boolean] = null
+    for (k <- 0 until n - 1) {
+      val i = order(k)
+      var toS = 0L
+      for ((dst, w) <- adj(nodes(i))) if (inS(idx(dst))) toS += w
+      cut += deg(i) - 2 * toS
+      vol += vols(i)
+      inS(i) = true
+      val denom = math.min(vol, volT - vol)
+      def better(b: (Long, Long, Long, Long)) =
+        BigInt(cut) * BigInt(b._2) < BigInt(b._1) * BigInt(denom)
+      if (denom > 0) {
+        if (anySet == null || better(anyBest)) {
+          anyBest = (cut, denom, cut, vol); anySet = inS.clone()
+        }
+        if (denom * BalanceInv >= volT &&
+            (balSet == null || better(balBest))) {
+          balBest = (cut, denom, cut, vol); balSet = inS.clone()
+        }
+      }
+    }
+    val (best, bestSet) =
+      if (balSet != null) (balBest, balSet) else (anyBest, anySet)
+    val side = nodes.indices.map(i =>
+      nodes(i) -> (if (bestSet(i)) 0 else 1)).toMap
+    (side, best._3, best._4, volT)
+  }
+
+  /** Q104 registry surface: every base node's side (0 = sweep prefix,
+    * 1 = complement, −1 = isolated community) + its side's size. */
+  def q104SpectralCut(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo("q104_cut", dir) {
+      import s.implicits._
+      val (side, _, _, _) = spectralCutArtifact(s, dir)
+      val l1 = Graph.louvainLabels(s, dir)
+      val sideDf = side.toSeq.toDF("lbl", "side")
+      val labeled = l1.join(broadcast(sideDf), Seq("lbl"), "left")
+        .select($"node".as("l_partkey"),
+          coalesce($"side", lit(-1)).as("side"))
+      val sizes = labeled.groupBy($"side").agg(count(lit(1)).as("side_size"))
+      labeled.join(broadcast(sizes), "side")
+        .select($"l_partkey", $"side", $"side_size")
+        .orderBy($"l_partkey")
+    }()
+}

@@ -251,6 +251,106 @@ class Round14Spec extends GraftSpecBase {
         "on this no-signal corpus")
   }
 
+  // ------------- q104: multilevel spectral bisection -------------
+
+  test("q104: driver cut masses == distributed base-graph recount (contraction exactness)") {
+    val (side, cutW, volS, volT) = operators.SpectralCut
+      .spectralCutArtifact(spark, sf)
+    val edges = symmetric(operators.Analytics.copurchasePairs(spark, sf)
+      .filter($"n_orders" >= 2).select($"pa", $"pb")
+      .as[(Long, Long)].collect().toSeq).cache()
+    val l1 = operators.Graph.louvainLabels(spark, sf)
+    val sideDf = side.toSeq.toDF("lbl", "side")
+    val labeled = l1.join(sideDf, Seq("lbl"), "left")
+      .select($"node", coalesce($"side", lit(-1)).as("side")).cache()
+    // base-graph integer recount of exactly the driver's three masses
+    val baseCut = edges
+      .join(labeled.select($"node".as("src"), $"side".as("sa")), "src")
+      .join(labeled.select($"node".as("dst"), $"side".as("sb")), "dst")
+      .filter($"sa" === 0 && $"sb" === 1).count() +
+      edges
+        .join(labeled.select($"node".as("src"), $"side".as("sa")), "src")
+        .join(labeled.select($"node".as("dst"), $"side".as("sb")), "dst")
+        .filter($"sa" === 1 && $"sb" === 0).count()
+    val volBySide = edges
+      .groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      .join(labeled, "node")
+      .groupBy($"side").agg(sum($"deg").as("vol"))
+      .as[(Int, Long)].collect().toMap
+    // the driver counted DIRECTED cross mass in S→S̄ plus S̄→S as one
+    // symmetric cut; the supergraph carries both directions, so its
+    // cut weight equals the base directed cross count between sides
+    assert(baseCut == 2 * cutW,
+      s"base cut $baseCut != 2×driver $cutW")
+    assert(volBySide.getOrElse(0, 0L) == volS,
+      s"side-0 volume ${volBySide.get(0)} != driver $volS")
+    assert(volBySide.getOrElse(0, 0L) + volBySide.getOrElse(1, 0L) == volT)
+    edges.unpersist(); labeled.unpersist()
+  }
+
+  test("q104: sweep cut beats the median cut and seeded random cuts; rerun deterministic") {
+    val edges = symmetric(operators.Analytics.copurchasePairs(spark, sf)
+      .filter($"n_orders" >= 2).select($"pa", $"pb")
+      .as[(Long, Long)].collect().toSeq).cache()
+    val l1 = operators.Graph.louvainLabels(spark, sf)
+    val le = edges
+      .join(l1.select($"node".as("src"), $"lbl".as("la")), "src")
+      .join(l1.select($"node".as("dst"), $"lbl".as("lb")), "dst")
+      .groupBy($"la", $"lb").agg(count(lit(1)).as("w"))
+    val ce = le.filter($"la" =!= $"lb")
+      .select($"la", $"lb", $"w").as[(Long, Long, Long)].collect()
+    val st = le.groupBy($"la".as("node")).agg(sum($"w").as("s"))
+      .as[(Long, Long)].collect().toMap
+    edges.unpersist()
+    val (side1, cutW, volS, volT) = operators.SpectralCut.sweepCut(ce, st)
+    val (side2, cutW2, volS2, _) = operators.SpectralCut.sweepCut(ce, st)
+    assert(side1 == side2 && cutW == cutW2 && volS == volS2,
+      "sweepCut rerun diverged")
+    def phi(cut: Long, vol: Long): Double =
+      cut.toDouble / math.min(vol, volT - vol)
+    def cutOf(in: Set[Long]): (Long, Long) = {
+      val c = ce.filter(t => in(t._1) != in(t._2)).map(_._3).sum / 2
+      val v = in.toSeq.map(st).sum
+      (c, v)
+    }
+    val got = phi(cutW, volS)
+    // the β-balance the engine's sweep enforces (when attainable) —
+    // baselines must satisfy the same constraint to be comparable
+    def balanced(v: Long): Boolean =
+      math.min(v, volT - v) * operators.SpectralCut.BalanceInv >= volT
+    assert(balanced(volS),
+      s"sweep cut unbalanced: $volS of $volT")
+    val nodes = ce.map(_._1).distinct.sorted
+    // median-by-id cut (the trivial balanced baseline)
+    val half = nodes.take(nodes.length / 2).toSet
+    val (mc, mv) = cutOf(half)
+    if (balanced(mv))
+      assert(got <= phi(mc, mv) + 1e-12,
+        s"sweep φ $got worse than median cut ${phi(mc, mv)}")
+    val rnd = new scala.util.Random(43)
+    for (t <- 1 to 5) {
+      val pick = nodes.filter(_ => rnd.nextBoolean()).toSet
+      if (pick.nonEmpty && pick.size < nodes.length) {
+        val (rc, rv) = cutOf(pick)
+        if (balanced(rv))
+          assert(got <= phi(rc, rv) + 1e-12,
+            s"sweep φ $got worse than random cut $t ${phi(rc, rv)}")
+      }
+    }
+  }
+
+  test("q104 registry: node-conserving, sides consistent with the artifact") {
+    val out = operators.SpectralCut.q104SpectralCut(spark, sf)
+      .as[(Long, Int, Long)].collect()
+    val n1 = operators.Graph.louvainLabels(spark, sf).count()
+    assert(out.length == n1, "q104 dropped or duplicated base nodes")
+    val bySide = out.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    out.foreach { case (_, s2, sz) =>
+      assert(bySide(s2) == sz, s"side $s2 size column $sz != ${bySide(s2)}") }
+    assert(bySide.keySet.subsetOf(Set(-1, 0, 1)))
+    assert(bySide.getOrElse(0, 0L) > 0 && bySide.getOrElse(1, 0L) > 0)
+  }
+
   test("streaming gram: gram_agg over a memory stream of embedding batches == batch m14 triangle") {
     // the online-sufficient-statistics twin: m14's exact fixed-point
     // gram is an ADDITIVE integer aggregate, so a streaming complete-
