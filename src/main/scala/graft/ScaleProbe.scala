@@ -143,7 +143,9 @@ object ScaleProbe {
                   "q65_cuped", "p19_contamination", "p20_curate",
                   "q100_modularity", "s15_graph_ann",
                   "p21_curate_incremental", "z4_hilbert", "q101_louvain",
-                  "q102_louvain_coarse", "q103_conductance")
+                  "q102_louvain_coarse", "q103_conductance",
+                  "m14_gram", "m15_pca", "m16_linear_probe",
+                  "m17_confusion", "m18_cv_probe", "q104_spectral_cut")
     // optional args 2+: regexes/names to probe a subset (factor stays
     // arg 1); several names beat one alternation — sbt's batch parser
     // mangles pipes/parens in runMain args

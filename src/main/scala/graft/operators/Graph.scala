@@ -2137,14 +2137,20 @@ object Graph {
 
   /** Driver gate for the phase-2 LOCAL ENDGAME (see LouvainLocal):
     * the coarse level finishes locally when its CROSS-EDGE count — the
-    * collected payload, 24 B/edge ≈ 24 MB at the default — is at most
-    * this; beyond it the distributed weighted-move path runs (the
-    * 100 TB shape: a corpus whose phase-1 community graph is itself
-    * data-scale never collects). `-Dgraft.louvainLocalMaxEdges=0`
-    * forces the distributed path (the spec equivalence harness). */
+    * collected payload, 24 B/edge ≈ 100 MB at the default 2²² — is at
+    * most this; beyond it the distributed weighted-move path runs
+    * (the 100 TB shape: a corpus whose phase-1 community graph is
+    * itself data-scale never collects). The default is sized to the
+    * published "coarse level fits on one node" bar (Grappolo switches
+    * at gigabytes; 100 MB is conservative for any driver this engine
+    * targets) — the r14 20× probe measured the cost of an undersized
+    * gate: 1.12M cross edges fell 7% past 2²⁰ and the distributed
+    * schedule billed 571.9 s where the local replay runs in seconds.
+    * `-Dgraft.louvainLocalMaxEdges=0` forces the distributed path
+    * (the spec equivalence harness). */
   def LouvainLocalMaxEdges: Long =
     sys.props.get("graft.louvainLocalMaxEdges").map(_.toLong)
-      .getOrElse(1L << 20)
+      .getOrElse(1L << 22)
 
   /** Q102: LOUVAIN PHASE 2 (coarsening) — the step that makes Louvain
     * MULTI-LEVEL (Blondel et al. 2008 §2): contract each phase-1

@@ -67,9 +67,12 @@ object SpectralCut {
     * back to the unconstrained minimum — documented, deterministic. */
   val BalanceInv = 10L
 
+  // same bar as Graph.LouvainLocalMaxEdges (≈100 MB collected at
+  // 2²²); the power iteration costs PowerIters·|E| double ops —
+  // ~1.3G at the gate, seconds on a driver core
   private[graft] def spectralLocalMaxEdges: Long =
     sys.props.get("graft.spectralLocalMaxEdges").map(_.toLong)
-      .getOrElse(1L << 20)
+      .getOrElse(1L << 22)
 
   // (side by supernode label, cut weight, prefix volume, total volume)
   // — the bounded driver artifact, memoized per dataset for the specs
