@@ -145,7 +145,8 @@ object ScaleProbe {
                   "p21_curate_incremental", "z4_hilbert", "q101_louvain",
                   "q102_louvain_coarse", "q103_conductance",
                   "m14_gram", "m15_pca", "m16_linear_probe",
-                  "m17_confusion", "m18_cv_probe", "q104_spectral_cut")
+                  "m17_confusion", "m18_cv_probe", "m19_class_stats",
+                  "q104_spectral_cut")
     // optional args 2+: regexes/names to probe a subset (factor stays
     // arg 1); several names beat one alternation — sbt's batch parser
     // mangles pipes/parens in runMain args

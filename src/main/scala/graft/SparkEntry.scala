@@ -191,6 +191,7 @@ object SparkEntry {
     "m16_linear_probe"   -> (graft.ml.LinearProbe.m16LinearProbe _),
     "m17_confusion"      -> (graft.ml.LinearProbe.m17Confusion _),
     "m18_cv_probe"       -> (graft.ml.LinearProbe.m18CvProbe _),
+    "m19_class_stats"    -> (graft.ml.LinearProbe.m19ClassStats _),
     "q104_spectral_cut"  -> (SpectralCut.q104SpectralCut _),
     "z3_bloom_skip"      -> (Layout.z3BloomSkip _),
     "p15_temperature_mix" -> (Sampling.p15TemperatureMix _),
@@ -1981,6 +1982,7 @@ object SparkEntry {
     "s11_filtered_ann" -> operators.Similarity.filteredAnnOracleSql,
     "s14_jl_projection" -> operators.Similarity.jlOracleSql(),
     "m14_gram" -> graft.ml.Pca.gramOracleSql,
+    "m19_class_stats" -> graft.ml.LinearProbe.classStatsOracleSql,
     "s13_hybrid_full" -> operators.Similarity.filteredAnnOracleSql,
     "s12_rrf" -> operators.Similarity.rrfOracleSql,
     "q92_reliability" -> operators.Analytics.reliabilityOracleSql,

@@ -248,6 +248,39 @@ object LinearProbe {
       .orderBy($"fold")
   }
 
+  /** M19: the probe's per-class sufficient statistics as a
+    * hash-gated surface — (label, dim, qsum, n) over the m14
+    * fixed-point grid, 640 rows of pure integers (the m14Gram
+    * pattern). This is the DISTRIBUTED half of m16/m18 verified
+    * directly by the DuckDB oracle (floor(x·2²⁰) is IEEE-exact in
+    * both engines; everything after is integer sums), rather than
+    * transitively through m14's triangle. */
+  def m19ClassStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = for {
+      (label, n, sums) <- classStats(s, dir).toSeq
+      d <- 0 until Dim
+    } yield (label, d, sums(d), n)
+    rows.toDF("label", "dim", "qsum", "n").orderBy($"label", $"dim")
+  }
+
+  /** M19 oracle: the same quantization + per-(label, dim) integer
+    * sums, dimension index via a range join (the m14 oracle shape). */
+  private[graft] def classStatsOracleSql: String =
+    s"""WITH q AS (
+           SELECT label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * ${Pca.QScale}) AS BIGINT)) AS qv
+           FROM embeddings),
+         se AS (
+           SELECT label, CAST(t.i - 1 AS INTEGER) AS dim,
+             qv[CAST(t.i AS INTEGER)] AS qi
+           FROM q, range(1, ${Dim + 1}) AS t(i))
+         SELECT CAST(label AS INTEGER) AS label, dim,
+           CAST(sum(qi) AS BIGINT) AS qsum, count(*) AS n
+         FROM se GROUP BY 1, 2
+         ORDER BY label, dim"""
+
   /** Lower-triangular Cholesky factor of a symmetric positive-
     * definite matrix (deterministic index-ordered sums; the ridge
     * λI keeps the pivot strictly positive — guarded loudly). */
