@@ -185,10 +185,20 @@ object Recommender {
     * blocked cross product (the serving cost at catalog scale). Scores
     * of returned pairs are the same ALS dot product, and the spec
     * bounds recall vs the exact top-5. */
-  def m1AlsRecommend(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    topkOf(s, scoredCandidates(s, dir))
-  }
+  def m1AlsRecommend(s: SparkSession, dir: String): DataFrame =
+    m1Slate(s, dir)
+
+  /** Memoized m1 slate: the served top-5 table is ALSO the input of
+    * three evaluation heads (m7 hit metrics, m12 NDCG, m13 diversity),
+    * which each re-ran the whole IVF probe + packed-block scan + topk
+    * chain before this memo (round 14, guide §2.4: one artifact, four
+    * consumers — the copurchase_pairs discipline applied to serving).
+    * Bench attribution: the build logs to the Caches ledger, so the
+    * triggering entry's self time stays honest. */
+  private[graft] def m1Slate(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo("m1_slate", dir) {
+      topkOf(s, scoredCandidates(s, dir))
+    }()
 
   /** The shared approximate-serving core of m1/m5: every user's
     * IVF-probed, exactly-re-scored candidate set, one row per
@@ -257,7 +267,7 @@ object Recommender {
   def m12Ndcg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val recs = m1AlsRecommend(s, dir).select($"c_custkey", $"rnk", $"p_partkey")
-    val rel = ratings(s, dir).select($"user".as("c_custkey"),
+    val rel = ratingsOf(s, dir).select($"user".as("c_custkey"),
       $"item".as("p_partkey"), $"rating".cast("double").as("rel"))
     val dcg = recs.join(rel, Seq("c_custkey", "p_partkey"), "left")
       .select($"c_custkey",
@@ -309,7 +319,7 @@ object Recommender {
     val ild = dists.groupBy($"u").agg(avg($"dist").as("ild"))
       .agg(count(lit(1)).as("n_users"),
         (floor(avg($"ild") * 10000) / 10000.0).as("mean_ild"))
-    val r = ratings(s, dir)
+    val r = ratingsOf(s, dir)
     val nUsers = r.select($"user").distinct().count()
     val pop = r.groupBy($"item".as("p_partkey")).agg(count(lit(1)).as("n_i"))
     val nov = recs.join(pop, "p_partkey")
@@ -332,7 +342,7 @@ object Recommender {
   def m7RecMetrics(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val recs = m1AlsRecommend(s, dir).select($"c_custkey", $"p_partkey")
-    val bought = ratings(s, dir)
+    val bought = ratingsOf(s, dir)
       .select($"user".as("c_custkey"), $"item".as("p_partkey"))
     val hits = recs.join(bought, Seq("c_custkey", "p_partkey"), "left_semi")
     val nParts = Tables.part(s, dir).agg(count(lit(1)).as("n_parts"))
@@ -361,7 +371,7 @@ object Recommender {
     * then the same bounded topk_agg as m1. */
   def m5UnseenRecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val seen = ratings(s, dir)
+    val seen = ratingsOf(s, dir)
       .select($"user".as("c_custkey"), $"item".as("p_partkey"))
     // a heavy purchaser's seen items can fill a probe block's top-5,
     // so the pre-filter candidate depth doubles to keep the post-filter
@@ -746,6 +756,21 @@ object Recommender {
   def m11DimsumBudget(s: SparkSession, dir: String,
       budgetContribs: Long): DataFrame =
     m11Dimsum(s, dir, m11GammaForBudget(s, dir, budgetContribs))
+
+  /** The evaluation heads' rating matrix served off the memoized
+    * integer frame (round 14): rating = q cast float is EXACTLY
+    * `ratings()`'s value — l_quantity is integral, so both forms
+    * compute the same exact integer sum and float-round it once —
+    * without re-running the orders⋈lineitem aggregation per consumer
+    * (m5/m7/m12/m13 ran it six times per sweep between them; m12's
+    * rel frame alone is consumed twice). The ALS TRAINERS keep the
+    * original `ratings` builder: they run once per dataset via the
+    * model registry and manage their own cache lifecycle. */
+  private[graft] def ratingsOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    intRatings(s, dir)
+      .select($"user", $"item", $"q".cast("float").as("rating"))
+  }
 
   /** Memoized integer rating matrix (user, item, q = Σ l_quantity as
     * BIGINT): one materialization feeds both sides of m10's self-join

@@ -3553,10 +3553,84 @@ object Graph {
   /** The q99 kernel over an arbitrary bipartite (cust, part) edge
     * list — iters exposed for the rounds+1 spec, edges for the
     * constructed-graph replay spec. */
+  /** Node-count gate for the HITS broadcast regime: below this many
+    * nodes PER SIDE, the per-round score frames (cust or part keyed,
+    * two longs each) broadcast instead of shuffle-joining against the
+    * data-scale edge fact. 2²² nodes ≈ 100 MB collected — the same
+    * conservative fits-on-one-node bar as the Louvain local gate;
+    * beyond it the original shuffle path runs unchanged (the 100 TB
+    * shape: a billion-customer graph must never collect its rank
+    * vector). Override with -Dgraft.hitsBroadcastMaxNodes. */
+  private[graft] def hitsBroadcastMaxNodes: Long =
+    sys.props.get("graft.hitsBroadcastMaxNodes").map(_.toLong)
+      .getOrElse(1L << 22)
+
+  /** Edge-count gate for the HITS LOCAL endgame (the q102/Louvain
+    * fits-on-one-node discipline, round 14): a ≤2²²-edge bipartite
+    * graph is a ≤64 MB pair collect, and the 5 max-normalized rounds
+    * over it are millisecond work next to the ~12 driver-synchronized
+    * distributed actions they replace. The replay is bit-identical
+    * integer algebra (same sums, same div, same tie-breaks — spec'd
+    * local == forced-distributed); larger graphs take the broadcast
+    * or shuffle regime unchanged. -Dgraft.hitsLocalMaxEdges=0 forces
+    * the distributed path (the parity spec's lever). */
+  private[graft] def hitsLocalMaxEdges: Long =
+    sys.props.get("graft.hitsLocalMaxEdges").map(_.toLong)
+      .getOrElse(1L << 22)
+
+  /** Driver-side replay of `hitsTop`'s rounds over a collected edge
+    * list — EXACTLY the distributed algebra: per-side BIGINT sums,
+    * one scalar max, x·Scale div max normalization (all values
+    * positive, so Long `/` ≡ the decimal `div`). Overflow headroom is
+    * proved by the gate: a ≤ edges·Scale ≤ 2²²·10⁶ ≈ 4.2e12 and
+    * a·Scale ≈ 4.2e18 < 2⁶³ (the require below keeps a raised gate
+    * honest). Top-20 slates replay the (score desc, key asc) order. */
+  private def hitsLocalTop(e: DataFrame, iters: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val rows = e.select($"cust", $"part").as[(Long, Long)].collect()
+    require(rows.length.toLong <= Long.MaxValue / Scale / Scale,
+      s"hits local endgame: ${rows.length} edges would overflow the " +
+        "Long fixed-point headroom - lower graft.hitsLocalMaxEdges")
+    val custs = rows.map(_._1).distinct
+    val parts = rows.map(_._2).distinct
+    val cIdx = custs.zipWithIndex.toMap
+    val pIdx = parts.zipWithIndex.toMap
+    val ec = rows.map(r => cIdx(r._1))
+    val ep = rows.map(r => pIdx(r._2))
+    var hub = Array.fill(custs.length)(Scale)
+    var auth = new Array[Long](parts.length)
+    for (_ <- 1 to iters) {
+      val a = new Array[Long](parts.length)
+      var i = 0
+      while (i < ec.length) { a(ep(i)) += hub(ec(i)); i += 1 }
+      val amax = a.max
+      auth = a.map(x => x * Scale / amax)
+      val h = new Array[Long](custs.length)
+      i = 0
+      while (i < ec.length) { h(ec(i)) += auth(ep(i)); i += 1 }
+      val hmax = h.max
+      hub = h.map(x => x * Scale / hmax)
+    }
+    def top20(keys: Array[Long], scores: Array[Long]): Seq[(Long, Long)] =
+      keys.indices.map(i => (keys(i), scores(i)))
+        .sortBy { case (k, sc) => (-sc, k) }.take(20)
+    val out = top20(parts, auth).map { case (n, sc) => ("auth", n, sc) } ++
+      top20(custs, hub).map { case (n, sc) => ("hub", n, sc) }
+    out.toDF("role", "node", "score")
+      .orderBy($"role", $"score".desc, $"node")
+  }
+
   private[graft] def hitsTop(edges: DataFrame, iters: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val e = edges.cache()
+    val nEdges = e.count()
+    if (nEdges > 0 && nEdges <= hitsLocalMaxEdges) {
+      val out = hitsLocalTop(e, iters)
+      e.unpersist()
+      return out
+    }
     val normA = "cast((cast(a as decimal(38,0)) * 1000000) div amax as bigint)"
     val normH = "cast((cast(h as decimal(38,0)) * 1000000) div hmax as bigint)"
     var hub = e.select($"cust").distinct()
@@ -3569,13 +3643,47 @@ object Graph {
     // narrowing to rows/100k partitions serialized it (median
     // 8.3 → 10.5 s measured). Width-by-edge-count models scheduling-
     // bound loops, not compute-bound ones.
+    //
+    // JOIN SHAPE (round-14, guide §2.4/§3.1): the per-round joins pair
+    // the edge fact with a NODE-sized score frame, so shuffling the
+    // fact by the join key every round is the avoidable cost — 4
+    // exchanges + sorts of ~0.5M rows per round at sf0.1 (the r14
+    // before-plan). Under the node gate the fact is hash-partitioned
+    // ONCE per key side and cached; each round is then a broadcast
+    // hash join (score frames are node-sized) whose output keeps the
+    // cache's partitioning, so the per-side aggregation needs NO
+    // exchange at all — a round is two scan+agg jobs over cached
+    // partitioned data, zero data-scale exchanges. The algebra is
+    // bit-identical (same integer sums over the same groups, any
+    // partitioning), so the oracle hash is unchanged. Beyond the gate
+    // the original shuffle loop runs as before.
+    val nCust = hub.count()
+    val nPart =
+      if (nCust <= hitsBroadcastMaxNodes)
+        e.select($"part").distinct().count()
+      else Long.MaxValue
+    val bcast = nCust <= hitsBroadcastMaxNodes && nPart <= hitsBroadcastMaxNodes
+    val (eByCust, eByPart) =
+      if (bcast) (e.repartition($"cust").cache(), e.repartition($"part").cache())
+      else (e, e)
     for (_ <- 1 to iters) {
-      val asum = e.join(hub, "cust").groupBy($"part").agg(sum($"hub").as("a"))
-      auth = asum.crossJoin(broadcast(asum.agg(max($"a").as("amax"))))
-        .select($"part", expr(normA).as("auth")).checkpointFresh
-      val hsum = e.join(auth, "part").groupBy($"cust").agg(sum($"auth").as("h"))
-      hub = hsum.crossJoin(broadcast(hsum.agg(max($"h").as("hmax"))))
-        .select($"cust", expr(normH).as("hub")).checkpointFresh
+      if (bcast) {
+        val asum = (eByPart.join(broadcast(hub), "cust")
+          .groupBy($"part").agg(sum($"hub").as("a"))).checkpointFresh
+        auth = asum.crossJoin(broadcast(asum.agg(max($"a").as("amax"))))
+          .select($"part", expr(normA).as("auth"))
+        val hsum = (eByCust.join(broadcast(auth), "part")
+          .groupBy($"cust").agg(sum($"auth").as("h"))).checkpointFresh
+        hub = hsum.crossJoin(broadcast(hsum.agg(max($"h").as("hmax"))))
+          .select($"cust", expr(normH).as("hub"))
+      } else {
+        val asum = e.join(hub, "cust").groupBy($"part").agg(sum($"hub").as("a"))
+        auth = asum.crossJoin(broadcast(asum.agg(max($"a").as("amax"))))
+          .select($"part", expr(normA).as("auth")).checkpointFresh
+        val hsum = e.join(auth, "part").groupBy($"cust").agg(sum($"auth").as("h"))
+        hub = hsum.crossJoin(broadcast(hsum.agg(max($"h").as("hmax"))))
+          .select($"cust", expr(normH).as("hub")).checkpointFresh
+      }
     }
     val out = auth.orderBy($"auth".desc, $"part").limit(20)
       .select(lit("auth").as("role"), $"part".cast("long").as("node"),
@@ -3585,6 +3693,7 @@ object Graph {
           $"hub".as("score")))
       .orderBy($"role", $"score".desc, $"node")
     e.unpersist()
+    if (bcast) { eByCust.unpersist(); eByPart.unpersist() }
     out
   }
 

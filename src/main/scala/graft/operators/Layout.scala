@@ -343,8 +343,17 @@ object Layout {
     val rows = Tables.lineitem(s, dir)
       .select($"l_orderkey",
         shiftright(zorderKey($"l_partkey", $"l_suppkey"), 12).as("zbucket"))
+    // The full position SET is what a lakehouse reader would PERSIST;
+    // this query only ever probes it with Z3Probes × k slot values, so
+    // the bucket-keyed DISTINCT that materialized the set (a rows×k
+    // string exchange — the entry's dominant cost, r14 before-plan) is
+    // dead weight: the probe join runs against the RAW slot stream and
+    // `countDistinct(pos)` below dedupes the survivors (identical
+    // candidate sets — a bucket matches iff all k probe slots occur).
+    // Guide §2.3: the selective filter moves BELOW the exchange; what
+    // crosses is probes-sized, not corpus-sized.
     val positions = rows
-      .select($"zbucket", explode(slots($"l_orderkey")).as("pos")).distinct()
+      .select($"zbucket", explode(slots($"l_orderkey")).as("pos"))
     val zm = rows.groupBy($"zbucket")
       .agg(count(lit(1)).as("n"),
         min($"l_orderkey").as("lo"), max($"l_orderkey").as("hi"))

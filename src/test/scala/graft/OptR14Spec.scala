@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Optimization round 14: every plan-shape change must be
+  * result-identical to the path it replaces — the q102 discipline
+  * applied to this round's reworked operators. */
+class OptR14Spec extends GraftSpecBase {
+  import spark.implicits._
+
+  // ------------- q99 HITS regime parity -------------
+
+  private def q99Rows(): Seq[(String, Long, Long)] =
+    operators.Graph.q99Hits(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+
+  test("q99: local endgame == broadcast regime == shuffle path, bit-identical") {
+    val local = q99Rows()
+    sys.props("graft.hitsLocalMaxEdges") = "0"
+    val bcast = try q99Rows()
+      finally sys.props.remove("graft.hitsLocalMaxEdges")
+    assert(local == bcast, "q99 local endgame diverged from broadcast regime")
+    sys.props("graft.hitsLocalMaxEdges") = "0"
+    sys.props("graft.hitsBroadcastMaxNodes") = "0"
+    val shuffle = try q99Rows() finally {
+      sys.props.remove("graft.hitsLocalMaxEdges")
+      sys.props.remove("graft.hitsBroadcastMaxNodes")
+    }
+    assert(local == shuffle, "q99 local endgame diverged from shuffle path")
+  }
+
+  // ------------- metric heads' rating frame -------------
+
+  test("ratingsOf == ratings exactly (value-for-value)") {
+    val a = ml.Recommender.ratings(spark, sf)
+      .as[(Long, Long, Float)].collect().sorted.toSeq
+    val b = ml.Recommender.ratingsOf(spark, sf)
+      .as[(Long, Long, Float)].collect().sorted.toSeq
+    assert(a == b, "memoized rating frame diverged from the ALS builder")
+  }
+
+  // ------------- m1 slate memo -------------
+
+  test("m1 slate memo serves the registry entry's exact output") {
+    val memo = ml.Recommender.m1AlsRecommend(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // a second call must serve the same frame (same rows, same order)
+    val again = ml.Recommender.m1AlsRecommend(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(memo == again, "m1 slate memo unstable across calls")
+    assert(memo.nonEmpty && memo.map(_._1).distinct.size * 5 >= memo.size,
+      "slate shape broke: more than 5 recs per user")
+  }
+}
