@@ -1134,7 +1134,7 @@ object Analytics {
     * expand); at 100 TB swap `approx_count_distinct`/q72's HLL
     * sketches per column — same plan shape, sketch-sized state. */
   def q74Profile(s: SparkSession, dir: String): DataFrame =
-    profileOf(s, dir, c => countDistinct(c))
+    profileOf(s, dir, c => countDistinct(c), splitDistinct = true)
 
   /** Q75: q74's 100 TB twin — the same profile with `n_distinct`
     * served from a per-column Datasketches HLL sketch (q72's
@@ -1153,7 +1153,8 @@ object Analytics {
     profileOf(s, dir, c => hll_sketch_estimate(hll_sketch_agg(c.cast("string"), 14)))
 
   private def profileOf(s: SparkSession, dir: String,
-      distinctAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      distinctAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      splitDistinct: Boolean = false)
       : DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, dir)
@@ -1168,12 +1169,34 @@ object Analytics {
       "o_totalprice" -> floor($"o_totalprice" * 100).cast("long"),
       "o_orderdate" -> to_date($"o_orderdate"),
       "o_orderpriority" -> $"o_orderpriority")
-    val aggs = cols.flatMap { case (n, c) => Seq(
-      (count(lit(1)) - count(c)).as(s"__nn_$n"),
-      distinctAgg(c).cast("long").as(s"__nd_$n"),
-      min(c).cast("string").as(s"__mn_$n"),
-      max(c).cast("string").as(s"__mx_$n")) }
-    val row = o.agg(aggs.head, aggs.tail: _*)
+    // SPLIT (round 14, q74 only): mixing multi-column count(DISTINCT)
+    // with string min/max in ONE aggregation plants the string agg
+    // buffers on the 6-way Expand stream, and string buffers force
+    // SortAggregate — a 7-key sort of rows×6 expanded rows (the r14
+    // before-plan's dominant cost, 3.1 s self-median). Two aggregations
+    // instead: the null/min/max stats are a GLOBAL agg over the raw
+    // scan (empty grouping — no sort, no Expand), and the Expand
+    // stream carries count-only buffers, so its dedup is a pure
+    // HashAggregate. One extra scan, both sort-free; output identical.
+    // q75's sketch aggregates are ordinary (no Expand) — it keeps the
+    // single-pass form.
+    val row = if (splitDistinct) {
+      val statAggs = cols.flatMap { case (n, c) => Seq(
+        (count(lit(1)) - count(c)).as(s"__nn_$n"),
+        min(c).cast("string").as(s"__mn_$n"),
+        max(c).cast("string").as(s"__mx_$n")) }
+      val distAggs = cols.map { case (n, c) =>
+        distinctAgg(c).cast("long").as(s"__nd_$n") }
+      o.agg(statAggs.head, statAggs.tail: _*)
+        .join(broadcast(o.agg(distAggs.head, distAggs.tail: _*)))
+    } else {
+      val aggs = cols.flatMap { case (n, c) => Seq(
+        (count(lit(1)) - count(c)).as(s"__nn_$n"),
+        distinctAgg(c).cast("long").as(s"__nd_$n"),
+        min(c).cast("string").as(s"__mn_$n"),
+        max(c).cast("string").as(s"__mx_$n")) }
+      o.agg(aggs.head, aggs.tail: _*)
+    }
     row.select(explode(array(cols.map { case (n, _) =>
         struct(lit(n).as("col_name"),
           col(s"__nn_$n").as("n_nulls"),

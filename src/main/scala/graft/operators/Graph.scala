@@ -43,6 +43,14 @@ object Graph {
   def q53Pagerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+    // LOCAL ENDGAME (round 14): the thresholded pair list is metadata-
+    // scale; under the gate the 5 rounds replay driver-side with
+    // bit-identical integer algebra (GraphLocal; OptR14Spec pins
+    // local == forced-distributed). The pair BUILD above stays
+    // distributed at every SF.
+    val nPairs = prs.count()
+    if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
+      return GraphLocal.pagerankTop(s, prs, Iters, "pr_rank")
     val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
       .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
       .cache()
@@ -633,6 +641,11 @@ object Graph {
       rounds: Int = HIndexRounds): DataFrame = {
     import s.implicits._
     val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+    // local endgame under the gate (see q53) — same h-index rounds,
+    // same early exit (unchanged sum of estimates)
+    val nPairs = prs.count()
+    if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
+      return GraphLocal.coreHindexTable(s, prs, rounds)
     val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
       .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
     hIndexCoreNumbers(edges, rounds).orderBy($"l_partkey")
@@ -720,6 +733,11 @@ object Graph {
   def q80WeightedPagerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+    // local endgame under the gate (see q53) — weighted flows,
+    // Math.multiplyExact mirrors the ANSI overflow loudness
+    val nPairs = prs.count()
+    if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
+      return GraphLocal.weightedPagerankTop(s, prs, Iters)
     val edges = prs.select($"pa".as("src"), $"pb".as("dst"), $"n_orders".as("w"))
       .unionAll(prs.select($"pb".as("src"), $"pa".as("dst"), $"n_orders".as("w")))
       .cache()
@@ -800,6 +818,11 @@ object Graph {
       rounds: Int = LpaRounds): DataFrame = {
     import s.implicits._
     val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+    // local endgame under the gate (see q53) — same synchronous
+    // schedule, same (cnt desc, label asc) argmax
+    val nPairs = prs.count()
+    if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
+      return GraphLocal.labelPropTable(s, prs, rounds)
     val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
       .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
       .cache()
@@ -888,6 +911,11 @@ object Graph {
   def q77Ppr(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+    // local endgame under the gate (see q53); the seed replays the
+    // same (deg desc, key asc) argmax locally
+    val nPairs = prs.count()
+    if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
+      return GraphLocal.pprTop(s, prs, Iters)
     val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
       .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
       .cache()
@@ -940,6 +968,11 @@ object Graph {
       radius: Int = ReachRadius): DataFrame = {
     import s.implicits._
     val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+    // local endgame under the gate (see q53) — BFS layers are
+    // set-valued, so the replay is trivially order-independent
+    val nPairs = prs.count()
+    if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
+      return GraphLocal.seedReachTable(s, prs, radius)
     val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
       .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
       .cache()
@@ -987,6 +1020,11 @@ object Graph {
       nSeeds: Int = HarmonicSeeds, radius: Int = ReachRadius): DataFrame = {
     import s.implicits._
     val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+    // local endgame under the gate (see q53) — per-pivot BFS + the
+    // Scale div hops sum, zero-filled over every node
+    val nPairs = prs.count()
+    if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
+      return GraphLocal.harmonicTable(s, prs, nSeeds, radius)
     val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
       .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
       .cache()

@@ -29,6 +29,30 @@ class OptR14Spec extends GraftSpecBase {
     assert(local == shuffle, "q99 local endgame diverged from shuffle path")
   }
 
+  // ------------- graph loop family: local endgame parity -------------
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("graph loops: local endgame == forced-distributed, bit-identical per entry") {
+    val entries: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "q53" -> (() => operators.Graph.q53Pagerank(spark, sf)),
+      "q77" -> (() => operators.Graph.q77Ppr(spark, sf)),
+      "q80" -> (() => operators.Graph.q80WeightedPagerank(spark, sf)),
+      "q81" -> (() => operators.Graph.q81LabelProp(spark, sf)),
+      "q79" -> (() => operators.Graph.q79CoreHindex(spark, sf)),
+      "q78" -> (() => operators.Graph.q78SeedReach(spark, sf)),
+      "q82" -> (() => operators.Graph.q82Harmonic(spark, sf)))
+    entries.foreach { case (name, fn) =>
+      val local = rowsOf(fn())
+      sys.props("graft.graphLocalMaxEdges") = "0"
+      val dist = try rowsOf(fn())
+        finally sys.props.remove("graft.graphLocalMaxEdges")
+      assert(local == dist, s"$name: local endgame diverged from the " +
+        s"distributed path\n local=${local.take(5)}\n dist=${dist.take(5)}")
+    }
+  }
+
   // ------------- metric heads' rating frame -------------
 
   test("ratingsOf == ratings exactly (value-for-value)") {

@@ -249,10 +249,18 @@ class Round7OpsSpec extends GraftSpecBase {
     assert(ok._4 == o.map(_._1).min.toString && ok._5 == o.map(_._1).max.toString)
     val tp = rows("o_totalprice")
     assert(tp._4 == o.map(_._2).min.toString && tp._5 == o.map(_._2).max.toString)
-    // plan: one scan, no joins (the stats row is a single aggregation)
+    // plan (round-14 shape): the null/min/max stats and the distinct
+    // counts are TWO sort-free aggregations — string min/max buffers
+    // force SortAggregate, and planting them on the 6-way Expand
+    // stream sorted rows×6 expanded rows (the r13 3.1 s self-median).
+    // The only join is the broadcast of two ONE-ROW aggregate frames;
+    // no data-scale join strategy may appear, and the Expand stream
+    // must dedup hash-based (never a Sort directly over the Expand).
     val p = operators.Analytics.q74Profile(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-    assert(!p.contains("Join"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert("Sort \\(\\d+\\)\\s*\\n\\s*\\+- Expand".r.findFirstIn(p).isEmpty,
+      s"expand stream fell back to sort-based dedup:\n$p")
   }
 
   test("q75: sketch profile matches q74 on nulls/min/max; estimates inside the lgK band") {
