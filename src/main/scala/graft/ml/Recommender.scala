@@ -785,5 +785,17 @@ object Recommender {
           $"o_orderkey" === $"l_orderkey")
         .groupBy($"o_custkey".as("user"), $"l_partkey".as("item"))
         .agg(sum($"l_quantity".cast("long")).as("q"))
+        // clustered + sorted by USER at build time (round 14): the
+        // groupBy leaves hashpartitioning(user, item), which satisfies
+        // NEITHER side of the m10/m11 per-user self-join — every
+        // consumer re-exchanged and double-sorted the frame. Cached
+        // partitioned-and-sorted by user, the sort-merge self-join
+        // needs no exchange and no sort on either side (guide §2.4:
+        // two operations keyed the same way share one exchange — here
+        // the artifact IS the exchange), and (user, item)-keyed
+        // consumers still qualify (a user-hash partitioning satisfies
+        // any clustering that contains user).
+        .repartition($"user")
+        .sortWithinPartitions($"user")
     }()
 }

@@ -1340,20 +1340,55 @@ object Graph {
     * move passes (the d2/d7 artifact pattern: the expensive loop runs
     * once, every downstream schedule reads it). */
   private[graft] def semiColoredMemo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     var edges: DataFrame = null
     graft.Caches.memo("q84_coloring", dir) {
-      edges = copurchaseEdges(s, dir).cache()
-      trialColoring(edges, SemiColoringRounds)._1
+      val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      // LOCAL ENDGAME (round 14 — the q102 discipline moved to the
+      // BASE labeling chain): the thresholded co-purchase graph is
+      // metadata-scale at every test SF, and the distributed trial
+      // coloring alone billed ~70 driver-synchronized jobs against it.
+      // Under the gate the coloring replays driver-side
+      // (LouvainLocal.coloring — spec-pinned == trialColoring on
+      // constructed + seeded + real graphs); beyond it the
+      // distributed schedule runs unchanged.
+      val nPairs = prs.count()
+      if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges) {
+        val ce = GraphLocal.collectSym(prs).map(t => (t._1, t._2))
+        LouvainLocal.coloring(ce).toSeq.toDF("node", "color")
+      } else {
+        edges = copurchaseEdges(s, dir).cache()
+        trialColoring(edges, SemiColoringRounds)._1
+      }
     }(if (edges != null) edges.unpersist())
   }
 
   /** The memoized (node, color, lbl) labeling artifact — built over
     * the shared coloring; serves q84 (labels) and q100 (score). */
   private[graft] def semiLabeled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     var edges: DataFrame = null
     graft.Caches.memo("q84_semi_labeled", dir) {
-      edges = copurchaseEdges(s, dir).cache()
-      semiSweeps(edges, semiColoredMemo(s, dir), colorBudget = SemiColors)
+      val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      // local endgame under the gate (see semiColoredMemo): the LPA
+      // sweeps replay over the SHARED coloring artifact — one
+      // collect of the memoized (node, color) frame, then
+      // LouvainLocal.lpaSweeps (parity spec'd vs semiSweeps)
+      val nPairs = prs.count()
+      if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges) {
+        val ce = GraphLocal.collectSym(prs).map(t => (t._1, t._2))
+        val colMap = semiColoredMemo(s, dir)
+          .as[(Long, Int)].collect().toMap
+        checkColorBudget("q84",
+          if (colMap.isEmpty) 0 else colMap.valuesIterator.max, SemiColors)
+        val lbl = LouvainLocal.lpaSweeps(ce, colMap, SemiLpaRounds)
+        colMap.keysIterator.toSeq.sorted
+          .map(n => (n, colMap(n), lbl(n)))
+          .toDF("node", "color", "lbl")
+      } else {
+        edges = copurchaseEdges(s, dir).cache()
+        semiSweeps(edges, semiColoredMemo(s, dir), colorBudget = SemiColors)
+      }
     }(if (edges != null) edges.unpersist())
   }
 
@@ -1848,6 +1883,15 @@ object Graph {
     val lab = q84LpaSemisync(s, dir)
       .select($"l_partkey".as("node"), $"community".as("lbl"))
     val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+    // local endgame under the gate (see semiColoredMemo): the score is
+    // three integer aggregates over the metadata-scale edge list and
+    // the memoized labeling — GraphLocal replays the exact algebra,
+    // including the loud int64 overflow guard
+    val nPairs = prs.count()
+    if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges) {
+      val lmap = lab.as[(Long, Long)].collect().toMap
+      return GraphLocal.modularityTable(s, prs, lmap)
+    }
     val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
       .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
     modularityOf(edges, lab).orderBy($"community")
@@ -2161,10 +2205,29 @@ object Graph {
     import s.implicits._
     var edges: DataFrame = null
     graft.Caches.memo("q101_labels", dir) {
-      edges = copurchaseEdges(s, dir).cache()
-      louvainMoves(edges, semiColoredMemo(s, dir)
-        .select($"node", $"color", $"node".as("lbl")),
-        colorBudget = SemiColors)
+      val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      // local endgame under the gate (see semiColoredMemo): phase 1 is
+      // louvainMovesW with w = 1, strength = degree, m2w = |e| — the
+      // exact machinery LouvainLocal.movesW already replays for the
+      // coarse level (freshTot + zero-move early exit), over the same
+      // shared coloring artifact
+      val nPairs = prs.count()
+      if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges) {
+        val ceW = GraphLocal.collectSym(prs).map(t => (t._1, t._2, 1L))
+        val colMap = semiColoredMemo(s, dir)
+          .as[(Long, Int)].collect().toMap
+        checkColorBudget("louvain",
+          if (colMap.isEmpty) 0 else colMap.valuesIterator.max, SemiColors)
+        val strength = ceW.groupBy(_._1).map { case (n, xs) =>
+          n -> xs.length.toLong }
+        LouvainLocal.movesW(ceW, strength, ceW.length.toLong, colMap,
+          LouvainRounds).toSeq.toDF("node", "lbl")
+      } else {
+        edges = copurchaseEdges(s, dir).cache()
+        louvainMoves(edges, semiColoredMemo(s, dir)
+          .select($"node", $"color", $"node".as("lbl")),
+          colorBudget = SemiColors)
+      }
     }(if (edges != null) edges.unpersist())
   }
 

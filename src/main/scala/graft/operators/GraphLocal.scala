@@ -201,6 +201,36 @@ object GraphLocal {
       .toDF("l_partkey", "hops").orderBy($"l_partkey")
   }
 
+  /** q100: the exact modularity score table over the symmetric
+    * threshold-2 edge list and a (node → community) labeling —
+    * per community: size, Σ member degrees, intra-community directed
+    * edge count, 2m, and the exact integer numerator
+    * q_num = intra·2m − total_deg², with the distributed operator's
+    * loud int64 overflow failure. */
+  def modularityTable(s: SparkSession, prs: DataFrame,
+      labels: Map[Long, Long]): DataFrame = {
+    import s.implicits._
+    val es = collectSym(prs)
+    val m2 = es.length.toLong
+    val deg = degrees(es)
+    val bySize = labels.groupBy(_._2).map { case (l, xs) => l -> xs.size.toLong }
+    val byDeg = labels.toSeq.groupBy(_._2).map { case (l, xs) =>
+      l -> xs.iterator.map { case (n, _) => deg(n) }.sum }
+    val intra = es.iterator
+      .filter { case (a, b, _) => labels(a) == labels(b) }
+      .toSeq.groupBy { case (a, _, _) => labels(a) }
+      .map { case (l, xs) => l -> xs.size.toLong }
+    val out = bySize.keys.toSeq.sorted.map { c =>
+      val qn = BigInt(intra.getOrElse(c, 0L)) * m2 -
+        BigInt(byDeg(c)) * BigInt(byDeg(c))
+      require(qn.isValidLong, "q100_modularity: exact-integer overflow " +
+        "in q_num (int64 range)")
+      (c, bySize(c), intra.getOrElse(c, 0L), byDeg(c), m2, qn.toLong)
+    }
+    out.toDF("community", "community_size", "intra_deg", "total_deg",
+      "m2", "q_num").orderBy($"community")
+  }
+
   /** q82: harmonic centrality from the top-`nSeeds`-degree pivots
     * (deg desc, key asc), radius-truncated: per node, count of pivots
     * reaching it and Σ Scale div hops over hops > 0. Every node of the

@@ -75,6 +75,33 @@ private[graft] object LouvainLocal {
     col.toMap
   }
 
+  /** Replay of `Graph.semiSweeps` — the per-color LPA sweep schedule
+    * over a prebuilt proper coloring (round 14, the base-graph local
+    * endgame): per round, classes ascending, every class member
+    * simultaneously adopts the argmax neighbor label under the
+    * (count desc, keep-current, min-label) order. The distributed
+    * pending-class skip and the all-stable early exit are identity-
+    * preserving there (proved at the operator), so replaying every
+    * budgeted sweep is bit-identical. Classes are independent sets,
+    * so within-class simultaneity cannot read a same-step update. */
+  def lpaSweeps(edges: Array[(Long, Long)], color: Map[Long, Int],
+      rounds: Int): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nColors = if (color.isEmpty) 0 else color.valuesIterator.max
+    val lbl = collection.mutable.Map.empty[Long, Long]
+    color.keysIterator.foreach(v => lbl(v) = v)
+    for (_ <- 1 to rounds; c <- 1 to nColors) {
+      val upd = adj.keysIterator.filter(color(_) == c).map { v =>
+        val cur = lbl(v)
+        val cnt = adj(v).groupBy(lbl).view.mapValues(_.length.toLong)
+        v -> cnt.maxBy { case (l, n) =>
+          (n, if (l == cur) 1 else 0, -l) }._1
+      }.toArray
+      upd.foreach { case (v, l) => lbl(v) = l }
+    }
+    lbl.toMap
+  }
+
   /** Replay of `Graph.louvainMovesW` under the freshTot policy over a
     * DIRECTED weighted edge list (both directions present): rounds of
     * classes ascending; per class step, community volumes from the

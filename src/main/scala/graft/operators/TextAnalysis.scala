@@ -426,13 +426,25 @@ object TextAnalysis {
     * is not correctly-rounded, the floor discipline absorbs the ulp. */
   def t12BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bg = Tables.documents(s, dir)
-      .withColumn("w", tokens($"text"))
-      .filter(size($"w") >= 2)
-      .select($"doc_id", explode(ngramsFromTokens($"w", 2)).as("bigram"))
-      .withColumn("w1", substring_index($"bigram", " ", 1))
+    // the occurrence stream feeds the bigram counts AND the scoring
+    // join — checkpointed eagerly so the corpus tokenizes ONCE, not
+    // once per consumer (round 14); context counts c(w1) derive from
+    // the bigram table by pure algebra (Σ over bigrams starting at w1
+    // ≡ counting the occurrences directly), saving the third pass.
+    // checkpointFresh (not a cache/memo) on purpose: it resets the
+    // stats to defaults, so the model joins keep their shuffle plan —
+    // a small-corpus cache estimate would flip them to a vocabulary
+    // BROADCAST, exactly the 100 TB shape this entry's plan audit
+    // forbids (bigram vocabularies run 10× unigram).
+    val bg = graft.Caches.checkpointFresh(
+      Tables.documents(s, dir)
+        .withColumn("w", tokens($"text"))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", explode(ngramsFromTokens($"w", 2)).as("bigram"))
+        .withColumn("w1", substring_index($"bigram", " ", 1)))
     val cbg = bg.groupBy($"bigram").agg(count(lit(1)).as("cb"))
-    val ctx = bg.groupBy($"w1").agg(count(lit(1)).as("cw"))
+    val ctx = cbg.groupBy(substring_index($"bigram", " ", 1).as("w1"))
+      .agg(sum($"cb").as("cw"))
     val vocab = Tables.documents(s, dir)
       .select(explode(tokens($"text")).as("token"))
       .agg(countDistinct($"token").as("v"))
@@ -663,14 +675,26 @@ object TextAnalysis {
     * window, no all-pairs; AQE splits hot shingles like d2's join. */
   def t16Novelty(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, dir)
-      .select($"doc_id", tokens($"text").as("w"))
-      .select($"doc_id", explode(shinglesFromTokens($"w", 3)).as("shingle"))
-    val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
-    sh.join(first, "shingle")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+    // round 14: the corpus-wide shingle stream tokenizes ONCE (memo),
+    // and the join BACK on the shingle key is gone — n_novel(doc) is
+    // just the count of shingles whose min-holder is the doc, i.e. a
+    // doc-keyed aggregate OF the first-holder table itself; n_shingles
+    // is a direct doc-keyed count. Two corpus-stream exchanges become
+    // map-side-partial aggregates and the 2M-row shingle join becomes
+    // a doc-cardinality join (guide §2.3/§2.4). Values identical:
+    // shingles are distinct per doc, so the old per-row sum(when
+    // first=doc) counts exactly the min-holder shingles.
+    val sh = graft.Caches.memo("t16_shingles", dir) {
+      Tables.documents(s, dir)
+        .select($"doc_id", tokens($"text").as("w"))
+        .select($"doc_id", explode(shinglesFromTokens($"w", 3)).as("shingle"))
+    }()
+    val novel = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
+      .groupBy($"first_doc").agg(count(lit(1)).as("n_novel"))
+    sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(novel, $"doc_id" === $"first_doc", "left")
+      .select($"doc_id", $"n_shingles",
+        coalesce($"n_novel", lit(0L)).as("n_novel"))
       .select($"doc_id", $"n_shingles", $"n_novel",
         (expr("n_novel * 10000 div n_shingles") / 10000.0).as("novelty"))
       .orderBy($"doc_id")

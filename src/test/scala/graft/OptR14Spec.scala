@@ -53,6 +53,27 @@ class OptR14Spec extends GraftSpecBase {
     }
   }
 
+  // ------------- labeling chain: local endgame parity -------------
+
+  test("q84/q100/q101 labeling chain: local == forced-distributed (memoized artifacts rebuilt per regime)") {
+    def runAll(): Seq[Seq[String]] = {
+      Caches.clear() // force the memoized chain to rebuild in-regime
+      Seq(
+        rowsOf(operators.Graph.q84LpaSemisync(spark, sf)),
+        rowsOf(operators.Graph.q100Modularity(spark, sf)),
+        rowsOf(operators.Graph.q101Louvain(spark, sf)))
+    }
+    val local = runAll()
+    sys.props("graft.graphLocalMaxEdges") = "0"
+    val dist = try runAll()
+      finally sys.props.remove("graft.graphLocalMaxEdges")
+    Caches.clear()
+    Seq("q84", "q100", "q101").zipWithIndex.foreach { case (name, i) =>
+      assert(local(i) == dist(i),
+        s"$name: local labeling chain diverged from the distributed path")
+    }
+  }
+
   // ------------- metric heads' rating frame -------------
 
   test("ratingsOf == ratings exactly (value-for-value)") {

@@ -520,7 +520,13 @@ class PlanAuditSpec extends GraftSpecBase {
   }
 
   test("q100: label joins are equi-joins and the community agg is map-side partial") {
-    val df = operators.Graph.q100Modularity(spark, sf)
+    // audit the DISTRIBUTED kernel — under the round-14 local gate the
+    // registry entry returns a driver-computed table at spec SFs
+    // (parity spec'd in OptR14Spec); the shape contract here is the
+    // beyond-gate path's
+    sys.props("graft.graphLocalMaxEdges") = "0"
+    val df = try operators.Graph.q100Modularity(spark, sf)
+      finally sys.props.remove("graft.graphLocalMaxEdges")
     df.collect() // force AQE final plan
     val p = df.queryExecution.executedPlan.toString
     // edge×label scoring must key on the node ids, never loop
