@@ -561,7 +561,13 @@ object Recommender {
   def m10ItemCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val r = intRatings(s, dir)
-    val pairs = r.as("a").join(r.as("b"),
+    // SHUFFLE_MERGE pinned (round 14): the memo is cached clustered +
+    // sorted by user, so the merge self-join needs no exchange and no
+    // sort on either side — whereas the cache's small stats otherwise
+    // flip the planner to broadcasting the 600k-row frame per query,
+    // which measured 2-8x slower under full-sweep memory pressure
+    // (spread 9.5-33 s vs the SMJ's 0.4-0.9)
+    val pairs = r.as("a").hint("SHUFFLE_MERGE").join(r.as("b"),
         $"a.user" === $"b.user" && $"a.item" < $"b.item")
       .groupBy($"a.item".as("ia"), $"b.item".as("ib"))
       .agg(sum($"a.q" * $"b.q").as("dot"))
@@ -677,7 +683,7 @@ object Recommender {
     val rr = r.join(broadcast(n2), "item")
       .select($"user", $"item", $"q",
         sqrt($"n2".cast("double")).as("nrm"))
-    rr.as("a").join(rr.as("b"),
+    rr.as("a").hint("SHUFFLE_MERGE").join(rr.as("b"),
         $"a.user" === $"b.user" && $"a.item" < $"b.item")
       .select($"a.user".as("user"), $"a.item".as("ia"), $"b.item".as("ib"),
         ($"a.q" * $"b.q").cast("double").as("prod"),

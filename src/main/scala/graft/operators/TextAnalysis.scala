@@ -426,22 +426,20 @@ object TextAnalysis {
     * is not correctly-rounded, the floor discipline absorbs the ulp. */
   def t12BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // the occurrence stream feeds the bigram counts AND the scoring
-    // join — checkpointed eagerly so the corpus tokenizes ONCE, not
-    // once per consumer (round 14); context counts c(w1) derive from
-    // the bigram table by pure algebra (Σ over bigrams starting at w1
-    // ≡ counting the occurrences directly), saving the third pass.
-    // checkpointFresh (not a cache/memo) on purpose: it resets the
-    // stats to defaults, so the model joins keep their shuffle plan —
-    // a small-corpus cache estimate would flip them to a vocabulary
-    // BROADCAST, exactly the 100 TB shape this entry's plan audit
-    // forbids (bigram vocabularies run 10× unigram).
-    val bg = graft.Caches.checkpointFresh(
-      Tables.documents(s, dir)
-        .withColumn("w", tokens($"text"))
-        .filter(size($"w") >= 2)
-        .select($"doc_id", explode(ngramsFromTokens($"w", 2)).as("bigram"))
-        .withColumn("w1", substring_index($"bigram", " ", 1)))
+    // round 14: context counts c(w1) derive from the bigram-count
+    // table by pure algebra (Σ cb over bigrams starting at w1 ≡
+    // counting the occurrences directly), dropping the third
+    // tokenize+explode pass of the corpus. The stream itself stays a
+    // lazy parquet-rooted plan on purpose: an eager checkpoint of the
+    // 2M-row stream measured SLOWER than the tokenize it saves at this
+    // SF, and a cache would expose small stats that flip the model
+    // joins to a vocabulary BROADCAST — the 100 TB shape this entry's
+    // plan audit forbids (bigram vocabularies run 10× unigram).
+    val bg = Tables.documents(s, dir)
+      .withColumn("w", tokens($"text"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", explode(ngramsFromTokens($"w", 2)).as("bigram"))
+      .withColumn("w1", substring_index($"bigram", " ", 1))
     val cbg = bg.groupBy($"bigram").agg(count(lit(1)).as("cb"))
     val ctx = cbg.groupBy(substring_index($"bigram", " ", 1).as("w1"))
       .agg(sum($"cb").as("cw"))
