@@ -446,8 +446,15 @@ object TextAnalysis {
     val vocab = Tables.documents(s, dir)
       .select(explode(tokens($"text")).as("token"))
       .agg(countDistinct($"token").as("v"))
-    bg.join(cbg, "bigram")
-      .join(ctx, "w1")
+    // round 15: the two model joins are PINNED to shuffled-hash — the
+    // derived ctx/cbg frames carry tiny estimated stats that would
+    // otherwise flip the planner to the vocabulary broadcast this
+    // entry's doc (and plan audit) forbids at 100 TB. SHUFFLE_HASH over
+    // SHUFFLE_MERGE: the count sides are aggregated (one row per
+    // bigram / context token), so the per-partition hash build is safe
+    // and the 2M-row occurrence stream is never sorted.
+    bg.join(cbg.hint("SHUFFLE_HASH"), "bigram")
+      .join(ctx.hint("SHUFFLE_HASH"), "w1")
       .join(broadcast(vocab))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
