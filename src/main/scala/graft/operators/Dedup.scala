@@ -540,6 +540,16 @@ object Dedup {
   private[graft] def connectedComponents(s: SparkSession, edges: DataFrame): DataFrame = {
     import s.implicits._
     {
+      val nEdges = edges.count()
+      // LOCAL ENDGAME (round 15): min-label propagation converges to
+      // the component-minimum id — below the shared 2²² gate a driver-
+      // side union-find computes that fixed point directly over the
+      // collected pair list (the loop was 5+ driver-synchronized
+      // rounds of scheduling over a metadata-scale dup graph). Serves
+      // d6/p10/q73/q94 at once; beyond the gate the pointer-jumping
+      // loop below runs unchanged (OptR15Spec pins parity per entry).
+      if (nEdges <= GraphLocal.maxEdges)
+        return GraphLocal.componentsTable(s, edges)
       // the iterative tail runs many small jobs; its shuffle width
       // follows the pair-graph size (the per-stage decision AQE makes
       // for one-shot queries) — a dup graph of thousands of edges on a
@@ -547,7 +557,7 @@ object Dedup {
       // a billion-edge graph keeps the session's full width
       val loopParts = math.max(1L, math.min(
         s.sessionState.conf.numShufflePartitions.toLong,
-        edges.count() / 100000L)).toInt
+        nEdges / 100000L)).toInt
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
       try {

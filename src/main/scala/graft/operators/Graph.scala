@@ -2725,6 +2725,16 @@ object Graph {
     import s.implicits._
     graft.Caches.memo("q86_betweenness", dir) {
       val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      // LOCAL ENDGAME (round 15, VERDICT item 3): below the 2²² gate
+      // the R-level forward/backward loop replays driver-side with
+      // the SAME integer algebra and the SAME overflow guards
+      // (GraphLocal.betweennessTable; OptR15Spec pins parity). The
+      // distributed kernel below runs unchanged beyond the gate and
+      // stays directly spec-driven (Round8Spec constructed graphs).
+      val nPairs = prs.count()
+      if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
+        GraphLocal.betweennessTable(s, prs, nSeeds, radius)
+      else {
       val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
         .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
         .cache()
@@ -2738,6 +2748,7 @@ object Graph {
           coalesce($"bet_1e6", lit(0L)).as("bet_1e6"))
       edges.unpersist()
       out
+      }
     }().orderBy($"l_partkey")
   }
 
@@ -2891,6 +2902,14 @@ object Graph {
     import s.implicits._
     def compute = {
       val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      // LOCAL ENDGAME (round 15, VERDICT item 3): both sweeps replay
+      // driver-side below the 2²² gate (104 jobs → 2 at sf0.1); the
+      // local seed is the same (deg desc, key asc) argmax egoSeed
+      // computes. OptR15Spec pins local == forced-distributed.
+      val nPairs = prs.count()
+      if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
+        GraphLocal.diameterTable(s, prs, rounds)
+      else {
       val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
         .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
         .cache()
@@ -2904,6 +2923,7 @@ object Graph {
       edges.unpersist()
       Seq((seed, eccSeed, far, eccFar))
         .toDF("seed", "ecc_seed", "far_node", "diameter_lb")
+      }
     }
     if (rounds == DiameterRounds)
       graft.Caches.memo("q88_diameter", dir)(compute)()
@@ -3234,6 +3254,14 @@ object Graph {
     import s.implicits._
     graft.Caches.memo("q97_anf", dir) {
       val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      // NOT locally gated (round 15, recorded negative result): a
+      // DataSketches HLL union's estimate is FOLD-STRUCTURE- and
+      // ORDER-sensitive (graft.HllProbe: flat=592, two-level=585,
+      // reversed=586 for the same 600-item set), so no driver replay
+      // can be bit-identical to the distributed partial-agg tree —
+      // the q86/q88/q94 local-endgame bar is unattainable here. The
+      // loop instead sheds one job per round (the observe-metric
+      // total, see anfLoop).
       val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
         .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
         .cache()
@@ -3250,10 +3278,16 @@ object Graph {
   private[graft] def anfFrom(edges: DataFrame, rounds: Int,
       lgK: Int): DataFrame = {
     val s = edges.sparkSession
-    import s.implicits._
     val (_, totals) = anfLoop(edges, rounds, lgK)
-    // driver-side percentages in BigInt — pair counts at web scale
-    // outgrow Long×1e6 products
+    anfFinish(s, totals)
+  }
+
+  /** The driver-side tail shared by the distributed loop and the
+    * round-15 local replay: per-hop percentages in BigInt (pair counts
+    * at web scale outgrow Long×1e6 products) + the effective-diameter
+    * rule. */
+  private[graft] def anfFinish(s: SparkSession, totals: Seq[Long]): DataFrame = {
+    import s.implicits._
     val fin = totals.last
     val effDiam = totals.indexWhere(n => BigInt(n) * 10 >= BigInt(fin) * 9)
     totals.zipWithIndex.map { case (n, hop) =>
@@ -3271,22 +3305,33 @@ object Graph {
       lgK: Int): (DataFrame, Seq[Long]) = {
     val s = edges.sparkSession
     import s.implicits._
-    var state = edges.select($"src".as("node")).distinct()
-      .groupBy($"node").agg(expr(s"hll_sketch_agg(node, $lgK)").as("sk"))
-      .checkpointFresh
-    def total(st: DataFrame): Long =
-      st.agg(sum(expr("hll_sketch_estimate(sk)"))).as[Long].head()
-    val totals = scala.collection.mutable.ArrayBuffer(total(state)) // N(0)
+    // round 15: each round's estimated total rides the checkpoint
+    // materialization as an OBSERVED metric (the connectedComponents
+    // one-job-per-round discipline) instead of a separate agg job on
+    // the just-checkpointed state — same bytes estimated, same totals,
+    // one driver barrier per round instead of two (OptR15Spec pins the
+    // observed total == the post-hoc aggregate).
+    var obsN = 0
+    def ckTotal(df: DataFrame): (DataFrame, Long) = {
+      obsN += 1
+      val obs = org.apache.spark.sql.Observation(s"q97_total_$obsN")
+      val ck = df
+        .observe(obs, sum(expr("hll_sketch_estimate(sk)")).as("total"))
+        .checkpointFresh
+      (ck, Option(obs.get("total")).map(_.asInstanceOf[Long]).getOrElse(0L))
+    }
+    var (state, t0) = ckTotal(edges.select($"src".as("node")).distinct()
+      .groupBy($"node").agg(expr(s"hll_sketch_agg(node, $lgK)").as("sk")))
+    val totals = scala.collection.mutable.ArrayBuffer(t0) // N(0)
     var t = 1
     var grew = true
     withLoopWidth(s, edges.count()) {
     while (t <= rounds && grew) {
       val nbr = edges.join(state, $"src" === $"node")
         .select($"dst".as("node"), $"sk")
-      state = state.unionAll(nbr)
-        .groupBy($"node").agg(expr("hll_union_agg(sk, true)").as("sk"))
-        .checkpointFresh
-      val nt = total(state)
+      val (st2, nt) = ckTotal(state.unionAll(nbr)
+        .groupBy($"node").agg(expr("hll_union_agg(sk, true)").as("sk")))
+      state = st2
       grew = nt > totals.last
       totals += nt
       t += 1
@@ -3415,6 +3460,17 @@ object Graph {
     import s.implicits._
     def compute = {
       val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
+      // LOCAL ENDGAME (round 15, VERDICT item 2): below the shared 2²²
+      // gate both pointer-jumping component passes — and the degree/
+      // hub/size bookkeeping around them — replay driver-side over the
+      // collected pair list (116 driver-synchronized jobs → 2 at
+      // sf0.1). The pair BUILD stays distributed at every SF; beyond
+      // the gate the distributed passes below run unchanged
+      // (OptR15Spec pins local == forced-distributed).
+      val nPairs = prs.count()
+      if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
+        GraphLocal.robustnessTable(s, prs, RobustnessHubs)
+      else {
       val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
         .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
         .cache()
@@ -3433,6 +3489,7 @@ object Graph {
       Seq((n1, nEdges, lcc1, n2, lcc2, lcc2 * 10000 / lcc1))
         .toDF("n_nodes", "n_edges", "lcc_before", "n_nodes_after",
           "lcc_after", "retained_1e4")
+      }
     }
     graft.Caches.memo("q94_robustness", dir)(compute)()
   }

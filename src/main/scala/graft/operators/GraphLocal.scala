@@ -258,4 +258,187 @@ object GraphLocal {
     }
     out.toDF("l_partkey", "n_seeds", "harmonic_1e6").orderBy($"l_partkey")
   }
+
+  // ---------------------------------------------------------------
+  // round 15: the remaining iterative stragglers (VERDICT r14 items
+  // 2-3, 5) — connected components (q94/d6/p10/q73), double-sweep
+  // diameter (q88), pivot Brandes (q86), HyperANF (q97), under the
+  // same 2²² gate and the same bit-identical replay discipline.
+  // ---------------------------------------------------------------
+
+  /** Union-find with min-id component labels over a collected
+    * BIDIRECTIONAL edge array: node → component-minimum id — exactly
+    * the fixed point of the distributed min-label propagation
+    * (Dedup.connectedComponents). */
+  private def ccLabels(es: Array[(Long, Long)]): collection.Map[Long, Long] = {
+    val parent = collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    es.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // with the union-by-min rule above each root IS its component min
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  /** The shared components gate (d6/p10/q73 via
+    * Dedup.connectedComponents): (doc_id, group_id = min reachable
+    * id) over a bidirectional (src, dst) edge frame — the distributed
+    * loop's exact fixed point (min-label propagation converges to the
+    * component minimum; the union-find computes it directly, and the
+    * ≤ 50-round convergence bound is vacuous below the gate). */
+  def componentsTable(s: SparkSession, edges: DataFrame): DataFrame = {
+    import s.implicits._
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    ccLabels(es).toSeq.sortBy(_._1).toDF("doc_id", "group_id")
+  }
+
+  /** q94: hub-removal robustness — degrees, top-K hubs (deg desc, key
+    * asc), component sizes before/after, exact integer retained share
+    * (truncating div on non-negative operands, same as Spark's). */
+  def robustnessTable(s: SparkSession, prs: DataFrame, hubK: Int): DataFrame = {
+    import s.implicits._
+    val es = collectSym(prs)
+    val nEdges = es.length.toLong / 2
+    val hubs = degrees(es).toSeq.sortBy { case (n, d) => (-d, n) }
+      .take(hubK).map(_._1).toSet
+    def ccSizes(pairs: Array[(Long, Long)]): (Long, Long) = {
+      val sizes = ccLabels(pairs).groupBy(_._2).map(_._2.size.toLong)
+      (sizes.sum, sizes.max)
+    }
+    val all = es.map { case (a, b, _) => (a, b) }
+    val (n1, lcc1) = ccSizes(all)
+    val kept = all.filter { case (a, b) => !hubs(a) && !hubs(b) }
+    val (n2, lcc2) = if (kept.isEmpty) (0L, 0L) else ccSizes(kept)
+    Seq((n1, nEdges, lcc1, n2, lcc2, lcc2 * 10000 / lcc1))
+      .toDF("n_nodes", "n_edges", "lcc_before", "n_nodes_after",
+        "lcc_after", "retained_1e4")
+  }
+
+  /** q88: double-sweep diameter lower bound — BFS from the ego seed
+    * (max degree, min key), farthest node (max hops, MIN key — the
+    * distributed max(struct(hops, −node)) argmax), BFS again. The
+    * `rounds` budget truncates exactly like bfsHops (the local bfs
+    * stops early on an empty frontier, result-identically). */
+  def diameterTable(s: SparkSession, prs: DataFrame, rounds: Int): DataFrame = {
+    import s.implicits._
+    val es = collectSym(prs)
+    val adj = es.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    val seed = seedOf(degrees(es))
+    val d1 = bfs(adj, seed, rounds)
+    val eccSeed = d1.values.max
+    val far = d1.collect { case (n, h) if h == eccSeed => n }.min
+    val eccFar = bfs(adj, far, rounds).values.max
+    Seq((seed, eccSeed, far, eccFar))
+      .toDF("seed", "ecc_seed", "far_node", "diameter_lb")
+  }
+
+  /** q86: radius-truncated pivot-sampled Brandes with the SAME
+    * integer algebra and the SAME overflow guards as the distributed
+    * kernel (Graph.betweennessFrom): exact Long σ sums
+    * (Math.addExact mirrors ANSI), per-term
+    * floor(σu·(Scale+δv) div σv) with the product through BigInt
+    * (mirroring the DECIMAL(38,0) projection and its BIGINT cast),
+    * and the per-level no-wrap proofs RAISING identically. */
+  def betweennessTable(s: SparkSession, prs: DataFrame, nSeeds: Int,
+      radius: Int): DataFrame = {
+    import s.implicits._
+    val es = collectSym(prs)
+    val deg = degrees(es)
+    val adj = es.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    val seeds = deg.toSeq.sortBy { case (n, d) => (-d, n) }
+      .take(nSeeds).map(_._1)
+    // forward: perLevel(h) = (seed, node) -> σ
+    val settled = collection.mutable.HashSet.empty[(Long, Long)]
+    seeds.foreach(sd => settled += ((sd, sd)))
+    var frontier: Map[(Long, Long), Long] = seeds.map(sd => (sd, sd) -> 1L).toMap
+    val perLevel = collection.mutable.ArrayBuffer(frontier)
+    var sigmaMaxPrev = 1L
+    for (h <- 1 to radius) {
+      val sums = collection.mutable.HashMap.empty[(Long, Long), Long]
+      val npred = collection.mutable.HashMap.empty[(Long, Long), Long]
+      frontier.foreach { case ((sd, u), sig) =>
+        adj.getOrElse(u, Array.empty[Long]).foreach { v =>
+          if (!settled.contains((sd, v))) {
+            val k = (sd, v)
+            sums.update(k, Math.addExact(sums.getOrElse(k, 0L), sig))
+            npred.update(k, npred.getOrElse(k, 0L) + 1L)
+          }
+        }
+      }
+      val mxH = if (sums.isEmpty) 0L else sums.values.max
+      val cntH = if (npred.isEmpty) 0L else npred.values.max
+      require(BigInt(sigmaMaxPrev) * BigInt(cntH) <= BigInt(Long.MaxValue),
+        s"q86: level-$h σ sums (≤ $cntH terms × ≤ $sigmaMaxPrev) " +
+          "could exceed Long — per-level σ renormalization required (SigmaGuard regime)")
+      require(mxH <= Graph.SigmaGuard,
+        s"q86: max shortest-path count $mxH exceeds " +
+          s"SigmaGuard=${Graph.SigmaGuard} — per-level σ renormalization required; " +
+          "refusing to report precision-compromised centralities")
+      sigmaMaxPrev = math.max(mxH, 1L)
+      sums.keys.foreach(settled += _)
+      frontier = sums.toMap
+      perLevel += frontier
+    }
+    // backward: δ level-by-level; deltaNext = (seed, node) -> (σ, δ)
+    var deltaNext: Map[(Long, Long), (Long, Long)] =
+      perLevel(radius).map { case (k, sig) => k -> (sig, 0L) }
+    val bet = collection.mutable.HashMap.empty[Long, Long]
+    var deltaMaxPrev = 0L
+    var deltaMaxAll = 0L
+    val scale = Graph.Scale
+    for (h <- (radius - 1) to 1 by -1) {
+      val dh = collection.mutable.HashMap.empty[(Long, Long), (Long, Long, Long)]
+      perLevel(h).foreach { case ((sd, u), sigU) =>
+        var dsum = 0L
+        var nterm = 0L
+        adj.getOrElse(u, Array.empty[Long]).foreach { v =>
+          deltaNext.get((sd, v)) match {
+            case Some((sigV, delV)) =>
+              val term = BigInt(sigU) * BigInt(Math.addExact(scale, delV)) / BigInt(sigV)
+              require(term.isValidLong,
+                s"q86: level-$h backward term exceeds BIGINT (σ·(Scale+δ) div σ)")
+              dsum = Math.addExact(dsum, term.toLong)
+              nterm += 1L
+            case None =>
+          }
+        }
+        dh.update((sd, u), (sigU, dsum, nterm))
+      }
+      val dMax = if (dh.isEmpty) 0L else dh.values.map(_._2).max
+      val tMax = if (dh.isEmpty) 0L else dh.values.map(_._3).max
+      require(BigInt(scale + deltaMaxPrev) * BigInt(tMax) <= BigInt(Long.MaxValue),
+        s"q86: level-$h δ sums (≤ $tMax terms × ≤ ${scale + deltaMaxPrev}) " +
+          "could exceed Long — δ needs DECIMAL(38) state at this density; " +
+          "refusing to report wrapped centralities")
+      deltaMaxPrev = math.max(dMax, 0L)
+      deltaMaxAll = math.max(deltaMaxAll, deltaMaxPrev)
+      dh.foreach { case ((_, u), (_, d, _)) =>
+        bet.update(u, Math.addExact(bet.getOrElse(u, 0L), d))
+      }
+      deltaNext = dh.map { case (k, (sig, d, _)) => k -> (sig, d) }.toMap
+    }
+    require(BigInt(deltaMaxAll) * BigInt(seeds.length) <= BigInt(Long.MaxValue),
+      s"q86: pivot-sum of δ (≤ ${seeds.length} × $deltaMaxAll) could exceed Long")
+    deg.keys.toSeq.sorted.map(n => (n, bet.getOrElse(n, 0L)))
+      .toDF("l_partkey", "bet_1e6")
+  }
+
+  // q97 is deliberately NOT here (round 15, recorded negative result):
+  // a DataSketches HLL union's estimate depends on the fold structure
+  // and order of the aggregation tree (graft.HllProbe measures
+  // flat=592 / two-level=585 / reversed=586 on one 600-item set), so
+  // no driver-side replay can be bit-identical to the distributed
+  // partial-agg tree the entry computes through. The distributed loop
+  // keeps its per-round totals as observe metrics instead
+  // (Graph.anfLoop).
 }
