@@ -105,6 +105,36 @@ object Caches {
       }
     })
 
+  private val objects =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Any]
+
+  /** Round 15: memoized DRIVER-SIDE object for (op key, dataset dir) —
+    * the memo discipline for the local-endgame family's collected pair
+    * list (one bounded collect per sweep serves every gated entry,
+    * instead of a count + collect pair per entry). Same ledger
+    * accounting as `memo`, same clear() lifetime — every bench sweep
+    * recollects. */
+  def memoObj[T](key: String, dir: String)(build: => T): T =
+    objects.getOrElseUpdate((key, dir), {
+      val stack = childSec.get()
+      stack.push(0.0)
+      val t0 = System.nanoTime()
+      try {
+        val v = build
+        val wall = (System.nanoTime() - t0) / 1e9
+        val children = stack.pop()
+        if (!stack.isEmpty) stack.push(stack.pop() + wall)
+        buildLog.synchronized { buildLog += key -> (wall - children) }
+        v
+      } catch {
+        case e: Throwable =>
+          val wall = (System.nanoTime() - t0) / 1e9
+          stack.pop()
+          if (!stack.isEmpty) stack.push(stack.pop() + wall)
+          throw e
+      }
+    }).asInstanceOf[T]
+
   /** Drop every memoized frame (unpersisting its cache). Bench calls
     * this between sweeps so the timed re-sweep measures real
     * recomputation under warm JIT/models — not reads of the first
@@ -112,5 +142,6 @@ object Caches {
   def clear(): Unit = {
     frames.values.foreach(_.unpersist())
     frames.clear()
+    objects.clear()
   }
 }

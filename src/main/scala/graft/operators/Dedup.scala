@@ -70,44 +70,68 @@ object Dedup {
     * repeated d2 calls all serve from one materialization, and the
     * build's scaffolding caches (member map, shingle index, doc
     * arrays) are unpersisted once it exists. */
-  private[graft] def d2PairTable(s: SparkSession, dir: String): DataFrame = {
+  /** Round 15: the duplicate-compression members table and the rep
+    * shingle arrays memoized ONCE per dataset — d2 and d8 each built
+    * BOTH from scratch (same raw-fp window, same shingle index, same
+    * (df, shingle)-ranked dictionary, same sorted id arrays: identical
+    * derivations over identical inputs), so the second entry paid the
+    * whole tokenize+dict chain again. One build per sweep, bench-
+    * ledger-attributed like every artifact. */
+  private[graft] def repMembers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    graft.Caches.memo("d2_pairs", dir) {
+    graft.Caches.memo("dedup_members", dir) {
       // duplicate compression (same move as d3/d4): byte-identical RAW
-      // text ⟹ identical shingle sets, so the PPJoin runs over one
-      // representative per identical-text group; intra-group pairs are
-      // J=1.0 by definition and inter-group rep pairs expand to all
+      // text ⟹ identical shingle sets, so the pair joins run over one
+      // representative per identical-text group; intra-group pairs
+      // expand by definition and inter-group rep pairs expand to all
       // member pairs. The key is the RAW text hash — NOT the normalized
       // fingerprint — because shingles come from the raw tokens, and a
-      // case/whitespace variant has a different shingle set. Docs with
-      // no shingles (<3 tokens) never pair, so they are excluded from
-      // the intra expansion too. Output identical (the oracle checks
-      // it); candidate cost follows distinct content.
-      val members = Tables.documents(s, dir)
+      // case/whitespace variant has a different shingle set.
+      Tables.documents(s, dir)
         .select($"doc_id", md5($"text".cast("binary")).as("raw_fp"),
           size(tokens($"text")).as("n_tok"))
         .withColumn("rep_id",
           min($"doc_id").over(org.apache.spark.sql.expressions.Window.partitionBy($"raw_fp")))
         .select($"doc_id", $"rep_id", $"n_tok")
-        .cache()
-      scaffolding += members
+    }()
+  }
+
+  /** The representatives' sorted shingle-id arrays (doc_id, sh, n_sh),
+    * memoized: the scaffold both prefix-filtered joins (d2's symmetric
+    * Jaccard, d8's asymmetric containment) verify against. */
+  private[graft] def repArrays(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    graft.Caches.memo("dedup_reparrays", dir) {
+      val members = repMembers(s, dir)
+      val reps = Tables.documents(s, dir)
+        .join(members.filter($"doc_id" === $"rep_id").select($"doc_id"), "doc_id")
+      val (docs, scaffold) = shingleArraysOf(reps)
+      scaffolding ++= scaffold
+      docs
+    } { scaffolding.foreach(_.unpersist()) }
+  }
+
+  private[graft] def d2PairTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Caches.memo("d2_pairs", dir) {
+      // docs with no shingles (<3 tokens) never pair, so they are
+      // excluded from the intra expansion too. Output identical (the
+      // oracle checks it); candidate cost follows distinct content.
+      val members = repMembers(s, dir)
       val intra = members.as("x").join(members.as("y"),
           $"x.rep_id" === $"y.rep_id" && $"x.doc_id" < $"y.doc_id" &&
           $"x.n_tok" >= 3)
         .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
           lit(1.0).as("jaccard"))
-      val reps = Tables.documents(s, dir)
-        .join(members.filter($"doc_id" === $"rep_id").select($"doc_id"), "doc_id")
-      val (repPairs, scaffold) = ngramJaccardPairs(reps)
-      scaffolding ++= scaffold
+      val repPairs = jaccardFromArrays(repArrays(s, dir))
       val inter = repPairs
         .join(members.select($"doc_id".as("da"), $"rep_id".as("ra")), $"id_a" === $"ra")
         .join(members.select($"doc_id".as("db"), $"rep_id".as("rb")), $"id_b" === $"rb")
         .select(least($"da", $"db").as("id_a"),
           greatest($"da", $"db").as("id_b"), $"jaccard")
       intra.unionAll(inter)
-    } { scaffolding.foreach(_.unpersist()) }
+    }()
   }
 
   val ContainmentThreshold = 0.8 // as n_both*10 >= n_sh(a)*8, exact ints
@@ -149,20 +173,13 @@ object Dedup {
     * are C=1.0 with n_both = the group's shingle count). */
   private[graft] def d8PairTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
     graft.Caches.memo("d8_pairs", dir) {
-      val members = Tables.documents(s, dir)
-        .select($"doc_id", md5($"text".cast("binary")).as("raw_fp"),
-          size(tokens($"text")).as("n_tok"))
-        .withColumn("rep_id", min($"doc_id").over(
-          org.apache.spark.sql.expressions.Window.partitionBy($"raw_fp")))
-        .select($"doc_id", $"rep_id", $"n_tok")
-        .cache()
-      scaffolding += members
-      val reps = Tables.documents(s, dir)
-        .join(members.filter($"doc_id" === $"rep_id").select($"doc_id"), "doc_id")
-      val (repPairs, repSizes, scaffold) = containmentPairs(reps)
-      scaffolding ++= scaffold
+      // round 15: members + rep arrays come from the shared memos d2
+      // also serves from (identical derivations — see repMembers)
+      val members = repMembers(s, dir)
+      val arrays = repArrays(s, dir)
+      val repPairs = containmentFromArrays(arrays)
+      val repSizes = arrays.select($"doc_id", $"n_sh")
       val intra = members.as("x").join(members.as("y"),
           $"x.rep_id" === $"y.rep_id" && $"x.doc_id" =!= $"y.doc_id" &&
           $"x.n_tok" >= 3)
@@ -174,7 +191,7 @@ object Dedup {
         .join(members.select($"doc_id".as("db"), $"rep_id".as("rb")), $"id_b" === $"rb")
         .select($"da".as("id_a"), $"db".as("id_b"), $"n_both", $"na")
       intra.unionAll(inter)
-    } { scaffolding.foreach(_.unpersist()) }
+    }()
   }
 
   /** The containment-join core over an arbitrary (doc_id, text, …)
@@ -183,22 +200,18 @@ object Dedup {
     * sizes, scaffolding caches for the caller to unpersist). */
   private[graft] def containmentPairs(docsDf: DataFrame)
       : (DataFrame, DataFrame, Seq[DataFrame]) = {
-    val s = docsDf.sparkSession
+    val (docs, scaffold) = shingleArraysOf(docsDf)
+    (containmentFromArrays(docs),
+      docs.select(docs("doc_id"), docs("n_sh")), scaffold :+ docs)
+  }
+
+  /** The containment prefix join + verify over a pre-built
+    * (doc_id, sh, n_sh) arrays frame (round 15: the arrays come from
+    * the shared memo when d8 runs over the corpus). */
+  private[graft] def containmentFromArrays(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val t = ContainmentThreshold
-    val sh = shingleIndexOf(docsDf).cache()
-    val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-    // distributed dictionary — same derivation (and rationale) as d2's
-    val dict = freq
-      .repartitionByRange(s.sessionState.conf.numShufflePartitions, $"df", $"shingle")
-      .sortWithinPartitions($"df", $"shingle")
-      .select($"shingle", monotonically_increasing_id().as("sid"))
-      .cache()
-    val docs = sh.join(dict, "shingle")
-      .groupBy($"doc_id")
-      .agg(array_sort(collect_list($"sid")).as("sh"))
-      .select($"doc_id", $"sh", size($"sh").as("n_sh"))
-      .cache()
     // A-side prefix: if C(A→B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so the first
     // common shingle (canonical sid order) falls inside A's first
     // n−⌈t·n⌉+1 — else A's prefix is disjoint from B and the overlap
@@ -218,59 +231,72 @@ object Dedup {
         $"y.n_sh" >= needed && ubound >= needed)
       .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
       .distinct()
-    val pairs = cands
+    cands
       .join(docs.as("sa"), $"id_a" === $"sa.doc_id")
       .join(docs.as("sb"), $"id_b" === $"sb.doc_id")
       .select($"id_a", $"id_b", $"sa.n_sh".as("na"),
         call_function("sorted_intersect_size", $"sa.sh", $"sb.sh").as("n_both"))
       .filter($"n_both" * 10 >= $"na" * 8)
-    (pairs, docs.select($"doc_id", $"n_sh"), Seq(sh, dict, docs))
+  }
+
+  /** The shared shingle-array scaffold: per-doc SORTED dictionary-id
+    * arrays over a (doc_id, text, …) frame — the build d2 and d8 both
+    * verify against. Returns (docs arrays — cached, NOT in the
+    * scaffolding list, the caller owns its lifetime; upstream
+    * scaffolding caches). */
+  private[graft] def shingleArraysOf(docsDf: DataFrame)
+      : (DataFrame, Seq[DataFrame]) = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val sh = shingleIndexOf(docsDf).cache()
+    val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val dict = freq
+      .repartitionByRange(s.sessionState.conf.numShufflePartitions, $"df", $"shingle")
+      .sortWithinPartitions($"df", $"shingle")
+      .select($"shingle", monotonically_increasing_id().as("sid"))
+      .cache()
+    val docs = sh.join(dict, "shingle")
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list($"sid")).as("sh"))
+      .select($"doc_id", $"sh", size($"sh").as("n_sh"))
+      .cache()
+    (docs, Seq(sh, dict))
   }
 
   /** The PPJoin core over an arbitrary (doc_id, text, …) frame.
     * Returns (pairs, scaffolding caches for the caller to unpersist
     * once the result is materialized). */
   private[graft] def ngramJaccardPairs(docsDf: DataFrame): (DataFrame, Seq[DataFrame]) = {
-    val s = docsDf.sparkSession
+    val (docs, scaffold) = shingleArraysOf(docsDf)
+    (jaccardFromArrays(docs), scaffold :+ docs)
+  }
+
+  /** The PPJoin prefix join + verify over a pre-built (doc_id, sh,
+    * n_sh) arrays frame.
+    *
+    * Dictionary notes (see shingleArraysOf, which builds the arrays):
+    * sid = rank in (df asc, shingle asc) order, so ascending sid IS the
+    * canonical rarest-first order AND the merge order — one sorted
+    * integer array per doc serves both the prefix slice and the verify.
+    * Fixed-width ids instead of 20-byte shingle strings cut the
+    * candidate-join shuffle ~5× (the measured d2 bottleneck at 20×:
+    * 23.6M pairs × 2 arrays). Id assignment is DISTRIBUTED:
+    * range-partition the vocabulary on the sort key, sort within
+    * partitions, then take monotonically_increasing_id — its high bits
+    * are the partition id and its low bits count rows in partition
+    * order, so over a range-partitioned sort ascending sid IS ascending
+    * (df, shingle) rank (ids are sparse across partition boundaries,
+    * which the merge order doesn't care about). No row ever funnels
+    * through a single task, so this holds at a billions-entry
+    * vocabulary, unlike a partitionBy-less row_number window whose
+    * one-partition sort would be d2's OOM point at corpus scale. The
+    * dict join carries no broadcast hint: AQE broadcasts a small
+    * vocabulary at runtime and keeps a billion-entry one as a shuffle
+    * join. */
+  private[graft] def jaccardFromArrays(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val t = JaccardThreshold
-    // cached: the shingle index feeds both the df count and the doc
-    // arrays, and the prefix self-join would otherwise recompute the
-    // whole subtree for each side
-    val sh = shingleIndexOf(docsDf).cache()
-    val freq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-    // dictionary-encode the vocabulary: sid = rank in (df asc, shingle
-    // asc) order, so ascending sid IS the canonical rarest-first order
-    // AND the merge order — one sorted integer array per doc serves
-    // both the prefix slice and the verify. Fixed-width ids instead of
-    // 20-byte shingle strings cut the candidate-join shuffle ~5× (the
-    // measured d2 bottleneck at 20×: 23.6M pairs × 2 arrays).
-    //
-    // Id assignment is DISTRIBUTED: range-partition the vocabulary on
-    // the sort key, sort within partitions, then take
-    // monotonically_increasing_id — its high bits are the partition id
-    // and its low bits count rows in partition order, so over a
-    // range-partitioned sort ascending sid IS ascending (df, shingle)
-    // rank (ids are sparse across partition boundaries, which the
-    // merge order doesn't care about). No row ever funnels through a
-    // single task, so this holds at a billions-entry vocabulary (ids
-    // are longs for the same reason), unlike a partitionBy-less
-    // row_number window whose one-partition sort would be d2's OOM
-    // point at corpus scale — and unlike rdd.zipWithIndex it needs no
-    // extra counting job and stays inside codegen.
-    val dict = freq
-      .repartitionByRange(s.sessionState.conf.numShufflePartitions, $"df", $"shingle")
-      .sortWithinPartitions($"df", $"shingle")
-      .select($"shingle", monotonically_increasing_id().as("sid"))
-      .cache()
-    // no broadcast hint: the dictionary is vocabulary-sized, which AQE
-    // broadcasts at runtime when it is small and keeps as a shuffle
-    // join when it is not (a billion-entry dict must never broadcast)
-    val docs = sh.join(dict, "shingle")
-      .groupBy($"doc_id")
-      .agg(array_sort(collect_list($"sid")).as("sh"))
-      .select($"doc_id", $"sh", size($"sh").as("n_sh"))
-      .cache()
     // prefix length p = n - ceil(t*n) + 1, with each element's 1-based
     // position for the positional filter
     val prefix = docs.select($"doc_id", $"n_sh",
@@ -302,7 +328,7 @@ object Dedup {
         call_function("sorted_intersect_size", $"sa.sh", $"sb.sh").as("n_both"))
       .filter(j >= t)
       .select($"id_a", $"id_b", round(j, 4).as("jaccard"))
-    (pairs, Seq(sh, dict, docs))
+    pairs
   }
 
   /** P1: the end-to-end corpus-cleaning pipeline an LLM data run
@@ -540,7 +566,6 @@ object Dedup {
   private[graft] def connectedComponents(s: SparkSession, edges: DataFrame): DataFrame = {
     import s.implicits._
     {
-      val nEdges = edges.count()
       // LOCAL ENDGAME (round 15): min-label propagation converges to
       // the component-minimum id — below the shared 2²² gate a driver-
       // side union-find computes that fixed point directly over the
@@ -548,8 +573,20 @@ object Dedup {
       // rounds of scheduling over a metadata-scale dup graph). Serves
       // d6/p10/q73/q94 at once; beyond the gate the pointer-jumping
       // loop below runs unchanged (OptR15Spec pins parity per entry).
-      if (nEdges <= GraphLocal.maxEdges)
-        return GraphLocal.componentsTable(s, edges)
+      // The gate probe is ONE bounded limit-collect, not a count job
+      // plus a collect job — a too-big graph comes back truncated
+      // (gate+1 rows) and falls through having collected only the
+      // bounded prefix.
+      val gate = GraphLocal.maxEdges
+      if (gate > 0) {
+        val lim = math.min(gate + 1, Int.MaxValue.toLong - 1).toInt
+        val probe = edges
+          .select($"src".cast("long"), $"dst".cast("long"))
+          .limit(lim).as[(Long, Long)].collect()
+        if (probe.length <= gate)
+          return GraphLocal.componentsTable(s, probe)
+      }
+      val nEdges = edges.count()
       // the iterative tail runs many small jobs; its shuffle width
       // follows the pair-graph size (the per-stage decision AQE makes
       // for one-shot queries) — a dup graph of thousands of edges on a

@@ -48,9 +48,10 @@ object Graph {
     // bit-identical integer algebra (GraphLocal; OptR14Spec pins
     // local == forced-distributed). The pair BUILD above stays
     // distributed at every SF.
-    val nPairs = prs.count()
-    if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
-      return GraphLocal.pagerankTop(s, prs, Iters, "pr_rank")
+        GraphLocal.halfPairsUnderGate(s, dir) match {
+      case Some(half) => return GraphLocal.pagerankTop(s, half, Iters, "pr_rank")
+      case None =>
+    }
     val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
       .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
       .cache()
@@ -643,9 +644,10 @@ object Graph {
     val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
     // local endgame under the gate (see q53) — same h-index rounds,
     // same early exit (unchanged sum of estimates)
-    val nPairs = prs.count()
-    if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
-      return GraphLocal.coreHindexTable(s, prs, rounds)
+        GraphLocal.halfPairsUnderGate(s, dir) match {
+      case Some(half) => return GraphLocal.coreHindexTable(s, half, rounds)
+      case None =>
+    }
     val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
       .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
     hIndexCoreNumbers(edges, rounds).orderBy($"l_partkey")
@@ -735,9 +737,10 @@ object Graph {
     val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
     // local endgame under the gate (see q53) — weighted flows,
     // Math.multiplyExact mirrors the ANSI overflow loudness
-    val nPairs = prs.count()
-    if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
-      return GraphLocal.weightedPagerankTop(s, prs, Iters)
+        GraphLocal.halfPairsUnderGate(s, dir) match {
+      case Some(half) => return GraphLocal.weightedPagerankTop(s, half, Iters)
+      case None =>
+    }
     val edges = prs.select($"pa".as("src"), $"pb".as("dst"), $"n_orders".as("w"))
       .unionAll(prs.select($"pb".as("src"), $"pa".as("dst"), $"n_orders".as("w")))
       .cache()
@@ -820,9 +823,10 @@ object Graph {
     val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
     // local endgame under the gate (see q53) — same synchronous
     // schedule, same (cnt desc, label asc) argmax
-    val nPairs = prs.count()
-    if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
-      return GraphLocal.labelPropTable(s, prs, rounds)
+        GraphLocal.halfPairsUnderGate(s, dir) match {
+      case Some(half) => return GraphLocal.labelPropTable(s, half, rounds)
+      case None =>
+    }
     val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
       .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
       .cache()
@@ -913,9 +917,10 @@ object Graph {
     val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
     // local endgame under the gate (see q53); the seed replays the
     // same (deg desc, key asc) argmax locally
-    val nPairs = prs.count()
-    if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
-      return GraphLocal.pprTop(s, prs, Iters)
+        GraphLocal.halfPairsUnderGate(s, dir) match {
+      case Some(half) => return GraphLocal.pprTop(s, half, Iters)
+      case None =>
+    }
     val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
       .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
       .cache()
@@ -970,9 +975,10 @@ object Graph {
     val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
     // local endgame under the gate (see q53) — BFS layers are
     // set-valued, so the replay is trivially order-independent
-    val nPairs = prs.count()
-    if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
-      return GraphLocal.seedReachTable(s, prs, radius)
+        GraphLocal.halfPairsUnderGate(s, dir) match {
+      case Some(half) => return GraphLocal.seedReachTable(s, half, radius)
+      case None =>
+    }
     val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
       .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
       .cache()
@@ -1022,9 +1028,10 @@ object Graph {
     val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
     // local endgame under the gate (see q53) — per-pivot BFS + the
     // Scale div hops sum, zero-filled over every node
-    val nPairs = prs.count()
-    if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
-      return GraphLocal.harmonicTable(s, prs, nSeeds, radius)
+        GraphLocal.halfPairsUnderGate(s, dir) match {
+      case Some(half) => return GraphLocal.harmonicTable(s, half, nSeeds, radius)
+      case None =>
+    }
     val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
       .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
       .cache()
@@ -1352,9 +1359,9 @@ object Graph {
       // (LouvainLocal.coloring — spec-pinned == trialColoring on
       // constructed + seeded + real graphs); beyond it the
       // distributed schedule runs unchanged.
-      val nPairs = prs.count()
-      if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges) {
-        val ce = GraphLocal.collectSym(prs).map(t => (t._1, t._2))
+            val halfOpt = GraphLocal.halfPairsUnderGate(s, dir)
+      if (halfOpt.isDefined) {
+        val ce = GraphLocal.symmetrize(halfOpt.get).map(t => (t._1, t._2))
         LouvainLocal.coloring(ce).toSeq.toDF("node", "color")
       } else {
         edges = copurchaseEdges(s, dir).cache()
@@ -1374,9 +1381,9 @@ object Graph {
       // sweeps replay over the SHARED coloring artifact — one
       // collect of the memoized (node, color) frame, then
       // LouvainLocal.lpaSweeps (parity spec'd vs semiSweeps)
-      val nPairs = prs.count()
-      if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges) {
-        val ce = GraphLocal.collectSym(prs).map(t => (t._1, t._2))
+            val halfOpt = GraphLocal.halfPairsUnderGate(s, dir)
+      if (halfOpt.isDefined) {
+        val ce = GraphLocal.symmetrize(halfOpt.get).map(t => (t._1, t._2))
         val colMap = semiColoredMemo(s, dir)
           .as[(Long, Int)].collect().toMap
         checkColorBudget("q84",
@@ -1887,10 +1894,9 @@ object Graph {
     // three integer aggregates over the metadata-scale edge list and
     // the memoized labeling — GraphLocal replays the exact algebra,
     // including the loud int64 overflow guard
-    val nPairs = prs.count()
-    if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges) {
+        GraphLocal.halfPairsUnderGate(s, dir).foreach { half =>
       val lmap = lab.as[(Long, Long)].collect().toMap
-      return GraphLocal.modularityTable(s, prs, lmap)
+      return GraphLocal.modularityTable(s, half, lmap)
     }
     val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
       .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
@@ -2211,9 +2217,9 @@ object Graph {
       // exact machinery LouvainLocal.movesW already replays for the
       // coarse level (freshTot + zero-move early exit), over the same
       // shared coloring artifact
-      val nPairs = prs.count()
-      if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges) {
-        val ceW = GraphLocal.collectSym(prs).map(t => (t._1, t._2, 1L))
+            val halfOpt = GraphLocal.halfPairsUnderGate(s, dir)
+      if (halfOpt.isDefined) {
+        val ceW = GraphLocal.symmetrize(halfOpt.get).map(t => (t._1, t._2, 1L))
         val colMap = semiColoredMemo(s, dir)
           .as[(Long, Int)].collect().toMap
         checkColorBudget("louvain",
@@ -2731,9 +2737,9 @@ object Graph {
       // (GraphLocal.betweennessTable; OptR15Spec pins parity). The
       // distributed kernel below runs unchanged beyond the gate and
       // stays directly spec-driven (Round8Spec constructed graphs).
-      val nPairs = prs.count()
-      if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
-        GraphLocal.betweennessTable(s, prs, nSeeds, radius)
+            val halfOpt = GraphLocal.halfPairsUnderGate(s, dir)
+      if (halfOpt.isDefined)
+        GraphLocal.betweennessTable(s, halfOpt.get, nSeeds, radius)
       else {
       val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
         .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
@@ -2906,9 +2912,9 @@ object Graph {
       // driver-side below the 2²² gate (104 jobs → 2 at sf0.1); the
       // local seed is the same (deg desc, key asc) argmax egoSeed
       // computes. OptR15Spec pins local == forced-distributed.
-      val nPairs = prs.count()
-      if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
-        GraphLocal.diameterTable(s, prs, rounds)
+            val halfOpt = GraphLocal.halfPairsUnderGate(s, dir)
+      if (halfOpt.isDefined)
+        GraphLocal.diameterTable(s, halfOpt.get, rounds)
       else {
       val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
         .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))
@@ -3467,9 +3473,9 @@ object Graph {
       // sf0.1). The pair BUILD stays distributed at every SF; beyond
       // the gate the distributed passes below run unchanged
       // (OptR15Spec pins local == forced-distributed).
-      val nPairs = prs.count()
-      if (nPairs > 0 && 2 * nPairs <= GraphLocal.maxEdges)
-        GraphLocal.robustnessTable(s, prs, RobustnessHubs)
+            val halfOpt = GraphLocal.halfPairsUnderGate(s, dir)
+      if (halfOpt.isDefined)
+        GraphLocal.robustnessTable(s, halfOpt.get, RobustnessHubs)
       else {
       val edges = prs.select($"pa".as("src"), $"pb".as("dst"))
         .unionAll(prs.select($"pb".as("src"), $"pa".as("dst")))

@@ -547,6 +547,8 @@ object TextAnalysis {
       .select($"doc_id", explode(tokens($"text")).as("token"))
       .filter($"token" =!= "")
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+      .cache()
+    scaffolding += tf
     val dfq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val kept = dfq.join(broadcast(nDocs))
@@ -563,6 +565,8 @@ object TextAnalysis {
         floor($"tf" * log($"n_docs".cast("double") / $"df") * 1000)
           .cast("long").as("wq"))
       .filter($"wq" > 0)
+      .cache()
+    scaffolding += rows
     val norms = rows.groupBy($"doc_id").agg(sum($"wq" * $"wq").as("n2"))
       .cache()
     scaffolding += norms
