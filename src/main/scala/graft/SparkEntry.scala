@@ -144,6 +144,10 @@ object SparkEntry {
     "m9_kmeans"          -> (graft.ml.Clustering.m9Kmeans _),
     "m10_item_cosine"    -> (graft.ml.Recommender.m10ItemCosine _),
     "q53_pagerank"       -> (Graph.q53Pagerank _),
+    // round 15: the forced-distributed twin — the oracle re-hashes the
+    // distributed fixed-point kernel each round (the registry q53
+    // takes the driver-local path at every test SF)
+    "q53_pagerank_dist"  -> (Graph.q53PagerankDist _),
     "q54_triangles"      -> (Graph.q54Triangles _),
     "m11_dimsum"         -> ((s: SparkSession, d: String) =>
       graft.ml.Recommender.m11Dimsum(s, d)),
@@ -1581,6 +1585,52 @@ object SparkEntry {
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation ORDER BY n_nationkey""",
     "q53_pagerank" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         prs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM pp a JOIN pp b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT pa AS src, pb AS dst FROM prs
+               UNION ALL SELECT pb, pa FROM prs),
+         d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM d),
+         it1 AS (SELECT e.dst AS node, sum(r0.rank // d.deg) AS c
+                 FROM e JOIN r0 ON e.src = r0.node JOIN d ON e.src = d.src
+                 GROUP BY 1),
+         r1 AS (SELECT r0.node,
+                  CAST(150000 + (85 * COALESCE(it1.c, 0)) // 100 AS BIGINT) AS rank
+                FROM r0 LEFT JOIN it1 USING (node)),
+         it2 AS (SELECT e.dst AS node, sum(r1.rank // d.deg) AS c
+                 FROM e JOIN r1 ON e.src = r1.node JOIN d ON e.src = d.src
+                 GROUP BY 1),
+         r2 AS (SELECT r1.node,
+                  CAST(150000 + (85 * COALESCE(it2.c, 0)) // 100 AS BIGINT) AS rank
+                FROM r1 LEFT JOIN it2 USING (node)),
+         it3 AS (SELECT e.dst AS node, sum(r2.rank // d.deg) AS c
+                 FROM e JOIN r2 ON e.src = r2.node JOIN d ON e.src = d.src
+                 GROUP BY 1),
+         r3 AS (SELECT r2.node,
+                  CAST(150000 + (85 * COALESCE(it3.c, 0)) // 100 AS BIGINT) AS rank
+                FROM r2 LEFT JOIN it3 USING (node)),
+         it4 AS (SELECT e.dst AS node, sum(r3.rank // d.deg) AS c
+                 FROM e JOIN r3 ON e.src = r3.node JOIN d ON e.src = d.src
+                 GROUP BY 1),
+         r4 AS (SELECT r3.node,
+                  CAST(150000 + (85 * COALESCE(it4.c, 0)) // 100 AS BIGINT) AS rank
+                FROM r3 LEFT JOIN it4 USING (node)),
+         it5 AS (SELECT e.dst AS node, sum(r4.rank // d.deg) AS c
+                 FROM e JOIN r4 ON e.src = r4.node JOIN d ON e.src = d.src
+                 GROUP BY 1),
+         r5 AS (SELECT r4.node,
+                  CAST(150000 + (85 * COALESCE(it5.c, 0)) // 100 AS BIGINT) AS rank
+                FROM r4 LEFT JOIN it5 USING (node))
+         SELECT node AS l_partkey, rank AS pr_rank FROM r5
+         ORDER BY pr_rank DESC, l_partkey LIMIT 50""",
+    // the forced-distributed twin computes the same function — same
+    // oracle replay (kept as a literal: the check harness reads this
+    // map entry-for-entry)
+    "q53_pagerank_dist" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          prs AS (
            SELECT a.l_partkey AS pa, b.l_partkey AS pb

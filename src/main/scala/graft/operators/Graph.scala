@@ -78,6 +78,24 @@ object Graph {
       .limit(50)
   }
 
+  /** Round 15 (VERDICT item 6): q53's DISTRIBUTED kernel as its own
+    * registry entry — at the driver's correctness SFs every gated
+    * family takes the driver-local path, so without this twin the
+    * distributed fixed-point loop would be exercised only by the
+    * builder's own parity specs. The oracle SQL is identical to
+    * q53_pagerank's (same computation, forced through the distributed
+    * regime; the loop materializes eagerly through its
+    * localCheckpoints, so the gate override covers the whole build). */
+  def q53PagerankDist(s: SparkSession, dir: String): DataFrame = {
+    val prev = sys.props.get("graft.graphLocalMaxEdges")
+    sys.props("graft.graphLocalMaxEdges") = "0"
+    try q53Pagerank(s, dir)
+    finally prev match {
+      case Some(v) => sys.props("graft.graphLocalMaxEdges") = v
+      case None => sys.props.remove("graft.graphLocalMaxEdges")
+    }
+  }
+
   /** Q54: triangle census + global clustering coefficient over the
     * same threshold-2 co-purchase graph — the graph-health summary
     * (how clique-ish is co-purchase behavior). All integer counts plus
