@@ -339,20 +339,25 @@ object Dedup {
     * no extra materialization. */
   def p1CleanCorpus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val scored = TextAnalysis.t2QualityScore(s, dir)
-    val dupLosers = d1ExactDedup(s, dir)
-      .filter($"n_copies" > 1)
-      .join(Tables.documents(s, dir)
-          .select($"doc_id", graft.functions.TextFunctions.fingerprint($"text").as("fp2")),
-        $"fp" === $"fp2")
-      .filter($"doc_id" =!= $"keep_id")
-      .select($"doc_id")
-    val nearDupLosers = d2PairTable(s, dir).select($"id_b".as("doc_id"))
-    scored
-      .filter($"quality" >= 0.5)
-      .join(dupLosers, Seq("doc_id"), "left_anti")
-      .join(nearDupLosers, Seq("doc_id"), "left_anti")
-      .select($"doc_id", $"n_tokens", $"quality")
+    // round 15: the survivor table is an artifact — p18/p20's curation
+    // chains re-ran the whole quality+dedup composition per sweep on
+    // top of the entry's own run. One build, ledger-attributed.
+    graft.Caches.memo("p1_clean", dir) {
+      val scored = TextAnalysis.t2QualityScore(s, dir)
+      val dupLosers = d1ExactDedup(s, dir)
+        .filter($"n_copies" > 1)
+        .join(Tables.documents(s, dir)
+            .select($"doc_id", graft.functions.TextFunctions.fingerprint($"text").as("fp2")),
+          $"fp" === $"fp2")
+        .filter($"doc_id" =!= $"keep_id")
+        .select($"doc_id")
+      val nearDupLosers = d2PairTable(s, dir).select($"id_b".as("doc_id"))
+      scored
+        .filter($"quality" >= 0.5)
+        .join(dupLosers, Seq("doc_id"), "left_anti")
+        .join(nearDupLosers, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"n_tokens", $"quality")
+    }()
       .orderBy($"doc_id")
   }
 

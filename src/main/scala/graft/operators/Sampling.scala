@@ -129,9 +129,16 @@ object Sampling {
       // per-source keep-first rank via the distributed group rank —
       // p16's discipline (a bare partitionBy(source) window puts each
       // source's whole survivor population through one task)
-      Analytics.withGroupRank(kept, "source", "rnk", scaffolding, $"doc_id")
-        .filter($"rnk" <= cap)
-        .select($"doc_id", $"lang", $"source")
+      // round 15: sever the composed ~500-node lineage at the memo
+      // boundary — the cache cuts EXECUTION but every consumer action
+      // (the entry's orderBy, p20's joins) still re-analyzed the whole
+      // chain's tree (the measured q84 inherited-stats/analysis cost
+      // at the pipeline-composition layer; p20 already checkpointed on
+      // its side for exactly this reason)
+      graft.Caches.checkpointFresh(
+        Analytics.withGroupRank(kept, "source", "rnk", scaffolding, $"doc_id")
+          .filter($"rnk" <= cap)
+          .select($"doc_id", $"lang", $"source"))
     } { scaffolding.foreach(_.unpersist()) }
       .orderBy($"doc_id")
   }
