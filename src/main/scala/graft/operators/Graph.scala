@@ -395,6 +395,17 @@ object Graph {
   def q66Kcore(s: SparkSession, dir: String, k: Int = 3,
       rounds: Int = KcoreRounds): DataFrame = {
     import s.implicits._
+    // LOCAL ENDGAME (round 15): below the shared 2²² gate the 8
+    // synchronous peel rounds (each a degree aggregate + two
+    // semi-joins + localCheckpoint) replay driver-side over the
+    // collected pair list with the same integer counts
+    // (GraphLocal.kcoreTable; OptR15Spec pins parity). The pair BUILD
+    // stays distributed at every SF; beyond the gate the loop below
+    // runs unchanged.
+    GraphLocal.halfPairsUnderGate(s, dir) match {
+      case Some(half) => return GraphLocal.kcoreTable(s, half, k, rounds)
+      case None =>
+    }
     var e = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
       .select($"pa", $"pb").localCheckpoint(true)
     withLoopWidth(s, e.count()) {
@@ -496,6 +507,17 @@ object Graph {
   private def q76Compute(s: SparkSession, dir: String, kMax: Int,
       rounds: Int): DataFrame = {
     import s.implicits._
+    // LOCAL ENDGAME (round 15): the nested kMax×rounds peel (the
+    // costliest loop left after r14 — up to 17 levels × 21 rounds of
+    // degree aggregate + two semi-joins + a count per round) replays
+    // driver-side below the shared 2²² gate (GraphLocal.
+    // coreNumbersUnderBudget; OptR15Spec pins parity). A CLAMPED local
+    // peel returns None and falls through to the distributed path so
+    // the h-index escalation below stays the single authority for
+    // budget-exhausted graphs.
+    val localOpt = GraphLocal.halfPairsUnderGate(s, dir)
+      .flatMap(h => GraphLocal.coreNumbersUnderBudget(s, h, kMax, rounds))
+    if (localOpt.isDefined) return localOpt.get
     val pairs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
       .select($"pa", $"pb")
     val (table, clamped) = peelCoreNumbers(pairs, kMax, rounds)
@@ -2634,6 +2656,17 @@ object Graph {
   private def q85Compute(s: SparkSession, dir: String,
       rounds: Int): DataFrame = {
     import s.implicits._
+    // LOCAL ENDGAME (round 15): below the shared 2²² gate the frontier
+    // Bellman–Ford replays driver-side — same ego seed (deg desc, key
+    // asc), same exact-Long costs, same early exit
+    // (GraphLocal.ssspTable; OptR15Spec pins parity). The pair BUILD
+    // stays distributed at every SF.
+    GraphLocal.halfPairsUnderGate(s, dir) match {
+      case Some(half) =>
+        return GraphLocal.ssspTable(s, half, rounds)
+          .select($"node".as("l_partkey"), $"dist")
+      case None =>
+    }
     val prs = Analytics.copurchasePairs(s, dir).filter($"n_orders" >= 2)
       .select($"pa", $"pb",
         greatest(lit(1L), expr("1000 div n_orders")).as("w"))

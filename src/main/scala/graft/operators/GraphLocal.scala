@@ -458,6 +458,108 @@ object GraphLocal {
       .toDF("l_partkey", "bet_1e6")
   }
 
+  /** Occurrence count of each endpoint over an UNDIRECTED half-pair
+    * list — exactly the distributed unionAll(pa, pb).groupBy.count the
+    * peel loops ride on. */
+  private def endpointCounts(e: Array[(Long, Long)]): collection.mutable.HashMap[Long, Long] = {
+    val deg = collection.mutable.HashMap.empty[Long, Long]
+    e.foreach { case (a, b) =>
+      deg.update(a, deg.getOrElse(a, 0L) + 1L)
+      deg.update(b, deg.getOrElse(b, 0L) + 1L)
+    }
+    deg
+  }
+
+  /** q66: the fixed-budget synchronous k-core peel over the HALF pair
+    * list (the distributed loop peels undirected pairs, not symmetric
+    * edges): per round, keep pairs whose both endpoints carry ≥ k
+    * occurrences. Early exit when a round removes nothing is the
+    * identity — every later round of the fixed unroll re-derives the
+    * same survivor set. Output: survivors with in-core degree. */
+  def kcoreTable(s: SparkSession, half: Array[(Long, Long, Long)], k: Int,
+      rounds: Int): DataFrame = {
+    import s.implicits._
+    var e = half.map { case (a, b, _) => (a, b) }
+    var r = 0
+    var changed = true
+    while (r < rounds && changed) {
+      val deg = endpointCounts(e)
+      val e2 = e.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+      changed = e2.length != e.length
+      e = e2; r += 1
+    }
+    endpointCounts(e).toSeq.sortBy(_._1)
+      .toDF("l_partkey", "deg_core").orderBy($"l_partkey")
+  }
+
+  /** q76: the budgeted NESTED peel (Graph.peelCoreNumbers) replayed
+    * driver-side — level k starts from level k−1's survivors, per-level
+    * early exit when a round removes nothing (result-identical, as in
+    * the distributed loop). Returns None when the budget clamps (a
+    * level left unconverged survivors, or the level-kMax peel did not
+    * empty the graph): the caller must then run the distributed
+    * escalation path, exactly as the distributed peel escalates to the
+    * h-index fixed point. */
+  def coreNumbersUnderBudget(s: SparkSession, half: Array[(Long, Long, Long)],
+      kMax: Int, rounds: Int): Option[DataFrame] = {
+    import s.implicits._
+    var e = half.map { case (a, b, _) => (a, b) }
+    var clamped = false
+    val best = collection.mutable.HashMap.empty[Long, Int]
+    for (k <- 1 to kMax) {
+      var converged = false
+      var r = 0
+      while (r < rounds && e.nonEmpty && !converged) {
+        val deg = endpointCounts(e)
+        val e2 = e.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+        converged = e2.length == e.length
+        e = e2; r += 1
+      }
+      if (e.nonEmpty && !converged) clamped = true
+      // k-cores nest, so "present at level k" overwrites lower levels —
+      // the distributed max(k) over the per-level membership union
+      e.foreach { case (a, b) => best.update(a, k); best.update(b, k) }
+    }
+    if (e.nonEmpty) clamped = true
+    if (clamped) None
+    else Some(best.toSeq.sortBy(_._1)
+      .toDF("l_partkey", "core_number").orderBy($"l_partkey"))
+  }
+
+  /** q85: frontier Bellman–Ford from the ego seed with exact Long edge
+    * costs w = greatest(1, 1000 div n_orders) — truncating div on
+    * positive operands, additions through Math.addExact (ANSI-loud),
+    * min-merges order-independent, so bit-identical to the distributed
+    * relaxation. Early exit when no distance improves (the remaining
+    * budgeted rounds are the identity, as in the distributed loop). */
+  def ssspTable(s: SparkSession, half: Array[(Long, Long, Long)],
+      rounds: Int): DataFrame = {
+    import s.implicits._
+    val es = symmetrize(half)
+    val adj = es.groupBy(_._1).map { case (n, xs) =>
+      n -> xs.map { case (_, v, no) => (v, math.max(1L, 1000L / no)) }
+    }
+    val seed = seedOf(degrees(es))
+    val dist = collection.mutable.HashMap(seed -> 0L)
+    var frontier: Set[Long] = Set(seed)
+    var r = 0
+    while (r < rounds && frontier.nonEmpty) {
+      val cand = collection.mutable.HashMap.empty[Long, Long]
+      frontier.foreach { u =>
+        val du = dist(u)
+        adj.getOrElse(u, Array.empty[(Long, Long)]).foreach { case (v, w) =>
+          val c = Math.addExact(du, w)
+          if (cand.get(v).forall(c < _)) cand.update(v, c)
+        }
+      }
+      val improved = cand.filter { case (v, c) => dist.get(v).forall(c < _) }
+      improved.foreach { case (v, c) => dist.update(v, c) }
+      frontier = improved.keySet.toSet
+      r += 1
+    }
+    dist.toSeq.sortBy(_._1).toDF("node", "dist")
+  }
+
   // q97 is deliberately NOT here (round 15, recorded negative result):
   // a DataSketches HLL union's estimate depends on the fold structure
   // and order of the aggregation tree (graft.HllProbe measures

@@ -35,6 +35,35 @@ class OptR15Spec extends GraftSpecBase {
     parity("q86")(() => operators.Graph.q86Betweenness(spark, sf))
   }
 
+  test("q66: local k-core peel == forced-distributed, bit-identical") {
+    parity("q66")(() => operators.Graph.q66Kcore(spark, sf))
+  }
+
+  test("q76: local nested peel == forced-distributed, bit-identical") {
+    parity("q76")(() => operators.Graph.q76CoreNumbers(spark, sf))
+  }
+
+  test("q76: clamped local peel falls through to the distributed escalation") {
+    // kMax=2 cannot empty sf0.001's K_max=15 graph: the local peel must
+    // return None and the entry must take the same h-index escalation
+    // the distributed path takes (Round8Spec pins that path's output)
+    import spark.implicits._
+    Caches.clear()
+    val gated = operators.Graph.q76CoreNumbers(spark, sf, kMax = 2, rounds = 3)
+      .collect().map(_.toString).toSeq
+    Caches.clear()
+    sys.props("graft.graphLocalMaxEdges") = "0"
+    val dist = try operators.Graph.q76CoreNumbers(spark, sf, kMax = 2, rounds = 3)
+        .collect().map(_.toString).toSeq
+      finally sys.props.remove("graft.graphLocalMaxEdges")
+    Caches.clear()
+    assert(gated == dist)
+  }
+
+  test("q85: local Bellman-Ford == forced-distributed, bit-identical") {
+    parity("q85")(() => operators.Graph.q85Sssp(spark, sf))
+  }
+
   test("q97: observed per-round totals == post-hoc estimate aggregate (same bytes, one fewer job per round)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
