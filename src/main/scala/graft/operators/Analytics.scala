@@ -423,6 +423,66 @@ object Analytics {
       .drop("__pid", "__lrs", "__off")
   }
 
+  /** Exact global ntile(k) BOUNDARY rows — selection, not ranking
+    * (round 15): a tile code needs only the k−1 boundary TUPLES of
+    * the total order, so ranking every row and joining the rank back
+    * onto the data-scale frame (three wide range shuffles + three
+    * broadcast join-backs for q49) overpays by the data size. Here
+    * only the NARROW sort projection range-shuffles once; the
+    * per-partition counts are the same ≤ numShufflePartitions bounded
+    * artifact withGlobalRank uses, each boundary rank resolves to a
+    * (partition, local index) driver-side, and ONE partition-local
+    * row_number over just the target partitions extracts the rows.
+    * Tile assignment downstream is a broadcast comparison against the
+    * returned tuples — tile(x) = 1 + #{boundaries strictly before x},
+    * exactly SQL ntile (boundary ranks are the cumulative tile sizes
+    * c_j = j·floor(N/k) + min(j, N mod k); duplicates when N < k keep
+    * their multiplicity). Returns the boundary rows in `ranks` order,
+    * with the columns of `df`. */
+  private[graft] def ntileBoundaries(df: DataFrame, k: Int,
+      scaffolding: scala.collection.mutable.ListBuffer[DataFrame],
+      sort: org.apache.spark.sql.Column*): Seq[org.apache.spark.sql.Row] = {
+    val s = df.sparkSession
+    import s.implicits._
+    val outCols = df.columns
+    val n = s.sessionState.conf.numShufflePartitions
+    // counts and extraction must observe ONE physical partitioning —
+    // the withGlobalRank cache caveat
+    val local = df.repartitionByRange(n, sort: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    // callers may run several axes' selections concurrently (q49)
+    scaffolding.synchronized { scaffolding += local }
+    val cnts = local.groupBy($"__pid").agg(count(lit(1)).as("__c"))
+      .orderBy($"__pid").as[(Int, Long)].collect()
+    val total = cnts.map(_._2).sum
+    if (total == 0L) return Seq.empty
+    val size = total / k
+    val rem = total % k
+    val ranks = (1 until k).map(j => j * size + math.min(j.toLong, rem))
+    val targets = ranks.map { r =>
+      var i = 0; var cum = 0L
+      while (cum + cnts(i)._2 < r) { cum += cnts(i)._2; i += 1 }
+      (cnts(i)._1, r - cum) // (pid, 1-based local index)
+    }
+    val byPid = targets.groupBy(_._1)
+    val pred = byPid.map { case (p, ts) =>
+      $"__pid" === p &&
+        $"__lr".cast("long").isInCollection(ts.map(_._2).distinct)
+    }.reduce(_ || _)
+    val picked = local
+      .filter($"__pid".isInCollection(byPid.keys.toSeq))
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy($"__pid").orderBy(sort: _*)))
+      .filter(pred)
+      .collect()
+    val rowOf = picked.map { r =>
+      ((r.getAs[Int]("__pid"), r.getAs[Int]("__lr").toLong),
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.take(outCols.length)))
+    }.toMap
+    targets.map(rowOf(_))
+  }
+
   /** SQL ntile(k) from an exact global rank: bucket sizes differ by at
     * most one with the larger buckets first — `tile(r) =
     * ceil(r/(size+1))` inside the first (N mod k) oversized buckets,
@@ -449,13 +509,17 @@ object Analytics {
     * date), Frequency (order count), Monetary (total spend), each
     * quartiled and concatenated into the segment code ("1-4-4" =
     * recent heavy spender; tile 1 is always "best"). One partial
-    * aggregate over orders, then three DISTRIBUTED exact global ranks
-    * over the per-customer frame (`withGlobalRank` — never a
-    * single-partition ntile window, which at a billion customers is
-    * the OOM point), with total-order tie-breaks so quartile
-    * boundaries are engine-reproducible; the corpus max date is a
-    * one-row broadcast. The oracle's plain `ntile(4)` windows
-    * hash-match, proving the distributed rank+formula IS SQL ntile. */
+    * aggregate over orders; then each axis's quartiles come from the
+    * 3 BOUNDARY tuples of the (value, custkey) total order
+    * (`ntileBoundaries` — selection, not ranking: only the NARROW
+    * two-column projection range-shuffles, never a single-partition
+    * ntile window, which at a billion customers is the OOM point),
+    * and the segment code is one broadcast-literal comparison pass
+    * over the customer frame — no rank column ever joins back. Tie-
+    * breaks on custkey keep the boundaries engine-reproducible; the
+    * corpus max date is a one-row broadcast. The oracle's plain
+    * `ntile(4)` windows hash-match, proving boundary-compare IS SQL
+    * ntile (tile = 1 + #boundaries strictly before the row). */
   def q49Rfm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val scaffolding = scala.collection.mutable.ListBuffer.empty[DataFrame]
@@ -469,18 +533,42 @@ object Analytics {
       val rfm = per.join(broadcast(maxDt))
         .select($"o_custkey", $"frequency", $"monetary",
           datediff($"corpus_max", $"last_dt").as("recency_days"))
-      val tot = rfm.agg(count(lit(1)).as("__n"))
-      val r1 = withGlobalRank(rfm, "r_rank", scaffolding,
-        $"recency_days", $"o_custkey")
-      val r2 = withGlobalRank(r1, "f_rank", scaffolding,
-        $"frequency".desc, $"o_custkey")
-      val r3 = withGlobalRank(r2, "m_rank", scaffolding,
-        $"monetary".desc, $"o_custkey")
-      r3.join(broadcast(tot))
-        .select($"o_custkey", $"recency_days", $"frequency", $"monetary",
-          concat_ws("-", tileOf($"r_rank", $"__n", 4),
-            tileOf($"f_rank", $"__n", 4),
-            tileOf($"m_rank", $"__n", 4)).as("rfm_segment"))
+        .cache()
+      scaffolding += rfm
+      rfm.count() // warm the cache once before the concurrent scans
+      // the three axis selections are independent — submit them from
+      // three threads (guide §2.6: job submission is thread-local) so
+      // their bounded collect round-trips overlap instead of chaining
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val Seq(rB, fB, mB) =
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(Seq(
+            scala.concurrent.Future(ntileBoundaries(
+              rfm.select($"recency_days", $"o_custkey"), 4,
+              scaffolding, $"recency_days", $"o_custkey")),
+            scala.concurrent.Future(ntileBoundaries(
+              rfm.select($"frequency", $"o_custkey"), 4,
+              scaffolding, $"frequency".desc, $"o_custkey")),
+            scala.concurrent.Future(ntileBoundaries(
+              rfm.select($"monetary", $"o_custkey"), 4,
+              scaffolding, $"monetary".desc, $"o_custkey")))),
+          scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+      // tile = 1 + #{boundaries strictly before the row} under each
+      // axis's total order (asc: v > bv; desc: v < bv; ties on key)
+      def tile(v: org.apache.spark.sql.Column, desc: Boolean,
+          bs: Seq[org.apache.spark.sql.Row]) =
+        bs.map { b =>
+          val bv = lit(b.get(0)); val bk = lit(b.getLong(1))
+          val after = if (desc) v < bv else v > bv
+          when(after || (v === bv && $"o_custkey" > bk), 1L).otherwise(0L)
+        }.foldLeft(lit(1L))(_ + _)
+      rfm.select($"o_custkey", $"recency_days", $"frequency", $"monetary",
+        concat_ws("-", tile($"recency_days", desc = false, rB),
+          tile($"frequency", desc = true, fB),
+          tile($"monetary", desc = true, mB)).as("rfm_segment"))
         .orderBy($"o_custkey")
     } { scaffolding.foreach(_.unpersist()) }
   }

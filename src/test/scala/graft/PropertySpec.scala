@@ -118,6 +118,36 @@ class PropertySpec extends GraftSpecBase {
     assert(salted == plain)
   }
 
+  test("ntileBoundaries: boundary-compare equals window ntile, incl. N < k duplicates and value ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(1515)
+    // shapes that stress the selection: N < k (duplicate boundary
+    // rows), N = k, heavy value ties (tie-break on key), and a few
+    // hundred-row frames spanning multiple range partitions
+    val shapes = Seq(2, 3, 4, 5, 17, 100, 311, 500)
+    shapes.foreach { n =>
+      val data = (1L to n.toLong).map(k => (rnd.nextInt(7).toLong, k))
+      val df = data.toDF("v", "key")
+      val scaff = scala.collection.mutable.ListBuffer
+        .empty[org.apache.spark.sql.DataFrame]
+      val bs = operators.Analytics.ntileBoundaries(df, 4, scaff,
+        $"v", $"key")
+      val got = df.select($"v", $"key",
+        bs.map { b =>
+          when($"v" > lit(b.getLong(0)) ||
+            ($"v" === lit(b.getLong(0)) && $"key" > lit(b.getLong(1))),
+            1L).otherwise(0L)
+        }.foldLeft(lit(1L))(_ + _).as("got"))
+      val mismatch = got
+        .withColumn("want",
+          ntile(4).over(Window.orderBy($"v", $"key")).cast("long"))
+        .filter($"got" =!= $"want")
+      assert(mismatch.count() == 0, s"N=$n")
+      scaff.foreach(_.unpersist())
+    }
+  }
+
   test("tileOf equals window ntile for random sizes and bucket counts") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
