@@ -638,7 +638,13 @@ object Analytics {
         .agg(min($"o_orderdate").as("d"))
         .cache()
       scaffolding += cp
-      val seq = cp.as("a").join(cp.as("b"),
+      // the self-join must SHUFFLE on the customer key: cp is
+      // customer×part-scale (billions of rows at 100 TB) and the
+      // cache's tiny estimated stats otherwise flip the planner to
+      // broadcasting it — the m10/t12 defect (round 15); both sides
+      // hash the key they already carry, ReuseExchange shares the one
+      // shuffle
+      val seq = cp.as("a").join(cp.as("b").hint("SHUFFLE_HASH"),
           $"a.c" === $"b.c" && $"a.d" < $"b.d")
         .groupBy($"a.p".as("ante"), $"b.p".as("cons"))
         .agg(count(lit(1)).as("n_seq"))
